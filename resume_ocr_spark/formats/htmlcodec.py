@@ -1,0 +1,87 @@
+"""HTML main-content extraction: boilerplate strip + block classification.
+
+The reference has no HTML branch (it accepts PDF/PNG/JPG only,
+app/utils/utils.py:43-44); HTML spans come from BASELINE.json:north_rule
+("HTML boilerplate strip, DOM heuristics").  This is a deterministic,
+dependency-free block classifier in the spirit of Readability/jusText:
+
+  1. split the document into block-level segments,
+  2. score each block: tag-based prior (nav/footer/aside/ad ⇒ boilerplate,
+     main/article ⇒ content) + link density + text density,
+  3. keep content blocks, strip inline tags, unescape entities.
+
+Pure function — shared verbatim by the single-node oracle and the Spark
+batch UDF (the distributed-correctness questions are order/join/shuffle,
+covered by the pipeline tests).
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+
+_BLOCK_SPLIT_RE = re.compile(
+    r"<(nav|header|footer|aside|main|article|div|section|p|h[1-6]|ul|table)"
+    r"(\s[^>]*)?>|</(nav|header|footer|aside|main|article|div|section|p|h[1-6]|ul|table)>",
+    re.I,
+)
+_TAG_RE = re.compile(r"<[^>]+>")
+_ANCHOR_RE = re.compile(r"<a\b[^>]*>(.*?)</a>", re.I | re.S)
+
+_BOILERPLATE_TAGS = {"nav", "header", "footer", "aside"}
+_CONTENT_TAGS = {"main", "article"}
+_AD_CLASS_RE = re.compile(r'class="[^"]*\b(ad|ads|banner|promo|cookie|social)\b', re.I)
+
+LINK_DENSITY_MAX = 0.5
+MIN_BLOCK_CHARS = 3
+
+
+def _blocks(doc: str) -> list[tuple[list[str], str]]:
+    """Split into (open-tag-stack, raw-html) segments."""
+    out: list[tuple[list[str], str]] = []
+    stack: list[str] = []
+    pos = 0
+    for m in _BLOCK_SPLIT_RE.finditer(doc):
+        seg = doc[pos : m.start()]
+        if seg.strip():
+            out.append((list(stack), seg))
+        if m.group(3):  # closing tag
+            tag = m.group(3).lower()
+            if tag in stack:
+                while stack and stack[-1] != tag:
+                    stack.pop()
+                if stack:
+                    stack.pop()
+        else:
+            tag = m.group(1).lower()
+            marker = tag
+            if m.group(2) and _AD_CLASS_RE.search(m.group(0)):
+                marker = "aside"  # ad-classed divs treated as boilerplate
+            stack.append(marker)
+        pos = m.end()
+    tail = doc[pos:]
+    if tail.strip():
+        out.append((list(stack), tail))
+    return out
+
+
+def _link_density(raw: str) -> float:
+    anchor_text = sum(len(_TAG_RE.sub("", m)) for m in _ANCHOR_RE.findall(raw))
+    total = len(_TAG_RE.sub("", raw))
+    return anchor_text / total if total else 1.0
+
+
+def strip_boilerplate(doc: str) -> str:
+    """Main-content text of an HTML document, blocks joined by newlines."""
+    kept: list[str] = []
+    for stack, raw in _blocks(doc):
+        tags = set(stack)
+        if tags & _BOILERPLATE_TAGS and not tags & _CONTENT_TAGS:
+            continue
+        if _link_density(raw) > LINK_DENSITY_MAX and not tags & _CONTENT_TAGS:
+            continue
+        text = _html.unescape(_TAG_RE.sub(" ", raw))
+        text = re.sub(r"[ \t]+", " ", text).strip()
+        if len(text) >= MIN_BLOCK_CHARS:
+            kept.append(text)
+    return "\n".join(kept)

@@ -1,0 +1,337 @@
+"""Deterministic synthetic image codec: glyph render + preprocess + OCR.
+
+The reference OCRs PNG/JPEG resumes with OpenCV preprocessing + Tesseract
+(reference: app/services/ocr_service.py:23-46 image branch, :129-161
+``preprocess_image`` — grayscale, medianBlur(3), adaptiveThreshold(GAUSSIAN,
+block=11, C=2), fall back to original on failure; :42 ``image_to_string(lang=
+'por+eng')``).  Neither OpenCV, PIL nor tesseract exist in this container, so
+this module implements the same pipeline shape deterministically in pure
+numpy:
+
+  render_text_image(text)  -> bytes        (our media payload; stands in for PNG)
+  preprocess(img)          -> binary array (grayscale → deskew → median3 →
+                                            adaptive gaussian threshold 11/C=2)
+  ocr_image(payload)       -> text         (segment lines/cells → glyph match)
+
+Determinism contract: ``ocr_image(render_text_image(t)) == _normalize(t)`` for
+any text over the supported charset, at any of the supported skew levels.
+Preprocessing is position-invariant by construction (uniform background,
+margins wider than every kernel radius), so recognition matches each cell
+against prototypes produced by the *same* render+preprocess pipeline.
+
+Payload container ``RIMG1``: magic(5) + height(uint32 LE) + width(uint32 LE)
++ raw row-major uint8 grayscale. A corrupt/truncated payload raises
+``ImageDecodeError`` — callers convert it to an error row (error-as-data,
+reference: app/services/analyze_service.py:105-117).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+import numpy as np
+
+MAGIC = b"RIMG1"
+
+# glyph geometry (pixels)
+GLYPH_W, GLYPH_H = 5, 7          # base bitmap
+SCALE = 2                        # stroke thickness ≥2 px survives median3
+CELL_GAP = 6                     # > adaptive-threshold radius (5): cells never
+LINE_GAP = 8                     # influence each other's threshold window
+CELL_W = GLYPH_W * SCALE + CELL_GAP      # 16
+CELL_H = GLYPH_H * SCALE                  # 14
+LINE_PITCH = CELL_H + LINE_GAP            # 22
+MARGIN = 8                       # > kernel radius: no border effects on glyphs
+FID_SIZE = 6                     # top-left fiducial square (grid anchor)
+FID_GAP = 8
+TEXT_TOP = MARGIN + FID_SIZE + FID_GAP
+
+INK, BG = 30, 220
+BIN_THRESHOLD = 128              # quick global threshold used only by deskew
+
+# skew levels the generator may apply; deskew searches this same grid
+# (real deskew also searches a discrete angle grid)
+SKEW_CANDIDATES = (-0.12, -0.08, -0.04, 0.0, 0.04, 0.08, 0.12)
+
+CHARSET = (
+    " !\"#$%&'()*+,-./0123456789:;<=>?@"
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ[\\]^_`"
+    "abcdefghijklmnopqrstuvwxyz{|}~"
+    "ÁÂÃÀÇÉÊÍÓÔÕÚÜáâãàçéêíóôõúü—–"
+)
+
+
+class ImageDecodeError(ValueError):
+    """Raised on corrupt/truncated RIMG payloads."""
+
+
+# --------------------------------------------------------------------------
+# glyph font: 5x7 bitmaps derived deterministically from the char, with the
+# four corners forced on (uniqueness is asserted at import time)
+# --------------------------------------------------------------------------
+
+def _glyph_bitmap(ch: str) -> np.ndarray:
+    if ch == " ":
+        return np.zeros((GLYPH_H, GLYPH_W), dtype=np.uint8)
+    digest = hashlib.md5(("glyph:" + ch).encode("utf-8")).digest()
+    bits = np.unpackbits(np.frombuffer(digest, dtype=np.uint8))[: GLYPH_H * GLYPH_W]
+    g = bits.reshape(GLYPH_H, GLYPH_W).astype(np.uint8)
+    g[0, 0] = g[0, -1] = g[-1, 0] = g[-1, -1] = 1
+    return g
+
+
+FONT: dict[str, np.ndarray] = {ch: _glyph_bitmap(ch) for ch in CHARSET}
+_seen: dict[bytes, str] = {}
+for _ch, _g in FONT.items():
+    _key = _g.tobytes()
+    assert _key not in _seen, f"glyph collision {_ch!r} vs {_seen[_key]!r}"
+    _seen[_key] = _ch
+del _seen
+
+
+def _normalize(text: str) -> str:
+    """What a render→OCR round trip preserves: rstripped lines, supported
+    charset ('?' for anything else), no trailing blank lines."""
+    lines = [
+        "".join(c if c in FONT else "?" for c in ln).rstrip()
+        for ln in text.split("\n")
+    ]
+    while lines and lines[-1] == "":
+        lines.pop()
+    return "\n".join(lines)
+
+
+# --------------------------------------------------------------------------
+# render
+# --------------------------------------------------------------------------
+
+def render_text_image(text: str, skew: float = 0.0) -> bytes:
+    """Render text onto a uint8 grayscale page and pack as RIMG1 bytes."""
+    if skew not in SKEW_CANDIDATES:
+        raise ValueError(f"skew must be one of {SKEW_CANDIDATES}")
+    lines = _normalize(text).split("\n") if _normalize(text) else []
+    n_cols = max((len(ln) for ln in lines), default=0)
+    w = MARGIN * 2 + max(n_cols * CELL_W, FID_SIZE)
+    h = TEXT_TOP + max(len(lines), 1) * LINE_PITCH + MARGIN
+    img = np.full((h, w), BG, dtype=np.uint8)
+    img[MARGIN : MARGIN + FID_SIZE, MARGIN : MARGIN + FID_SIZE] = INK
+    for li, ln in enumerate(lines):
+        top = TEXT_TOP + li * LINE_PITCH
+        for ci, ch in enumerate(ln):
+            g = FONT[ch]
+            big = np.kron(g, np.ones((SCALE, SCALE), dtype=np.uint8))
+            left = MARGIN + ci * CELL_W
+            patch = img[top : top + CELL_H, left : left + GLYPH_W * SCALE]
+            patch[big == 1] = INK
+    if skew != 0.0:
+        img = _shear(img, skew)
+    header = MAGIC + np.array(img.shape, dtype="<u4").tobytes()
+    return header + img.tobytes()
+
+
+def _shear(img: np.ndarray, k: float) -> np.ndarray:
+    """Shift column x down by round(k*x); pad so nothing is lost."""
+    h, w = img.shape
+    shifts = np.rint(k * np.arange(w)).astype(int)
+    pad_top = max(0, -int(shifts.min()))
+    pad_bot = max(0, int(shifts.max()))
+    out = np.full((h + pad_top + pad_bot, w), BG, dtype=np.uint8)
+    for x in range(w):
+        out[pad_top + shifts[x] : pad_top + shifts[x] + h, x] = img[:, x]
+    return out
+
+
+def decode_rimg(payload: bytes) -> np.ndarray:
+    if len(payload) < 13 or payload[:5] != MAGIC:
+        raise ImageDecodeError("bad RIMG magic")
+    h, w = np.frombuffer(payload[5:13], dtype="<u4")
+    h, w = int(h), int(w)
+    body = payload[13:]
+    if h * w == 0 or len(body) != h * w:
+        raise ImageDecodeError(f"truncated RIMG payload ({len(body)} != {h * w})")
+    return np.frombuffer(body, dtype=np.uint8).reshape(h, w).copy()
+
+
+# --------------------------------------------------------------------------
+# preprocess: deskew → median3 → adaptive gaussian threshold(11, C=2)
+# (reference pipeline app/services/ocr_service.py:129-161, plus deskew per
+# BASELINE.json:north_star)
+# --------------------------------------------------------------------------
+
+def estimate_skew(img: np.ndarray) -> float:
+    ink = (img < BIN_THRESHOLD).astype(np.float64)
+    best_k, best_var = 0.0, -1.0
+    for k in SKEW_CANDIDATES:
+        prof = _unshear_profile(ink, k)
+        v = float(prof.var())
+        if v > best_var + 1e-12:
+            best_var, best_k = v, k
+    return best_k
+
+
+def _unshear_profile(ink: np.ndarray, k: float) -> np.ndarray:
+    h, w = ink.shape
+    shifts = np.rint(k * np.arange(w)).astype(int)
+    prof = np.zeros(h + 2 * (int(np.abs(shifts).max()) + 1), dtype=np.float64)
+    off = int(np.abs(shifts).max()) + 1
+    for x in range(w):
+        col = ink[:, x]
+        prof[off - shifts[x] : off - shifts[x] + h] += col
+    return prof
+
+
+def deskew(img: np.ndarray) -> np.ndarray:
+    k = estimate_skew(img)
+    if k == 0.0:
+        return img
+    h, w = img.shape
+    shifts = np.rint(k * np.arange(w)).astype(int)
+    out = np.full_like(img, BG)
+    for x in range(w):
+        s = shifts[x]
+        if s > 0:
+            out[: h - s, x] = img[s:, x]
+        elif s < 0:
+            out[-s:, x] = img[: h + s, x]
+        else:
+            out[:, x] = img[:, x]
+    return out
+
+
+def median3(img: np.ndarray) -> np.ndarray:
+    p = np.pad(img, 1, mode="edge")
+    stack = np.stack(
+        [p[dy : dy + img.shape[0], dx : dx + img.shape[1]]
+         for dy in range(3) for dx in range(3)],
+        axis=0,
+    )
+    return np.median(stack, axis=0).astype(np.uint8)
+
+
+_GAUSS_K = None
+
+
+def _gauss_kernel(block: int = 11) -> np.ndarray:
+    global _GAUSS_K
+    if _GAUSS_K is None:
+        sigma = 0.3 * ((block - 1) * 0.5 - 1) + 0.8  # OpenCV's getGaussianKernel rule
+        x = np.arange(block) - block // 2
+        k = np.exp(-(x**2) / (2 * sigma**2))
+        _GAUSS_K = k / k.sum()
+    return _GAUSS_K
+
+
+def adaptive_threshold(img: np.ndarray, block: int = 11, c: float = 2.0) -> np.ndarray:
+    """Gaussian-weighted adaptive threshold; returns 1=ink, 0=background."""
+    k = _gauss_kernel(block)
+    pad = block // 2
+    p = np.pad(img.astype(np.float64), pad, mode="edge")
+    # separable convolution
+    tmp = np.apply_along_axis(lambda r: np.convolve(r, k, mode="valid"), 1, p)
+    mean = np.apply_along_axis(lambda col: np.convolve(col, k, mode="valid"), 0, tmp)
+    return (img.astype(np.float64) < mean - c).astype(np.uint8)
+
+
+def preprocess(img: np.ndarray) -> np.ndarray:
+    """grayscale (input already single-channel) → deskew → median → adaptive
+    threshold. Mirrors reference order with deskew inserted."""
+    return adaptive_threshold(median3(deskew(img)))
+
+
+# --------------------------------------------------------------------------
+# recognition: prototype dict built by running the same pipeline per char
+# --------------------------------------------------------------------------
+
+_PROTOS: dict[bytes, str] | None = None
+_FID_OFFSET: tuple[int, int] | None = None
+
+
+def _build_protos() -> None:
+    global _PROTOS, _FID_OFFSET
+    protos: dict[bytes, str] = {}
+    for ch in CHARSET:
+        if ch == " ":
+            continue
+        page = decode_rimg(render_text_image(ch))
+        binary = adaptive_threshold(median3(page))  # no deskew needed, k=0
+        cell = binary[TEXT_TOP : TEXT_TOP + CELL_H, MARGIN : MARGIN + GLYPH_W * SCALE]
+        key = cell.tobytes()
+        assert key not in protos, f"preprocessed-glyph collision on {ch!r}"
+        protos[key] = ch
+    protos[np.zeros((CELL_H, GLYPH_W * SCALE), dtype=np.uint8).tobytes()] = " "
+    # fiducial calibration: where does the eroded fiducial's first ink pixel
+    # land relative to its true origin?
+    page = decode_rimg(render_text_image(""))
+    binary = adaptive_threshold(median3(page))
+    ys, xs = np.nonzero(binary)
+    _FID_OFFSET = (int(ys.min()) - MARGIN, int(xs.min()) - MARGIN)
+    _PROTOS = protos
+
+
+def _protos() -> tuple[dict[bytes, str], tuple[int, int]]:
+    if _PROTOS is None:
+        _build_protos()
+    return _PROTOS, _FID_OFFSET  # type: ignore[return-value]
+
+
+def ocr_image(payload: bytes) -> str:
+    """Decode → preprocess → segment on the fiducial-anchored grid → match
+    each cell against preprocessed prototypes (nearest-Hamming fallback)."""
+    img = decode_rimg(payload)
+    binary = preprocess(img)
+    protos, (dr, dc) = _protos()
+    ys, xs = np.nonzero(binary)
+    if len(ys) == 0:
+        return ""
+    top = int(ys.min()) - dr - MARGIN + TEXT_TOP  # text grid top row
+    left = int(xs.min()) - dc                      # text grid left col
+    bottom = int(ys.max())
+    lines: list[str] = []
+    li = 0
+    while top + li * LINE_PITCH <= bottom:
+        r0 = top + li * LINE_PITCH
+        li += 1
+        band = binary[r0 : r0 + CELL_H, :]
+        bxs = np.nonzero(band)[1]
+        if len(bxs) == 0:
+            lines.append("")
+            continue
+        n_cells = (int(bxs.max()) - left) // CELL_W + 1
+        chars = []
+        for ci in range(n_cells):
+            c0 = left + ci * CELL_W
+            cell = band[:, c0 : c0 + GLYPH_W * SCALE]
+            if cell.shape[1] < GLYPH_W * SCALE:
+                cell = np.pad(cell, ((0, 0), (0, GLYPH_W * SCALE - cell.shape[1])))
+            ch = protos.get(np.ascontiguousarray(cell).tobytes())
+            if ch is None:
+                ch = _nearest(cell, protos)
+            chars.append(ch)
+        lines.append("".join(chars).rstrip())
+    while lines and lines[-1] == "":
+        lines.pop()
+    return "\n".join(lines)
+
+
+def _nearest(cell: np.ndarray, protos: dict[bytes, str]) -> str:
+    flat = cell.astype(np.int16).ravel()
+    best, best_d = "?", 1 << 30
+    for key, ch in protos.items():
+        ref = np.frombuffer(key, dtype=np.uint8).astype(np.int16)
+        d = int(np.abs(flat - ref).sum())
+        if d < best_d:
+            best_d, best = d, ch
+    return best
+
+
+def compress_payload(payload: bytes) -> bytes:
+    """zlib wrapper used by media_blobs to keep the warehouse small."""
+    return zlib.compress(payload, level=6)
+
+
+def decompress_payload(blob: bytes) -> bytes:
+    try:
+        return zlib.decompress(blob)
+    except zlib.error as exc:  # error-as-data upstream
+        raise ImageDecodeError(f"corrupt compressed payload: {exc}") from exc

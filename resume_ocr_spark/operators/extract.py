@@ -1,0 +1,233 @@
+"""Distributed extraction: documents_raw → documents_extracted.
+
+Spark-first redesign of the reference's per-file pipeline
+(reference: app/services/analyze_service.py:93-118 fan-out,
+app/services/ocr_service.py:20-127 extraction; SURVEY.md §3.1 stage map):
+
+    read documents_raw (bucket-pruned)
+      → posexplode spans                       (P2 analog: per-span rows)
+      → split by branch                        (F5 kind dispatch — the OCR UDF
+                                                only ever sees media spans)
+        text  : pure Column ops (no Python)
+        html  : mapInPandas boilerplate strip
+        media : LEFT join media_blobs (broadcast small dict / AQE skew-join
+                otherwise) → repartition on (doc_id, offset) — span-level
+                parallelism is the skew salt: a doc with 10^3 media spans
+                spreads over the whole stage instead of pinning one task
+      → unionByName
+      → groupBy(doc_id) collect_list + array_sort(struct(offset, kind,
+        media_ref, text, …))                   (order restored by explicit
+                                                sort key, never row order)
+      → left join doc ids (empty-span docs survive)
+
+Every branch emits the same span-result shape; failures are error *values*
+(error-as-data, reference: app/services/analyze_service.py:105-117).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import oracle
+from ..config import SKEW_SPAN_THRESHOLD
+
+SPAN_RESULT_SCHEMA = (
+    "doc_id string, offset int, kind string, media_ref string, "
+    "text string, error string, ocr_pages int"
+)
+_RESULT_COLS = ["doc_id", "offset", "kind", "media_ref", "text", "error", "ocr_pages"]
+
+
+# --------------------------------------------------------------------------
+# batch UDFs (Arrow-transferred; the only Python in the pipeline)
+# --------------------------------------------------------------------------
+
+def _html_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from ..formats import htmlcodec
+
+    for pdf in batches:
+        texts, errors = [], []
+        for raw in pdf["text"]:
+            if not (raw or "").strip():
+                texts.append("")
+                errors.append("empty file")
+                continue
+            try:
+                texts.append(htmlcodec.strip_boilerplate(raw))
+                errors.append(None)
+            except Exception as exc:  # never fail the task on bad input
+                texts.append("")
+                errors.append(f"unexpected: {exc}")
+        out = pdf[["doc_id", "offset", "kind", "media_ref"]].copy()
+        out["text"] = texts
+        out["error"] = errors
+        out["ocr_pages"] = 0
+        yield out[_RESULT_COLS]
+
+
+def _media_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        texts, errors, pages = [], [], []
+        for kind, payload in zip(pdf["kind"], pdf["payload"]):
+            raw = bytes(payload) if payload is not None else None
+            text, error, n = oracle.extract_span(kind, "", "", raw)
+            texts.append(text)
+            errors.append(error)
+            pages.append(n)
+        out = pdf[["doc_id", "offset", "kind", "media_ref"]].copy()
+        out["text"] = texts
+        out["error"] = errors
+        out["ocr_pages"] = pages
+        yield out[_RESULT_COLS]
+
+
+# --------------------------------------------------------------------------
+# pipeline
+# --------------------------------------------------------------------------
+
+def explode_spans(docs_df: DataFrame) -> DataFrame:
+    """documents_raw → one row per span (empty-span docs drop out here and
+    are restored by the left join in reassemble)."""
+    return (
+        docs_df
+        .select("doc_id", F.explode("spans").alias("span"))
+        .select(
+            "doc_id",
+            F.col("span.offset").alias("offset"),
+            F.col("span.kind").alias("kind"),
+            F.col("span.text").alias("text"),
+            F.col("span.media_ref").alias("media_ref"),
+        )
+    )
+
+
+def extract_spans(
+    spans_df: DataFrame,
+    blobs_df: DataFrame,
+    broadcast_blobs: bool = False,
+    ocr_partitions: int | None = None,
+) -> DataFrame:
+    """Per-span extraction, branch-split so each branch's plan is minimal."""
+    is_text = F.col("kind") == "text"
+    is_html = F.col("kind") == "html"
+    is_media = F.col("kind").isin("pdf", "image")
+
+    # text branch: pure Column ops — whole-stage codegen, zero Python
+    text_b = (
+        spans_df.filter(is_text)
+        .withColumn(
+            "error",
+            F.when(F.length(F.trim(F.coalesce(F.col("text"), F.lit("")))) == 0,
+                   F.lit("empty file")),
+        )
+        .withColumn("text", F.when(F.col("error").isNull(), F.col("text"))
+                    .otherwise(F.lit("")))
+        .withColumn("ocr_pages", F.lit(0))
+        .select(_RESULT_COLS)
+    )
+
+    html_b = (
+        spans_df.filter(is_html)
+        .select("doc_id", "offset", "kind", "media_ref", "text")
+        .mapInPandas(_html_batches, schema=SPAN_RESULT_SCHEMA)
+    )
+
+    # unsupported kinds: pure Column error row
+    other_b = (
+        spans_df.filter(~(is_text | is_html | is_media))
+        .withColumn("error", F.concat(F.lit("unsupported kind: "), F.col("kind")))
+        .withColumn("text", F.lit(""))
+        .withColumn("ocr_pages", F.lit(0))
+        .select(_RESULT_COLS)
+    )
+
+    # media branch: join payloads, spread spans, batch-extract
+    blobs = blobs_df.select("media_ref", "payload")
+    if broadcast_blobs:
+        blobs = F.broadcast(blobs)
+    media = (
+        spans_df.filter(is_media)
+        .select("doc_id", "offset", "kind", "media_ref")
+        .join(blobs, "media_ref", "left")  # left: dangling refs become errors
+    )
+    if ocr_partitions:
+        media = media.repartition(ocr_partitions, "doc_id", "offset")
+    else:
+        media = media.repartition("doc_id", "offset")
+    media_b = media.select(
+        "doc_id", "offset", "kind", "media_ref", "payload"
+    ).mapInPandas(_media_batches, schema=SPAN_RESULT_SCHEMA)
+    # dangling media_ref: payload arrived null → oracle.extract_span returned
+    # "missing media blob" (it sees payload=None), so nothing extra needed.
+
+    return text_b.unionByName(html_b).unionByName(other_b).unionByName(media_b)
+
+
+def reassemble(doc_ids_df: DataFrame, span_results: DataFrame) -> DataFrame:
+    """Per-span rows → ordered span array per doc. Order is the explicit
+    (offset, kind, media_ref, text) key — FIXTURES.md §7 dup-offset
+    tie-break — restored with array_sort after the shuffle."""
+    agg = span_results.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct("offset", "kind", "media_ref", "text", "error", "ocr_pages")
+            )
+        ).alias("spans")
+    )
+    empty = F.array().cast(
+        "array<struct<offset:int,kind:string,media_ref:string,"
+        "text:string,error:string,ocr_pages:int>>"
+    )
+    return (
+        doc_ids_df.select("doc_id").distinct()
+        .join(agg, "doc_id", "left")
+        .withColumn("spans", F.coalesce(F.col("spans"), empty))
+    )
+
+
+def with_doc_text(extracted: DataFrame) -> DataFrame:
+    """full_text = newline-join of successful span texts, in span order."""
+    ok = F.filter("spans", lambda s: s.error.isNull())
+    return extracted.withColumn(
+        "full_text", F.array_join(F.transform(ok, lambda s: s.text), "\n")
+    ).withColumn(
+        "doc_error",
+        F.when(F.size("spans") == 0, F.lit("empty document")).when(
+            F.size(ok) == 0, F.element_at("spans", 1).error
+        ),
+    ).withColumn(
+        "ocr_pages", F.aggregate(
+            "spans", F.lit(0), lambda acc, s: acc + F.coalesce(s.ocr_pages, F.lit(0))
+        )
+    ).withColumn(
+        "parse_failures",
+        F.size(F.filter("spans", lambda s: s.error.isNotNull())),
+    )
+
+
+def extract_documents(
+    docs_df: DataFrame,
+    blobs_df: DataFrame,
+    broadcast_blobs: bool = False,
+    ocr_partitions: int | None = None,
+) -> DataFrame:
+    """End-to-end: documents_raw DF → (doc_id, spans, full_text, doc_error,
+    ocr_pages, parse_failures)."""
+    spans = explode_spans(docs_df)
+    results = extract_spans(spans, blobs_df, broadcast_blobs, ocr_partitions)
+    return with_doc_text(reassemble(docs_df, results))
+
+
+def skewed_doc_ids(docs_df: DataFrame, threshold: int = SKEW_SPAN_THRESHOLD) -> DataFrame:
+    """Docs whose media-span count exceeds the skew threshold (diagnostic /
+    metrics input; the pipeline itself is span-parallel so these don't pin
+    tasks, but the metrics table reports them)."""
+    return docs_df.select(
+        "doc_id",
+        F.size(F.filter("spans", lambda s: s.kind.isin("pdf", "image")))
+        .alias("media_spans"),
+    ).filter(F.col("media_spans") > threshold)

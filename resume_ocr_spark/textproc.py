@@ -1,0 +1,170 @@
+"""Resume-specific text analysis: classify / segment / extract / score.
+
+Deterministic replacements for the reference's LLM stages, preserving the
+data-processing semantics:
+
+  is_resume()        — resume/not-resume judge on the first 3000 chars
+                       (reference: app/utils/validation_service.py:115-187,
+                       truncation at :149 → VALIDATION_TEXT_CAP)
+  segment_sections() — section segmentation implicit in the LLM prompt
+                       (reference: app/services/llm_service.py:55); headings
+                       mirror the fixture structure (SURVEY.md §5)
+  extract_fields()   — email/phone/date patterns (fixture evidence:
+                       "(11) 98765-4321 | ana.silva.dev@email.com")
+  score_against_query() — 0–10 alignment score in query mode
+                       (reference rubric: app/services/llm_service.py:59-63)
+  seniority_label()  — Júnior/Pleno/Sênior in no-query mode
+                       (reference: app/services/llm_service.py:93)
+  experience_years() — total years across dated entries "(Mar 2021 - Presente)"
+
+All pure functions; the Spark side calls them inside Arrow batch UDFs except
+extract_fields, whose regexes are also evaluated as native Column ops
+(patterns kept dialect-neutral across Python re / Java regex / DuckDB).
+"""
+
+from __future__ import annotations
+
+import re
+
+from .config import (
+    SCORE_MAX,
+    SCORE_MIN,
+    SENIORITY_JUNIOR_MAX_YEARS,
+    SENIORITY_PLENO_MAX_YEARS,
+    VALIDATION_TEXT_CAP,
+)
+
+# dialect-neutral patterns (work identically in Python re, Java regex, DuckDB)
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"\(\d{2}\) 9?\d{4}-\d{4}"
+MONTHS = "Jan|Fev|Mar|Abr|Mai|Jun|Jul|Ago|Set|Out|Nov|Dez"
+DATE_RANGE_PATTERN = rf"\((?:{MONTHS}) \d{{4}} - (?:(?:{MONTHS}) \d{{4}}|Presente)\)"
+
+_MONTH_NUM = {m: i + 1 for i, m in enumerate(MONTHS.split("|"))}
+# 'Presente' resolves to a fixed reference date for determinism
+PRESENT_YEAR, PRESENT_MONTH = 2025, 6
+
+SECTION_HEADINGS = (
+    "RESUMO",
+    "EXPERIÊNCIA PROFISSIONAL",
+    "FORMAÇÃO ACADÊMICA",
+    "COMPETÊNCIAS TÉCNICAS",
+    "CERTIFICAÇÕES",
+    "IDIOMAS",
+)
+_HEADING_SET = set(SECTION_HEADINGS)
+
+MIN_HEADINGS_FOR_RESUME = 2
+
+
+def is_resume(text: str) -> bool:
+    """≥2 known section headings within the first VALIDATION_TEXT_CAP chars."""
+    head = text[:VALIDATION_TEXT_CAP]
+    found = sum(1 for h in SECTION_HEADINGS if h in head)
+    return found >= MIN_HEADINGS_FOR_RESUME
+
+
+def segment_sections(text: str) -> dict[str, str]:
+    """Split on uppercase heading lines; returns {heading: body}. Text before
+    the first heading lands under '_HEADER'. Line-feature rule: a heading is
+    a line that, stripped of '-'/whitespace decoration, equals a known
+    heading."""
+    sections: dict[str, str] = {}
+    current = "_HEADER"
+    buf: list[str] = []
+    for line in text.split("\n"):
+        stripped = line.strip().strip("-").strip()
+        if stripped in _HEADING_SET:
+            sections[current] = "\n".join(buf).strip()
+            current, buf = stripped, []
+        else:
+            buf.append(line)
+    sections[current] = "\n".join(buf).strip()
+    return {k: v for k, v in sections.items() if v or k in _HEADING_SET}
+
+
+def extract_fields(text: str) -> dict[str, list[str]]:
+    return {
+        "emails": re.findall(EMAIL_PATTERN, text),
+        "phones": re.findall(PHONE_PATTERN, text),
+        "dates": re.findall(DATE_RANGE_PATTERN, text),
+    }
+
+
+def _range_months(token: str) -> int:
+    m = re.match(
+        rf"\(({MONTHS}) (\d{{4}}) - (?:({MONTHS}) (\d{{4}})|Presente)\)", token
+    )
+    if not m:
+        return 0
+    y0, mo0 = int(m.group(2)), _MONTH_NUM[m.group(1)]
+    if m.group(3):
+        y1, mo1 = int(m.group(4)), _MONTH_NUM[m.group(3)]
+    else:
+        y1, mo1 = PRESENT_YEAR, PRESENT_MONTH
+    return max(0, (y1 - y0) * 12 + (mo1 - mo0))
+
+
+def experience_years(text: str) -> float:
+    """Total years across dated entries in the EXPERIÊNCIA section (falls back
+    to whole text when segmentation finds no such section)."""
+    sections = segment_sections(text)
+    scope = sections.get("EXPERIÊNCIA PROFISSIONAL", text)
+    months = sum(_range_months(t) for t in re.findall(DATE_RANGE_PATTERN, scope))
+    return round(months / 12.0, 2)
+
+
+def seniority_label(text: str) -> str:
+    years = experience_years(text)
+    if years <= SENIORITY_JUNIOR_MAX_YEARS:
+        return "Júnior"
+    if years <= SENIORITY_PLENO_MAX_YEARS:
+        return "Pleno"
+    return "Sênior"
+
+
+_TERM_RE = re.compile(r"[a-zà-ÿ0-9]{3,}", re.I)
+_STOP_TERMS = {
+    "com", "para", "que", "dos", "das", "nos", "nas", "uma", "por", "mais",
+    "anos", "ano", "experiência", "experiencia", "conhecimento", "vaga",
+    "profissional", "requisitos", "obrigatórios", "obrigatorios", "desejáveis",
+    "desejaveis", "buscamos", "atuação", "atuacao", "área", "area", "nível",
+    "nivel", "pleno", "sênior", "senior", "júnior", "junior",
+}
+
+
+def query_terms(query: str) -> list[str]:
+    """Distinct lowercase content terms of a job-description query, in first-
+    appearance order."""
+    seen: list[str] = []
+    for tok in _TERM_RE.findall(query.lower()):
+        if tok not in _STOP_TERMS and tok not in seen:
+            seen.append(tok)
+    return seen
+
+
+def score_against_query(text: str, query: str) -> float:
+    """Deterministic 0–10 alignment rubric: fraction of distinct query terms
+    present in the resume text (case-insensitive), scaled to 10, rounded to
+    one decimal (reference score shape: app/services/llm_service.py:16,
+    :143-147)."""
+    terms = query_terms(query)
+    if not terms:
+        return SCORE_MIN
+    low = text.lower()
+    hit = sum(1 for t in terms if t in low)
+    return max(SCORE_MIN, min(SCORE_MAX, round(10.0 * hit / len(terms), 1)))
+
+
+def summarize(text: str) -> str:
+    """Deterministic summary: header first line + years + section list
+    (replaces the LLM free-text summary, min 10 chars —
+    reference: app/services/llm_service.py:17)."""
+    sections = segment_sections(text)
+    header = (sections.get("_HEADER") or text).split("\n")[0].strip()
+    names = [k for k in SECTION_HEADINGS if k in sections]
+    summary = (
+        f"{header or 'Documento'} — {experience_years(text)} anos de experiência; "
+        f"seções: {', '.join(names) if names else 'nenhuma'}."
+    )
+    return summary

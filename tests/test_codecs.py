@@ -1,0 +1,124 @@
+"""Unit tests: image/pdf/html codecs — the executable-spec building blocks."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from resume_ocr_spark.formats import htmlcodec, imagecodec as ic, pdfcodec as pc
+
+
+SAMPLE = (
+    "ANA SILVA\nEngenheira de Dados\n(11) 98765-4321 | ana@email.com\n\n"
+    "EXPERIÊNCIA PROFISSIONAL\nEngenheira (Mar 2021 - Presente)"
+)
+
+
+class TestImageCodec:
+    @pytest.mark.parametrize("skew", ic.SKEW_CANDIDATES)
+    def test_roundtrip_all_skews(self, skew):
+        payload = ic.render_text_image(SAMPLE, skew=skew)
+        assert ic.ocr_image(payload) == ic._normalize(SAMPLE)
+
+    def test_whitespace_only_ocrs_empty(self):
+        assert ic.ocr_image(ic.render_text_image("  \n \n")) == ""
+
+    def test_corrupt_magic_raises(self):
+        with pytest.raises(ic.ImageDecodeError):
+            ic.decode_rimg(b"garbage-not-rimg")
+
+    def test_truncated_raises(self):
+        payload = ic.render_text_image("abc")
+        with pytest.raises(ic.ImageDecodeError):
+            ic.decode_rimg(payload[: len(payload) // 2])
+
+    def test_unsupported_chars_become_question_mark(self):
+        payload = ic.render_text_image("a中z")
+        assert ic.ocr_image(payload) == "a?z"
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.text(alphabet=ic.CHARSET + "\n", min_size=0, max_size=60))
+    def test_roundtrip_property(self, text):
+        payload = ic.render_text_image(text)
+        assert ic.ocr_image(payload) == ic._normalize(text)
+
+    def test_preprocess_is_position_invariant(self):
+        # same glyph at two grid positions yields identical preprocessed cells
+        p1 = ic.preprocess(ic.decode_rimg(ic.render_text_image("A")))
+        p2 = ic.preprocess(ic.decode_rimg(ic.render_text_image("  A\n\nA")))
+        c1 = p1[ic.TEXT_TOP : ic.TEXT_TOP + ic.CELL_H,
+                ic.MARGIN : ic.MARGIN + ic.GLYPH_W * ic.SCALE]
+        top2 = ic.TEXT_TOP + 2 * ic.LINE_PITCH
+        c2 = p2[top2 : top2 + ic.CELL_H, ic.MARGIN : ic.MARGIN + ic.GLYPH_W * ic.SCALE]
+        assert np.array_equal(c1, c2)
+
+    def test_compress_roundtrip(self):
+        payload = ic.render_text_image("x")
+        assert ic.decompress_payload(ic.compress_payload(payload)) == payload
+
+    def test_corrupt_compressed_raises(self):
+        with pytest.raises(ic.ImageDecodeError):
+            ic.decompress_payload(b"\x78\x9cbroken")
+
+
+class TestPdfCodec:
+    def test_text_pdf_roundtrip(self):
+        pages = [SAMPLE, "FORMAÇÃO ACADÊMICA\nUSP (2014)"]
+        out = pc.extract_text(pc.write_text_pdf(pages))
+        exp = "\f".join(
+            "\n".join(ln for ln in p.split("\n") if ln.strip()) for p in pages
+        )
+        assert out == exp
+
+    def test_cid_pdf_roundtrip(self):
+        out = pc.extract_text(pc.write_text_pdf([SAMPLE], cid=True))
+        assert out == "\n".join(ln for ln in SAMPLE.split("\n") if ln.strip())
+
+    def test_two_column_reading_order(self):
+        out = pc.extract_text(pc.write_text_pdf([SAMPLE], two_column=True))
+        assert out == "\n".join(ln for ln in SAMPLE.split("\n") if ln.strip())
+
+    def test_scanned_pdf_page_images_ordered(self):
+        imgs = [ic.render_text_image(f"pagina {i}") for i in (1, 2, 3)]
+        pdf = pc.write_scanned_pdf(imgs)
+        assert pc.extract_text(pdf).strip("\f") == ""
+        assert [ic.ocr_image(p) for p in pc.extract_page_images(pdf)] == [
+            "pagina 1", "pagina 2", "pagina 3",
+        ]
+
+    def test_not_a_pdf_raises(self):
+        with pytest.raises(pc.PdfParseError):
+            pc.extract_text(b"hello world")
+
+    def test_truncated_pdf_raises(self):
+        pdf = pc.write_text_pdf([SAMPLE])
+        with pytest.raises(pc.PdfParseError):
+            pc.extract_text(pdf[: len(pdf) // 3])
+
+    def test_escapes_in_literals(self):
+        tricky = "a(b)c\\d"
+        out = pc.extract_text(pc.write_text_pdf([tricky]))
+        assert out == tricky
+
+
+class TestHtmlCodec:
+    def test_strips_nav_footer_ads(self):
+        from resume_ocr_spark.corpus import wrap_html
+
+        doc = wrap_html(SAMPLE)
+        out = htmlcodec.strip_boilerplate(doc)
+        assert "Home" not in out
+        assert "COMPRE AGORA" not in out
+        assert "newsletter" not in out
+        assert "Privacidade" not in out
+        assert "ANA SILVA" in out
+        assert "EXPERIÊNCIA PROFISSIONAL" in out
+
+    def test_link_density_filter(self):
+        doc = ("<div><a href='1'>x</a> <a href='2'>y</a></div>"
+               "<p>conteúdo real do documento aqui</p>")
+        out = htmlcodec.strip_boilerplate(doc)
+        assert "conteúdo real" in out
+        assert "x y" not in out
+
+    def test_entities_unescaped(self):
+        assert "a & b" in htmlcodec.strip_boilerplate("<p>a &amp; b</p>")
