@@ -1,0 +1,148 @@
+"""Benchmark harness. Prints ONE JSON line.
+
+  - headline relational/dedup/similarity queries at $SPARK_GRAFT_SF_DIR
+    (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+  - extraction throughput (docs/sec) on the deterministic synthetic
+    interleaved corpus (BASELINE.json metric)
+  - scaling evidence: the same extraction job at local[N/4] and local[N]
+    on identical input; efficiency = (dps_N / dps_N4) / 4  (the sandbox
+    stand-in for the N-vs-4N-executor cluster requirement — BASELINE.md)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "12000"))
+OCR_PARTITIONS = int(os.environ.get("SPARK_GRAFT_OCR_PARTITIONS", "64"))
+TRIALS = int(os.environ.get("SPARK_GRAFT_TRIALS", "2"))
+RUN_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") == "1"
+
+HEADLINE = [
+    "q1_pricing_summary", "q3_shipping_priority", "media_join",
+    "window_topk_per_group", "topk_orders", "join_region_rollup",
+    "dedup_exact", "dedup_minhash_sigs", "dedup_jaccard_pairs",
+    "embedding_cosine_topk", "lang_id", "quality_scores",
+    "streaming_window_counts",
+]
+
+
+def _fresh_spark(cores: int):
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+    from resume_ocr_spark.session import get_spark
+
+    return get_spark(app_name=f"bench_{cores}", cores=cores,
+                     shuffle_partitions=max(cores, 16))
+
+
+def _build_corpus_warehouse(spark, n_docs: int) -> str:
+    import tempfile
+
+    from resume_ocr_spark import corpus, warehouse
+
+    root = tempfile.mkdtemp(prefix="bench_wh_")
+    docs, blobs = corpus.gen_corpus_fast(n_docs, seed=42)
+    warehouse.build_warehouse(spark, root, docs, blobs)
+    return root, len(docs)
+
+
+def _run_extraction(spark, root: str, warm_root: str | None = None) -> tuple[float, int]:
+    """Full pipeline incl. the parquet sink — a count() alone would let
+    Catalyst prune the extraction UDFs (cardinality-preserving join).
+
+    ``warm_root``: small corpus run first, untimed, so Python workers are
+    spawned and codegen/JIT is warm — the steady-state measure a long-running
+    cluster job sees (one-off JVM/worker startup is not throughput)."""
+    import tempfile
+
+    from resume_ocr_spark import warehouse
+    from resume_ocr_spark.operators import extract
+
+    if warm_root:
+        wd = warehouse.read_table(spark, warm_root, "documents_raw")
+        wb = warehouse.read_table(spark, warm_root, "media_blobs")
+        extract.extract_documents(wd, wb, broadcast_blobs=True).write.mode(
+            "overwrite").parquet(tempfile.mkdtemp(prefix="warm_out_"))
+
+    docs_df = warehouse.read_table(spark, root, "documents_raw")
+    blobs_df = warehouse.read_table(spark, root, "media_blobs")
+    wall = float("inf")
+    n = 0
+    for _ in range(TRIALS):  # best-of: steady-state throughput
+        out_dir = tempfile.mkdtemp(prefix="bench_out_")
+        t0 = time.time()
+        out = extract.extract_documents(
+            docs_df, blobs_df, broadcast_blobs=True,
+            ocr_partitions=OCR_PARTITIONS,  # cost-sized, cluster-independent
+        )
+        out.write.mode("overwrite").parquet(out_dir)
+        wall = min(wall, time.time() - t0)
+        n = spark.read.parquet(out_dir).count()
+    return wall, n
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+
+    sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0.1)
+    spark = _fresh_spark(CPUS)
+    qs = entrymod.queries()
+    # warm-up: JVM/codegen/FS-cache priming so per-query times reflect
+    # steady state, not first-touch costs
+    qs["topk_orders"](spark, SF_DIR).collect()
+    qs["q1_pricing_summary"](spark, SF_DIR).collect()
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        df.collect()
+        times[name] = round(time.time() - t0, 3)
+
+    # extraction throughput at full parallelism
+    root, n_docs = _build_corpus_warehouse(spark, BENCH_DOCS)
+    warm_root, _ = _build_corpus_warehouse(spark, 40)
+    wall_full, n_out = _run_extraction(spark, root, warm_root)
+    assert n_out == n_docs, f"{n_out} != {n_docs}"
+    dps_full = n_docs / wall_full
+    times["extract_pipeline"] = round(wall_full, 3)
+
+    scaling = {}
+    if RUN_SCALING:
+        low_cores = max(CPUS // 4, 1)
+        spark = _fresh_spark(low_cores)
+        wall_low, _ = _run_extraction(spark, root, warm_root)
+        dps_low = n_docs / wall_low
+        eff = (dps_full / dps_low) / (CPUS / low_cores)
+        scaling = {
+            "cores_low": low_cores, "cores_high": CPUS,
+            "docs_per_sec_low": round(dps_low, 2),
+            "docs_per_sec_high": round(dps_full, 2),
+            "scaling_efficiency": round(eff, 3),
+        }
+
+    total = round(sum(times.values()), 3)
+    print(json.dumps({
+        "metric": "extraction docs/sec @ local[%d]" % CPUS,
+        "value": round(dps_full, 2),
+        "unit": "docs/sec",
+        "queries": times,
+        "sf": sf,
+        "bench_total_sec": total,
+        "extraction": {"n_docs": n_docs, "wall_sec": round(wall_full, 3)},
+        "scaling": scaling,
+    }))
+
+
+if __name__ == "__main__":
+    main()

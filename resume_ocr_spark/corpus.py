@@ -201,6 +201,104 @@ def gen_corpus(
     return docs, blobs
 
 
+def _gen_docs_range(args: tuple[int, int, int]) -> tuple[list[dict], list[dict]]:
+    """Worker for gen_corpus_fast: docs [lo, hi) with per-doc seeds."""
+    seed, lo, hi = args
+    docs: list[dict] = []
+    blobs: list[dict] = []
+    for i in range(lo, hi):
+        rng = random.Random(f"{seed}:{i}")
+        doc_id = f"doc{i:08d}"
+        d, b = _gen_one_doc(doc_id, rng)
+        docs.append(d)
+        blobs.extend(b)
+    return docs, blobs
+
+
+def gen_corpus_fast(n_docs: int, seed: int = 42, workers: int = 8
+                    ) -> tuple[list[dict], list[dict]]:
+    """Parallel corpus generation with per-doc seeding: deterministic in
+    (n_docs, seed) regardless of worker count. Same doc mix as gen_corpus
+    but an independent RNG stream (bench-scale corpora only; tests pin the
+    sequential gen_corpus)."""
+    import multiprocessing
+
+    chunk = max(64, n_docs // (workers * 4))
+    ranges = [(seed, lo, min(lo + chunk, n_docs)) for lo in range(0, n_docs, chunk)]
+    docs: list[dict] = []
+    blobs: list[dict] = []
+    with multiprocessing.Pool(workers) as pool:
+        for d, b in pool.map(_gen_docs_range, ranges):
+            docs.extend(d)
+            blobs.extend(b)
+    return docs, blobs
+
+
+def _gen_one_doc(doc_id: str, rng: random.Random) -> tuple[dict, list[dict]]:
+    """One doc + its blobs from a dedicated rng (used by the parallel path)."""
+    blobs: list[dict] = []
+
+    def add_blob(idx: int, kind: str, payload: bytes) -> str:
+        ref = f"blob:{doc_id}:{idx}"
+        blobs.append({"media_ref": ref, "kind": kind,
+                      "payload": imagecodec.compress_payload(payload)})
+        return ref
+
+    def pdf_payload(text: str, scanned: bool) -> bytes:
+        lines = text.split("\n")
+        if rng.random() < 0.10 and len(lines) > 6:
+            cut = len(lines) // 2
+            pages = ["\n".join(lines[:cut]), "\n".join(lines[cut:])]
+        else:
+            pages = [text]
+        if scanned:
+            imgs = [imagecodec.render_text_image(
+                p, skew=rng.choice(imagecodec.SKEW_CANDIDATES)) for p in pages]
+            return pdfcodec.write_scanned_pdf(imgs)
+        return pdfcodec.write_text_pdf(
+            pages, cid=rng.random() < 0.3, two_column=rng.random() < 0.2)
+
+    roll = rng.random()
+    spans: list[dict] = []
+    if roll < 0.40:
+        text = make_resume_text(rng)
+        for off, part in enumerate(_split_n(text, rng.randint(1, 4))):
+            spans.append(_span("text", text=part, offset=off))
+    elif roll < 0.60:
+        spans.append(_span("html", text=wrap_html(make_resume_text(rng))))
+    elif roll < 0.80:
+        ref = add_blob(0, "pdf", pdf_payload(make_resume_text(rng),
+                                             rng.random() < 0.4))
+        spans.append(_span("pdf", media_ref=ref))
+    elif roll < 0.90:
+        img = imagecodec.render_text_image(
+            make_resume_text(rng), skew=rng.choice(imagecodec.SKEW_CANDIDATES))
+        spans.append(_span("image", media_ref=add_blob(0, "image", img)))
+    elif roll < 0.95:
+        parts = _split_n(make_resume_text(rng), 3)
+        spans.append(_span("text", text=parts[0], offset=0))
+        spans.append(_span("pdf", media_ref=add_blob(1, "pdf",
+                     pdf_payload(parts[1], scanned=False)), offset=1))
+        spans.append(_span("image", media_ref=add_blob(
+            2, "image", imagecodec.render_text_image(parts[2])), offset=2))
+    elif roll < 0.99:
+        neg = rng.choice([RECIPE_TEXT, GENERIC_TEXT])
+        if rng.random() < 0.5:
+            spans.append(_span("text", text=neg))
+        else:
+            spans.append(_span("pdf", media_ref=add_blob(
+                0, "pdf", pdf_payload(neg, rng.random() < 0.5))))
+    else:
+        n_media = rng.randint(SKEW_SPAN_THRESHOLD + 18, 4 * SKEW_SPAN_THRESHOLD)
+        for off in range(n_media):
+            img = imagecodec.render_text_image(f"fragmento {off} do dossiê")
+            spans.append(_span("image", media_ref=add_blob(off, "image", img),
+                               offset=off))
+    for off, s in enumerate(spans):
+        s["offset"] = off
+    return {"doc_id": doc_id, "spans": spans}, blobs
+
+
 def _split_n(text: str, n: int) -> list[str]:
     lines = text.split("\n")
     if n <= 1 or len(lines) < n:

@@ -160,25 +160,23 @@ def decode_rimg(payload: bytes) -> np.ndarray:
 # --------------------------------------------------------------------------
 
 def estimate_skew(img: np.ndarray) -> float:
-    ink = (img < BIN_THRESHOLD).astype(np.float64)
+    # sparse formulation: only ink pixels matter for the row profile, and
+    # text pages are ~5-10% ink — far cheaper than dense scatter per candidate
+    ys, xs = np.nonzero(img < BIN_THRESHOLD)
+    if len(ys) == 0:
+        return 0.0
+    h = img.shape[0]
     best_k, best_var = 0.0, -1.0
-    for k in SKEW_CANDIDATES:
-        prof = _unshear_profile(ink, k)
+    # candidates by |k| ascending with a 5% margin: k=0 wins near-ties, so
+    # sparse pages (a glyph or two) never get spuriously "deskewed"
+    for k in sorted(SKEW_CANDIDATES, key=abs):
+        shifts = np.rint(k * xs).astype(np.int64)
+        off = h  # generous bound keeps all indices positive
+        prof = np.bincount(ys - shifts + off, minlength=3 * h)
         v = float(prof.var())
-        if v > best_var + 1e-12:
+        if v > best_var * 1.05:
             best_var, best_k = v, k
     return best_k
-
-
-def _unshear_profile(ink: np.ndarray, k: float) -> np.ndarray:
-    h, w = ink.shape
-    shifts = np.rint(k * np.arange(w)).astype(int)
-    prof = np.zeros(h + 2 * (int(np.abs(shifts).max()) + 1), dtype=np.float64)
-    off = int(np.abs(shifts).max()) + 1
-    for x in range(w):
-        col = ink[:, x]
-        prof[off - shifts[x] : off - shifts[x] + h] += col
-    return prof
 
 
 def deskew(img: np.ndarray) -> np.ndarray:
@@ -201,6 +199,17 @@ def deskew(img: np.ndarray) -> np.ndarray:
 
 def median3(img: np.ndarray) -> np.ndarray:
     p = np.pad(img, 1, mode="edge")
+    vals = np.unique(img)
+    if len(vals) <= 2:
+        # two-valued image: median of 9 == majority vote — one box sum
+        lo = int(vals[0])
+        hi_mask = (p > lo).astype(np.uint8)
+        s = np.zeros(img.shape, dtype=np.uint8)
+        for dy in range(3):
+            for dx in range(3):
+                s += hi_mask[dy : dy + img.shape[0], dx : dx + img.shape[1]]
+        out = np.where(s >= 5, vals[-1], lo).astype(np.uint8)
+        return out
     stack = np.stack(
         [p[dy : dy + img.shape[0], dx : dx + img.shape[1]]
          for dy in range(3) for dx in range(3)],
@@ -224,13 +233,18 @@ def _gauss_kernel(block: int = 11) -> np.ndarray:
 
 def adaptive_threshold(img: np.ndarray, block: int = 11, c: float = 2.0) -> np.ndarray:
     """Gaussian-weighted adaptive threshold; returns 1=ink, 0=background."""
-    k = _gauss_kernel(block)
+    k = _gauss_kernel(block).astype(np.float32)
     pad = block // 2
-    p = np.pad(img.astype(np.float64), pad, mode="edge")
-    # separable convolution
-    tmp = np.apply_along_axis(lambda r: np.convolve(r, k, mode="valid"), 1, p)
-    mean = np.apply_along_axis(lambda col: np.convolve(col, k, mode="valid"), 0, tmp)
-    return (img.astype(np.float64) < mean - c).astype(np.uint8)
+    # float32 throughout: the stage is memory-bandwidth-bound under many
+    # concurrent workers; half-width floats double effective bandwidth.
+    # Prototypes run the identical code path, so matching stays exact.
+    p = np.pad(img.astype(np.float32), pad, mode="edge")
+    # separable convolution, vectorized via sliding windows + matmul
+    win = np.lib.stride_tricks.sliding_window_view(p, block, axis=1)
+    tmp = win @ k  # (H+2p, W)
+    win2 = np.lib.stride_tricks.sliding_window_view(tmp, block, axis=0)
+    mean = win2 @ k  # (H, W) — sliding_window_view puts window axis last
+    return (img.astype(np.float32) < mean - np.float32(c)).astype(np.uint8)
 
 
 def preprocess(img: np.ndarray) -> np.ndarray:

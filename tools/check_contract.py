@@ -1,0 +1,114 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every __spark_entry__.queries() entry at sf0.01 and compares with its
+oracle_sql() in DuckDB: row count, column names, and an order-insensitive
+value hash (columns sorted by name, rows sorted, values stringified).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm_cell(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, float):
+        if v != v:
+            return "NaN"
+        return f"{v:.6f}".rstrip("0").rstrip(".")
+    return str(v)
+
+
+def frame_hash(cols: list[str], rows: list[tuple]) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted(
+        "\x1f".join(norm_cell(r[i]) for i in order) for r in rows
+    )
+    h = hashlib.sha256()
+    for ln in lines:
+        h.update(ln.encode("utf-8"))
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def main(sf_dir: str = "/root/testdata/sf0.01", only: list[str] | None = None):
+    import __spark_entry__ as entrymod
+    from resume_ocr_spark.session import get_spark
+
+    spark = get_spark(app_name="contract", cores=16, shuffle_partitions=16)
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as exc:
+            print(f"FAIL  {name}: spark error: {exc}")
+            failures += 1
+            continue
+        dt = time.time() - t0
+        if name not in oracles:
+            print(f"ROWS  {name}: {len(srows)} rows ({dt:.1f}s) [rows-only]")
+            if len(srows) == 0:
+                print(f"WARN  {name}: zero rows")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception as exc:
+            print(f"FAIL  {name}: duckdb error: {exc}")
+            failures += 1
+            continue
+        ok_cols = sorted(scols) == sorted(dcols)
+        ok_count = len(srows) == len(drows)
+        sh, dh = frame_hash(scols, srows), frame_hash(dcols, drows)
+        ok_hash = sh == dh
+        status = "OK  " if (ok_cols and ok_count and ok_hash) else "FAIL"
+        if status == "FAIL":
+            failures += 1
+        print(f"{status}  {name}: rows {len(srows)}/{len(drows)} "
+              f"cols={ok_cols} hash={'=' if ok_hash else f'{sh}!={dh}'} ({dt:.1f}s)")
+        if not ok_cols:
+            print(f"      spark={sorted(scols)} duck={sorted(dcols)}")
+        if ok_cols and ok_count and not ok_hash:
+            sset = {tuple(norm_cell(v) for v in r) for r in srows}
+            dset = {tuple(norm_cell(v) for v in r) for r in drows}
+            # align column order for the diff
+            sord = sorted(range(len(scols)), key=lambda i: scols[i])
+            dord = sorted(range(len(dcols)), key=lambda i: dcols[i])
+            sset = {tuple(r[i] for i in sord) for r in sset}
+            dset = {tuple(r[i] for i in dord) for r in dset}
+            print(f"      spark-only={list(sset - dset)[:2]}")
+            print(f"      duck-only={list(dset - sset)[:2]}")
+    print(f"\n{failures} failures")
+    return failures
+
+
+if __name__ == "__main__":
+    only = sys.argv[1].split(",") if len(sys.argv) > 1 else None
+    sys.exit(1 if main(only=only) else 0)
