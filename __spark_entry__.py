@@ -238,8 +238,22 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(docs, "doc_id", "text", threshold=0.3)
 
 
+def dedup_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH banding: candidate near-dup pairs from a bucket join."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text")
+    return dedup.minhash_lsh_candidates(sigs, "doc_id")
+
+
 def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(_t(spark, sf_dir, "embeddings"), query_id=0, k=10)
+
+
+def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN: spherical-kmeans cells, n_probe-cell exact rerank
+    (deterministic; rows-only check — kmeans isn't ANSI SQL)."""
+    return similarity.ivf_topk(_t(spark, sf_dir, "embeddings"),
+                               query_id=0, k=10, n_probe=4)
 
 
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -385,7 +399,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_sigs": dedup_minhash_sigs,
         "dedup_simhash": dedup_simhash,
         "dedup_jaccard_pairs": dedup_jaccard_pairs,
+        "dedup_lsh_candidates": dedup_lsh_candidates,
         "embedding_cosine_topk": embedding_cosine_topk,
+        "embedding_ann_ivf": embedding_ann_ivf,
         "lang_id": lang_id,
         "quality_scores": quality_scores,
         "token_counts": token_counts,
@@ -553,6 +569,21 @@ def oracle_sql() -> dict[str, str]:
       JOIN sizes sa ON sa.doc_id = id_a
       JOIN sizes sb ON sb.doc_id = id_b
       WHERE common * 1.0 / (sa.sz + sb.sz - common) >= 0.3
+    """
+    sqls["dedup_lsh_candidates"] = _WORDS_CTE.format(filt="WHERE doc_id < 100") + """
+      , sigs AS (
+        SELECT doc_id,
+               MIN(md5(word || ':0')) AS mh0, MIN(md5(word || ':1')) AS mh1,
+               MIN(md5(word || ':2')) AS mh2, MIN(md5(word || ':3')) AS mh3
+        FROM words GROUP BY doc_id
+      ), banded AS (
+        SELECT doc_id, 0 AS band, md5(mh0 || mh1) AS bh FROM sigs
+        UNION ALL
+        SELECT doc_id, 1 AS band, md5(mh2 || mh3) AS bh FROM sigs
+      )
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM banded l JOIN banded r
+        ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
     """
     sqls["embedding_cosine_topk"] = """
       WITH un AS (

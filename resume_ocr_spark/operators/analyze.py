@@ -113,9 +113,12 @@ def rank_top_k(analyzed: DataFrame, k: int = TOP_K) -> DataFrame:
     (app/routers/analysis.py:542-545). ``orderBy().limit(k)`` compiles to
     TakeOrderedAndProject: per-partition heap + driver merge of K rows, no
     single-partition window, so it holds at any input size."""
+    # P11 score coercion: null/unparseable scores sort as 0.0
+    # (reference get_score fallback, app/utils/utils.py:50-56)
+    score = F.coalesce(F.col("score_num").cast("double"), F.lit(0.0))
     top = (
         analyzed.filter(~F.col("rejected") & F.col("doc_error").isNull())
-        .select("doc_id", "score_num")
+        .select("doc_id", score.alias("score_num"))
         .orderBy(F.col("score_num").desc(), F.col("doc_id").asc())
         .limit(k)
     )

@@ -91,6 +91,81 @@ def lsh_signature(
 
 
 LSH_SIM_BANDS = 2
+IVF_CELLS = 16
+IVF_ITERS = 5
+IVF_SAMPLE = 2048
+
+
+def ivf_train(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    k: int = IVF_CELLS, iters: int = IVF_ITERS, seed: int = 11,
+) -> np.ndarray:
+    """Deterministic k-means-lite codebook from a bounded driver-side sample
+    (IVF coarse quantizer, à la FAISS IVF-Flat). At 100 TB the sample stays
+    bounded — training cost is independent of table size."""
+    sample = np.array(
+        [r[vec_col] for r in
+         df.select(vec_col).orderBy(F.col(id_col)).limit(IVF_SAMPLE).collect()],
+        dtype=np.float64,
+    )
+    sample = _unit(sample)  # spherical k-means: cells partition by cosine
+    rng = np.random.RandomState(seed)
+    centroids = sample[rng.choice(len(sample), size=k, replace=False)]
+    for _ in range(iters):
+        assign = (sample @ centroids.T).argmax(axis=1)
+        for c in range(k):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids = _unit(centroids)
+    return centroids
+
+
+def _unit(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+def ivf_assign(
+    df: DataFrame, centroids: np.ndarray,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Adds ``cell``: nearest-centroid id, computed batch-vectorized in an
+    Arrow UDF (one matmul per batch — no shuffle)."""
+    cent = centroids.copy()
+
+    def assign(batches):
+        for pdf in batches:
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            cells = (_unit(mat) @ cent.T).argmax(axis=1) if len(mat) else []
+            out = pdf[[id_col, vec_col]].copy()
+            out["cell"] = list(cells)
+            yield out
+
+    schema = f"{id_col} long, {vec_col} array<float>, cell int"
+    return df.select(id_col, vec_col).mapInPandas(assign, schema=schema)
+
+
+def ivf_topk(
+    df: DataFrame, query_id: int, k: int = 10, n_probe: int = 2,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: exact cosine only inside the query's n_probe
+    nearest cells. The scale path: cell assignment is shuffle-free, and the
+    candidate scan covers n_probe/k of the table."""
+    if centroids is None:
+        centroids = ivf_train(df, id_col, vec_col)
+    qvec = np.array(
+        df.filter(F.col(id_col) == query_id).select(vec_col).first()[0],
+        dtype=np.float64,
+    )
+    qvec = qvec / (np.linalg.norm(qvec) or 1.0)
+    probe_cells = [int(c) for c in (centroids @ qvec).argsort()[::-1][:n_probe]]
+    assigned = ivf_assign(df, centroids, id_col, vec_col)
+    bucket = assigned.filter(F.col("cell").isin(probe_cells)).select(id_col, vec_col)
+    return cosine_topk(bucket, query_id, k, id_col, vec_col)
 
 
 def lsh_bucketed_topk(

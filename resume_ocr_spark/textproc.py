@@ -123,6 +123,26 @@ def seniority_label(text: str) -> str:
     return "Sênior"
 
 
+# F1 analog: run ids mirror the reference's UUIDv4 request_id contract
+# (reference: app/utils/utils.py:13-15 — uuid.UUID(x).version == 4)
+UUID4_PATTERN = (
+    r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-4[0-9a-fA-F]{3}-"
+    r"[89abAB][0-9a-fA-F]{3}-[0-9a-fA-F]{12}$"
+)
+
+
+def is_valid_uuid4(value: str) -> bool:
+    return re.match(UUID4_PATTERN, value or "") is not None
+
+
+def normalize_query(query: str | None) -> str | None:
+    """P12: strip; empty → None (reference: app/routers/analysis.py:485-487)."""
+    if query is None:
+        return None
+    q = query.strip()
+    return q or None
+
+
 _TERM_RE = re.compile(r"[a-zà-ÿ0-9]{3,}", re.I)
 _STOP_TERMS = {
     "com", "para", "que", "dos", "das", "nos", "nas", "uma", "por", "mais",

@@ -155,3 +155,47 @@ class TestMultimodal:
             multimodal.decode_audio(b"RIFF")
         with pytest.raises(NotImplementedError):
             multimodal.sample_video_frames(b"\x00")
+
+
+class TestIVF:
+    def test_ivf_recall_vs_brute_force(self, emb):
+        from resume_ocr_spark.operators import similarity
+
+        exact = {r["vec_id"] for r in
+                 similarity.cosine_topk(emb, query_id=0, k=10).collect()}
+        approx = {r["vec_id"] for r in
+                  similarity.ivf_topk(emb, query_id=0, k=10, n_probe=4).collect()}
+        assert len(exact & approx) >= 5  # n_probe=4 of 16 cells
+
+    def test_ivf_deterministic(self, emb):
+        from resume_ocr_spark.operators import similarity
+
+        c1 = similarity.ivf_train(emb)
+        c2 = similarity.ivf_train(emb)
+        import numpy as np
+        assert np.array_equal(c1, c2)
+
+    def test_ivf_assign_no_shuffle(self, emb):
+        from resume_ocr_spark.operators import similarity
+
+        cents = similarity.ivf_train(emb)
+        plan = similarity.ivf_assign(emb, cents)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan
+
+
+class TestUtils:
+    def test_uuid4_validation(self):
+        from resume_ocr_spark import textproc
+
+        assert textproc.is_valid_uuid4("12345678-1234-4123-8123-123456789abc")
+        assert not textproc.is_valid_uuid4("12345678-1234-1123-8123-123456789abc")
+        assert not textproc.is_valid_uuid4("not-a-uuid")
+        assert not textproc.is_valid_uuid4("")
+
+    def test_normalize_query(self):
+        from resume_ocr_spark import textproc
+
+        assert textproc.normalize_query("  x  ") == "x"
+        assert textproc.normalize_query("   ") is None
+        assert textproc.normalize_query(None) is None

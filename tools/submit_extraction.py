@@ -27,11 +27,14 @@ def main() -> int:
     ap.add_argument("--ocr-partitions", type=int, default=None)
     args = ap.parse_args()
 
-    from resume_ocr_spark import pipeline
-    from resume_ocr_spark.textproc import query_terms
+    import os
 
-    # driver-side query validation (reference F9, llm_service.py:158-235 —
-    # rejects the whole run before any executor work)
+    from resume_ocr_spark import pipeline
+    from resume_ocr_spark.textproc import normalize_query, query_terms
+
+    # P12 query normalization then driver-side validation (reference F9,
+    # llm_service.py:158-235 — rejects the whole run before executor work)
+    args.query = normalize_query(args.query)
     if args.query is not None:
         if len(args.query) > 2500:
             print("invalid query: longer than 2500 chars", file=sys.stderr)
@@ -39,6 +42,13 @@ def main() -> int:
         if not query_terms(args.query):
             print("invalid query: no content terms", file=sys.stderr)
             return 2
+
+    # S5 health gate: warehouse reachability before any stage runs
+    # (reference: app/services/database_service.py:21-58 — 503 when down)
+    manifest = os.path.join(args.warehouse, "documents_raw", "manifest.json")
+    if not os.path.exists(manifest):
+        print(f"warehouse unreachable: {manifest} missing", file=sys.stderr)
+        return 3
 
     spark = SparkSession.builder.getOrCreate()
     result = pipeline.run_extraction(
