@@ -1,0 +1,93 @@
+"""Property tests at the pipeline level (SURVEY.md §5.2 item 4):
+input span order must never matter, and corrupt payloads must never throw.
+"""
+
+import random
+import zlib
+
+from resume_ocr_spark import corpus, oracle, warehouse
+from resume_ocr_spark.operators import extract
+
+
+def _span_rows(df):
+    return sorted(
+        (r["doc_id"], tuple((s["kind"], s["text"], s["media_ref"], s["error"])
+                            for s in r["spans"]))
+        for r in df.collect()
+    )
+
+
+def test_span_input_order_invariance(spark, tmp_path):
+    """Permuting the spans array in the input yields identical output —
+    order comes from the explicit sort key, never from row order."""
+    docs, blobs = corpus.gen_corpus(12, seed=3, with_edge_cases=False)
+    rng = random.Random(99)
+    permuted = [
+        {"doc_id": d["doc_id"],
+         "spans": rng.sample(d["spans"], len(d["spans"]))}
+        for d in docs
+    ]
+    r1 = str(tmp_path / "a")
+    r2 = str(tmp_path / "b")
+    warehouse.build_warehouse(spark, r1, docs, blobs)
+    warehouse.build_warehouse(spark, r2, permuted, blobs)
+    out1 = extract.extract_documents(
+        warehouse.read_table(spark, r1, "documents_raw"),
+        warehouse.read_table(spark, r1, "media_blobs"), broadcast_blobs=True)
+    out2 = extract.extract_documents(
+        warehouse.read_table(spark, r2, "documents_raw"),
+        warehouse.read_table(spark, r2, "media_blobs"), broadcast_blobs=True)
+    assert _span_rows(out1) == _span_rows(out2)
+
+
+def test_random_payload_corruption_never_throws(spark, tmp_path):
+    """Arbitrarily corrupted blobs produce error rows, never task failures
+    (reference: app/services/analyze_service.py:105-117)."""
+    docs, blobs = corpus.gen_corpus(15, seed=5, with_edge_cases=False)
+    rng = random.Random(7)
+    for b in blobs:
+        roll = rng.random()
+        payload = bytes(b["payload"])
+        if roll < 0.3:  # truncate
+            b["payload"] = payload[: max(1, len(payload) // 3)]
+        elif roll < 0.6:  # flip bytes
+            pos = rng.randrange(max(1, len(payload) - 8))
+            b["payload"] = payload[:pos] + bytes(8) + payload[pos + 8:]
+        elif roll < 0.8:  # replace with noise
+            b["payload"] = bytes(rng.getrandbits(8) for _ in range(64))
+    root = str(tmp_path / "c")
+    warehouse.build_warehouse(spark, root, docs, blobs)
+    out = extract.extract_documents(
+        warehouse.read_table(spark, root, "documents_raw"),
+        warehouse.read_table(spark, root, "media_blobs"), broadcast_blobs=True)
+    rows = out.collect()  # must not raise
+    assert len(rows) == len(docs)
+    # matches the single-node oracle under the same corruption
+    exp = oracle.run_pipeline(docs, blobs)
+    for r in rows:
+        want = [(s["kind"], s["text"], s["media_ref"], s["error"])
+                for s in exp[r["doc_id"]]["spans"]]
+        got = [(s["kind"], s["text"], s["media_ref"], s["error"])
+               for s in r["spans"]]
+        assert got == want, r["doc_id"]
+
+
+def test_compressed_and_raw_blobs_equivalent(spark, tmp_path):
+    """Blobs stored raw (uncompressed) extract identically — the decompress
+    step falls back transparently."""
+    docs, blobs = corpus.gen_corpus(8, seed=11, with_edge_cases=False)
+    raw_blobs = [
+        {"media_ref": b["media_ref"], "kind": b["kind"],
+         "payload": zlib.decompress(bytes(b["payload"]))}
+        for b in blobs
+    ]
+    r1, r2 = str(tmp_path / "z"), str(tmp_path / "r")
+    warehouse.build_warehouse(spark, r1, docs, blobs)
+    warehouse.build_warehouse(spark, r2, docs, raw_blobs)
+    out1 = extract.extract_documents(
+        warehouse.read_table(spark, r1, "documents_raw"),
+        warehouse.read_table(spark, r1, "media_blobs"), broadcast_blobs=True)
+    out2 = extract.extract_documents(
+        warehouse.read_table(spark, r2, "documents_raw"),
+        warehouse.read_table(spark, r2, "media_blobs"), broadcast_blobs=True)
+    assert _span_rows(out1) == _span_rows(out2)
