@@ -245,6 +245,16 @@ def dedup_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_candidates(sigs, "doc_id")
 
 
+def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup (dedup family #5): exact pairs ≥ 0.3 over
+    embeddings ∪ re-keyed copies — the union plants cosine-1.0 duplicates so
+    the collapse path is exercised alongside natural near-pairs."""
+    emb = (_t(spark, sf_dir, "embeddings")
+           .filter(F.col("vec_id") < 60).select("vec_id", "embedding"))
+    planted = emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    return dedup.embedding_near_dup(emb.unionAll(planted), threshold=0.3)
+
+
 def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(_t(spark, sf_dir, "embeddings"), query_id=0, k=10)
 
@@ -370,6 +380,28 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.image_metadata(multimodal.render_binary_column(docs))
 
 
+def audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio plumbing: binary PCM column → typed features (duration, RMS,
+    zero-crossings) via Arrow batch UDF; deterministic RAUD codec stands in
+    for WAV/MP3 (rows-only: codec synthesis is not SQL)."""
+    from resume_ocr_spark.operators import multimodal
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    return multimodal.audio_metadata(multimodal.render_audio_column(docs))
+
+
+def video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video plumbing: binary clip column → every-2nd-frame sample with
+    fan-out; sampled frames re-wrap as image payloads (rows-only)."""
+    from resume_ocr_spark.operators import multimodal
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    frames = multimodal.video_frame_sample(
+        multimodal.render_video_column(docs), every_n=2)
+    return frames.select("doc_id", "frame_idx",
+                         F.length("media").alias("n_bytes"), "error")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship smoke query on sf0.001 (driver checks rows>0)."""
     return extract_pipeline(spark, "/root/testdata/sf0.001")
@@ -400,6 +432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": dedup_simhash,
         "dedup_jaccard_pairs": dedup_jaccard_pairs,
         "dedup_lsh_candidates": dedup_lsh_candidates,
+        "dedup_embedding_pairs": dedup_embedding_pairs,
         "embedding_cosine_topk": embedding_cosine_topk,
         "embedding_ann_ivf": embedding_ann_ivf,
         "lang_id": lang_id,
@@ -409,6 +442,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_window_counts": streaming_window_counts,
         "extract_pipeline": extract_pipeline,
         "multimodal_meta": multimodal_meta,
+        "audio_meta": audio_meta,
+        "video_frames": video_frames,
     }
 
 
@@ -584,6 +619,26 @@ def oracle_sql() -> dict[str, str]:
       SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
       FROM banded l JOIN banded r
         ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+    """
+    sqls["dedup_embedding_pairs"] = """
+      WITH base AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id < 60
+        UNION ALL
+        SELECT vec_id + 100000 AS vec_id, embedding
+        FROM embeddings WHERE vec_id < 60
+      ), un AS (
+        SELECT vec_id,
+               unnest(CAST(embedding AS DOUBLE[])) AS v,
+               unnest(generate_series(1, len(embedding))) AS i
+        FROM base
+      ), pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(SUM(a.v * b.v) /
+                     SQRT(SUM(a.v * a.v) * SUM(b.v * b.v)), 6) AS cosine
+        FROM un a JOIN un b ON a.i = b.i AND a.vec_id < b.vec_id
+        GROUP BY 1, 2
+      )
+      SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.3
     """
     sqls["embedding_cosine_topk"] = """
       WITH un AS (

@@ -1,0 +1,102 @@
+"""Deterministic audio/video container codecs (RAUD / RVID).
+
+The sandbox has no soundfile/ffmpeg/opencv, so — per the multimodal design
+(operators/multimodal.py) — *real* WAV/MP4 decode stays stubbed behind
+``NotImplementedError`` while these two tiny containers make the Spark-side
+plumbing (binary columns, Arrow batch UDFs, frame explode, feature schemas)
+real and fully tested.  Both formats are pure numpy, seeded only by payload
+content, so every render/decode round-trip is bit-deterministic across
+batch sizes and executors.
+
+RAUD1 layout: ``b"RAUD1" | <u4 sample_rate> | <u4 n_samples> | int16 LE PCM``
+RVID1 layout: ``b"RVID1" | <u4 n_frames> | <u4 h> | <u4 w> | u8 frames``
+(RVID frames are grayscale, frame-major — one decoded frame re-wraps as a
+RIMG payload so sampled frames flow straight into the image operators).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+AUDIO_MAGIC = b"RAUD1"
+VIDEO_MAGIC = b"RVID1"
+SAMPLE_RATE = 8000
+
+
+class AudioDecodeError(ValueError):
+    """Raised on corrupt/truncated RAUD payloads."""
+
+
+class VideoDecodeError(ValueError):
+    """Raised on corrupt/truncated RVID payloads."""
+
+
+def _seed(text: str) -> int:
+    return int.from_bytes(hashlib.md5(text.encode("utf-8")).digest()[:4], "little")
+
+
+def render_audio(text: str, sample_rate: int = SAMPLE_RATE) -> bytes:
+    """Deterministic PCM synthesis from text: three superposed sinusoids with
+    content-derived frequencies/phases; length varies with the text so batch
+    rows are ragged (the realistic case for an audio column)."""
+    seed = _seed(text)
+    rng = np.random.RandomState(seed)
+    n = 2048 + 512 * (len(text) % 5)
+    t = np.arange(n, dtype=np.float64) / sample_rate
+    wave = np.zeros(n)
+    for _ in range(3):
+        freq = 100.0 + rng.randint(0, 3000)
+        phase = rng.uniform(0, 2 * np.pi)
+        amp = rng.uniform(0.2, 0.9)
+        wave += amp * np.sin(2 * np.pi * freq * t + phase)
+    pcm = np.clip(wave / 3.0, -1.0, 1.0)
+    samples = (pcm * 32767).astype("<i2")
+    header = AUDIO_MAGIC + np.array([sample_rate, n], dtype="<u4").tobytes()
+    return header + samples.tobytes()
+
+
+def decode_raud(payload: bytes) -> tuple[int, np.ndarray]:
+    """→ (sample_rate, int16 sample array). Error-as-data callers catch
+    :class:`AudioDecodeError` and emit an error row, never a task failure."""
+    if len(payload) < 13 or payload[:5] != AUDIO_MAGIC:
+        raise AudioDecodeError("bad RAUD magic")
+    sr, n = (int(x) for x in np.frombuffer(payload[5:13], dtype="<u4"))
+    body = payload[13:]
+    if sr <= 0 or n <= 0 or len(body) != 2 * n:
+        raise AudioDecodeError(f"truncated RAUD payload ({len(body)} != {2 * n})")
+    return sr, np.frombuffer(body, dtype="<i2").copy()
+
+
+def render_video(text: str, h: int = 24, w: int = 32) -> bytes:
+    """Deterministic grayscale clip: a content-seeded gradient that drifts one
+    pixel per frame (so frame k is recoverable/checkable from frame 0)."""
+    seed = _seed(text)
+    n_frames = 4 + seed % 9
+    base = (
+        (np.arange(h)[:, None] * 7 + np.arange(w)[None, :] * 3 + seed) % 256
+    ).astype(np.uint8)
+    frames = np.stack([np.roll(base, k, axis=1) for k in range(n_frames)])
+    header = VIDEO_MAGIC + np.array([n_frames, h, w], dtype="<u4").tobytes()
+    return header + frames.tobytes()
+
+
+def decode_rvid(payload: bytes) -> np.ndarray:
+    """→ uint8 array of shape (n_frames, h, w)."""
+    if len(payload) < 17 or payload[:5] != VIDEO_MAGIC:
+        raise VideoDecodeError("bad RVID magic")
+    n, h, w = (int(x) for x in np.frombuffer(payload[5:17], dtype="<u4"))
+    body = payload[17:]
+    if n * h * w == 0 or len(body) != n * h * w:
+        raise VideoDecodeError(f"truncated RVID payload ({len(body)} != {n * h * w})")
+    return np.frombuffer(body, dtype=np.uint8).reshape(n, h, w).copy()
+
+
+def frame_to_rimg(frame: np.ndarray) -> bytes:
+    """Re-wrap one decoded video frame as a RIMG payload so sampled frames
+    feed the existing image operators (metadata/resize) unchanged."""
+    from . import imagecodec
+
+    header = imagecodec.MAGIC + np.array(frame.shape, dtype="<u4").tobytes()
+    return header + frame.tobytes()

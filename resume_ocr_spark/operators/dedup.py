@@ -162,3 +162,27 @@ def jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact: bool = True,
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-dup detection (the fifth dedup family): pairs of
+    rows whose embedding cosine similarity is >= ``threshold``.
+
+    ``exact=True`` → :func:`similarity.cosine_pairs` (dialect-neutral unnest
+    formulation, the oracle-checked baseline).  ``exact=False`` → the 100 TB
+    path :func:`similarity.cosine_pairs_lsh`: hyperplane-LSH band bucket join
+    prunes candidates before any exact cosine (requires ``dim``)."""
+    from . import similarity
+
+    if exact:
+        return similarity.cosine_pairs(df, threshold, id_col, vec_col)
+    if dim is None:
+        raise ValueError("dim is required for the LSH-pruned path")
+    return similarity.cosine_pairs_lsh(df, dim, threshold, id_col, vec_col)

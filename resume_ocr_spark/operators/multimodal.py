@@ -16,7 +16,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from ..formats import imagecodec
+from ..formats import avcodec, imagecodec
 
 META_SCHEMA = (
     "doc_id long, height int, width int, n_pixels long, mean_intensity double, "
@@ -33,12 +33,14 @@ def decode_external_image(payload: bytes) -> np.ndarray:
 
 
 def decode_audio(payload: bytes) -> np.ndarray:
-    """STUB — audio decode (soundfile/ffmpeg) not available in container."""
+    """STUB — real WAV/MP3 decode (soundfile/ffmpeg) not in container; the
+    RAUD path below exercises identical plumbing."""
     raise NotImplementedError("audio decode needs soundfile/ffmpeg")
 
 
 def sample_video_frames(payload: bytes, every_n: int = 30) -> list[np.ndarray]:
-    """STUB — video frame sampling (ffmpeg) not available in container."""
+    """STUB — real MP4/WebM frame sampling (ffmpeg) not in container; the
+    RVID path below exercises identical plumbing."""
     raise NotImplementedError("video decode needs ffmpeg")
 
 
@@ -99,3 +101,126 @@ def resize_half(media_df: DataFrame) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": out_payloads})
 
     return media_df.mapInPandas(rz, schema="doc_id long, media binary")
+
+
+# --------------------------------------------------------------------------
+# audio column plumbing (RAUD stand-in for WAV/MP3 — see module docstring)
+# --------------------------------------------------------------------------
+
+AUDIO_META_SCHEMA = (
+    "doc_id long, sample_rate int, n_samples long, duration_sec double, "
+    "rms double, zero_crossings int, error string"
+)
+
+
+def render_audio_column(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic audio synthesis: text → RAUD PCM binary column."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col],
+                "media": [avcodec.render_audio((t or "")[:64])
+                          for t in pdf[text_col]],
+            })
+
+    return docs.select(id_col, text_col).mapInPandas(
+        gen, schema="doc_id long, media binary"
+    )
+
+
+def audio_metadata(media_df: DataFrame) -> DataFrame:
+    """binary PCM → typed features (duration, RMS, zero-crossing count) in a
+    vectorized batch UDF; corrupt payloads become error rows."""
+    def meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                try:
+                    sr, pcm = avcodec.decode_raud(bytes(payload))
+                    x = pcm.astype(np.float64) / 32767.0
+                    rows.append((
+                        doc_id, sr, len(pcm), round(len(pcm) / sr, 4),
+                        round(float(np.sqrt(np.mean(x * x))), 6),
+                        int(np.count_nonzero(np.diff(np.signbit(x)))),
+                        None,
+                    ))
+                except avcodec.AudioDecodeError as exc:
+                    rows.append((doc_id, None, None, None, None, None, str(exc)))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "sample_rate", "n_samples", "duration_sec", "rms",
+                "zero_crossings", "error"])
+
+    return media_df.mapInPandas(meta, schema=AUDIO_META_SCHEMA)
+
+
+def audio_frame_energy(media_df: DataFrame, frame_len: int = 512) -> DataFrame:
+    """Feature extraction with fan-out: fixed-length frames → one row per
+    frame with its RMS energy (the UDTF-shaped audio op — each input row
+    yields len(pcm)//frame_len output rows)."""
+    def feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, energies = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                try:
+                    _, pcm = avcodec.decode_raud(bytes(payload))
+                except avcodec.AudioDecodeError:
+                    continue  # corrupt rows surface via audio_metadata.error
+                x = pcm.astype(np.float64) / 32767.0
+                n_frames = len(x) // frame_len
+                framed = x[: n_frames * frame_len].reshape(n_frames, frame_len)
+                rms = np.sqrt(np.mean(framed * framed, axis=1)).round(6)
+                ids.extend([doc_id] * n_frames)
+                idxs.extend(range(n_frames))
+                energies.extend(rms.tolist())
+            yield pd.DataFrame({
+                "doc_id": ids, "frame_idx": idxs, "energy": energies})
+
+    return media_df.mapInPandas(
+        feat, schema="doc_id long, frame_idx int, energy double")
+
+
+# --------------------------------------------------------------------------
+# video column plumbing (RVID stand-in for MP4/WebM)
+# --------------------------------------------------------------------------
+
+def render_video_column(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic clip synthesis: text → RVID binary column."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col],
+                "media": [avcodec.render_video((t or "")[:64])
+                          for t in pdf[text_col]],
+            })
+
+    return docs.select(id_col, text_col).mapInPandas(
+        gen, schema="doc_id long, media binary"
+    )
+
+
+def video_frame_sample(media_df: DataFrame, every_n: int = 2) -> DataFrame:
+    """Frame sampling with fan-out: every ``every_n``-th frame becomes its own
+    row, re-wrapped as a RIMG image payload so the sampled frames flow
+    straight into image_metadata/resize_half. Corrupt clips → one error row
+    (frame_idx = -1), preserving error-as-data."""
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                try:
+                    frames = avcodec.decode_rvid(bytes(payload))
+                except avcodec.VideoDecodeError as exc:
+                    rows.append((doc_id, -1, None, str(exc)))
+                    continue
+                for k in range(0, frames.shape[0], every_n):
+                    rows.append((doc_id, k, avcodec.frame_to_rimg(frames[k]),
+                                 None))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "frame_idx", "media", "error"])
+
+    return media_df.mapInPandas(
+        sample, schema="doc_id long, frame_idx int, media binary, error string")

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 N_PLANES = 8
+LSH_SIM_BANDS = 2
 
 
 def _unnested(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
@@ -63,6 +64,94 @@ def cosine_topk(
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
 
 
+def cosine_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding near-dup pairs: every (id_a < id_b) with
+    ``round(cosine, 6) >= threshold``. Formulated as unnest → equi join on
+    element index → grouped sums so the DuckDB oracle computes the identical
+    float64 arithmetic. This is the correctness baseline: the element-index
+    join degenerates toward all-pairs, so at scale use
+    :func:`cosine_pairs_lsh`, which prunes candidates through shared LSH
+    bands before any exact cosine."""
+    un = _unnested(df, id_col, vec_col)
+    a = un.select(F.col(id_col).alias("id_a"), F.col("i").alias("ia"),
+                  F.col("v").alias("va"))
+    b = un.select(F.col(id_col).alias("id_b"), F.col("i").alias("ib"),
+                  F.col("v").alias("vb"))
+    return (
+        a.join(b, (F.col("ia") == F.col("ib")) & (F.col("id_a") < F.col("id_b")))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.sum(F.col("va") * F.col("vb")).alias("dot"),
+            F.sum(F.col("va") * F.col("va")).alias("na"),
+            F.sum(F.col("vb") * F.col("vb")).alias("nb"),
+        )
+        .withColumn(
+            "cosine", F.round(F.col("dot") / F.sqrt(F.col("na") * F.col("nb")), 6)
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def _array_cosine(left_vec, right_vec):
+    """Exact cosine between two array<double> Columns — zip_with/aggregate,
+    no unnest, no Python, no shuffle."""
+    dot = F.aggregate(
+        F.zip_with(left_vec, right_vec, lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    nl = F.aggregate(left_vec, F.lit(0.0), lambda acc, x: acc + x * x)
+    nr = F.aggregate(right_vec, F.lit(0.0), lambda acc, x: acc + x * x)
+    return dot / F.sqrt(nl * nr)
+
+
+def cosine_pairs_lsh(
+    df: DataFrame,
+    dim: int,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bands: int = LSH_SIM_BANDS,
+) -> DataFrame:
+    """Scale path for embedding near-dup: candidate pairs must share at least
+    one hyperplane-LSH *band* (equi bucket join — never a cross join), then
+    exact cosine is computed per candidate pair directly on the array columns
+    (zip_with fold, no unnest). Recall < 1 by design for pairs far below
+    cosine 1; near-identical vectors agree on all bits of every band, so true
+    near-dups survive the pruning with high probability."""
+    sigs = lsh_signature(df, dim, id_col, vec_col)
+    bits_per_band = N_PLANES // bands
+    mask = (1 << bits_per_band) - 1
+    banded = sigs.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("vec"),
+        F.explode(F.array(*[
+            (F.shiftright(F.col("lsh_sig"), b * bits_per_band)
+             .bitwiseAND(F.lit(mask)) + F.lit(b * (mask + 1))).alias(f"b{b}")
+            for b in range(bands)
+        ])).alias("bucket"),
+    )
+    left = banded.select(F.col(id_col).alias("id_a"), F.col("vec").alias("va"),
+                         "bucket")
+    right = banded.select(F.col(id_col).alias("id_b"), F.col("vec").alias("vb"),
+                          "bucket")
+    cand = (
+        left.join(right, (left.bucket == right.bucket)
+                  & (F.col("id_a") < F.col("id_b")))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn(
+            "cosine", F.round(_array_cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def _planes(dim: int, n_planes: int = N_PLANES, seed: int = 7) -> list[list[float]]:
     rng = np.random.RandomState(seed)
     return rng.randn(n_planes, dim).astype(float).tolist()
@@ -90,7 +179,6 @@ def lsh_signature(
     return df.select(F.col(id_col), F.col(vec_col), sig.alias("lsh_sig"))
 
 
-LSH_SIM_BANDS = 2
 IVF_CELLS = 16
 IVF_ITERS = 5
 IVF_SAMPLE = 2048

@@ -199,3 +199,114 @@ class TestUtils:
         assert textproc.normalize_query("  x  ") == "x"
         assert textproc.normalize_query("   ") is None
         assert textproc.normalize_query(None) is None
+
+
+class TestEmbeddingNearDup:
+    def test_exact_pairs_find_planted_dup(self, spark, emb):
+        d = emb.select("vec_id", "embedding").filter(F.col("vec_id") < 20)
+        planted = d.select((F.col("vec_id") + 1000).alias("vec_id"), "embedding")
+        pairs = {(r["id_a"], r["id_b"]): r["cosine"]
+                 for r in dedup.embedding_near_dup(
+                     d.unionAll(planted), threshold=0.99).collect()}
+        assert len(pairs) == 20  # each vector pairs only with its copy
+        for (a, b), c in pairs.items():
+            assert b == a + 1000
+            assert c == pytest.approx(1.0, abs=1e-6)
+
+    def test_threshold_excludes_distant_pairs(self, emb):
+        d = emb.filter(F.col("vec_id") < 30)
+        # natural max cosine in this corpus is far below 0.9 (verified in
+        # contract setup); nothing should survive
+        assert dedup.embedding_near_dup(d, threshold=0.9).count() == 0
+
+    def test_lsh_path_catches_planted_dups(self, spark, emb):
+        dim = len(emb.select("embedding").first()["embedding"])
+        d = emb.select("vec_id", "embedding").filter(F.col("vec_id") < 20)
+        planted = d.select((F.col("vec_id") + 1000).alias("vec_id"), "embedding")
+        both = d.unionAll(planted)
+        got = {(r["id_a"], r["id_b"])
+               for r in dedup.embedding_near_dup(
+                   both, threshold=0.99, exact=False, dim=dim).collect()}
+        # identical vectors share every LSH band ⇒ recall 1.0 on true dups
+        assert got == {(i, i + 1000) for i in range(20)}
+
+    def test_lsh_requires_dim(self, emb):
+        with pytest.raises(ValueError):
+            dedup.embedding_near_dup(emb, exact=False)
+
+    def test_lsh_is_subset_of_exact(self, emb):
+        dim = len(emb.select("embedding").first()["embedding"])
+        d = emb.filter(F.col("vec_id") < 60)
+        exact = {(r["id_a"], r["id_b"])
+                 for r in similarity.cosine_pairs(d, 0.3).collect()}
+        approx = {(r["id_a"], r["id_b"])
+                  for r in similarity.cosine_pairs_lsh(d, dim, 0.3).collect()}
+        assert approx <= exact  # pruning never invents pairs
+
+
+class TestAudioVideo:
+    def test_audio_metadata_roundtrip(self, spark, docs):
+        media = multimodal.render_audio_column(docs.limit(5))
+        rows = multimodal.audio_metadata(media).collect()
+        assert len(rows) == 5
+        assert all(r["error"] is None for r in rows)
+        for r in rows:
+            assert r["sample_rate"] == 8000
+            assert r["duration_sec"] == pytest.approx(
+                r["n_samples"] / r["sample_rate"], abs=1e-3)
+            assert 0.0 < r["rms"] < 1.0
+            assert r["zero_crossings"] > 0
+
+    def test_corrupt_audio_is_error_row(self, spark):
+        df = spark.createDataFrame(
+            [(1, bytearray(b"RIFFnope"))], "doc_id long, media binary")
+        rows = multimodal.audio_metadata(df).collect()
+        assert rows[0]["error"] is not None
+
+    def test_audio_frame_energy_fanout(self, spark, docs):
+        media = multimodal.render_audio_column(docs.limit(3))
+        meta = {r["doc_id"]: r["n_samples"]
+                for r in multimodal.audio_metadata(media).collect()}
+        frames = multimodal.audio_frame_energy(media, frame_len=512).collect()
+        per_doc = {}
+        for r in frames:
+            per_doc.setdefault(r["doc_id"], []).append(r)
+        for doc_id, rs in per_doc.items():
+            assert len(rs) == meta[doc_id] // 512
+            assert sorted(r["frame_idx"] for r in rs) == list(range(len(rs)))
+            assert all(0.0 <= r["energy"] <= 1.0 for r in rs)
+
+    def test_video_frame_sample_feeds_image_ops(self, spark, docs):
+        from resume_ocr_spark.formats import avcodec
+
+        media = multimodal.render_video_column(docs.limit(4))
+        frames = multimodal.video_frame_sample(media, every_n=2)
+        rows = frames.collect()
+        assert all(r["error"] is None for r in rows)
+        assert all(r["frame_idx"] % 2 == 0 for r in rows)
+        # sampled frames are valid RIMG payloads → image operators compose
+        meta = multimodal.image_metadata(frames.select("doc_id", "media")).collect()
+        assert len(meta) == len(rows)
+        assert all(m["error"] is None and m["height"] == 24 and m["width"] == 32
+                   for m in meta)
+        # determinism: frame k of a clip equals base frame rolled k columns
+        payload = avcodec.render_video((docs.limit(1).collect()[0]["text"]
+                                        or "")[:64])
+        clip = avcodec.decode_rvid(payload)
+        import numpy as np
+        assert np.array_equal(clip[2], np.roll(clip[0], 2, axis=1))
+
+    def test_corrupt_video_is_error_row(self, spark):
+        df = spark.createDataFrame(
+            [(7, bytearray(b"MP4?xxxxxxxxxxxxxxxxx"))],
+            "doc_id long, media binary")
+        rows = multimodal.video_frame_sample(df).collect()
+        assert len(rows) == 1
+        assert rows[0]["frame_idx"] == -1 and rows[0]["error"] is not None
+
+    def test_codec_determinism_across_batch_sizes(self, spark, docs):
+        one = multimodal.render_audio_column(docs.limit(6).repartition(1))
+        many = multimodal.render_audio_column(docs.limit(6).repartition(6))
+        a = {r["doc_id"]: bytes(r["media"]) for r in one.collect()}
+        b = {r["doc_id"]: bytes(r["media"]) for r in many.collect()}
+        assert a == b
