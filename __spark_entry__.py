@@ -292,37 +292,48 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Structured Streaming: tumbling 1h window over the events stream,
-    availableNow trigger (batch-equivalent semantics for the oracle)."""
-    ev_schema = _t(spark, sf_dir, "events").schema
-    # file streams need a directory source; expose the single parquet file
-    # through a stable symlinked dir
-    stream_dir = os.path.join("/tmp", f"events_stream_{abs(hash(sf_dir))}")
-    os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
-    stream = (
-        spark.readStream.schema(ev_schema)
-        .parquet(stream_dir)
-        .withColumn("ts", F.col("ts").cast("timestamp"))  # NTZ → event-time type
-    )
+    """Structured Streaming: tumbling 1h window + watermark over the events
+    stream, availableNow trigger (batch-equivalent semantics for the
+    oracle)."""
+    from resume_ocr_spark import streaming as streamops
+
+    stream = streamops.events_file_stream(spark, sf_dir)
     agg = (
         stream.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count("*").alias("n_events"),
              F.round(F.sum("value"), 2).alias("total_value"))
     )
-    qname = "events_hourly"
-    q = (
-        agg.writeStream.format("memory").queryName(qname)
-        .outputMode("complete").trigger(availableNow=True).start()
-    )
-    q.awaitTermination()
-    return spark.table(qname).select(
+    return streamops.run_available_now(agg, "events_hourly", "complete").select(
         F.col("w.start").cast("string").alias("window_start"),
         "event_type", "n_events", "total_value",
     )
+
+
+def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in session_window gap-merge sessionization (4h gap) over the
+    events stream. Timestamps emitted as epoch-µs longs — exact in the value
+    hash, no string-format skew between engines."""
+    from resume_ocr_spark import streaming as streamops
+
+    stream = streamops.events_file_stream(spark, sf_dir)
+    agg = streamops.session_window_agg(stream)
+    return streamops.run_available_now(agg, "sessions_sw", "complete").select(
+        F.unix_micros(F.col("w.start")).alias("session_start_us"),
+        F.unix_micros(F.col("w.end")).alias("session_end_us"),
+        "user_id", "n_events", "total_value",
+    )
+
+
+def streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    sessionization with max intra-session gap (a feature session_window
+    can't emit), open session flushed on drain (batch-equivalent)."""
+    from resume_ocr_spark import streaming as streamops
+
+    stream = streamops.events_file_stream(spark, sf_dir)
+    sess = streamops.stateful_sessions(stream, flush_open=True)
+    return streamops.run_available_now(sess, "sessions_state", "append")
 
 
 # ===========================================================================
@@ -440,6 +451,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": token_counts,
         "doc_fingerprints": doc_fingerprints,
         "streaming_window_counts": streaming_window_counts,
+        "streaming_sessionize": streaming_sessionize,
+        "streaming_stateful_sessions": streaming_stateful_sessions,
         "extract_pipeline": extract_pipeline,
         "multimodal_meta": multimodal_meta,
         "audio_meta": audio_meta,
@@ -703,5 +716,42 @@ def oracle_sql() -> dict[str, str]:
              ROUND(SUM(value), 2) AS total_value
       FROM events GROUP BY 1, 2
     """
-    # extract_pipeline / multimodal_meta: rows-only (batched codecs, not SQL)
+    _SESSIONS_CTE = """
+      WITH lagged AS (
+        SELECT user_id, ts, event_id, value,
+               lag(ts) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS prev_ts
+        FROM events
+      ), flagged AS (
+        SELECT *, CASE WHEN prev_ts IS NULL
+                            OR ts - prev_ts > INTERVAL 4 HOUR
+                       THEN 1 ELSE 0 END AS new_s
+        FROM lagged
+      ), sessions AS (
+        SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+      )
+    """
+    sqls["streaming_sessionize"] = _SESSIONS_CTE + """
+      SELECT epoch_us(MIN(ts)) AS session_start_us,
+             epoch_us(MAX(ts) + INTERVAL 4 HOUR) AS session_end_us,
+             user_id, COUNT(*) AS n_events,
+             ROUND(SUM(value), 2) AS total_value
+      FROM sessions GROUP BY user_id, sid
+    """
+    sqls["streaming_stateful_sessions"] = _SESSIONS_CTE + """
+      SELECT user_id,
+             MIN(epoch_us(ts)) AS session_start_us,
+             MAX(epoch_us(ts)) AS session_end_us,
+             COUNT(*) AS n_events,
+             ROUND(SUM(value), 2) AS total_value,
+             COALESCE(MAX(CASE WHEN new_s = 0
+                               THEN epoch_us(ts) - epoch_us(prev_ts) END),
+                      0) AS max_gap_us
+      FROM sessions GROUP BY user_id, sid
+    """
+    # extract_pipeline / multimodal_meta / audio_meta / video_frames:
+    # rows-only (batched codecs, not SQL)
     return sqls

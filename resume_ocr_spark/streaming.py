@@ -1,0 +1,138 @@
+"""Structured Streaming operators over the events stream.
+
+The reference is strictly batch (SURVEY.md §2.6 — no streaming surface
+anywhere in /root/reference/), so these are part of the beyond-the-reference
+training-data-pipeline capability set:
+
+  windowed_counts     — tumbling event-time window + watermark (the
+                        declarative path; lives in __spark_entry__ since r1)
+  session_window_agg  — built-in ``F.session_window`` gap-merge aggregation:
+                        Catalyst handles state, merge, and eviction
+  stateful_sessions   — ``applyInPandasWithState`` custom stateful operator:
+                        per-user sessionization with features session_window
+                        can't emit (max intra-session gap), state carried
+                        across micro-batches
+
+All three run with ``trigger(availableNow=True)`` in-sandbox, which makes
+their semantics batch-equivalent and therefore DuckDB-oracle-checkable; on a
+live stream the same code runs unbounded (stateful_sessions keeps the open
+session in state between micro-batches when ``flush_open=False``).
+
+Timestamps cross the Arrow boundary as epoch *microsecond* longs — exact in
+int64, no float rounding in the correctness hash.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupStateTimeout
+
+SESSION_GAP = "4 hours"
+SESSION_GAP_US = 4 * 3600 * 1_000_000
+
+STATEFUL_OUT_SCHEMA = (
+    "user_id long, session_start_us long, session_end_us long, n_events int, "
+    "total_value double, max_gap_us long"
+)
+_STATE_SCHEMA = "start long, last long, n int, total double, maxgap long"
+
+
+def events_file_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table. Parquet file streams need a
+    directory source, so the single file is exposed through a stable
+    symlinked dir; ``ts`` is cast NTZ → timestamp for event-time ops."""
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    stream_dir = os.path.join("/tmp", f"events_stream_{abs(hash(sf_dir))}")
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    return (
+        spark.readStream.schema(schema).parquet(stream_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+
+
+def run_available_now(df: DataFrame, name: str, output_mode: str) -> DataFrame:
+    """Drain the stream into a memory sink with one availableNow trigger and
+    return the materialized table."""
+    q = (
+        df.writeStream.format("memory").queryName(name)
+        .outputMode(output_mode).trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+def session_window_agg(stream: DataFrame, gap: str = SESSION_GAP) -> DataFrame:
+    """Built-in gap-merge sessionization: one session per burst of per-user
+    events closer than ``gap`` apart; window end = last event + gap (Spark's
+    session_window contract). Complete mode emits every session on drain."""
+    return (
+        stream.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+def _stateful_fn(flush_open: bool):
+    def fn(key, pdfs: Iterator[pd.DataFrame], state):
+        user_id = key[0]
+        parts = [p for p in pdfs if len(p)]
+        if not parts:
+            return
+        ev = pd.concat(parts).sort_values(["ts", "event_id"])
+        ts_us = (ev["ts"].astype("int64") // 1000).tolist()  # ns → µs, exact
+        vals = ev["value"].astype(float).tolist()
+        if state.exists:
+            s_start, s_last, s_n, s_total, s_maxgap = state.get
+        else:
+            s_start = s_last = None
+            s_n, s_total, s_maxgap = 0, 0.0, 0
+        out = []
+        for t, v in zip(ts_us, vals):
+            if s_last is None:
+                s_start, s_last, s_n, s_total, s_maxgap = t, t, 1, v, 0
+            elif t - s_last > SESSION_GAP_US:
+                out.append((user_id, s_start, s_last, s_n,
+                            round(s_total, 2), s_maxgap))
+                s_start, s_last, s_n, s_total, s_maxgap = t, t, 1, v, 0
+            else:
+                s_maxgap = max(s_maxgap, t - s_last)
+                s_last, s_n, s_total = t, s_n + 1, s_total + v
+        if flush_open:
+            out.append((user_id, s_start, s_last, s_n,
+                        round(s_total, 2), s_maxgap))
+            state.remove()
+        else:
+            state.update((s_start, s_last, s_n, s_total, s_maxgap))
+        if out:
+            yield pd.DataFrame(out, columns=[
+                "user_id", "session_start_us", "session_end_us", "n_events",
+                "total_value", "max_gap_us"])
+
+    return fn
+
+
+def stateful_sessions(stream: DataFrame, flush_open: bool = True) -> DataFrame:
+    """Custom stateful sessionization via ``applyInPandasWithState``: emits
+    per-session features the built-in session_window aggregation cannot
+    (max intra-session inter-arrival gap), with the open session carried in
+    group state across micro-batches.
+
+    ``flush_open=True`` (bounded/availableNow drains): the trailing open
+    session is emitted and state cleared — batch-equivalent output, which is
+    what the DuckDB oracle checks. ``flush_open=False`` (live streams):
+    closed sessions only; the open one stays in state for the next batch."""
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _stateful_fn(flush_open),
+        outputStructType=STATEFUL_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

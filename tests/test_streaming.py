@@ -1,0 +1,120 @@
+"""Structured Streaming operators: session_window agg + stateful sessions."""
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from resume_ocr_spark import streaming as streamops
+
+SF_DIR = "/root/testdata/sf0.001"
+GAP_US = streamops.SESSION_GAP_US
+
+
+def batch_sessions(events_pdf: pd.DataFrame) -> set:
+    """Single-node oracle: (user_id, start_us, end_us, n_events) tuples."""
+    out = set()
+    for user_id, g in events_pdf.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        ts_us = (g["ts"].astype("int64") // 1000).tolist()
+        start = last = None
+        n = 0
+        for t in ts_us:
+            if last is None:
+                start, last, n = t, t, 1
+            elif t - last > GAP_US:
+                out.add((user_id, start, last, n))
+                start, last, n = t, t, 1
+            else:
+                last, n = t, n + 1
+        if last is not None:
+            out.add((user_id, start, last, n))
+    return out
+
+
+@pytest.fixture(scope="module")
+def events_pdf(spark):
+    return spark.read.parquet(f"{SF_DIR}/events.parquet").toPandas()
+
+
+class TestStreamingSessions:
+    def test_stateful_matches_batch_oracle(self, spark, events_pdf):
+        stream = streamops.events_file_stream(spark, SF_DIR)
+        got = streamops.run_available_now(
+            streamops.stateful_sessions(stream, flush_open=True),
+            "t_state_full", "append").collect()
+        got_set = {(r["user_id"], r["session_start_us"], r["session_end_us"],
+                    r["n_events"]) for r in got}
+        assert got_set == batch_sessions(events_pdf)
+
+    def test_session_window_agrees_with_stateful(self, spark):
+        stream = streamops.events_file_stream(spark, SF_DIR)
+        sw = streamops.run_available_now(
+            streamops.session_window_agg(stream), "t_sw", "complete").select(
+            F.unix_micros(F.col("w.start")).alias("s"),
+            "user_id", "n_events", "total_value").collect()
+        stream2 = streamops.events_file_stream(spark, SF_DIR)
+        st = streamops.run_available_now(
+            streamops.stateful_sessions(stream2, flush_open=True),
+            "t_state2", "append").collect()
+        # same sessions by (user, start, n, total); ends differ by contract
+        # (session_window end = last event + gap, stateful end = last event)
+        sw_set = {(r["user_id"], r["s"], r["n_events"], r["total_value"])
+                  for r in sw}
+        st_set = {(r["user_id"], r["session_start_us"], r["n_events"],
+                   r["total_value"]) for r in st}
+        assert sw_set == st_set
+
+    def test_max_gap_bounded_by_gap(self, spark):
+        stream = streamops.events_file_stream(spark, SF_DIR)
+        rows = streamops.run_available_now(
+            streamops.stateful_sessions(stream, flush_open=True),
+            "t_state3", "append").collect()
+        for r in rows:
+            assert 0 <= r["max_gap_us"] <= GAP_US
+            if r["n_events"] == 1:
+                assert r["max_gap_us"] == 0
+                assert r["session_start_us"] == r["session_end_us"]
+
+    def test_state_carried_across_microbatches(self, spark, events_pdf,
+                                               tmp_path):
+        # three time-contiguous files + maxFilesPerTrigger=1 → three
+        # micro-batches; open sessions must cross batch boundaries in state
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        ordered = events_pdf.sort_values(["ts", "event_id"]).reset_index(
+            drop=True)
+        third = len(ordered) // 3
+        chunks = [ordered.iloc[:third], ordered.iloc[third:2 * third],
+                  ordered.iloc[2 * third:]]
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        for i, chunk in enumerate(chunks):
+            # single *files* (not Spark output dirs — the file-stream source
+            # does not recurse), µs timestamps to match the source schema
+            pq.write_table(pa.Table.from_pandas(chunk, preserve_index=False),
+                           f"{src}/b{i}.parquet", coerce_timestamps="us")
+        schema = spark.read.parquet(f"{SF_DIR}/events.parquet").schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(src)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        closed = streamops.run_available_now(
+            streamops.stateful_sessions(stream, flush_open=False),
+            "t_state_mb", "append").collect()
+        closed_set = {(r["user_id"], r["session_start_us"],
+                       r["session_end_us"], r["n_events"]) for r in closed}
+        full = batch_sessions(events_pdf)
+        # every closed session is a true batch session (no session was split
+        # at a micro-batch boundary — the state carried it over)
+        assert closed_set <= full
+        assert len(closed_set) > 0
+        # exactly the per-user trailing sessions remain open in state
+        last_per_user = {}
+        for (u, s, e, n) in full:
+            if u not in last_per_user or s > last_per_user[u][1]:
+                last_per_user[u] = (u, s, e, n)
+        assert closed_set == full - set(last_per_user.values())
