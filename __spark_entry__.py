@@ -211,6 +211,48 @@ def join_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sql_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL surface (TPC-H Q5 shape): 6-way snowflake join via spark.sql —
+    same Catalyst plan machinery as the DataFrame API, ANSI text in."""
+    for t in ("customer", "orders", "lineitem", "supplier", "nation", "region"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql("""
+      SELECT n_name,
+             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1998-01-01'
+      GROUP BY n_name
+    """)
+
+
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level aggregate via ROLLUP: per-(flag,status), per-flag subtotal,
+    grand total in one pass (partial_agg over grouping sets)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n_items"),
+             F.round(F.sum("l_extendedprice"), 2).alias("revenue"))
+    )
+
+
+def set_ops_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators: customers with finished orders EXCEPT those who ever
+    placed a >400k order, plus an INTERSECT guard against open-order keys."""
+    o = _t(spark, sf_dir, "orders")
+    finished = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    big = o.filter(F.col("o_totalprice") > 400000).select("o_custkey")
+    open_ = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return finished.subtract(big).intersect(open_)  # EXCEPT/INTERSECT distinct
+
+
 # ===========================================================================
 # training-data-pipeline operators
 # ===========================================================================
@@ -438,6 +480,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_stats": agg_stats,
         "distinct_agg": distinct_agg,
         "join_region_rollup": join_region_rollup,
+        "sql_local_supplier_revenue": sql_local_supplier_revenue,
+        "rollup_revenue": rollup_revenue,
+        "set_ops_custkeys": set_ops_custkeys,
         "dedup_exact": dedup_exact,
         "dedup_minhash_sigs": dedup_minhash_sigs,
         "dedup_simhash": dedup_simhash,
@@ -569,6 +614,33 @@ def oracle_sql() -> dict[str, str]:
       JOIN nation ON c_nationkey = n_nationkey
       JOIN region ON n_regionkey = r_regionkey
       GROUP BY r_name
+    """
+    sqls["sql_local_supplier_revenue"] = """
+      SELECT n_name,
+             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1998-01-01'
+      GROUP BY n_name
+    """
+    sqls["rollup_revenue"] = """
+      SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+             ROUND(SUM(l_extendedprice), 2) AS revenue
+      FROM lineitem
+      GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """
+    sqls["set_ops_custkeys"] = """
+      (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+       EXCEPT
+       SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
     """
     sqls["dedup_exact"] = """
       WITH uni AS (

@@ -28,9 +28,10 @@ RUN_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") == "1"
 HEADLINE = [
     "q1_pricing_summary", "q3_shipping_priority", "media_join",
     "window_topk_per_group", "topk_orders", "join_region_rollup",
+    "sql_local_supplier_revenue",
     "dedup_exact", "dedup_minhash_sigs", "dedup_jaccard_pairs",
-    "embedding_cosine_topk", "lang_id", "quality_scores",
-    "streaming_window_counts",
+    "dedup_embedding_pairs", "embedding_cosine_topk", "lang_id",
+    "quality_scores", "streaming_window_counts", "streaming_sessionize",
 ]
 
 
