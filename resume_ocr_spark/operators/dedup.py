@@ -186,3 +186,44 @@ def embedding_near_dup(
     if dim is None:
         raise ValueError("dim is required for the LSH-pruned path")
     return similarity.cosine_pairs_lsh(df, dim, threshold, id_col, vec_col)
+
+
+def jaccard_pairs_lsh(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The 100 TB Jaccard path: exact word-set Jaccard computed only for
+    MinHash-LSH candidate pairs. The word-level self-join in
+    :func:`jaccard_pairs` grows with n² in the worst case; here the join is
+    gated by the candidate list (semi-join on (id_a, id_b)), so exact-Jaccard
+    cost tracks true near-duplicate density. Recall < 1 by LSH design — a
+    pair the banding misses is never scored — which is the standard
+    cost/recall dial (MMDS ch.3)."""
+    cand = minhash_lsh_candidates(minhash_signatures(df, id_col, text_col),
+                                  id_col)
+    words = _words(df, id_col, text_col)
+    sizes = words.groupBy(id_col).agg(F.count("*").alias("sz"))
+    wa = words.select(F.col(id_col).alias("id_a"), "word")
+    wb = words.select(F.col(id_col).alias("id_b"), "word")
+    common = (
+        cand.join(wa, "id_a").join(wb, ["id_b", "word"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        common.join(sa, "id_a").join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -73,13 +73,14 @@ def run_extraction(
     chunk_size = chunk_size or len(all_buckets)  # default: one job
 
     if broadcast_blobs is None:
-        # broadcast the blob dictionary when its on-disk footprint is small
+        # broadcast the blob dictionary when its on-disk footprint is under
+        # the mode-aware cutoff (64 MB cluster / 256 MB single-JVM local)
         blob_dir = os.path.join(wh_root, "media_blobs", "data")
         size = sum(
             os.path.getsize(os.path.join(dp, f))
             for dp, _, fs in os.walk(blob_dir) for f in fs
         )
-        broadcast_blobs = size < 64 * 1024 * 1024
+        broadcast_blobs = size < extract.blob_broadcast_cutoff(spark)
 
     out_path = os.path.join(out_root, "documents_extracted", "data")
     for i in range(0, len(pending), chunk_size):

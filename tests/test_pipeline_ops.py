@@ -310,3 +310,24 @@ class TestAudioVideo:
         a = {r["doc_id"]: bytes(r["media"]) for r in one.collect()}
         b = {r["doc_id"]: bytes(r["media"]) for r in many.collect()}
         assert a == b
+
+
+class TestJaccardLsh:
+    def test_lsh_gated_jaccard_subset_with_identical_values(self, spark, docs):
+        d = docs.select("doc_id", "text").filter(F.col("doc_id") < 40)
+        exact = {(r["id_a"], r["id_b"]): r["jaccard"]
+                 for r in dedup.jaccard_pairs(d, threshold=0.3).collect()}
+        gated = {(r["id_a"], r["id_b"]): r["jaccard"]
+                 for r in dedup.jaccard_pairs_lsh(d, threshold=0.3).collect()}
+        assert set(gated) <= set(exact)  # gating never invents pairs
+        assert all(exact[k] == v for k, v in gated.items())
+
+    def test_lsh_gated_jaccard_full_recall_on_exact_dups(self, spark):
+        base = "spark shuffle partitions tuning guide for large clusters"
+        df = spark.createDataFrame(
+            [(1, base), (2, base), (3, "receita de bolo de cenoura")],
+            "doc_id int, text string")
+        got = {(r["id_a"], r["id_b"]): r["jaccard"]
+               for r in dedup.jaccard_pairs_lsh(df, threshold=0.9).collect()}
+        # identical docs share every band → always candidates → found exact
+        assert got == {(1, 2): 1.0}

@@ -91,3 +91,49 @@ def test_compressed_and_raw_blobs_equivalent(spark, tmp_path):
         warehouse.read_table(spark, r2, "documents_raw"),
         warehouse.read_table(spark, r2, "media_blobs"), broadcast_blobs=True)
     assert _span_rows(out1) == _span_rows(out2)
+
+
+def test_avcodec_corruption_never_throws_decode_errors_only():
+    """Any truncation/bit-flip of a valid RAUD/RVID payload either decodes
+    (structurally valid prefix) or raises the codec's typed error — never an
+    unrelated exception (the batch UDFs convert typed errors to error rows)."""
+    import numpy as np
+
+    from resume_ocr_spark.formats import avcodec
+
+    rng = np.random.RandomState(5)
+    for kind, render, decode, err in (
+        ("aud", avcodec.render_audio, avcodec.decode_raud,
+         avcodec.AudioDecodeError),
+        ("vid", avcodec.render_video, avcodec.decode_rvid,
+         avcodec.VideoDecodeError),
+    ):
+        payload = render(f"property test {kind}")
+        for cut in (0, 4, 12, 16, len(payload) // 2, len(payload) - 1):
+            try:
+                decode(payload[:cut])
+            except err:
+                pass  # typed → becomes an error row downstream
+        for _ in range(20):
+            b = bytearray(payload)
+            b[rng.randint(0, len(b))] ^= 1 << rng.randint(0, 8)
+            try:
+                decode(bytes(b))
+            except err:
+                pass
+
+
+def test_cosine_pairs_threshold_monotone(spark):
+    """Raising the threshold can only shrink the pair set (and every pair
+    at t_high is also present at t_low with the identical cosine)."""
+    from resume_ocr_spark.operators import similarity
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet").filter("vec_id < 40")
+    lo = {(r["id_a"], r["id_b"]): r["cosine"]
+          for r in similarity.cosine_pairs(emb, 0.1).collect()}
+    hi = {(r["id_a"], r["id_b"]): r["cosine"]
+          for r in similarity.cosine_pairs(emb, 0.25).collect()}
+    assert set(hi) <= set(lo)
+    assert all(lo[k] == v for k, v in hi.items())
+    assert all(v >= 0.25 for v in hi.values())
