@@ -232,18 +232,33 @@ def _gauss_kernel(block: int = 11) -> np.ndarray:
 
 
 def adaptive_threshold(img: np.ndarray, block: int = 11, c: float = 2.0) -> np.ndarray:
-    """Gaussian-weighted adaptive threshold; returns 1=ink, 0=background."""
+    """Gaussian-weighted adaptive threshold; returns 1=ink, 0=background.
+
+    Separable convolution as a shift-multiply-accumulate over the `block`
+    taps, float32 throughout: the stage is memory-bandwidth-bound under many
+    concurrent workers, so half-width floats double effective bandwidth and
+    the preallocated out= buffers avoid per-tap temporaries. Deliberately
+    BLAS-free — a sliding_window_view @ kernel matmul hits OpenBLAS's
+    threaded path, which is ~25× slower on these small strided operands
+    unless every worker pins BLAS to one thread (and session.py's pinning
+    shouldn't be a correctness-of-throughput dependency). Prototypes run
+    the identical code path, so matching stays exact."""
     k = _gauss_kernel(block).astype(np.float32)
     pad = block // 2
-    # float32 throughout: the stage is memory-bandwidth-bound under many
-    # concurrent workers; half-width floats double effective bandwidth.
-    # Prototypes run the identical code path, so matching stays exact.
     p = np.pad(img.astype(np.float32), pad, mode="edge")
-    # separable convolution, vectorized via sliding windows + matmul
-    win = np.lib.stride_tricks.sliding_window_view(p, block, axis=1)
-    tmp = win @ k  # (H+2p, W)
-    win2 = np.lib.stride_tricks.sliding_window_view(tmp, block, axis=0)
-    mean = win2 @ k  # (H, W) — sliding_window_view puts window axis last
+    h, w = img.shape
+    tmp = np.empty((h + 2 * pad, w), np.float32)
+    buf = np.empty_like(tmp)
+    np.multiply(p[:, 0:w], k[0], out=tmp)
+    for i in range(1, block):
+        np.multiply(p[:, i:i + w], k[i], out=buf)
+        tmp += buf
+    mean = np.empty((h, w), np.float32)
+    buf2 = np.empty_like(mean)
+    np.multiply(tmp[0:h, :], k[0], out=mean)
+    for i in range(1, block):
+        np.multiply(tmp[i:i + h, :], k[i], out=buf2)
+        mean += buf2
     return (img.astype(np.float32) < mean - np.float32(c)).astype(np.uint8)
 
 
