@@ -243,6 +243,22 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew defense (north_rule "salts skewed partitions"): two-stage salted
+    aggregation — groupBy(key, salt) partials then merge — hash-checked to
+    equal the direct groupBy."""
+    from resume_ocr_spark.operators import skew
+
+    ev = _t(spark, sf_dir, "events")
+    out = skew.salted_agg(
+        ev, "user_id",
+        {"count_events": F.count("*"), "sum_value": F.sum("value")},
+        salt_from="event_id",
+    )
+    return out.select("user_id", "count_events",
+                      F.round("sum_value", 2).alias("sum_value"))
+
+
 def set_ops_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operators: customers with finished orders EXCEPT those who ever
     placed a >400k order, plus an INTERSECT guard against open-order keys."""
@@ -483,6 +499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_local_supplier_revenue": sql_local_supplier_revenue,
         "rollup_revenue": rollup_revenue,
         "set_ops_custkeys": set_ops_custkeys,
+        "salted_hot_key_agg": salted_hot_key_agg,
         "dedup_exact": dedup_exact,
         "dedup_minhash_sigs": dedup_minhash_sigs,
         "dedup_simhash": dedup_simhash,
@@ -641,6 +658,11 @@ def oracle_sql() -> dict[str, str]:
        SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
       INTERSECT
       SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """
+    sqls["salted_hot_key_agg"] = """
+      SELECT user_id, COUNT(*) AS count_events,
+             ROUND(SUM(value), 2) AS sum_value
+      FROM events GROUP BY user_id
     """
     sqls["dedup_exact"] = """
       WITH uni AS (

@@ -1,0 +1,71 @@
+"""Explicit skew handling for hot keys (north_rule: "salts skewed
+partitions").
+
+Two complementary defenses exist in this engine:
+
+  1. *Structural*: the extraction pipeline never aggregates by a hot key
+     until after per-span work is done — `repartition(doc_id, offset)`
+     spreads a 10^3-media-span document across the whole stage
+     (operators/extract.py), so OCR cost can't pin one task.
+  2. *Salted aggregation* (this module): when a groupBy key IS skewed
+     (one user with millions of events, one fingerprint shared by millions
+     of near-empty docs), a two-stage salted aggregate bounds the rows any
+     single reduce task sees: stage 1 groups by (key, salt) — hot keys
+     split into `salt_buckets` partial groups with map-side combine —
+     stage 2 merges the partials by key. Same result as a direct groupBy
+     (checked against the DuckDB oracle), shuffle skew bounded by
+     1/salt_buckets.
+
+AQE's skew-join splitting (enabled in session.py) covers *join* skew at
+runtime; salting covers *aggregation* skew, which AQE does not re-split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_SALT_BUCKETS = 16
+
+
+def with_salt(df: DataFrame, salt_buckets: int = DEFAULT_SALT_BUCKETS,
+              deterministic_from: str | None = None) -> DataFrame:
+    """Adds a ``salt`` column in [0, salt_buckets). Deterministic when a
+    source column is given (hash-based — reproducible runs, testable);
+    otherwise uniform random (better spread when one key dominates AND its
+    rows are identical)."""
+    if deterministic_from is not None:
+        salt = F.pmod(F.hash(F.col(deterministic_from)), F.lit(salt_buckets))
+    else:
+        salt = (F.rand(seed=7) * salt_buckets).cast("int")
+    return df.withColumn("salt", salt)
+
+
+def salted_agg(
+    df: DataFrame,
+    key: str,
+    aggs: dict[str, Column],
+    salt_buckets: int = DEFAULT_SALT_BUCKETS,
+    salt_from: str | None = None,
+) -> DataFrame:
+    """Two-stage skew-safe aggregation for algebraic aggregates.
+
+    ``aggs`` maps output column name → stage-1 aggregate Column (count/sum/
+    min/max — anything where merge(partials) = agg(all)). Stage 2 merges:
+    counts and sums re-sum, min/max re-min/re-max — callers pass the merge
+    via the expression name prefix: ``sum_``/``count_`` → SUM of partials,
+    ``min_`` → MIN, ``max_`` → MAX."""
+    stage1 = (
+        with_salt(df, salt_buckets, deterministic_from=salt_from)
+        .groupBy(key, "salt")
+        .agg(*[c.alias(name) for name, c in aggs.items()])
+    )
+    merges = []
+    for name in aggs:
+        if name.startswith("min_"):
+            merges.append(F.min(name).alias(name))
+        elif name.startswith("max_"):
+            merges.append(F.max(name).alias(name))
+        else:  # count_* / sum_* partials merge by summing
+            merges.append(F.sum(name).alias(name))
+    return stage1.groupBy(key).agg(*merges)
