@@ -105,3 +105,41 @@ class TestWarehousePruning:
         assert "PartitionFilters" in plan
         seg = plan.split("PartitionFilters:")[1][:120]
         assert "bucket" in seg
+
+
+class TestNewOpPlans:
+    def test_salted_agg_is_two_stage_with_partial(self, spark):
+        from pyspark.sql import functions as F
+
+        from resume_ocr_spark.operators import skew
+
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        plan = plan_of(skew.salted_agg(
+            ev, "user_id", {"count_n": F.count("*")}, salt_from="event_id"))
+        # stage 1 (key, salt) and stage 2 (key) both get map-side combine
+        assert plan.lower().count("partial") >= 2
+        assert "CartesianProduct" not in plan
+
+    def test_rollup_compiles_to_expand(self, spark, entrymod):
+        plan = plan_of(entrymod.rollup_revenue(spark, SF_DIR))
+        assert "Expand" in plan  # grouping sets in one pass, not N scans
+
+    def test_cosine_pairs_lsh_no_cartesian(self, spark):
+        from resume_ocr_spark.operators import similarity
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(50)
+        plan = plan_of(similarity.cosine_pairs_lsh(emb, dim=64, threshold=0.5))
+        assert "CartesianProduct" not in plan  # bucket equi join only
+
+    def test_csv_source_json_decode_stays_jvm_side(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from resume_ocr_spark import sources
+
+        docs = spark.createDataFrame(
+            [("d1", [("text", "x", "", 0)])], sources.DOCS_SCHEMA)
+        path = str(tmp_path / "csv")
+        (docs.select("doc_id", F.to_json("spans").alias("spans_json"))
+         .write.option("header", True).csv(path))
+        plan = plan_of(sources.read_documents_csv(spark, path))
+        assert "Python" not in plan  # from_json is a JVM expression
