@@ -165,7 +165,13 @@ def main() -> None:
             spark = _fresh_spark(low)
             wall_l, _ = _run_extraction(spark, sc_root, warm_root, trials=1)
             pairs.append((sc_n / wall_h, sc_n / wall_l))
-        dps_high, dps_low = max(pairs, key=lambda p: p[0] / p[1])
+        # headline = the MEDIAN pair (max-of-noisy-ratios selects upward
+        # bias; a middle pair is the unbiased representative — lower-middle
+        # on even counts, i.e. conservative). dps fields and efficiency all
+        # come from that one pair, so they are self-consistent; every pair
+        # is reported raw alongside.
+        ranked = sorted(pairs, key=lambda p: p[0] / p[1])
+        dps_high, dps_low = ranked[(len(ranked) - 1) // 2]
         eff = (dps_high / dps_low) / (high / low)
         scaling = {
             "cores_low": low, "cores_high": high, "n_docs": sc_n,

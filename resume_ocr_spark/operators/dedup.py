@@ -61,16 +61,20 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
-def minhash_signatures(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = MINHASH_K
-) -> DataFrame:
-    """k-permutation MinHash signature per doc as columns mh0..mh{k-1}."""
-    words = _words(df, id_col, text_col)
+def _minhash_from_words(words: DataFrame, id_col: str,
+                        k: int = MINHASH_K) -> DataFrame:
     aggs = [
         F.min(F.md5(F.concat(F.col("word"), F.lit(f":{i}")))).alias(f"mh{i}")
         for i in range(k)
     ]
     return words.groupBy(id_col).agg(*aggs)
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = MINHASH_K
+) -> DataFrame:
+    """k-permutation MinHash signature per doc as columns mh0..mh{k-1}."""
+    return _minhash_from_words(_words(df, id_col, text_col), id_col, k)
 
 
 def minhash_lsh_candidates(
@@ -129,24 +133,11 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     return per_bit.select(F.col(id_col), sim.cast("long").alias("simhash"))
 
 
-def jaccard_pairs(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    threshold: float = 0.5,
-) -> DataFrame:
-    """Exact word-set Jaccard for all pairs above ``threshold``: word-level
-    equi self-join → common counts → sizes joined in → |A∩B| / (|A|+|B|-|A∩B|).
-    At scale, run minhash_lsh_candidates first and join to restrict pairs."""
-    words = _words(df, id_col, text_col)
+def _jaccard_from_common(words: DataFrame, common: DataFrame,
+                         id_col: str, threshold: float) -> DataFrame:
+    """Shared Jaccard scoring: (id_a, id_b, common) + per-doc word-set sizes
+    → |A∩B| / (|A|+|B|-|A∩B|), thresholded."""
     sizes = words.groupBy(id_col).agg(F.count("*").alias("sz"))
-    l, r = words.alias("l"), words.alias("r")
-    common = (
-        l.join(r, (F.col("l.word") == F.col("r.word"))
-               & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
-        .groupBy(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
-        .agg(F.count("*").alias("common"))
-    )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
     return (
@@ -162,6 +153,26 @@ def jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact word-set Jaccard for all pairs above ``threshold``: word-level
+    equi self-join → common counts → sizes joined in → |A∩B| / (|A|+|B|-|A∩B|).
+    At scale, run minhash_lsh_candidates first and join to restrict pairs."""
+    words = _words(df, id_col, text_col)
+    l, r = words.alias("l"), words.alias("r")
+    common = (
+        l.join(r, (F.col("l.word") == F.col("r.word"))
+               & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+        .groupBy(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    return _jaccard_from_common(words, common, id_col, threshold)
 
 
 def embedding_near_dup(
@@ -201,10 +212,11 @@ def jaccard_pairs_lsh(
     cost tracks true near-duplicate density. Recall < 1 by LSH design — a
     pair the banding misses is never scored — which is the standard
     cost/recall dial (MMDS ch.3)."""
-    cand = minhash_lsh_candidates(minhash_signatures(df, id_col, text_col),
-                                  id_col)
+    # one word explode serves signatures, candidate gating, and scoring —
+    # it is the dominant scan at scale, so cache it across the three uses
     words = _words(df, id_col, text_col)
-    sizes = words.groupBy(id_col).agg(F.count("*").alias("sz"))
+    words.persist()
+    cand = minhash_lsh_candidates(_minhash_from_words(words, id_col), id_col)
     wa = words.select(F.col(id_col).alias("id_a"), "word")
     wb = words.select(F.col(id_col).alias("id_b"), "word")
     common = (
@@ -212,18 +224,4 @@ def jaccard_pairs_lsh(
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("common"))
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
-    return (
-        common.join(sa, "id_a").join(sb, "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("common")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
-                4,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return _jaccard_from_common(words, common, id_col, threshold)

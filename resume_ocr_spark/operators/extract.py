@@ -46,8 +46,10 @@ def blob_broadcast_cutoff(spark: SparkSession) -> int:
     local mode there is exactly one copy, so the cutoff rises to 256 MB —
     measured ~8% faster than the shuffle join at 141 MB on this box."""
     master = spark.sparkContext.master or ""
-    return (BROADCAST_CUTOFF_LOCAL if master.startswith("local")
-            else BROADCAST_CUTOFF_CLUSTER)
+    # "local"/"local[...]" only — "local-cluster[...]" is multi-JVM and
+    # must keep the cluster cutoff
+    is_single_jvm = master == "local" or master.startswith("local[")
+    return BROADCAST_CUTOFF_LOCAL if is_single_jvm else BROADCAST_CUTOFF_CLUSTER
 
 
 SPAN_RESULT_SCHEMA = (

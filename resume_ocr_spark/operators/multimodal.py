@@ -72,6 +72,9 @@ def image_metadata(media_df: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                if payload is None:  # upstream error row — stay error-as-data
+                    rows.append((doc_id, None, None, None, None, "null payload"))
+                    continue
                 try:
                     img = imagecodec.decode_rimg(bytes(payload))
                     rows.append((doc_id, img.shape[0], img.shape[1],
@@ -92,6 +95,9 @@ def resize_half(media_df: DataFrame) -> DataFrame:
         for pdf in batches:
             out_payloads = []
             for payload in pdf["media"]:
+                if payload is None:  # propagate upstream error rows
+                    out_payloads.append(None)
+                    continue
                 img = imagecodec.decode_rimg(bytes(payload))
                 h, w = (img.shape[0] // 2) * 2, (img.shape[1] // 2) * 2
                 small = img[:h, :w].reshape(h // 2, 2, w // 2, 2).min(axis=(1, 3))
@@ -137,6 +143,10 @@ def audio_metadata(media_df: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                if payload is None:
+                    rows.append((doc_id, None, None, None, None, None,
+                                 "null payload"))
+                    continue
                 try:
                     sr, pcm = avcodec.decode_raud(bytes(payload))
                     x = pcm.astype(np.float64) / 32767.0
@@ -163,6 +173,8 @@ def audio_frame_energy(media_df: DataFrame, frame_len: int = 512) -> DataFrame:
         for pdf in batches:
             ids, idxs, energies = [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                if payload is None:
+                    continue  # upstream error row, no frames to emit
                 try:
                     _, pcm = avcodec.decode_raud(bytes(payload))
                 except avcodec.AudioDecodeError:
@@ -211,6 +223,9 @@ def video_frame_sample(media_df: DataFrame, every_n: int = 2) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                if payload is None:
+                    rows.append((doc_id, -1, None, "null payload"))
+                    continue
                 try:
                     frames = avcodec.decode_rvid(bytes(payload))
                 except avcodec.VideoDecodeError as exc:

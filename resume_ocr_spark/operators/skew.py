@@ -51,21 +51,26 @@ def salted_agg(
     """Two-stage skew-safe aggregation for algebraic aggregates.
 
     ``aggs`` maps output column name → stage-1 aggregate Column (count/sum/
-    min/max — anything where merge(partials) = agg(all)). Stage 2 merges:
-    counts and sums re-sum, min/max re-min/re-max — callers pass the merge
-    via the expression name prefix: ``sum_``/``count_`` → SUM of partials,
-    ``min_`` → MIN, ``max_`` → MAX."""
+    min/max — anything where merge(partials) = agg(all)). The merge is
+    chosen by the name prefix and is STRICT: ``count_``/``sum_`` → SUM of
+    partials, ``min_`` → MIN, ``max_`` → MAX; any other prefix raises —
+    non-algebraic aggregates (avg, countDistinct, …) would silently merge
+    to wrong values, so they are rejected up front."""
+    _MERGES = {"count": F.sum, "sum": F.sum, "min": F.min, "max": F.max}
+    merges = []
+    for name in aggs:
+        prefix = name.split("_", 1)[0]
+        if prefix not in _MERGES:
+            raise ValueError(
+                f"salted_agg: column {name!r} must be prefixed with one of "
+                f"{sorted(_MERGES)}_ so the partial-merge is well-defined "
+                "(avg/countDistinct are not salt-mergeable — compute avg "
+                "from sum_+count_, use approx_count_distinct partials, or "
+                "aggregate unsalted)")
+        merges.append(_MERGES[prefix](name).alias(name))
     stage1 = (
         with_salt(df, salt_buckets, deterministic_from=salt_from)
         .groupBy(key, "salt")
         .agg(*[c.alias(name) for name, c in aggs.items()])
     )
-    merges = []
-    for name in aggs:
-        if name.startswith("min_"):
-            merges.append(F.min(name).alias(name))
-        elif name.startswith("max_"):
-            merges.append(F.max(name).alias(name))
-        else:  # count_* / sum_* partials merge by summing
-            merges.append(F.sum(name).alias(name))
     return stage1.groupBy(key).agg(*merges)

@@ -46,11 +46,16 @@ def events_file_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events table. Parquet file streams need a
     directory source, so the single file is exposed through a stable
     symlinked dir; ``ts`` is cast NTZ → timestamp for event-time ops."""
+    import hashlib
+
     schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
-    stream_dir = os.path.join("/tmp", f"events_stream_{abs(hash(sf_dir))}")
+    # content-stable dir key (hash() is salted per process) and lexists so a
+    # dangling symlink is detected instead of crashing os.symlink
+    key = hashlib.md5(sf_dir.encode("utf-8")).hexdigest()[:12]
+    stream_dir = os.path.join("/tmp", f"events_stream_{key}")
     os.makedirs(stream_dir, exist_ok=True)
     link = os.path.join(stream_dir, "events.parquet")
-    if not os.path.exists(link):
+    if not os.path.lexists(link):
         os.symlink(os.path.join(sf_dir, "events.parquet"), link)
     return (
         spark.readStream.schema(schema).parquet(stream_dir)
@@ -125,10 +130,15 @@ def stateful_sessions(stream: DataFrame, flush_open: bool = True) -> DataFrame:
     (max intra-session inter-arrival gap), with the open session carried in
     group state across micro-batches.
 
-    ``flush_open=True`` (bounded/availableNow drains): the trailing open
-    session is emitted and state cleared — batch-equivalent output, which is
-    what the DuckDB oracle checks. ``flush_open=False`` (live streams):
-    closed sessions only; the open one stays in state for the next batch."""
+    ``flush_open=True`` is for SINGLE-micro-batch drains (one availableNow
+    batch over one source file, as the driver contract runs it): the
+    trailing open session is emitted and state cleared — batch-equivalent
+    output, which is what the DuckDB oracle checks. It flushes at EVERY
+    batch end, so on a multi-batch stream it would split sessions at batch
+    boundaries — for live/multi-batch streams use ``flush_open=False``
+    (closed sessions only; the open one stays in state across batches,
+    tested in test_streaming.py) and drain open sessions from the state
+    store at end of stream."""
     return stream.groupBy("user_id").applyInPandasWithState(
         _stateful_fn(flush_open),
         outputStructType=STATEFUL_OUT_SCHEMA,

@@ -331,3 +331,39 @@ class TestJaccardLsh:
                for r in dedup.jaccard_pairs_lsh(df, threshold=0.9).collect()}
         # identical docs share every band → always candidates → found exact
         assert got == {(1, 2): 1.0}
+
+
+class TestNullPayloadPropagation:
+    def test_error_rows_flow_through_image_ops(self, spark):
+        """A corrupt clip's error row (media=None) must flow through
+        image_metadata/resize_half as error rows, not task failures."""
+        good = multimodal.render_video_column(spark.createDataFrame(
+            [(1, "ok")], "doc_id long, text string"))
+        poison = spark.createDataFrame([(2, bytearray(b"bad"))],
+                                       "doc_id long, media binary")
+        frames = multimodal.video_frame_sample(good.unionAll(poison))
+        meta = multimodal.image_metadata(
+            frames.select("doc_id", "media")).collect()
+        by_id = {}
+        for r in meta:
+            by_id.setdefault(r["doc_id"], []).append(r)
+        assert all(r["error"] is None for r in by_id[1])
+        assert by_id[2][0]["error"] == "null payload"
+        resized = multimodal.resize_half(
+            frames.select("doc_id", "media")).collect()
+        assert any(r["media"] is None for r in resized)  # propagated, no crash
+
+    def test_null_audio_payload_is_error_row(self, spark):
+        df = spark.createDataFrame([(1, None)], "doc_id long, media binary")
+        assert multimodal.audio_metadata(df).first()["error"] == "null payload"
+        assert multimodal.audio_frame_energy(df).count() == 0
+
+
+class TestSaltedAggValidation:
+    def test_non_mergeable_prefix_raises(self, spark, docs):
+        from pyspark.sql import functions as SF
+
+        from resume_ocr_spark.operators import skew
+
+        with pytest.raises(ValueError, match="avg_value"):
+            skew.salted_agg(docs, "lang", {"avg_value": SF.avg("n_chars")})
