@@ -147,42 +147,40 @@ def main() -> None:
         # embarrassingly parallel; at 8 threads the high level stays in the
         # CPU-bound regime that mirrors per-executor conditions (measured
         # 0.97 at 48k docs, 0.83-0.87 at 16k — see BASELINE.md).
-        # PAIRED trials: one (high, low) pair runs back-to-back so both
-        # levels sample the same window of the shared sandbox host's drifting
-        # external load — the noise cancels in the ratio (observed: separate
-        # windows swing the ratio 0.77-1.03 while paired ratios are stable).
-        # Best pair = steady-state scaling capability; all pairs reported.
-        sc_pairs = max(TRIALS, 2)
+        # INTERLEAVED rounds, best-of per level: the shared host's external
+        # load arrives in bursts of minutes, so any single run (or even a
+        # back-to-back pair) can land in a burst — observed single-pair
+        # ratios swung 0.75-1.05 when a burst hit exactly one of the two
+        # runs. Each round runs (high, low) adjacent; the per-level BEST
+        # over all rounds estimates the quiet-host steady state (hyperfine-
+        # style min), interleaving keeps drift from favoring either level.
+        # Every round's raw dps is reported alongside the headline.
+        sc_rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "3"))
         sc_docs = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS",
                                      str(BENCH_DOCS // 2)))
         # separate, smaller corpus bounds the low-level wall (~2 min);
-        # input is identical across both levels of every pair
+        # input is identical across both levels of every round
         sc_root, sc_n = _build_corpus_warehouse(spark, sc_docs)
-        pairs = []
-        for _ in range(sc_pairs):
+        rounds = []
+        for _ in range(sc_rounds):
             spark = _fresh_spark(high)
             wall_h, _ = _run_extraction(spark, sc_root, warm_root, trials=1)
             spark = _fresh_spark(low)
             wall_l, _ = _run_extraction(spark, sc_root, warm_root, trials=1)
-            pairs.append((sc_n / wall_h, sc_n / wall_l))
-        # headline = the MEDIAN pair (max-of-noisy-ratios selects upward
-        # bias; a middle pair is the unbiased representative — lower-middle
-        # on even counts, i.e. conservative). dps fields and efficiency all
-        # come from that one pair, so they are self-consistent; every pair
-        # is reported raw alongside.
-        ranked = sorted(pairs, key=lambda p: p[0] / p[1])
-        dps_high, dps_low = ranked[(len(ranked) - 1) // 2]
+            rounds.append((sc_n / wall_h, sc_n / wall_l))
+        dps_high = max(h for h, _ in rounds)
+        dps_low = max(lo for _, lo in rounds)
         eff = (dps_high / dps_low) / (high / low)
         scaling = {
             "cores_low": low, "cores_high": high, "n_docs": sc_n,
             "docs_per_sec_low": round(dps_low, 2),
             "docs_per_sec_high": round(dps_high, 2),
             "scaling_efficiency": round(eff, 3),
-            "pairs": [
+            "rounds": [
                 {"docs_per_sec_high": round(h, 2),
                  "docs_per_sec_low": round(lo, 2),
                  "efficiency": round((h / lo) / (high / low), 3)}
-                for h, lo in pairs
+                for h, lo in rounds
             ],
         }
 
