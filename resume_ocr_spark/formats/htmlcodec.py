@@ -37,18 +37,23 @@ MIN_BLOCK_CHARS = 3
 
 
 def _blocks(doc: str) -> list[tuple[list[str], str]]:
-    """Split into (open-tag-stack, raw-html) segments."""
+    """Split into (open-marker-stack, raw-html) segments.
+
+    The stack holds (actual_tag, marker) pairs: a closing tag pops by the
+    ACTUAL tag name, while segments see only the markers — so an ad-classed
+    <div> (marker 'aside') is correctly popped by its </div> instead of
+    leaking the boilerplate marker over the rest of the document."""
     out: list[tuple[list[str], str]] = []
-    stack: list[str] = []
+    stack: list[tuple[str, str]] = []
     pos = 0
     for m in _BLOCK_SPLIT_RE.finditer(doc):
         seg = doc[pos : m.start()]
         if seg.strip():
-            out.append((list(stack), seg))
+            out.append(([mk for _, mk in stack], seg))
         if m.group(3):  # closing tag
             tag = m.group(3).lower()
-            if tag in stack:
-                while stack and stack[-1] != tag:
+            if any(t == tag for t, _ in stack):
+                while stack and stack[-1][0] != tag:
                     stack.pop()
                 if stack:
                     stack.pop()
@@ -57,11 +62,11 @@ def _blocks(doc: str) -> list[tuple[list[str], str]]:
             marker = tag
             if m.group(2) and _AD_CLASS_RE.search(m.group(0)):
                 marker = "aside"  # ad-classed divs treated as boilerplate
-            stack.append(marker)
+            stack.append((tag, marker))
         pos = m.end()
     tail = doc[pos:]
     if tail.strip():
-        out.append((list(stack), tail))
+        out.append(([mk for _, mk in stack], tail))
     return out
 
 

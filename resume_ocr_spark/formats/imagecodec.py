@@ -218,17 +218,16 @@ def median3(img: np.ndarray) -> np.ndarray:
     return np.median(stack, axis=0).astype(np.uint8)
 
 
-_GAUSS_K = None
+_GAUSS_K: dict[int, np.ndarray] = {}
 
 
 def _gauss_kernel(block: int = 11) -> np.ndarray:
-    global _GAUSS_K
-    if _GAUSS_K is None:
+    if block not in _GAUSS_K:
         sigma = 0.3 * ((block - 1) * 0.5 - 1) + 0.8  # OpenCV's getGaussianKernel rule
         x = np.arange(block) - block // 2
         k = np.exp(-(x**2) / (2 * sigma**2))
-        _GAUSS_K = k / k.sum()
-    return _GAUSS_K
+        _GAUSS_K[block] = k / k.sum()
+    return _GAUSS_K[block]
 
 
 def adaptive_threshold(img: np.ndarray, block: int = 11, c: float = 2.0) -> np.ndarray:
@@ -331,8 +330,11 @@ def ocr_image(payload: bytes) -> str:
         for ci in range(n_cells):
             c0 = left + ci * CELL_W
             cell = band[:, c0 : c0 + GLYPH_W * SCALE]
-            if cell.shape[1] < GLYPH_W * SCALE:
-                cell = np.pad(cell, ((0, 0), (0, GLYPH_W * SCALE - cell.shape[1])))
+            if cell.shape != (CELL_H, GLYPH_W * SCALE):
+                # band/cell truncated at the image edge: pad both axes so
+                # prototype matching never sees a short operand
+                cell = np.pad(cell, ((0, CELL_H - cell.shape[0]),
+                                     (0, GLYPH_W * SCALE - cell.shape[1])))
             ch = protos.get(np.ascontiguousarray(cell).tobytes())
             if ch is None:
                 ch = _nearest(cell, protos)

@@ -418,7 +418,6 @@ def extract_text(pdf: bytes) -> str:
             pages.append("")
             continue
         cmap = None
-        font_id = _ref(body, b"F1") or _ref(objs.get(content_id, b""), b"F1")
         # font ref lives in the page's /Resources inline dict
         fm = re.search(rb"/F1\s+(\d+) 0 R", body)
         if fm:

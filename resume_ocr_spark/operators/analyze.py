@@ -94,7 +94,11 @@ def analyze_documents(extracted: DataFrame, query: str | None = None) -> DataFra
         .mapInPandas(_make_analysis_batches(query), schema=ANALYSIS_UDF_SCHEMA)
     )
     out = base.join(analysis, "doc_id", "left")
-    # non-eligible rows: null analysis columns, empty field arrays
+    # non-eligible rows: null analysis columns except n_sections, which the
+    # oracle defines as 0 for rejected/error docs (oracle.analyze_doc);
+    # field arrays empty
+    out = out.withColumn("n_sections",
+                         F.coalesce(F.col("n_sections"), F.lit(0)))
     for c in ("emails", "phones", "dates"):
         out = out.withColumn(
             c,

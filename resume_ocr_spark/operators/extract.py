@@ -133,14 +133,18 @@ def extract_spans(
     is_html = F.col("kind") == "html"
     is_media = F.col("kind").isin("pdf", "image")
 
-    # text branch: pure Column ops — whole-stage codegen, zero Python
+    # text branch: pure Column ops — whole-stage codegen, zero Python.
+    # Emptiness uses the oracle's Python str.strip() whitespace set (F.trim
+    # strips ASCII space only — a '\xa0' span must be "empty file" on both
+    # sides, oracle.extract_span parity).
+    from ..textproc import PY_WHITESPACE_CLASS
+
+    stripped_len = F.length(F.regexp_replace(
+        F.coalesce(F.col("text"), F.lit("")), PY_WHITESPACE_CLASS, ""))
     text_b = (
         spans_df.filter(is_text)
-        .withColumn(
-            "error",
-            F.when(F.length(F.trim(F.coalesce(F.col("text"), F.lit("")))) == 0,
-                   F.lit("empty file")),
-        )
+        .withColumn("error",
+                    F.when(stripped_len == 0, F.lit("empty file")))
         .withColumn("text", F.when(F.col("error").isNull(), F.col("text"))
                     .otherwise(F.lit("")))
         .withColumn("ocr_pages", F.lit(0))
@@ -153,10 +157,14 @@ def extract_spans(
         .mapInPandas(_html_batches, schema=SPAN_RESULT_SCHEMA)
     )
 
-    # unsupported kinds: pure Column error row
+    # unsupported kinds: pure Column error row. NULL-safe: a null kind makes
+    # every branch predicate SQL NULL, which would silently drop the span —
+    # coalesce routes it here with the oracle's "unsupported kind: None"
     other_b = (
-        spans_df.filter(~(is_text | is_html | is_media))
-        .withColumn("error", F.concat(F.lit("unsupported kind: "), F.col("kind")))
+        spans_df.filter(
+            ~F.coalesce(is_text | is_html | is_media, F.lit(False)))
+        .withColumn("error", F.concat(F.lit("unsupported kind: "),
+                                      F.coalesce(F.col("kind"), F.lit("None"))))
         .withColumn("text", F.lit(""))
         .withColumn("ocr_pages", F.lit(0))
         .select(_RESULT_COLS)
@@ -193,8 +201,12 @@ def extract_spans(
 
 def reassemble(doc_ids_df: DataFrame, span_results: DataFrame) -> DataFrame:
     """Per-span rows → ordered span array per doc. Order is the explicit
-    (offset, kind, media_ref, text) key — FIXTURES.md §7 dup-offset
-    tie-break — restored with array_sort after the shuffle.
+    result key (offset, kind, media_ref, text, error, ocr_pages) —
+    FIXTURES.md §7 dup-offset tie-break, oracle.RESULT_SORT_KEY — restored
+    with array_sort after the shuffle. The key fields are null-coalesced
+    copies leading a (key..., span) struct, so struct comparison never hits
+    engine-specific NULL ordering and matches the oracle's Python tuple
+    sort exactly.
 
     Empty-span docs survive via a null-sentinel row per doc unioned into the
     aggregate (collect_list drops nulls → empty array).  This costs one
@@ -202,16 +214,31 @@ def reassemble(doc_ids_df: DataFrame, span_results: DataFrame) -> DataFrame:
     (two fewer shuffles and one fewer full pass at cluster scale)."""
     span_struct = F.struct("offset", "kind", "media_ref", "text", "error",
                            "ocr_pages")
-    null_struct = F.lit(None).cast(
-        "struct<offset:int,kind:string,media_ref:string,"
-        "text:string,error:string,ocr_pages:int>"
+    keyed = F.struct(
+        F.col("offset").alias("k_off"),
+        F.coalesce(F.col("kind"), F.lit("")).alias("k_kind"),
+        F.coalesce(F.col("media_ref"), F.lit("")).alias("k_ref"),
+        F.coalesce(F.col("text"), F.lit("")).alias("k_text"),
+        F.coalesce(F.col("error"), F.lit("")).alias("k_err"),
+        F.coalesce(F.col("ocr_pages"), F.lit(0)).alias("k_pages"),
+        span_struct.alias("span"),
     )
-    sentinels = doc_ids_df.select("doc_id").withColumn("span", null_struct)
-    rows = span_results.select("doc_id", span_struct.alias("span"))
+    null_keyed = F.lit(None).cast(
+        "struct<k_off:int,k_kind:string,k_ref:string,k_text:string,"
+        "k_err:string,k_pages:int,"
+        "span:struct<offset:int,kind:string,media_ref:string,"
+        "text:string,error:string,ocr_pages:int>>"
+    )
+    sentinels = doc_ids_df.select("doc_id").withColumn("kspan", null_keyed)
+    rows = span_results.select("doc_id", keyed.alias("kspan"))
     return (
         rows.unionByName(sentinels)
         .groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list("span")).alias("spans"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list("kspan")), lambda x: x["span"]
+            ).alias("spans")
+        )
     )
 
 

@@ -26,7 +26,14 @@ from .config import MAX_FILE_SIZE, PAGE_MARKER, PDF_TEXT_THRESHOLD, TOP_K
 from .formats import htmlcodec, imagecodec, pdfcodec
 from . import textproc
 
-SPAN_SORT_KEY = lambda s: (s["offset"], s["kind"], s["media_ref"], s.get("text") or "")  # noqa: E731
+# Deterministic span order: explicit key over the EXTRACTED result (never
+# input order). Defined on the result so the distributed engine can sort the
+# same tuple after its shuffle — sorting inputs would diverge wherever
+# extraction rewrites text (html strip, OCR) under duplicate
+# (offset, kind, media_ref).
+RESULT_SORT_KEY = lambda s: (  # noqa: E731
+    s["offset"], s["kind"] or "", s["media_ref"] or "",
+    s["text"] or "", s["error"] or "", s["ocr_pages"] or 0)
 
 
 def extract_span(kind: str, text: str, media_ref: str, payload: bytes | None):
@@ -80,17 +87,18 @@ def extract_span(kind: str, text: str, media_ref: str, payload: bytes | None):
 def extract_doc(doc: dict, blobs: dict[str, bytes]) -> list[dict]:
     """Ordered output span sequence for one documents_raw row.
 
-    Sort is by explicit (offset, kind, media_ref, text) — the deterministic
-    tie-break of FIXTURES.md §7 — never by input order."""
+    Sort is by the explicit result key (offset, kind, media_ref, extracted
+    text, error, ocr_pages) — the deterministic tie-break of FIXTURES.md §7 —
+    never by input order."""
     out = []
-    for s in sorted(doc["spans"], key=SPAN_SORT_KEY):
+    for s in doc["spans"]:
         payload = blobs.get(s["media_ref"]) if s["media_ref"] else None
         text, error, pages = extract_span(s["kind"], s["text"], s["media_ref"], payload)
         out.append({
             "kind": s["kind"], "text": text, "media_ref": s["media_ref"],
             "offset": s["offset"], "error": error, "ocr_pages": pages,
         })
-    return out
+    return sorted(out, key=RESULT_SORT_KEY)
 
 
 def doc_text(extracted_spans: list[dict]) -> str:

@@ -101,7 +101,9 @@ def run_extraction(
             .partitionBy("bucket")
             .parquet(out_path)
         )
-        wall_ms = int((time.time() - t0) * 1000)
+        # per-bucket share of the chunk wall (buckets in a chunk run as one
+        # job; summing rows must reproduce the chunk wall, not multiply it)
+        wall_ms = int((time.time() - t0) * 1000 / max(len(chunk), 1))
         stats = (
             spark.read.option("basePath", out_path).parquet(out_path)
             .filter(F.col("bucket").isin(chunk))

@@ -35,6 +35,14 @@ from .config import (
 )
 
 # dialect-neutral patterns (work identically in Python re, Java regex, DuckDB)
+# Python str.strip()'s whitespace set as a Java-regex character class, so
+# Column-side emptiness checks agree with the oracle's .strip() exactly
+# (Spark's F.trim / \s cover only the ASCII subset — '\xa0' et al differ).
+PY_WHITESPACE_CLASS = (
+    "[\t-\r \x1c-\x1f\x85\xa0\u1680\u2000-\u200a"
+    "\u2028\u2029\u202f\u205f\u3000]"
+)
+
 EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PHONE_PATTERN = r"\(\d{2}\) 9?\d{4}-\d{4}"
 MONTHS = "Jan|Fev|Mar|Abr|Mai|Jun|Jul|Ago|Set|Out|Nov|Dez"

@@ -137,3 +137,56 @@ def test_cosine_pairs_threshold_monotone(spark):
     assert set(hi) <= set(lo)
     assert all(lo[k] == v for k, v in hi.items())
     assert all(v >= 0.25 for v in hi.values())
+
+
+def test_edge_spans_match_oracle(spark):
+    """Parity regressions: unicode-whitespace text spans, null kind, and
+    duplicate-offset html spans must extract identically in Spark and the
+    oracle (sort key is the extracted result, emptiness is str.strip)."""
+    from resume_ocr_spark.operators import extract
+
+    docs = [
+        {"doc_id": "ws", "spans": [
+            {"kind": "text", "text": "\xa0\t\n", "media_ref": "", "offset": 0},
+            {"kind": "text", "text": " real content ", "media_ref": "", "offset": 1},
+        ]},
+        {"doc_id": "nullkind", "spans": [
+            {"kind": None, "text": "x", "media_ref": "", "offset": 0},
+            {"kind": "text", "text": "ok", "media_ref": "", "offset": 1},
+        ]},
+        {"doc_id": "dupoff", "spans": [
+            # input-text order ('<p…' < '<s…') differs from extracted-text
+            # order ('alpha…' < 'zeta…') — the tie-break must use extracted
+            {"kind": "html", "text": "<section>alpha x</section>", "media_ref": "", "offset": 0},
+            {"kind": "html", "text": "<p>zeta y</p>", "media_ref": "", "offset": 0},
+        ]},
+    ]
+    expected = {d["doc_id"]: oracle.extract_doc(d, {}) for d in docs}
+    docs_df = spark.createDataFrame(
+        [(d["doc_id"], [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                        for s in d["spans"]]) for d in docs],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>")
+    blobs_df = spark.createDataFrame([], "media_ref string, payload binary")
+    got = {r["doc_id"]: r for r in
+           extract.extract_documents(docs_df, blobs_df,
+                                     broadcast_blobs=True).collect()}
+    for doc_id, exp in expected.items():
+        g = [(s["kind"], s["text"], s["media_ref"], s["offset"], s["error"])
+             for s in got[doc_id]["spans"]]
+        e = [(s["kind"], s["text"], s["media_ref"], s["offset"], s["error"])
+             for s in exp]
+        assert g == e, doc_id
+    assert got["ws"]["spans"][0]["error"] == "empty file"
+    assert got["nullkind"]["spans"][0]["error"] == "unsupported kind: None"
+
+
+def test_ad_div_close_does_not_leak_boilerplate():
+    from resume_ocr_spark.formats import htmlcodec
+
+    doc = ('<div class="ad">COMPRE AGORA</div>'
+           "<p>Conteudo real do curriculo aqui</p>"
+           "<p>Mais conteudo importante</p>")
+    out = htmlcodec.strip_boilerplate(doc)
+    assert "Conteudo real" in out and "Mais conteudo" in out
+    assert "COMPRE AGORA" not in out
