@@ -218,9 +218,11 @@ def _gen_docs_range(args: tuple[int, int, int]) -> tuple[list[dict], list[dict]]
 def gen_corpus_fast(n_docs: int, seed: int = 42, workers: int = 8
                     ) -> tuple[list[dict], list[dict]]:
     """Parallel corpus generation with per-doc seeding: deterministic in
-    (n_docs, seed) regardless of worker count. Same doc mix as gen_corpus
-    but an independent RNG stream (bench-scale corpora only; tests pin the
-    sequential gen_corpus)."""
+    (n_docs, seed) regardless of worker count. Same doc-mix probabilities as
+    gen_corpus but an independent RNG stream, and WITHOUT gen_corpus's
+    small-corpus override (gen_corpus forces negative docs in under-20-doc
+    corpora so tiny test fixtures always exercise the rejection path).
+    Bench-scale corpora only; tests pin the sequential gen_corpus."""
     import multiprocessing
 
     chunk = max(64, n_docs // (workers * 4))
