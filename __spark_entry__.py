@@ -578,10 +578,15 @@ def oracle_sql() -> dict[str, str]:
              COUNT(*) AS n_docs
       FROM documents GROUP BY 1
     """
+    # CAST: DuckDB SUM(int) yields HUGEINT, which the driver's hasher
+    # stringifies differently from Spark's bigint (VERDICT r1 "What's wrong"
+    # #1) — every integer SUM oracle must cast to BIGINT explicitly.
     sqls["threshold_branch"] = """
       SELECT lang,
-             SUM(CASE WHEN n_chars > 200 THEN 1 ELSE 0 END) AS n_direct,
-             SUM(CASE WHEN n_chars <= 200 THEN 1 ELSE 0 END) AS n_ocr
+             CAST(SUM(CASE WHEN n_chars > 200 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_direct,
+             CAST(SUM(CASE WHEN n_chars <= 200 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_ocr
       FROM documents GROUP BY lang
     """
     sqls["error_split"] = """

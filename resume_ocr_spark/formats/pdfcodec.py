@@ -182,6 +182,18 @@ def write_scanned_pdf(page_images: list[bytes]) -> bytes:
 
 # --------------------------------------------------------------------------
 # parser
+#
+# Handles two producer families end-to-end:
+#   - this module's own writer (inline /F1 font, no cm, Tm-per-line)
+#   - real-world Skia/PDF (Google Docs) files, the reference's fixtures
+#     (/root/reference/tests/curriculos/*.pdf): subset Type0/Identity-H
+#     fonts under arbitrary names with Flate-compressed /ToUnicode CMaps,
+#     per-glyph Tj runs positioned through a q/Q-stacked CTM (cm) composed
+#     with Tm/Td, explicit space glyphs, raw-RGB Flate image XObjects.
+# Reference parity target: fitz page.get_text() recovers the full text of
+# every fixture (reference: app/services/ocr_service.py:50-58); this parser
+# must recover the same lines (heading + contact parity asserted in
+# tests/test_real_fixtures.py).
 # --------------------------------------------------------------------------
 
 _OBJ_RE = re.compile(rb"(\d+) 0 obj\s*(.*?)\s*endobj", re.S)
@@ -220,10 +232,110 @@ def _page_order(objs: dict[int, bytes]) -> list[int]:
     raise PdfParseError("no /Pages object")
 
 
-def _ref(body: bytes, name: bytes) -> int | None:
-    m = re.search(rb"/" + name + rb"\s+(\d+) 0 R", body)
-    return int(m.group(1)) if m else None
+# ---- dictionary navigation (inline dicts and indirect refs both occur) ----
 
+def _balanced_dict(buf: bytes, start: int) -> tuple[bytes, int]:
+    """``buf[start:]`` begins with ``<<``; return (full dict bytes incl.
+    delimiters, end index after the closing ``>>``)."""
+    depth, i, n = 0, start, len(buf)
+    while i < n:
+        if buf[i : i + 2] == b"<<":
+            depth += 1
+            i += 2
+        elif buf[i : i + 2] == b">>":
+            depth -= 1
+            i += 2
+            if depth == 0:
+                return buf[start:i], i
+        else:
+            i += 1
+    raise PdfParseError("unterminated dictionary")
+
+
+def _value_after(body: bytes, name: bytes) -> tuple[str, object] | None:
+    """Typed value of ``/name`` in a dict body: ('ref', int) | ('dict', bytes)
+    | ('array', bytes) | ('name', bytes) | ('num', bytes) | None."""
+    m = re.search(rb"/" + re.escape(name) + rb"(?![A-Za-z0-9])\s*", body)
+    if m is None:
+        return None
+    rest = body[m.end():]
+    mr = re.match(rb"(\d+)\s+0\s+R", rest)
+    if mr:
+        return ("ref", int(mr.group(1)))
+    if rest.startswith(b"<<"):
+        d, _ = _balanced_dict(rest, 0)
+        return ("dict", d)
+    if rest.startswith(b"["):
+        j = rest.find(b"]")
+        return ("array", rest[1 : j if j >= 0 else len(rest)])
+    mn = re.match(rb"/([^\s/<>\[\]()]+)", rest)
+    if mn:
+        return ("name", mn.group(1))
+    mnum = re.match(rb"[-+.0-9]+", rest)
+    if mnum:
+        return ("num", mnum.group(0))
+    return None
+
+
+def _resolve(objs: dict[int, bytes], val) -> bytes | None:
+    """Dict body from a typed value: follow a ref, pass an inline dict."""
+    if val is None:
+        return None
+    kind, v = val
+    if kind == "ref":
+        return objs.get(v)
+    if kind == "dict":
+        return v
+    return None
+
+
+def _int_after(body: bytes, name: bytes) -> int | None:
+    v = _value_after(body, name)
+    if v is not None and v[0] == "num":
+        try:
+            return int(float(v[1]))
+        except ValueError:
+            return None
+    return None
+
+
+def _dict_entries(d: bytes):
+    """Yield (name, typed value) for the top-level entries of a dict body —
+    sequential scan, so names inside nested sub-dicts are never mistaken
+    for entries (a /Font dict may hold inline font dicts)."""
+    i = 2 if d.startswith(b"<<") else 0
+    end = len(d) - (2 if d.startswith(b"<<") else 0)
+    name_re = re.compile(rb"\s*/([^\s/<>\[\]()]+)\s*")
+    ref_re = re.compile(rb"(\d+)\s+0\s+R")
+    tok_re = re.compile(rb"[^\s/<>\[\]]+")
+    while i < end:
+        m = name_re.match(d, i)
+        if m is None:
+            break
+        name, i = m.group(1), m.end()
+        if d.startswith(b"<<", i):
+            sub, i = _balanced_dict(d, i)
+            yield name, ("dict", sub)
+        elif (mr := ref_re.match(d, i)) is not None:
+            yield name, ("ref", int(mr.group(1)))
+            i = mr.end()
+        elif d.startswith(b"[", i):
+            j = d.find(b"]", i)
+            j = j if j >= 0 else end
+            yield name, ("array", d[i + 1 : j])
+            i = j + 1
+        elif (mn := name_re.match(d, i)) is not None:
+            yield name, ("name", mn.group(1))
+            i = mn.end()
+        else:
+            mt = tok_re.match(d, i)
+            if mt is None:
+                break
+            yield name, ("tok", mt.group(0))
+            i = mt.end()
+
+
+# ---- string decoding: literal escapes, ToUnicode CMaps, font decoders ----
 
 _LITERAL_ESCAPES = {
     b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
@@ -231,7 +343,8 @@ _LITERAL_ESCAPES = {
 }
 
 
-def _decode_literal(raw: bytes) -> str:
+def _decode_literal(raw: bytes) -> bytes:
+    """PDF literal-string body → raw bytes (escapes + octal resolved)."""
     out = bytearray()
     i = 0
     while i < len(raw):
@@ -251,210 +364,434 @@ def _decode_literal(raw: bytes) -> str:
                 continue
         out += c
         i += 1
-    return out.decode("latin-1")
+    return bytes(out)
 
 
-def _parse_cmap(cmap: bytes) -> "_CMap":
-    ranges = []
-    for m in re.finditer(
-        rb"beginbfrange(.*?)endbfrange", cmap, re.S
-    ):
-        for lo, hi, dst in re.findall(
-            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", m.group(1)
-        ):
-            ranges.append((int(lo, 16), int(hi, 16), int(dst, 16)))
-    chars = {}
+def _hex_text(h: bytes) -> str:
+    """CMap destination hex → text. Even byte counts are UTF-16BE (so a
+    multi-code-unit destination like a ligature 'fi' or a surrogate pair
+    decodes to its full string); odd ones fall back to latin-1."""
+    try:
+        b = bytes.fromhex(h.decode())
+    except ValueError:
+        return ""
+    if len(b) % 2 == 0:
+        try:
+            return b.decode("utf-16-be", "surrogatepass")
+        except UnicodeDecodeError:
+            return b.decode("latin-1")
+    return b.decode("latin-1")
+
+
+class _CMap:
+    """ToUnicode mapping: code → str (may be multi-char)."""
+
+    def __init__(self, ranges, chars, arrays):
+        self.ranges, self.chars, self.arrays = ranges, chars, arrays
+
+    def decode(self, code: int) -> str:
+        hit = self.chars.get(code)
+        if hit is not None:
+            return hit
+        for lo, hi, base in self.ranges:
+            if lo <= code <= hi:
+                if not base:
+                    return "�"
+                return base[:-1] + chr(ord(base[-1]) + (code - lo))
+        for lo, strs in self.arrays:
+            if lo <= code < lo + len(strs):
+                return strs[code - lo]
+        return "�"
+
+
+_BFRANGE_RE = re.compile(
+    rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*"
+    rb"(?:<([0-9A-Fa-f]+)>|\[((?:\s*<[0-9A-Fa-f]+>)+)\s*\])"
+)
+
+
+def _parse_cmap(cmap: bytes) -> _CMap:
+    ranges, chars, arrays = [], {}, []
+    for m in re.finditer(rb"beginbfrange(.*?)endbfrange", cmap, re.S):
+        for lo, hi, dst, arr in _BFRANGE_RE.findall(m.group(1)):
+            lo_i, hi_i = int(lo, 16), int(hi, 16)
+            if arr:
+                strs = [_hex_text(h) for h in re.findall(rb"<([0-9A-Fa-f]+)>", arr)]
+                arrays.append((lo_i, strs))
+            else:
+                ranges.append((lo_i, hi_i, _hex_text(dst)))
     for m in re.finditer(rb"beginbfchar(.*?)endbfchar", cmap, re.S):
         for src, dst in re.findall(
             rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", m.group(1)
         ):
-            chars[int(src, 16)] = int(dst, 16)
-    return _CMap(ranges, chars)
+            chars[int(src, 16)] = _hex_text(dst)
+    return _CMap(ranges, chars, arrays)
 
 
-class _CMap:
-    def __init__(self, ranges, chars):
-        self.ranges, self.chars = ranges, chars
+class _FontDecoder:
+    """Per-font string decoder. CID fonts (Type0/Identity-H — the Skia
+    fixture encoding) consume 2-byte codes through the ToUnicode CMap;
+    simple fonts consume single bytes (CMap if present, else latin-1)."""
 
-    def decode(self, code: int) -> str:
-        if code in self.chars:
-            return chr(self.chars[code])
-        for lo, hi, dst in self.ranges:
-            if lo <= code <= hi:
-                return chr(dst + (code - lo))
-        return "�"
+    def __init__(self, cmap: _CMap | None, cid: bool):
+        self.cmap, self.cid = cmap, cid
+
+    def decode_bytes(self, data: bytes) -> str:
+        if self.cid:
+            out = []
+            for i in range(0, len(data) - len(data) % 2, 2):
+                code = (data[i] << 8) | data[i + 1]
+                out.append(self.cmap.decode(code) if self.cmap else chr(code))
+            return "".join(out)
+        if self.cmap is not None:
+            return "".join(self.cmap.decode(b) for b in data)
+        return data.decode("latin-1")
+
+    def decode_hex(self, hexs: bytes) -> str:
+        try:
+            return self.decode_bytes(bytes.fromhex(hexs.decode()))
+        except ValueError as exc:
+            raise PdfParseError(f"bad hex string: {exc}") from exc
+
+
+_FALLBACK_DECODER = _FontDecoder(None, False)
+
+
+def _font_decoder(objs: dict[int, bytes], val) -> _FontDecoder:
+    body = _resolve(objs, val)
+    if body is None:
+        return _FALLBACK_DECODER
+    cid = b"/Identity-H" in body or b"/Type0" in body
+    cmap = None
+    tu = _value_after(body, b"ToUnicode")
+    if tu is not None and tu[0] == "ref" and tu[1] in objs:
+        s = _get_stream(objs[tu[1]])
+        if s:
+            cmap = _parse_cmap(s)
+    return _FontDecoder(cmap, cid)
+
+
+def _page_fonts(objs: dict[int, bytes], page_body: bytes) -> dict[bytes, _FontDecoder]:
+    """Font name → decoder from the page's /Resources (inline dict or
+    indirect ref; font entries may be refs or inline dicts)."""
+    res = _resolve(objs, _value_after(page_body, b"Resources"))
+    if res is None:
+        return {}
+    fd = _resolve(objs, _value_after(res, b"Font"))
+    if fd is None:
+        return {}
+    return {name: _font_decoder(objs, val) for name, val in _dict_entries(fd)}
+
+
+def _page_content(objs: dict[int, bytes], page_body: bytes) -> bytes | None:
+    """Concatenated content stream(s): /Contents may be one ref or an array."""
+    val = _value_after(page_body, b"Contents")
+    if val is None:
+        return None
+    if val[0] == "ref":
+        refs = [val[1]]
+    elif val[0] == "array":
+        refs = [int(x) for x in re.findall(rb"(\d+)\s+0\s+R", val[1])]
+    else:
+        return None
+    chunks = [
+        s for r in refs if r in objs
+        if (s := _get_stream(objs[r])) is not None
+    ]
+    return b"\n".join(chunks) if chunks else None
+
+
+# ---- content-stream interpreter: full CTM × text-matrix tracking ----
+
+_ID_MAT = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+
+
+def _mmul(m, n):
+    """Compose affine maps (apply m, then n); PDF row-vector convention."""
+    a, b, c, d, e, f = m
+    A, B, C, D, E, G = n
+    return (a * A + b * C, a * B + b * D, c * A + d * C, c * B + d * D,
+            e * A + f * C + E, e * B + f * D + G)
 
 
 _TOKEN_RE = re.compile(
-    rb"\((?:[^()\\]|\\.)*\)|<[0-9A-Fa-f\s]*>|\[|\]|/[A-Za-z0-9]+|"
+    rb"\((?:[^()\\]|\\.)*\)|<<|>>|<[0-9A-Fa-f\s]*>|\[|\]|/[^\s/<>\[\]()]*|"
     rb"[-+.0-9]+|[A-Za-z'\"*]+"
 )
 
+# (x, y, text, est_width, font_size) in device space
+_Run = tuple[float, float, str, float, float]
 
-def _content_runs(content: bytes, cmap: _CMap | None) -> list[tuple[float, float, str]]:
-    """Execute the text-positioning subset of the content stream; return
-    (x, y, text) runs."""
-    runs: list[tuple[float, float, str]] = []
+# rough Helvetica/Arial advance classes in em — only used by the
+# separate-word gap heuristic in _join_lines, so ±15% error is fine, but a
+# flat 0.5 em/char underestimates wide glyphs ('@' ≈ 1.0 em) enough to
+# trigger spurious spaces inside per-glyph runs (seen on the contact line of
+# the real fixtures before this table existed)
+_NARROW = set("iIl.,:;'!|jft()[]{}/\\ r")
+_WIDE = set("mwMW@%—–")
+
+
+def _est_width(text: str, per_char: float = 0.58) -> float:
+    w = 0.0
+    for ch in text:
+        if ch in _NARROW:
+            w += 0.30
+        elif ch in _WIDE:
+            w += 0.95
+        elif ch.isupper() or ch.isdigit():
+            w += 0.68
+        else:
+            w += per_char
+    return w
+
+
+def _content_runs(content: bytes, fonts: dict[bytes, _FontDecoder]) -> list[_Run]:
+    """Execute the graphics/text-positioning subset of the content stream.
+
+    Tracks the full state real producers rely on: q/Q graphics stack, cm CTM
+    concatenation, BT/Tm/Td/TD/T*/TL text matrices, Tf font switching (each
+    font decodes through its own ToUnicode CMap).  Glyph-run device position
+    is (0,0) through Tm·CTM — Skia places every glyph via a 0.75-scaled,
+    y-flipped CTM, so ignoring cm (the round-1 bug) scrambled real fixtures.
+    Unknown operators clear the operand stack (postfix discipline), so
+    BDC/gs/re/cm-adjacent operands never leak into later operators."""
+    runs: list[_Run] = []
     stack: list = []
-    x = y = 0.0
-    lx = ly = 0.0  # line start (for Td/TD/T*)
+    ctm, gstack = _ID_MAT, []
+    tm = tlm = _ID_MAT
     leading = 14.0
+    font = next(iter(fonts.values()), _FALLBACK_DECODER)
+    fsize = 11.0
 
-    def emit(s: str) -> None:
-        if s:
-            runs.append((x, y, s))
+    def emit(parts: list[str]) -> None:
+        text = "".join(parts)
+        if not text:
+            return
+        trm = _mmul(tm, ctm)
+        scale = (trm[0] ** 2 + trm[1] ** 2) ** 0.5 or 1.0
+        size = fsize * scale
+        runs.append((trm[4], trm[5], text, _est_width(text) * size, size))
 
-    def decode_str(tok: bytes) -> str:
+    def decode_tok(tok: bytes) -> str:
         if tok.startswith(b"("):
-            return _decode_literal(tok[1:-1])
+            return font.decode_bytes(_decode_literal(tok[1:-1]))
         hexs = re.sub(rb"\s", b"", tok[1:-1])
-        if cmap is not None:
-            return "".join(
-                cmap.decode(int(hexs[i : i + 4], 16))
-                for i in range(0, len(hexs) - len(hexs) % 4, 4)
-            )
         if len(hexs) % 2:
             hexs += b"0"
-        return bytes.fromhex(hexs.decode()).decode("latin-1")
+        return font.decode_hex(hexs)
+
+    def newline() -> None:
+        nonlocal tm, tlm
+        tlm = _mmul((1.0, 0.0, 0.0, 1.0, 0.0, -leading), tlm)
+        tm = tlm
+
+    def floats(n: int) -> list[float] | None:
+        if len(stack) >= n and all(isinstance(v, float) for v in stack[-n:]):
+            return stack[-n:]
+        return None
 
     for m in _TOKEN_RE.finditer(content):
         tok = m.group(0)
-        if tok.startswith((b"(", b"<")):
+        c0 = tok[:1]
+        if c0 in (b"(", b"<") and tok not in (b"<<", b">>"):
             stack.append(tok)
-        elif tok in (b"[", b"]"):
+        elif tok in (b"[", b"]", b"<<", b">>"):
             continue
-        elif tok[:1] in b"-+.0123456789":
-            stack.append(float(tok))
+        elif c0 in b"-+.0123456789":
+            try:
+                stack.append(float(tok))
+            except ValueError:
+                stack.append(0.0)
+        elif c0 == b"/":
+            stack.append(tok)
+        elif tok == b"q":
+            gstack.append(ctm)
+            stack.clear()
+        elif tok == b"Q":
+            if gstack:
+                ctm = gstack.pop()
+            stack.clear()
+        elif tok == b"cm":
+            if (ops := floats(6)) is not None:
+                ctm = _mmul(tuple(ops), ctm)
+            stack.clear()
+        elif tok == b"BT":
+            tm = tlm = _ID_MAT
+            stack.clear()
+        elif tok == b"Tf":
+            if (len(stack) >= 2 and isinstance(stack[-2], bytes)
+                    and stack[-2].startswith(b"/")):
+                name = stack[-2][1:]
+                if name in fonts:
+                    font = fonts[name]
+                if isinstance(stack[-1], float):
+                    fsize = stack[-1]
+            stack.clear()
         elif tok == b"Tm":
-            if len(stack) >= 6:
-                x, y = float(stack[-2]), float(stack[-1])
-                lx, ly = x, y
+            if (ops := floats(6)) is not None:
+                tm = tlm = tuple(ops)
             stack.clear()
         elif tok in (b"Td", b"TD"):
-            if len(stack) >= 2:
-                lx, ly = lx + float(stack[-2]), ly + float(stack[-1])
-                x, y = lx, ly
+            if (ops := floats(2)) is not None:
+                tx, ty = ops
                 if tok == b"TD":
-                    leading = -float(stack[-2])
+                    leading = -ty
+                tlm = _mmul((1.0, 0.0, 0.0, 1.0, tx, ty), tlm)
+                tm = tlm
             stack.clear()
         elif tok == b"T*":
-            ly -= leading
-            x, y = lx, ly
+            newline()
             stack.clear()
         elif tok == b"TL":
-            if stack:
-                leading = float(stack[-1])
+            if stack and isinstance(stack[-1], float):
+                leading = stack[-1]
             stack.clear()
         elif tok == b"Tj":
-            if stack and isinstance(stack[-1], bytes):
-                emit(decode_str(stack[-1]))
+            if stack and isinstance(stack[-1], bytes) and stack[-1][:1] in (b"(", b"<"):
+                emit([decode_tok(stack[-1])])
             stack.clear()
-        elif tok == b"'":
-            ly -= leading
-            x, y = lx, ly
-            if stack and isinstance(stack[-1], bytes):
-                emit(decode_str(stack[-1]))
+        elif tok in (b"'", b'"'):
+            newline()
+            strs = [t for t in stack
+                    if isinstance(t, bytes) and t[:1] in (b"(", b"<")]
+            if strs:
+                emit([decode_tok(strs[-1])])
             stack.clear()
         elif tok == b"TJ":
-            text = "".join(
-                decode_str(t) for t in stack if isinstance(t, bytes)
-            )
-            emit(text)
+            parts = []
+            for t in stack:
+                if isinstance(t, bytes) and t[:1] in (b"(", b"<"):
+                    parts.append(decode_tok(t))
+                elif isinstance(t, float) and t < -180.0:
+                    # large negative kern (thousandths of em) = word gap,
+                    # the standard pdftotext/pdfminer heuristic
+                    parts.append(" ")
+            emit(parts)
             stack.clear()
-        elif tok in (b"BT", b"ET", b"Tf"):
-            stack.clear()
+        else:
+            stack.clear()  # unknown operator: consume its operands
     return runs
 
 
-def _reading_order(runs: list[tuple[float, float, str]]) -> str:
+def _reading_order(runs: list[_Run]) -> str:
     """Sort runs into reading order with column reconstruction: cluster x
     positions; if two clusters are separated by > COLUMN_SPLIT_GAP, read the
     left column fully before the right (north_star: column/reading-order
     reconstruction)."""
     if not runs:
         return ""
-    xs = sorted({x for x, _, _ in runs})
+    xs = sorted({r[0] for r in runs})
     split = None
     for a, b in zip(xs, xs[1:]):
         if b - a > COLUMN_SPLIT_GAP:
             split = (a + b) / 2
             break
+
     def key(run):
-        x, y, _ = run
+        x, y = run[0], run[1]
         col = 0 if split is None or x < split else 1
         return (col, -round(y / LINE_Y_TOL), x)
-    ordered = sorted(runs, key=key)
-    return _join_lines(ordered, split)
+
+    return _join_lines(sorted(runs, key=key), split)
 
 
-def _join_lines(ordered, split) -> str:
+def _join_lines(ordered: list[_Run], split) -> str:
+    """Concatenate same-line runs in x order. Runs are glued with NO
+    separator — real producers (Skia) emit explicit space glyphs per word
+    gap — unless the x-gap past the previous run's estimated extent exceeds
+    half the font size (the separate-word heuristic for producers that
+    position words without space glyphs)."""
     lines: list[str] = []
-    cur_line: list[str] = []
+    cur: list[str] = []
     cur_k = None
-    for x, y, t in ordered:
+    pos_end = 0.0
+    for x, y, t, w, size in ordered:
         col = 0 if split is None or x < split else 1
         k = (col, -round(y / LINE_Y_TOL))
         if k != cur_k:
-            if cur_line:
-                lines.append(" ".join(cur_line))
-            cur_line, cur_k = [], k
-        cur_line.append(t)
-    if cur_line:
-        lines.append(" ".join(cur_line))
+            if cur:
+                lines.append("".join(cur).rstrip())
+            cur, cur_k, pos_end = [], k, x
+        if cur and x - pos_end > 0.6 * size:
+            cur.append(" ")
+        cur.append(t)
+        pos_end = max(pos_end, x + w)
+    if cur:
+        lines.append("".join(cur).rstrip())
     return "\n".join(lines)
 
 
 def extract_text(pdf: bytes) -> str:
-    """Direct text extraction, pages joined with \\f (page.get_text() analog)."""
+    """Direct text extraction, pages joined with \\f (the fitz
+    ``page.get_text()`` analog, reference: app/services/ocr_service.py:50-58).
+    Verified against every real fixture in /root/reference/tests/curriculos
+    (tests/test_real_fixtures.py) and byte-exact on this module's writer."""
     objs = _parse_objects(pdf)
     pages = []
     for pid in _page_order(objs):
         body = objs.get(pid)
         if body is None:
             raise PdfParseError(f"missing page object {pid}")
-        content_id = _ref(body, b"Contents")
-        content = _get_stream(objs[content_id]) if content_id in objs else None
+        content = _page_content(objs, body)
         if content is None:
             pages.append("")
             continue
-        cmap = None
-        # font ref lives in the page's /Resources inline dict
-        fm = re.search(rb"/F1\s+(\d+) 0 R", body)
-        if fm:
-            font_body = objs.get(int(fm.group(1)), b"")
-            cm = _ref(font_body, b"ToUnicode")
-            if cm is not None and cm in objs:
-                cmap_stream = _get_stream(objs[cm])
-                if cmap_stream:
-                    cmap = _parse_cmap(cmap_stream)
-        else:
-            # inline font dict on the page: CID iff Identity-H declared
-            if b"/Identity-H" in body:
-                cm = _ref(body, b"ToUnicode")
-                if cm is not None and cm in objs:
-                    cmap_stream = _get_stream(objs[cm])
-                    if cmap_stream:
-                        cmap = _parse_cmap(cmap_stream)
-        pages.append(_reading_order(_content_runs(content, cmap)))
+        fonts = _page_fonts(objs, body)
+        pages.append(_reading_order(_content_runs(content, fonts)))
     return "\f".join(pages)
 
 
 def extract_page_images(pdf: bytes) -> list[bytes]:
-    """Ordered list of raw image payloads, one per page with an image XObject
-    (the pdf2image ``convert_from_bytes`` analog,
-    reference: app/services/ocr_service.py:84-98)."""
+    """Ordered list of per-page image payloads, RIMG-wrapped so the OCR
+    stage can consume them directly (the pdf2image ``convert_from_bytes``
+    analog, reference: app/services/ocr_service.py:84-98).
+
+    Each page contributes its largest image XObject (Skia image-PDFs embed
+    the page scan as one raw-RGB Flate XObject; this module's scanned writer
+    embeds one RIMG payload). Raw RGB/gray streams are converted to RIMG
+    grayscale via integer luminosity; unknown encodings pass through raw and
+    surface as OCR decode errors downstream (error-as-data)."""
     objs = _parse_objects(pdf)
     out: list[bytes] = []
     for pid in _page_order(objs):
         body = objs.get(pid, b"")
-        im = re.search(rb"/Im\d+\s+(\d+) 0 R", body)
-        if not im:
+        res = _resolve(objs, _value_after(body, b"Resources")) or body
+        xod = _resolve(objs, _value_after(res, b"XObject"))
+        images: list[bytes] = []
+        if xod is not None:
+            for _name, val in _dict_entries(xod):
+                ib = _resolve(objs, val)
+                if ib is not None and re.search(rb"/Subtype\s*/Image", ib):
+                    images.append(ib)
+        if not images:
             continue
-        img_body = objs.get(int(im.group(1)))
-        if img_body is None:
-            raise PdfParseError(f"missing image object on page {pid}")
-        data = _get_stream(img_body)
+        best = max(images, key=lambda ib: (_int_after(ib, b"Width") or 0)
+                   * (_int_after(ib, b"Height") or 0))
+        data = _get_stream(best)
         if data is None:
             raise PdfParseError(f"image object on page {pid} has no stream")
-        out.append(data)
+        out.append(_to_rimg(data, _int_after(best, b"Width"),
+                            _int_after(best, b"Height")))
     return out
+
+
+def _to_rimg(data: bytes, w: int | None, h: int | None) -> bytes:
+    """Wrap a decoded image stream as an RIMG grayscale payload."""
+    from . import imagecodec
+
+    if data[:5] == imagecodec.MAGIC:  # writer-native payload: pass through
+        return data
+    if w and h and len(data) in (w * h * 3, w * h):
+        import numpy as np
+
+        if len(data) == w * h * 3:
+            arr = np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
+            gray = ((arr[..., 0].astype(np.uint32) * 299
+                     + arr[..., 1].astype(np.uint32) * 587
+                     + arr[..., 2].astype(np.uint32) * 114 + 500)
+                    // 1000).astype(np.uint8)
+        else:
+            gray = np.frombuffer(data, dtype=np.uint8).reshape(h, w)
+        header = imagecodec.MAGIC + np.array([h, w], dtype="<u4").tobytes()
+        return header + gray.tobytes()
+    return data  # unknown encoding — downstream OCR rejects (error-as-data)

@@ -211,7 +211,14 @@ def jaccard_pairs_lsh(
     gated by the candidate list (semi-join on (id_a, id_b)), so exact-Jaccard
     cost tracks true near-duplicate density. Recall < 1 by LSH design — a
     pair the banding misses is never scored — which is the standard
-    cost/recall dial (MMDS ch.3)."""
+    cost/recall dial (MMDS ch.3).
+
+    Storage contract: the word explode is cached (it serves signatures,
+    candidate gating, and scoring — the dominant scan at scale). The cache
+    is NOT released here because the returned DataFrame is lazy; the caller
+    must call ``result.cached_words.unpersist()`` after materializing (or
+    stop the session). Leaving it cached accumulates executor storage
+    pressure on exactly the long-session workloads this path targets."""
     # one word explode serves signatures, candidate gating, and scoring —
     # it is the dominant scan at scale, so cache it across the three uses
     words = _words(df, id_col, text_col)
@@ -224,4 +231,6 @@ def jaccard_pairs_lsh(
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("common"))
     )
-    return _jaccard_from_common(words, common, id_col, threshold)
+    out = _jaccard_from_common(words, common, id_col, threshold)
+    out.cached_words = words  # caller unpersists after materializing
+    return out

@@ -203,10 +203,12 @@ def reassemble(doc_ids_df: DataFrame, span_results: DataFrame) -> DataFrame:
     """Per-span rows → ordered span array per doc. Order is the explicit
     result key (offset, kind, media_ref, text, error, ocr_pages) —
     FIXTURES.md §7 dup-offset tie-break, oracle.RESULT_SORT_KEY — restored
-    with array_sort after the shuffle. The key fields are null-coalesced
-    copies leading a (key..., span) struct, so struct comparison never hits
-    engine-specific NULL ordering and matches the oracle's Python tuple
-    sort exactly.
+    with array_sort after the shuffle. Each nullable key field contributes a
+    null-coalesced copy plus an is-null flag (null sorts after ''), so two
+    spans identical except null-vs-'' still compare deterministically on the
+    key alone — struct comparison never reaches the trailing span struct and
+    never hits engine-specific NULL ordering; the oracle's Python tuple key
+    is the same (value-or-'', is-null) sequence.
 
     Empty-span docs survive via a null-sentinel row per doc unioned into the
     aggregate (collect_list drops nulls → empty array).  This costs one
@@ -214,18 +216,25 @@ def reassemble(doc_ids_df: DataFrame, span_results: DataFrame) -> DataFrame:
     (two fewer shuffles and one fewer full pass at cluster scale)."""
     span_struct = F.struct("offset", "kind", "media_ref", "text", "error",
                            "ocr_pages")
+    def _nflag(col: str):
+        return F.when(F.col(col).isNull(), 1).otherwise(0)
+
     keyed = F.struct(
         F.col("offset").alias("k_off"),
         F.coalesce(F.col("kind"), F.lit("")).alias("k_kind"),
+        _nflag("kind").alias("k_kind_n"),
         F.coalesce(F.col("media_ref"), F.lit("")).alias("k_ref"),
+        _nflag("media_ref").alias("k_ref_n"),
         F.coalesce(F.col("text"), F.lit("")).alias("k_text"),
+        _nflag("text").alias("k_text_n"),
         F.coalesce(F.col("error"), F.lit("")).alias("k_err"),
+        _nflag("error").alias("k_err_n"),
         F.coalesce(F.col("ocr_pages"), F.lit(0)).alias("k_pages"),
         span_struct.alias("span"),
     )
     null_keyed = F.lit(None).cast(
-        "struct<k_off:int,k_kind:string,k_ref:string,k_text:string,"
-        "k_err:string,k_pages:int,"
+        "struct<k_off:int,k_kind:string,k_kind_n:int,k_ref:string,k_ref_n:int,"
+        "k_text:string,k_text_n:int,k_err:string,k_err_n:int,k_pages:int,"
         "span:struct<offset:int,kind:string,media_ref:string,"
         "text:string,error:string,ocr_pages:int>>"
     )

@@ -30,14 +30,23 @@ DEFAULT_SALT_BUCKETS = 16
 
 def with_salt(df: DataFrame, salt_buckets: int = DEFAULT_SALT_BUCKETS,
               deterministic_from: str | None = None) -> DataFrame:
-    """Adds a ``salt`` column in [0, salt_buckets). Deterministic when a
-    source column is given (hash-based — reproducible runs, testable);
-    otherwise uniform random (better spread when one key dominates AND its
-    rows are identical)."""
+    """Adds a ``salt`` column in [0, salt_buckets), always deterministic in
+    the row's *values*: hash of the given source column, else hash of all
+    columns. F.rand() is deliberately NOT used — rand is only deterministic
+    per (partition, row-order), so under executor loss with a shuffled
+    upstream a recomputed stage-1 partial can re-salt rows differently from
+    the lost attempt (SPARK-23207 class) and silently double-count or drop
+    them in the merge. Value-hash salting recomputes identically on retry.
+
+    Caveat: if one hot key's rows are also byte-identical across ALL columns,
+    value-hashing puts them in one salt bucket and the salt spreads nothing —
+    pass ``deterministic_from`` naming any distinguishing column, or
+    pre-assign an explicit row id upstream."""
     if deterministic_from is not None:
         salt = F.pmod(F.hash(F.col(deterministic_from)), F.lit(salt_buckets))
     else:
-        salt = (F.rand(seed=7) * salt_buckets).cast("int")
+        salt = F.pmod(F.hash(*[F.col(c) for c in df.columns]),
+                      F.lit(salt_buckets))
     return df.withColumn("salt", salt)
 
 

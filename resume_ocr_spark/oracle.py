@@ -30,10 +30,17 @@ from . import textproc
 # input order). Defined on the result so the distributed engine can sort the
 # same tuple after its shuffle — sorting inputs would diverge wherever
 # extraction rewrites text (html strip, OCR) under duplicate
-# (offset, kind, media_ref).
+# (offset, kind, media_ref).  Each nullable field contributes (value-or-"",
+# is-null) so NULL and '' order deterministically (null after ''), with no
+# dependence on engine NULL ordering or input row order — the Spark side
+# builds the identical key in operators/extract.reassemble.
 RESULT_SORT_KEY = lambda s: (  # noqa: E731
-    s["offset"], s["kind"] or "", s["media_ref"] or "",
-    s["text"] or "", s["error"] or "", s["ocr_pages"] or 0)
+    s["offset"],
+    s["kind"] or "", s["kind"] is None,
+    s["media_ref"] or "", s["media_ref"] is None,
+    s["text"] or "", s["text"] is None,
+    s["error"] or "", s["error"] is None,
+    s["ocr_pages"] or 0)
 
 
 def extract_span(kind: str, text: str, media_ref: str, payload: bytes | None):

@@ -54,9 +54,21 @@ def events_file_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = hashlib.md5(sf_dir.encode("utf-8")).hexdigest()[:12]
     stream_dir = os.path.join("/tmp", f"events_stream_{key}")
     os.makedirs(stream_dir, exist_ok=True)
+    target = os.path.join(sf_dir, "events.parquet")
     link = os.path.join(stream_dir, "events.parquet")
+    # re-create a stale link (dangling target, or pointing elsewhere after
+    # testdata moved) instead of letting every later read fail; drop any
+    # extra files so the stream only ever sees the one events file
+    for f in os.listdir(stream_dir):
+        p = os.path.join(stream_dir, f)
+        if p != link:
+            os.unlink(p)
+    if os.path.lexists(link) and (
+        not os.path.exists(link) or os.path.realpath(link) != os.path.realpath(target)
+    ):
+        os.unlink(link)
     if not os.path.lexists(link):
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+        os.symlink(target, link)
     return (
         spark.readStream.schema(schema).parquet(stream_dir)
         .withColumn("ts", F.col("ts").cast("timestamp"))
@@ -101,6 +113,14 @@ def _stateful_fn(flush_open: bool):
             s_n, s_total, s_maxgap = 0, 0.0, 0
         out = []
         for t, v in zip(ts_us, vals):
+            if s_last is not None and t < s_last:
+                # late event (older than carried state): letting it through
+                # would regress s_last and corrupt session boundaries
+                # (negative gaps). Batch-sorted input means this only fires
+                # across micro-batches on the live path; the single-batch
+                # availableNow drain never hits it. Standard watermark
+                # semantics: too-late events are dropped.
+                continue
             if s_last is None:
                 s_start, s_last, s_n, s_total, s_maxgap = t, t, 1, v, 0
             elif t - s_last > SESSION_GAP_US:

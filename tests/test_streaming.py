@@ -96,6 +96,11 @@ class TestStreamingSessions:
             # does not recurse), µs timestamps to match the source schema
             pq.write_table(pa.Table.from_pandas(chunk, preserve_index=False),
                            f"{src}/b{i}.parquet", coerce_timestamps="us")
+            # the file source orders batches by mtime; fast back-to-back
+            # writes can share one — pin strictly increasing mtimes so the
+            # three micro-batches always arrive in time order
+            os.utime(f"{src}/b{i}.parquet", (1_700_000_000 + i,
+                                             1_700_000_000 + i))
         schema = spark.read.parquet(f"{SF_DIR}/events.parquet").schema
         stream = (
             spark.readStream.schema(schema)
