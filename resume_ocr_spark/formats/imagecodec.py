@@ -153,6 +153,27 @@ def decode_rimg(payload: bytes) -> np.ndarray:
     return np.frombuffer(body, dtype=np.uint8).reshape(h, w).copy()
 
 
+def decode_image(payload: bytes) -> np.ndarray:
+    """Container dispatch → grayscale array (the cv2.imdecode analog):
+    RIMG (the engine's native payload) or real PNG (pure-Python inflate +
+    unfilter, formats/pngcodec.py — the reference's PNG resume uploads,
+    app/services/ocr_service.py:23-46). Anything else (incl. JPEG, whose
+    DCT decode stays out of scope in this container) raises
+    ImageDecodeError → an error row upstream."""
+    if payload[:5] == MAGIC:
+        return decode_rimg(payload)
+    from . import pngcodec
+
+    if payload[:8] == pngcodec.PNG_MAGIC:
+        try:
+            return pngcodec.decode_png_gray(payload)
+        except pngcodec.PngDecodeError as exc:
+            raise ImageDecodeError(f"corrupt PNG: {exc}") from exc
+    if payload[:3] == b"\xff\xd8\xff":
+        raise ImageDecodeError("JPEG decode not supported in this container")
+    raise ImageDecodeError("bad RIMG magic")
+
+
 # --------------------------------------------------------------------------
 # preprocess: deskew → median3 → adaptive gaussian threshold(11, C=2)
 # (reference pipeline app/services/ocr_service.py:129-161, plus deskew per
@@ -304,9 +325,13 @@ def _protos() -> tuple[dict[bytes, str], tuple[int, int]]:
 
 
 def ocr_image(payload: bytes) -> str:
-    """Decode → preprocess → segment on the fiducial-anchored grid → match
-    each cell against preprocessed prototypes (nearest-Hamming fallback)."""
-    img = decode_rimg(payload)
+    """Decode (RIMG or real PNG) → preprocess → segment on the
+    fiducial-anchored grid → match each cell against preprocessed prototypes
+    (nearest-Hamming fallback). On engine-rendered pages this is an exact
+    round trip; on real rasterized documents it emits deterministic
+    stand-in text (the glyph model is the Tesseract stand-in — the
+    decode/preprocess/segment plumbing is the real pipeline)."""
+    img = decode_image(payload)
     binary = preprocess(img)
     protos, (dr, dc) = _protos()
     ys, xs = np.nonzero(binary)

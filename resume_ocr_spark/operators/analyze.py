@@ -56,17 +56,25 @@ def _make_analysis_batches(query: str | None):
 
 
 def classify_resumes(extracted: DataFrame) -> DataFrame:
-    """Adds ``rejected``: fewer than 2 known headings in the first 3000 chars
-    (pure Column ops; exact mirror of textproc.is_resume)."""
+    """Adds ``rejected`` — pure Column mirror of textproc.is_resume: count
+    distinct heading-STEM families anchored at line starts in the first
+    3000 chars; accept on ≥2, or on 1 plus an email/phone token. The stem
+    patterns are shared dialect-neutral constants
+    (textproc.HEADING_STEM_PATTERNS) evaluated by Java regex here and
+    Python re in the oracle."""
     head = F.substring("full_text", 1, VALIDATION_TEXT_CAP)
     found = sum(
-        F.when(F.contains(head, F.lit(h)), 1).otherwise(0)
-        for h in textproc.SECTION_HEADINGS
+        F.when(head.rlike(p), 1).otherwise(0)
+        for p in textproc.HEADING_STEM_PATTERNS
     )
+    contact = (head.rlike(textproc.EMAIL_PATTERN)
+               | head.rlike(textproc.PHONE_PATTERN))
+    accepted = (found >= textproc.MIN_HEADINGS_FOR_RESUME) | (
+        (found >= 1) & contact)
     return extracted.withColumn(
         "rejected",
         F.when(F.col("doc_error").isNotNull(), F.lit(False)).otherwise(
-            found < textproc.MIN_HEADINGS_FOR_RESUME
+            ~accepted
         ),
     )
 

@@ -2,10 +2,11 @@
 
 Real pipeline shape for image/audio/video columns at 100 TB scale: media
 travels as a ``binary`` column, every transform is an Arrow batch UDF over
-``mapInPandas`` (schema, partitioning, batch shape all real).  The decode
-for *real* PNG/JPEG/audio/video is stubbed — those libs aren't in this
-container — behind ``NotImplementedError``; the engine's own deterministic
-RIMG codec exercises the full path end-to-end.
+``mapInPandas`` (schema, partitioning, batch shape all real).  Image decode
+is real for PNG (pure-Python codec, formats/pngcodec.py) and the engine's
+own RIMG payloads; JPEG/audio/video decode would need cv2/soundfile/ffmpeg
+(not in this container) and stays stubbed behind errors/NotImplementedError,
+with the deterministic RAUD/RVID codecs exercising identical plumbing.
 """
 
 from __future__ import annotations
@@ -25,11 +26,13 @@ META_SCHEMA = (
 
 
 def decode_external_image(payload: bytes) -> np.ndarray:
-    """PNG/JPEG decode — requires an image library not present here.
-
-    STUB: on a real cluster, swap in cv2.imdecode / PIL.Image.open; the
-    RIMG path below exercises identical plumbing."""
-    raise NotImplementedError("PNG/JPEG decode needs opencv/PIL (not in container)")
+    """Real-image decode (cv2.imdecode analog): PNG decodes natively via
+    the pure-Python inflate+unfilter codec (formats/pngcodec.py — verified
+    on the reference's real PNG fixtures in tests/test_real_fixtures.py);
+    RIMG passes through. JPEG stays out of scope in this container (DCT
+    decode — swap in cv2/PIL on a real cluster) and raises
+    ImageDecodeError, which callers turn into error rows."""
+    return imagecodec.decode_image(bytes(payload))
 
 
 def decode_audio(payload: bytes) -> np.ndarray:
@@ -76,7 +79,7 @@ def image_metadata(media_df: DataFrame) -> DataFrame:
                     rows.append((doc_id, None, None, None, None, "null payload"))
                     continue
                 try:
-                    img = imagecodec.decode_rimg(bytes(payload))
+                    img = imagecodec.decode_image(bytes(payload))
                     rows.append((doc_id, img.shape[0], img.shape[1],
                                  int(img.size), round(float(img.mean()), 4), None))
                 except imagecodec.ImageDecodeError as exc:

@@ -46,7 +46,19 @@ PY_WHITESPACE_CLASS = (
 EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PHONE_PATTERN = r"\(\d{2}\) 9?\d{4}-\d{4}"
 MONTHS = "Jan|Fev|Mar|Abr|Mai|Jun|Jul|Ago|Set|Out|Nov|Dez"
-DATE_RANGE_PATTERN = rf"\((?:{MONTHS}) \d{{4}} - (?:(?:{MONTHS}) \d{{4}}|Presente)\)"
+# date ranges as real resumes write them (fixture evidence:
+# "(Mar 2021 - Presente)", "(Dez 2021 - Atualmente)", "(2019 - Atual)",
+# "(2014 - 2019)", "(2021 - hoje)"): month optional, several "present"
+# spellings; longer alternatives first so backtracking never truncates
+_PRESENT_WORDS = "Presente|Atualmente|Atual|atualmente|atual|hoje"
+_RANGE_CORE = (
+    rf"(?:(?:{MONTHS}) )?\d{{4}} - "
+    rf"(?:(?:(?:{MONTHS}) )?\d{{4}}|{_PRESENT_WORDS})"
+)
+# parenthesized ("(Mar 2021 - Presente)") or pipe-delimited
+# ("| 2019 - Presente", fixture gabriel_rocha.pdf) — bare ranges stay
+# unmatched on purpose: "2 1/2 xícaras"-style text must not parse as dates
+DATE_RANGE_PATTERN = rf"\({_RANGE_CORE}\)|\| {_RANGE_CORE}"
 
 _MONTH_NUM = {m: i + 1 for i, m in enumerate(MONTHS.split("|"))}
 # 'Presente' resolves to a fixed reference date for determinism
@@ -64,31 +76,74 @@ _HEADING_SET = set(SECTION_HEADINGS)
 
 MIN_HEADINGS_FOR_RESUME = 2
 
+# Line-anchored heading stems, one pattern per distinct stem family. Real
+# resumes vary heading wording ("PERFIL", "Resumo da Carreira", "Experiência
+# Relevante", "Habilidades" — all present in the reference's fixture PDFs),
+# so the judge counts distinct STEM FAMILIES whose capitalized form starts a
+# line (optionally bullet/dash-decorated). Patterns are dialect-neutral
+# ((?m) + plain classes) and are evaluated identically by Python re here and
+# Java regex in operators/analyze.classify_resumes — keep both in lockstep.
+_HL = r"(?m)^[ \t>*•●○-]*"
+HEADING_STEM_PATTERNS = (
+    _HL + r"(?:RESUMO|Resumo)",
+    _HL + r"(?:PERFIL|Perfil)",
+    _HL + r"(?:OBJETIVO|Objetivo)",
+    _HL + r"(?:EXPERI[ÊE]NCIA|Experi[êe]ncia)",
+    _HL + r"(?:FORMA[ÇC][ÃA]O|Forma[çc][ãa]o)",
+    _HL + r"(?:EDUCA[ÇC][ÃA]O|Educa[çc][ãa]o)",
+    _HL + r"(?:COMPET[ÊE]NCIAS|Compet[êe]ncias)",
+    _HL + r"(?:HABILIDADES|Habilidades)",
+    _HL + r"(?:TECNOLOGIAS|Tecnologias)",
+    _HL + r"(?:CERTIFICA[ÇC][ÕO]ES|Certifica[çc][õo]es)",
+    _HL + r"(?:IDIOMAS|Idiomas)",
+)
+
 
 def is_resume(text: str) -> bool:
-    """≥2 known section headings within the first VALIDATION_TEXT_CAP chars."""
+    """Structural resume judge on the first VALIDATION_TEXT_CAP chars:
+    ≥2 distinct heading-stem families, or 1 family plus an explicit contact
+    token (email/phone). Deterministic stand-in for the reference's LLM
+    semantic judge (validation_service.py:115-187) — structure-alike
+    non-resumes (e.g. the receita_bolo 'cake resume' fixture, which only
+    semantics can reject) pass here by design; see tests/test_real_fixtures.
+    Verified to accept every real text fixture resume and reject the
+    synthetic recipe/memo negatives."""
     head = text[:VALIDATION_TEXT_CAP]
-    found = sum(1 for h in SECTION_HEADINGS if h in head)
-    return found >= MIN_HEADINGS_FOR_RESUME
+    found = sum(1 for p in HEADING_STEM_PATTERNS if re.search(p, head))
+    if found >= MIN_HEADINGS_FOR_RESUME:
+        return True
+    if found < 1:
+        return False
+    return (re.search(EMAIL_PATTERN, head) is not None
+            or re.search(PHONE_PATTERN, head) is not None)
+
+
+def _is_heading_line(stripped: str) -> bool:
+    """Line-feature heading rule: an exact known heading, or a short
+    non-sentence line starting with a capitalized heading stem (real resumes
+    write 'Experiência', 'Resumo da Carreira', 'Formação Acadêmica', …)."""
+    if stripped in _HEADING_SET:
+        return True
+    if not stripped or len(stripped) > 60 or stripped.endswith("."):
+        return False
+    return any(re.match(p, stripped) for p in HEADING_STEM_PATTERNS)
 
 
 def segment_sections(text: str) -> dict[str, str]:
-    """Split on uppercase heading lines; returns {heading: body}. Text before
-    the first heading lands under '_HEADER'. Line-feature rule: a heading is
-    a line that, stripped of '-'/whitespace decoration, equals a known
-    heading."""
+    """Split on heading lines (see _is_heading_line); returns {heading:
+    body}. Text before the first heading lands under '_HEADER'."""
     sections: dict[str, str] = {}
     current = "_HEADER"
     buf: list[str] = []
     for line in text.split("\n"):
         stripped = line.strip().strip("-").strip()
-        if stripped in _HEADING_SET:
+        if _is_heading_line(stripped):
             sections[current] = "\n".join(buf).strip()
             current, buf = stripped, []
         else:
             buf.append(line)
     sections[current] = "\n".join(buf).strip()
-    return {k: v for k, v in sections.items() if v or k in _HEADING_SET}
+    return {k: v for k, v in sections.items() if v or k != "_HEADER"}
 
 
 def extract_fields(text: str) -> dict[str, list[str]]:
@@ -101,23 +156,30 @@ def extract_fields(text: str) -> dict[str, list[str]]:
 
 def _range_months(token: str) -> int:
     m = re.match(
-        rf"\(({MONTHS}) (\d{{4}}) - (?:({MONTHS}) (\d{{4}})|Presente)\)", token
+        rf"[(|] ?(?:({MONTHS}) )?(\d{{4}}) - "
+        rf"(?:(?:({MONTHS}) )?(\d{{4}})|{_PRESENT_WORDS})\)?", token
     )
     if not m:
         return 0
-    y0, mo0 = int(m.group(2)), _MONTH_NUM[m.group(1)]
-    if m.group(3):
-        y1, mo1 = int(m.group(4)), _MONTH_NUM[m.group(3)]
+    # month omitted ("(2014 - 2019)") → January on both ends, so a bare
+    # year range counts its calendar-year difference
+    y0, mo0 = int(m.group(2)), _MONTH_NUM[m.group(1)] if m.group(1) else 1
+    if m.group(4):
+        y1, mo1 = int(m.group(4)), _MONTH_NUM[m.group(3)] if m.group(3) else 1
     else:
         y1, mo1 = PRESENT_YEAR, PRESENT_MONTH
     return max(0, (y1 - y0) * 12 + (mo1 - mo0))
 
 
 def experience_years(text: str) -> float:
-    """Total years across dated entries in the EXPERIÊNCIA section (falls back
-    to whole text when segmentation finds no such section)."""
+    """Total years across dated entries in the experiência section(s) —
+    any heading starting with an EXPERI stem, so education date ranges are
+    excluded whenever the resume is segmentable (falls back to the whole
+    text otherwise)."""
     sections = segment_sections(text)
-    scope = sections.get("EXPERIÊNCIA PROFISSIONAL", text)
+    exp = [v for k, v in sections.items()
+           if k != "_HEADER" and re.match(r"(?:EXPERI[ÊE]|Experi[êe])", k)]
+    scope = "\n".join(exp) if exp else text
     months = sum(_range_months(t) for t in re.findall(DATE_RANGE_PATTERN, scope))
     return round(months / 12.0, 2)
 

@@ -148,9 +148,15 @@ class TestMultimodal:
             assert after[d]["height"] == b["height"] // 2
             assert after[d]["width"] == b["width"] // 2
 
-    def test_external_decodes_are_stubbed(self):
-        with pytest.raises(NotImplementedError):
+    def test_external_decodes(self):
+        from resume_ocr_spark.formats import imagecodec
+
+        # PNG decode is real now (formats/pngcodec.py); a truncated PNG is
+        # an error *value* path, JPEG stays unsupported in this container
+        with pytest.raises(imagecodec.ImageDecodeError):
             multimodal.decode_external_image(b"\x89PNG")
+        with pytest.raises(imagecodec.ImageDecodeError):
+            multimodal.decode_external_image(b"\xff\xd8\xff\xe0jpeg")
         with pytest.raises(NotImplementedError):
             multimodal.decode_audio(b"RIFF")
         with pytest.raises(NotImplementedError):
