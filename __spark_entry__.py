@@ -313,15 +313,72 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_near_dup(emb.unionAll(planted), threshold=0.3)
 
 
+def dedup_jaccard_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB Jaccard path under the hard gate: exact word-set Jaccard
+    computed ONLY for MinHash-LSH banding candidates (never a full word
+    self-join). Same threshold/slice as dedup_jaccard_pairs, so the two
+    entries also evidence the LSH recall loss directly."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    return dedup.jaccard_pairs_lsh(docs, "doc_id", "text", threshold=0.3)
+
+
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB embedding near-dup path under the hard gate: hyperplane-
+    LSH band bucket join prunes candidates, exact cosine (zip_with fold)
+    only per candidate pair. Same slice/threshold as
+    dedup_embedding_pairs."""
+    emb = (_t(spark, sf_dir, "embeddings")
+           .filter(F.col("vec_id") < 60).select("vec_id", "embedding"))
+    planted = emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    return dedup.embedding_near_dup(
+        emb.unionAll(planted), threshold=0.3, exact=False, dim=64)
+
+
+MINHASH_K_SCALE, LSH_BANDS_SCALE = 128, 16  # realistic MMDS parameters
+
+
+def dedup_lsh_candidates_k128(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH at realistic parameters (K=128 signatures, 16 bands of
+    8 rows): a band only matches on 8 simultaneous minhash agreements, so
+    candidates are true near-dups, not the K=4 toy's noise. Re-keyed exact
+    copies are planted so the bucket join provably fires."""
+    docs = (_t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 100).select("doc_id", "text"))
+    planted = docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    sigs = dedup.minhash_signatures(
+        docs.unionAll(planted), "doc_id", "text", k=MINHASH_K_SCALE)
+    return dedup.minhash_lsh_candidates(
+        sigs, "doc_id", k=MINHASH_K_SCALE, bands=LSH_BANDS_SCALE)
+
+
 def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(_t(spark, sf_dir, "embeddings"), query_id=0, k=10)
 
 
 def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat ANN: spherical-kmeans cells, n_probe-cell exact rerank
-    (deterministic; rows-only check — kmeans isn't ANSI SQL)."""
+    (rows-only check: the codebook trains on a driver-side sample of the sf
+    table, which oracle_sql() cannot see — the _det twin below hash-checks
+    the identical code path on a deterministic input)."""
     return similarity.ivf_topk(_t(spark, sf_dir, "embeddings"),
                                query_id=0, k=10, n_probe=4)
+
+
+def _ivf_det_input():
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    return rng.randn(400, 16).astype(np.float32)
+
+
+def embedding_ann_ivf_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN on a deterministic input: the same train → assign →
+    probe → exact-rerank path as embedding_ann_ivf, hash-checked against a
+    single-node replica (shared kmeans_codebook) embedded as VALUES."""
+    vecs = _ivf_det_input()
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    return similarity.ivf_topk(df, query_id=7, k=10, n_probe=4)
 
 
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -439,32 +496,49 @@ def extract_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _media_texts(n: int) -> list[tuple[int, str]]:
+    """Deterministic (doc_id, text) rows for the multimodal entries — a
+    seeded mix of synthetic resumes and the recipe negative. Independent of
+    sf_dir so the DuckDB oracle can be precomputed as literals by running
+    the same pure-Python codecs (the hard-gate upgrade of the former
+    rows-only checks)."""
+    import random
+
+    from resume_ocr_spark import corpus
+
+    rng = random.Random(4242)
+    return [(i, corpus.make_resume_text(rng) if i % 3 else corpus.RECIPE_TEXT)
+            for i in range(n)]
+
+
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary media column → decode metadata via Arrow
     batch UDF (schema/partitioning/batch shape real; heavy decode is the
-    engine's own deterministic codec)."""
+    engine's own deterministic codec, so the oracle is its precomputed
+    output as VALUES)."""
     from resume_ocr_spark.operators import multimodal
 
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    docs = spark.createDataFrame(_media_texts(30), "doc_id long, text string")
     return multimodal.image_metadata(multimodal.render_binary_column(docs))
 
 
 def audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio plumbing: binary PCM column → typed features (duration, RMS,
     zero-crossings) via Arrow batch UDF; deterministic RAUD codec stands in
-    for WAV/MP3 (rows-only: codec synthesis is not SQL)."""
+    for WAV/MP3; oracle = precomputed VALUES."""
     from resume_ocr_spark.operators import multimodal
 
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    docs = spark.createDataFrame(_media_texts(30), "doc_id long, text string")
     return multimodal.audio_metadata(multimodal.render_audio_column(docs))
 
 
 def video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video plumbing: binary clip column → every-2nd-frame sample with
-    fan-out; sampled frames re-wrap as image payloads (rows-only)."""
+    fan-out; sampled frames re-wrap as image payloads; oracle = precomputed
+    VALUES."""
     from resume_ocr_spark.operators import multimodal
 
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    docs = spark.createDataFrame(_media_texts(20), "doc_id long, text string")
     frames = multimodal.video_frame_sample(
         multimodal.render_video_column(docs), every_n=2)
     return frames.select("doc_id", "frame_idx",
@@ -505,9 +579,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": dedup_simhash,
         "dedup_jaccard_pairs": dedup_jaccard_pairs,
         "dedup_lsh_candidates": dedup_lsh_candidates,
+        "dedup_lsh_candidates_k128": dedup_lsh_candidates_k128,
+        "dedup_jaccard_lsh": dedup_jaccard_lsh,
         "dedup_embedding_pairs": dedup_embedding_pairs,
+        "dedup_embedding_lsh": dedup_embedding_lsh,
         "embedding_cosine_topk": embedding_cosine_topk,
         "embedding_ann_ivf": embedding_ann_ivf,
+        "embedding_ann_ivf_det": embedding_ann_ivf_det,
         "lang_id": lang_id,
         "quality_scores": quality_scores,
         "token_counts": token_counts,
@@ -851,6 +929,257 @@ def oracle_sql() -> dict[str, str]:
                       0) AS max_gap_us
       FROM sessions GROUP BY user_id, sid
     """
-    # extract_pipeline / multimodal_meta / audio_meta / video_frames:
-    # rows-only (batched codecs, not SQL)
+    # ---- LSH scale paths under the hard gate (VERDICT r1 next-step #4) ----
+    # exact-Jaccard restricted to the K=4/b=2 banding candidates — mirrors
+    # dedup.jaccard_pairs_lsh exactly (signatures → bands → gated count)
+    sqls["dedup_jaccard_lsh"] = _WORDS_CTE.format(filt="WHERE doc_id < 40") + """
+      , sigs AS (
+        SELECT doc_id,
+               MIN(md5(word || ':0')) AS mh0, MIN(md5(word || ':1')) AS mh1,
+               MIN(md5(word || ':2')) AS mh2, MIN(md5(word || ':3')) AS mh3
+        FROM words GROUP BY doc_id
+      ), banded AS (
+        SELECT doc_id, 0 AS band, md5(mh0 || mh1) AS bh FROM sigs
+        UNION ALL
+        SELECT doc_id, 1 AS band, md5(mh2 || mh3) AS bh FROM sigs
+      ), cand AS (
+        SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        FROM banded l JOIN banded r
+          ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+      ), sizes AS (SELECT doc_id, COUNT(*) AS sz FROM words GROUP BY doc_id)
+      , common AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS common
+        FROM cand c
+        JOIN words wa ON wa.doc_id = c.id_a
+        JOIN words wb ON wb.doc_id = c.id_b AND wb.word = wa.word
+        GROUP BY 1, 2
+      )
+      SELECT id_a, id_b,
+             ROUND(common * 1.0 / (sa.sz + sb.sz - common), 4) AS jaccard
+      FROM common
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE common * 1.0 / (sa.sz + sb.sz - common) >= 0.3
+    """
+
+    # hyperplane-LSH embedding near-dup: the 8 seeded planes are embedded as
+    # literals so DuckDB reproduces signature, banding, bucket join, and the
+    # per-candidate exact cosine of similarity.cosine_pairs_lsh
+    from resume_ocr_spark.operators import similarity as _sim
+
+    planes = _sim._planes(64)
+    plane_vals = ",".join(
+        f"({b},{i + 1},{p!r})"
+        for b, row in enumerate(planes) for i, p in enumerate(row)
+    )
+    sqls["dedup_embedding_lsh"] = f"""
+      WITH base AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id < 60
+        UNION ALL
+        SELECT vec_id + 100000 AS vec_id, embedding
+        FROM embeddings WHERE vec_id < 60
+      ), un AS (
+        SELECT vec_id,
+               unnest(CAST(embedding AS DOUBLE[])) AS v,
+               unnest(generate_series(1, len(embedding))) AS i
+        FROM base
+      ), planes(b, i, p) AS (VALUES {plane_vals}
+      ), dots AS (
+        SELECT un.vec_id, planes.b, SUM(un.v * planes.p) AS dot
+        FROM un JOIN planes ON un.i = planes.i
+        GROUP BY 1, 2
+      ), sigs AS (
+        SELECT vec_id,
+               CAST(SUM(CASE WHEN dot > 0
+                             THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+                    AS BIGINT) AS sig
+        FROM dots GROUP BY vec_id
+      ), banded AS (
+        SELECT vec_id, (sig % 16) AS bucket FROM sigs
+        UNION ALL
+        SELECT vec_id, ((sig // 16) % 16) + 16 AS bucket FROM sigs
+      ), cand AS (
+        SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+        FROM banded l JOIN banded r
+          ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+      ), pairs AS (
+        SELECT c.id_a, c.id_b,
+               ROUND(SUM(a.v * b.v) /
+                     SQRT(SUM(a.v * a.v) * SUM(b.v * b.v)), 6) AS cosine
+        FROM cand c
+        JOIN un a ON a.vec_id = c.id_a
+        JOIN un b ON b.vec_id = c.id_b AND b.i = a.i
+        GROUP BY 1, 2
+      )
+      SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.3
+    """
+
+    # MinHash at realistic parameters: K=128 signatures, 16 bands of 8 rows
+    # (generated SQL — 128 MIN() columns, 16-way banded union)
+    _k, _b = MINHASH_K_SCALE, LSH_BANDS_SCALE
+    _r = _k // _b
+    mins128 = ",\n               ".join(
+        f"MIN(md5(word || ':{i}')) AS mh{i}" for i in range(_k))
+    bands128 = "\n        UNION ALL\n".join(
+        f"        SELECT doc_id, {b} AS band, "
+        f"md5({' || '.join(f'mh{b * _r + r}' for r in range(_r))}) AS bh "
+        f"FROM sigs"
+        for b in range(_b))
+    sqls["dedup_lsh_candidates_k128"] = f"""
+      WITH uni AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 100
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text
+        FROM documents WHERE doc_id < 100
+      ), words AS (
+        SELECT DISTINCT doc_id, w AS word FROM (
+          SELECT doc_id,
+                 unnest(string_split(trim(regexp_replace(lower(text),
+                        '[^a-z0-9]+', ' ', 'g')), ' ')) AS w
+          FROM uni
+        ) WHERE w <> ''
+      ), sigs AS (
+        SELECT doc_id,
+               {mins128}
+        FROM words GROUP BY doc_id
+      ), banded AS (
+{bands128}
+      )
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM banded l JOIN banded r
+        ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+    """
+
+    # ---- former rows-only entries, upgraded to hard checks (VERDICT #3):
+    # the inputs are sf-independent and the codecs/oracle deterministic, so
+    # the expected output is computed single-node and embedded as VALUES
+    sqls["extract_pipeline"] = _precomputed("extract_pipeline")
+    sqls["embedding_ann_ivf_det"] = _precomputed("embedding_ann_ivf_det")
+    sqls["multimodal_meta"] = _precomputed("multimodal_meta")
+    sqls["audio_meta"] = _precomputed("audio_meta")
+    sqls["video_frames"] = _precomputed("video_frames")
+    # embedding_ann_ivf stays rows-only: centroids train on a driver-side
+    # sample of the sf table, which oracle_sql() cannot see
     return sqls
+
+
+# ===========================================================================
+# precomputed VALUES oracles (single-node oracle → DuckDB literals)
+# ===========================================================================
+
+_PRECOMPUTED: dict[str, str] = {}
+
+
+def _values_sql(rows: list[tuple], colspec: list[tuple[str, str]]) -> str:
+    def lit(v) -> str:
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, float):
+            return repr(v)
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return str(v)
+
+    vals = ",\n".join("(" + ", ".join(lit(v) for v in r) + ")" for r in rows)
+    casts = ", ".join(f"CAST({n} AS {t}) AS {n}" for n, t in colspec)
+    names = ", ".join(n for n, _ in colspec)
+    return f"SELECT {casts} FROM (VALUES\n{vals}\n) AS t({names})"
+
+
+def _precomputed(name: str) -> str:
+    if name in _PRECOMPUTED:
+        return _PRECOMPUTED[name]
+    import numpy as np
+
+    from resume_ocr_spark import corpus, oracle
+    from resume_ocr_spark.formats import avcodec, imagecodec
+
+    if name == "extract_pipeline":
+        import random
+
+        docs, blobs = corpus.gen_corpus(120, seed=42)
+        query = corpus.make_job_query(random.Random(7))
+        res = oracle.run_pipeline(docs, blobs, query=query)
+        rows = []
+        for d in docs:
+            r = res[d["doc_id"]]
+            spans, a = r["spans"], r["analysis"]
+            rows.append((
+                d["doc_id"], len(spans),
+                sum(1 for s in spans if s["error"] is not None),
+                sum(s["ocr_pages"] or 0 for s in spans),
+                a["rejected"], a["score_num"], r["rank"],
+                len(oracle.doc_text(spans)),
+            ))
+        sql = _values_sql(rows, [
+            ("doc_id", "VARCHAR"), ("n_spans", "INTEGER"),
+            ("parse_failures", "INTEGER"), ("ocr_pages", "INTEGER"),
+            ("rejected", "BOOLEAN"), ("score_num", "DOUBLE"),
+            ("rank", "INTEGER"), ("text_len", "INTEGER")])
+    elif name == "embedding_ann_ivf_det":
+        from resume_ocr_spark.operators import similarity as sim
+
+        sample = _ivf_det_input().astype(np.float64)
+        cent = sim.kmeans_codebook(sample)
+        q = sample[7]
+        qn = q / (np.linalg.norm(q) or 1.0)
+        probe = [int(c) for c in (cent @ qn).argsort()[::-1][:4]]
+        assign = (sim._unit(sample) @ cent.T).argmax(axis=1)
+        qq = 0.0
+        for x in q:
+            qq += x * x
+        scored = []
+        for i in range(len(sample)):
+            if i == 7 or int(assign[i]) not in probe:
+                continue
+            dot = nn = 0.0
+            for a, b in zip(sample[i], q):  # index-ascending, like the
+                dot += a * b                # engine's grouped element sum
+                nn += a * a
+            scored.append((i, round(dot / (nn * qq) ** 0.5, 6)))
+        scored.sort(key=lambda t: (-t[1], t[0]))
+        sql = _values_sql(scored[:10],
+                          [("vec_id", "BIGINT"), ("cosine", "DOUBLE")])
+    elif name == "multimodal_meta":
+        rows = []
+        for doc_id, text in _media_texts(30):
+            img = imagecodec.decode_image(
+                imagecodec.render_text_image((text or "")[:40]))
+            rows.append((doc_id, img.shape[0], img.shape[1], int(img.size),
+                         round(float(img.mean()), 4), None))
+        sql = _values_sql(rows, [
+            ("doc_id", "BIGINT"), ("height", "INTEGER"), ("width", "INTEGER"),
+            ("n_pixels", "BIGINT"), ("mean_intensity", "DOUBLE"),
+            ("error", "VARCHAR")])
+    elif name == "audio_meta":
+        rows = []
+        for doc_id, text in _media_texts(30):
+            sr, pcm = avcodec.decode_raud(
+                avcodec.render_audio((text or "")[:64]))
+            x = pcm.astype(np.float64) / 32767.0
+            rows.append((
+                doc_id, sr, len(pcm), round(len(pcm) / sr, 4),
+                round(float(np.sqrt(np.mean(x * x))), 6),
+                int(np.count_nonzero(np.diff(np.signbit(x)))), None))
+        sql = _values_sql(rows, [
+            ("doc_id", "BIGINT"), ("sample_rate", "INTEGER"),
+            ("n_samples", "BIGINT"), ("duration_sec", "DOUBLE"),
+            ("rms", "DOUBLE"), ("zero_crossings", "INTEGER"),
+            ("error", "VARCHAR")])
+    elif name == "video_frames":
+        rows = []
+        for doc_id, text in _media_texts(20):
+            frames = avcodec.decode_rvid(
+                avcodec.render_video((text or "")[:64]))
+            for k in range(0, frames.shape[0], 2):
+                rows.append((doc_id, k,
+                             len(avcodec.frame_to_rimg(frames[k])), None))
+        sql = _values_sql(rows, [
+            ("doc_id", "BIGINT"), ("frame_idx", "INTEGER"),
+            ("n_bytes", "INTEGER"), ("error", "VARCHAR")])
+    else:  # pragma: no cover
+        raise KeyError(name)
+    _PRECOMPUTED[name] = sql
+    return sql

@@ -31,7 +31,9 @@ HEADLINE = [
     "window_topk_per_group", "topk_orders", "join_region_rollup",
     "sql_local_supplier_revenue",
     "dedup_exact", "dedup_minhash_sigs", "dedup_jaccard_pairs",
-    "dedup_embedding_pairs", "embedding_cosine_topk", "lang_id",
+    "dedup_jaccard_lsh", "dedup_lsh_candidates_k128",
+    "dedup_embedding_pairs", "dedup_embedding_lsh",
+    "embedding_cosine_topk", "lang_id",
     "quality_scores", "streaming_window_counts", "streaming_sessionize",
 ]
 

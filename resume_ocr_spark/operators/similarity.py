@@ -184,6 +184,26 @@ IVF_ITERS = 5
 IVF_SAMPLE = 2048
 
 
+def kmeans_codebook(
+    sample: np.ndarray, k: int = IVF_CELLS, iters: int = IVF_ITERS,
+    seed: int = 11,
+) -> np.ndarray:
+    """Deterministic spherical k-means-lite on an in-memory sample — shared
+    by the distributed trainer below and the single-node oracle, so the
+    driver gate can hash-check the IVF path end-to-end."""
+    sample = _unit(np.asarray(sample, dtype=np.float64))
+    rng = np.random.RandomState(seed)
+    centroids = sample[rng.choice(len(sample), size=k, replace=False)]
+    for _ in range(iters):
+        assign = (sample @ centroids.T).argmax(axis=1)
+        for c in range(k):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids = _unit(centroids)
+    return centroids
+
+
 def ivf_train(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     k: int = IVF_CELLS, iters: int = IVF_ITERS, seed: int = 11,
@@ -196,17 +216,7 @@ def ivf_train(
          df.select(vec_col).orderBy(F.col(id_col)).limit(IVF_SAMPLE).collect()],
         dtype=np.float64,
     )
-    sample = _unit(sample)  # spherical k-means: cells partition by cosine
-    rng = np.random.RandomState(seed)
-    centroids = sample[rng.choice(len(sample), size=k, replace=False)]
-    for _ in range(iters):
-        assign = (sample @ centroids.T).argmax(axis=1)
-        for c in range(k):
-            members = sample[assign == c]
-            if len(members):
-                centroids[c] = members.mean(axis=0)
-        centroids = _unit(centroids)
-    return centroids
+    return kmeans_codebook(sample, k, iters, seed)
 
 
 def _unit(mat: np.ndarray) -> np.ndarray:

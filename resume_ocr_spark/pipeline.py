@@ -21,7 +21,7 @@ from __future__ import annotations
 import os
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from . import warehouse
@@ -94,6 +94,21 @@ def run_extraction(
             broadcast_blobs=broadcast_blobs,
             ocr_partitions=ocr_partitions,
         ).withColumn("bucket", warehouse.bucket_col("doc_id", man["buckets"]))
+        # per-bucket counters ride the write itself via observe()
+        # accumulators — one scan per chunk, no post-write re-read
+        # (conditional sums, one triple per bucket in the chunk)
+        obs = Observation(f"extract_chunk_{i}")
+        metric_cols = []
+        for b in chunk:
+            is_b = F.col("bucket") == b
+            metric_cols += [
+                F.sum(F.when(is_b, 1).otherwise(0)).alias(f"docs_{b}"),
+                F.sum(F.when(is_b, F.col("ocr_pages")).otherwise(0))
+                .alias(f"pages_{b}"),
+                F.sum(F.when(is_b, F.col("parse_failures")).otherwise(0))
+                .alias(f"fails_{b}"),
+            ]
+        extracted = extracted.observe(obs, *metric_cols)
         # idempotent: overwrite exactly this chunk's bucket partitions
         (
             extracted.write.mode("overwrite")
@@ -104,24 +119,13 @@ def run_extraction(
         # per-bucket share of the chunk wall (buckets in a chunk run as one
         # job; summing rows must reproduce the chunk wall, not multiply it)
         wall_ms = int((time.time() - t0) * 1000 / max(len(chunk), 1))
-        stats = (
-            spark.read.option("basePath", out_path).parquet(out_path)
-            .filter(F.col("bucket").isin(chunk))
-            .groupBy("bucket")
-            .agg(
-                F.count("*").alias("docs"),
-                F.sum("ocr_pages").alias("pages"),
-                F.sum("parse_failures").alias("fails"),
-            )
-            .collect()
-        )
-        by_bucket = {r["bucket"]: r for r in stats}
+        m = obs.get
         now = time.time()
         _append_metrics(spark, out_root, [
             (run_id, int(b),
-             int(by_bucket[b]["docs"]) if b in by_bucket else 0,
-             int(by_bucket[b]["pages"] or 0) if b in by_bucket else 0,
-             int(by_bucket[b]["fails"] or 0) if b in by_bucket else 0,
+             int(m.get(f"docs_{b}") or 0),
+             int(m.get(f"pages_{b}") or 0),
+             int(m.get(f"fails_{b}") or 0),
              wall_ms, "complete", now)
             for b in chunk
         ])

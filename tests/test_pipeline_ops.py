@@ -48,6 +48,30 @@ class TestDedup:
         assert (1, 2) in pairs
         assert (1, 3) not in pairs and (2, 3) not in pairs
 
+    def test_minhash_k128_b16_recall_and_precision(self, spark):
+        """Realistic MMDS parameters (K=128 signatures, 16 bands of 8 rows):
+        near-identical docs must still collide on some band (recall), while
+        moderately-overlapping docs must NOT (precision — the K=4/b=2 toy
+        banding passes almost anything with band size 2)."""
+        base = ("spark executes the physical plan in stages separated by "
+                "shuffle boundaries and each stage runs as parallel tasks "
+                "over the partitions of its input data")
+        mid = ("spark executes a logical plan optimized by catalyst before "
+               "codegen while flink streams records through operator chains "
+               "with checkpoints barriers and watermarks for event time")
+        df = spark.createDataFrame(
+            [(1, base), (2, base + " extra"), (3, mid),
+             (4, "bolo de cenoura com cobertura de chocolate da vovó")],
+            "doc_id int, text string")
+        sigs = dedup.minhash_signatures(df, "doc_id", "text", k=128)
+        assert len(sigs.columns) == 129  # doc_id + mh0..mh127
+        pairs = {(r["id_a"], r["id_b"])
+                 for r in dedup.minhash_lsh_candidates(
+                     sigs, "doc_id", k=128, bands=16).collect()}
+        assert (1, 2) in pairs            # ~0.9 Jaccard: recalled
+        assert (1, 4) not in pairs        # disjoint: never a candidate
+        assert (1, 3) not in pairs        # ~0.2 Jaccard: pruned at b=8 rows
+
     def test_simhash_near_dupes_close(self, spark):
         base = "spark shuffle partitions tuning guide for large clusters"
         df = spark.createDataFrame(
