@@ -1,0 +1,101 @@
+"""Distributed extraction over the REAL reference fixtures, against the
+single-node oracle — the north-rule span-sequence-equality invariant
+(kind, text, media_ref, order) exercised on real-world inputs, not just the
+synthetic corpus: every fixture PDF/PNG becomes a media span in a bucketed
+warehouse, runs through the full Spark pipeline (branch split → blob join →
+batched extract → array_sort reassembly → analysis), and must match
+oracle.run_pipeline exactly, per doc.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+from resume_ocr_spark import oracle, warehouse
+from resume_ocr_spark.formats import imagecodec
+from resume_ocr_spark.operators import analyze, extract
+
+FIXDIR = "/root/reference/tests/curriculos"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(FIXDIR), reason="reference fixtures not present")
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from resume_ocr_spark.session import get_spark
+
+    return get_spark(app_name="test_real_pipeline", cores=8,
+                     shuffle_partitions=8)
+
+
+def _fixture_corpus():
+    docs, blobs = [], []
+    paths = sorted(glob.glob(os.path.join(FIXDIR, "*.pdf"))
+                   + glob.glob(os.path.join(FIXDIR, "*.png")))
+    assert len(paths) == 20
+    for i, path in enumerate(paths):
+        name = os.path.basename(path)
+        kind = "pdf" if name.endswith(".pdf") else "image"
+        with open(path, "rb") as f:
+            payload = f.read()
+        ref = f"blob:{name}"
+        blobs.append({"media_ref": ref, "kind": kind,
+                      "payload": imagecodec.compress_payload(payload)})
+        docs.append({"doc_id": name, "spans": [
+            {"kind": "text", "text": f"arquivo {name}", "media_ref": "",
+             "offset": 0},
+            {"kind": kind, "text": "", "media_ref": ref, "offset": 1},
+        ]})
+    return docs, blobs
+
+
+def test_real_fixture_span_equality(spark, tmp_path):
+    docs, blobs = _fixture_corpus()
+    root = str(tmp_path / "wh")
+    warehouse.build_warehouse(spark, root, docs, blobs)
+    docs_df = warehouse.read_table(spark, root, "documents_raw")
+    blobs_df = warehouse.read_table(spark, root, "media_blobs")
+    query = "engenheiro de dados python spark aws sql"
+    out = analyze.analyze_documents(
+        extract.extract_documents(
+            docs_df.select("doc_id", "spans"), blobs_df,
+            broadcast_blobs=True),
+        query=query)
+    got = {r["doc_id"]: r for r in out.collect()}
+    exp = oracle.run_pipeline(docs, blobs, query=query)
+
+    assert set(got) == set(exp)
+    for doc_id, r in exp.items():
+        gspans = [s.asDict() for s in got[doc_id]["spans"]]
+        gk = [(s["kind"], s["text"], s["media_ref"], s["offset"],
+               s["error"]) for s in gspans]
+        ek = [(s["kind"], s["text"], s["media_ref"], s["offset"],
+               s["error"]) for s in r["spans"]]
+        assert gk == ek, f"span mismatch on {doc_id}"
+        assert got[doc_id]["rejected"] == r["analysis"]["rejected"], doc_id
+        assert got[doc_id]["score_num"] == r["analysis"]["score_num"], doc_id
+
+    # behavior shape on real data: every text-PDF extracts clean text with
+    # no error; every scan/PNG routes through OCR (ocr_pages ≥ 1) or errors
+    text_pdfs = {"ana_silva.pdf", "davi_moreira.pdf", "fernanda_lima.pdf",
+                 "gabriel_rocha.pdf", "helena_ribeiro.pdf",
+                 "igor_martins.pdf", "receita_bolo.pdf"}
+    for doc_id in text_pdfs:
+        media_span = [s.asDict() for s in got[doc_id]["spans"]][1]
+        assert media_span["error"] is None and media_span["ocr_pages"] == 0
+        assert len(media_span["text"]) > 200
+    scans = set(got) - text_pdfs
+    for doc_id in scans:
+        media_span = [s.asDict() for s in got[doc_id]["spans"]][1]
+        assert media_span["ocr_pages"] >= 1 or media_span["error"]
+
+    # rank parity (top-5 by deterministic score)
+    granks = sorted((r["rank"], d) for d, r in got.items()
+                    if r["rank"] is not None)
+    eranks = sorted((v["rank"], d) for d, v in exp.items()
+                    if v["rank"] is not None)
+    assert granks == eranks and len(granks) == 5
