@@ -144,6 +144,59 @@ def _stateful_fn(flush_open: bool):
     return fn
 
 
+def stream_extract(
+    spark: SparkSession,
+    wh_root: str,
+    out_root: str,
+    checkpoint_dir: str,
+    broadcast_blobs: bool = True,
+    ocr_partitions: int | None = None,
+) -> int:
+    """Streaming ingestion of documents_raw: parquet files landing in the
+    table's data dir become micro-batches; each batch runs the SAME
+    extract_documents plan via ``foreachBatch`` and appends to the
+    extracted table. The file-source + checkpoint pair gives exactly-once
+    file processing — a killed stream resumes from the last committed
+    batch, and already-processed files are never re-extracted (the
+    streaming twin of pipeline.run_extraction's bucket markers).
+
+    Runs one ``availableNow`` drain and returns the number of micro-batches
+    processed; call again after new files land to process only the delta.
+    On a live cluster, drop the trigger for continuous ingestion.
+    """
+    import os as _os
+
+    from .operators import extract as _extract
+
+    data_dir = _os.path.join(wh_root, "documents_raw", "data")
+    schema = spark.read.parquet(data_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(data_dir)
+    )
+    blobs_df = spark.read.parquet(_os.path.join(wh_root, "media_blobs", "data"))
+    out_path = _os.path.join(out_root, "documents_extracted_stream", "data")
+    n_batches = 0
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        nonlocal n_batches
+        out = _extract.extract_documents(
+            batch_df.select("doc_id", "spans"), blobs_df,
+            broadcast_blobs=broadcast_blobs, ocr_partitions=ocr_partitions)
+        out.write.mode("append").parquet(out_path)
+        n_batches += 1
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return n_batches
+
+
 def stateful_sessions(stream: DataFrame, flush_open: bool = True) -> DataFrame:
     """Custom stateful sessionization via ``applyInPandasWithState``: emits
     per-session features the built-in session_window aggregation cannot

@@ -77,6 +77,58 @@ class TestStreamingSessions:
                 assert r["max_gap_us"] == 0
                 assert r["session_start_us"] == r["session_end_us"]
 
+    def test_stream_extract_checkpoint_exactly_once(self, spark, tmp_path):
+        """Streaming ingestion twin of the batch pipeline: drain once,
+        drain again with nothing new (no re-processing), land new files,
+        drain the delta — output equals the oracle over the union, with
+        no document extracted twice (file-source + checkpoint)."""
+        from resume_ocr_spark import corpus, oracle, warehouse
+
+        docs, blobs = corpus.gen_corpus(30, seed=77, with_edge_cases=False)
+        d1, d2 = docs[:20], docs[20:]
+        refs1 = {s["media_ref"] for d in d1 for s in d["spans"]
+                 if s["media_ref"]}
+        b1 = [b for b in blobs if b["media_ref"] in refs1]
+        b2 = [b for b in blobs if b["media_ref"] not in refs1]
+        root, out, cp = (str(tmp_path / p) for p in ("wh", "out", "cp"))
+        warehouse.build_warehouse(spark, root, d1, b1)
+
+        n1 = streamops.stream_extract(spark, root, out, cp)
+        out_path = f"{out}/documents_extracted_stream/data"
+        assert n1 >= 1
+        assert spark.read.parquet(out_path).count() == len(d1)
+
+        # nothing new → nothing re-extracted
+        streamops.stream_extract(spark, root, out, cp)
+        assert spark.read.parquet(out_path).count() == len(d1)
+
+        # new files land → only the delta processes
+        docs_df2 = spark.createDataFrame(
+            [(d["doc_id"], [(s["kind"], s["text"], s["media_ref"],
+                             s["offset"]) for s in d["spans"]])
+             for d in d2], schema=warehouse.SPANS_SCHEMA)
+        warehouse.write_table(docs_df2, root, "documents_raw", mode="append")
+        blobs_df2 = spark.createDataFrame(
+            [(b["media_ref"], b["kind"], bytearray(b["payload"]))
+             for b in b2], schema=warehouse.BLOBS_SCHEMA)
+        warehouse.write_table(blobs_df2, root, "media_blobs",
+                              bucket_key="media_ref", mode="append")
+        streamops.stream_extract(spark, root, out, cp)
+
+        got = spark.read.parquet(out_path)
+        assert got.count() == len(docs)
+        assert got.select("doc_id").distinct().count() == len(docs)
+        # span parity with the single-node oracle over the union
+        exp = oracle.run_pipeline(docs, blobs)
+        grows = {r["doc_id"]: [s.asDict() for s in r["spans"]]
+                 for r in got.collect()}
+        for d in docs:
+            ek = [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                  for s in exp[d["doc_id"]]["spans"]]
+            gk = [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                  for s in grows[d["doc_id"]]]
+            assert gk == ek, d["doc_id"]
+
     def test_state_carried_across_microbatches(self, spark, events_pdf,
                                                tmp_path):
         # three time-contiguous files + maxFilesPerTrigger=1 → three

@@ -25,12 +25,18 @@ def main() -> int:
     ap.add_argument("--query", default=None)  # ranked vs summary mode
     ap.add_argument("--chunk-size", type=int, default=None)
     ap.add_argument("--ocr-partitions", type=int, default=None)
+    ap.add_argument("--log-dir", default="logs")
     args = ap.parse_args()
 
     import os
 
-    from resume_ocr_spark import pipeline
+    from resume_ocr_spark import applog, pipeline
     from resume_ocr_spark.textproc import normalize_query, query_terms
+
+    # S7 rotating app-log sink (reference: app/config/logging_config.py)
+    applog.setup_logging(args.log_dir)
+    applog.log_run_event(args.run_id, "run_start",
+                         warehouse=args.warehouse, output=args.output)
 
     # P12 query normalization then driver-side validation (reference F9,
     # llm_service.py:158-235 — rejects the whole run before executor work)
@@ -58,10 +64,16 @@ def main() -> int:
     )
     summary = pipeline.run_summary(spark, args.output, args.run_id).collect()[0]
     n_ok = result.filter(F.col("doc_error").isNull()).count()
+    applog.log_run_event(
+        args.run_id, "run_complete",
+        buckets=summary["buckets_complete"], docs=summary["docs_processed"],
+        ocr_pages=summary["ocr_pages"],
+        parse_failures=summary["parse_failures"], ok_docs=n_ok)
     print(f"run={args.run_id} buckets={summary['buckets_complete']} "
           f"docs={summary['docs_processed']} ocr_pages={summary['ocr_pages']} "
           f"parse_failures={summary['parse_failures']} ok_docs={n_ok}")
     if n_ok == 0 and summary["docs_processed"] > 0:
+        applog.log_run_event(args.run_id, "all_failed")
         print("all documents failed", file=sys.stderr)
         return 1
     return 0
