@@ -206,7 +206,33 @@ def _parse_objects(pdf: bytes) -> dict[int, bytes]:
     objs = {int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(pdf)}
     if not objs:
         raise PdfParseError("no objects found")
+    _expand_object_streams(objs)
     return objs
+
+
+def _expand_object_streams(objs: dict[int, bytes]) -> None:
+    """Unpack /Type /ObjStm containers (PDF 1.5+): modern producers store
+    non-stream objects (pages, fonts, catalogs) inside compressed object
+    streams, invisible to the top-level 'N 0 obj' scan. Layout per spec:
+    /N pairs of 'objnum offset' ints up to /First, then the object bodies.
+    Existing top-level objects are never overwritten."""
+    for body in list(objs.values()):
+        if not re.search(rb"/Type\s*/ObjStm", body):
+            continue
+        n = _int_after(body, b"N")
+        first = _int_after(body, b"First")
+        data = _get_stream(body)
+        if not n or first is None or data is None:
+            continue
+        try:
+            nums = [int(x) for x in data[:first].split()]
+        except ValueError:
+            continue
+        pairs = list(zip(nums[0::2], nums[1::2]))[:n]
+        for idx, (oid, off) in enumerate(pairs):
+            end = (first + pairs[idx + 1][1]
+                   if idx + 1 < len(pairs) else len(data))
+            objs.setdefault(oid, data[first + off : end].strip())
 
 
 def _get_stream(body: bytes) -> bytes | None:

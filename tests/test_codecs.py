@@ -122,3 +122,44 @@ class TestHtmlCodec:
 
     def test_entities_unescaped(self):
         assert "a & b" in htmlcodec.strip_boilerplate("<p>a &amp; b</p>")
+
+
+class TestObjectStreams:
+    """PDF 1.5+ object streams: non-stream objects packed in an /ObjStm."""
+
+    @staticmethod
+    def _objstm_pdf() -> bytes:
+        import zlib
+
+        content = zlib.compress(
+            b"BT /F1 11 Tf 1 0 0 1 72 720 Tm (Hello ObjStm) Tj ET")
+        inner = {
+            2: (b"<< /Type /Page /Parent 3 0 R /MediaBox [0 0 612 792] "
+                b"/Resources << /Font << /F1 5 0 R >> >> /Contents 1 0 R >>"),
+            3: b"<< /Type /Pages /Kids [2 0 R] /Count 1 >>",
+            4: b"<< /Type /Catalog /Pages 3 0 R >>",
+            5: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        }
+        header, bodies = b"", b""
+        for oid, body in inner.items():
+            header += b"%d %d " % (oid, len(bodies))
+            bodies += body + b" "
+        stm = zlib.compress(header + bodies)
+        out = [b"%PDF-1.5"]
+        out.append(b"1 0 obj\n<< /Length %d /Filter /FlateDecode >>\n"
+                   b"stream\n" % len(content) + content + b"\nendstream\nendobj")
+        out.append(b"6 0 obj\n<< /Type /ObjStm /N 4 /First %d /Length %d "
+                   b"/Filter /FlateDecode >>\nstream\n" % (len(header), len(stm))
+                   + stm + b"\nendstream\nendobj")
+        out.append(b"trailer\n<< /Size 7 /Root 4 0 R >>\n%%EOF")
+        return b"\n".join(out)
+
+    def test_objstm_text_extraction(self):
+        text = pc.extract_text(self._objstm_pdf())
+        assert text.strip() == "Hello ObjStm"
+
+    def test_objstm_never_overwrites_toplevel(self):
+        pdf = self._objstm_pdf()
+        objs = pc._parse_objects(pdf)
+        assert 1 in objs and b"/ObjStm" not in objs[1]
+        assert all(i in objs for i in (2, 3, 4, 5))
