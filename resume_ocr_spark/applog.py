@@ -33,7 +33,9 @@ def setup_logging(log_dir: str = "logs", level: int = logging.INFO,
     """Configure the root logger with the reference's rotation policy."""
     os.makedirs(log_dir, exist_ok=True)
     root = logging.getLogger()
-    root.handlers.clear()
+    for h in list(root.handlers):  # close before dropping: a bare clear()
+        h.close()                  # leaks the old rotating-file descriptor
+        root.removeHandler(h)
     root.setLevel(logging.DEBUG)
     fmt = logging.Formatter(LOG_FORMAT, DATE_FORMAT)
     fh = logging.handlers.RotatingFileHandler(
@@ -65,17 +67,24 @@ def read_app_logs(spark: SparkSession, log_dir: str = "logs") -> DataFrame:
     path = os.path.join(log_dir, "app.log*")
     raw = spark.read.text(path)
     line = F.col("value")
+    matched = line.rlike(_LINE_PATTERN)
     return (
         raw.select(
-            F.to_timestamp(
-                F.regexp_extract(line, _LINE_PATTERN, 1), "yyyy-MM-dd HH:mm:ss"
-            ).alias("ts"),
-            F.trim(F.regexp_extract(line, _LINE_PATTERN, 2)).alias("logger"),
-            F.trim(F.regexp_extract(line, _LINE_PATTERN, 3)).alias("level"),
-            F.regexp_extract(line, _LINE_PATTERN, 4).alias("message"),
+            F.when(matched, F.to_timestamp(
+                F.regexp_extract(line, _LINE_PATTERN, 1),
+                "yyyy-MM-dd HH:mm:ss")).alias("ts"),
+            F.when(matched,
+                   F.trim(F.regexp_extract(line, _LINE_PATTERN, 2)))
+            .otherwise(F.lit("")).alias("logger"),
+            F.when(matched,
+                   F.trim(F.regexp_extract(line, _LINE_PATTERN, 3)))
+            .otherwise(F.lit("")).alias("level"),
+            # continuation lines (tracebacks) don't match the header
+            # pattern — keep the whole line as a message-only row instead
+            # of dropping audit content
+            F.when(matched, F.regexp_extract(line, _LINE_PATTERN, 4))
+            .otherwise(line).alias("message"),
         )
-        # continuation lines (tracebacks) parse to empty logger — keep them
-        # attached as message-only rows rather than dropping audit content
         .filter(F.length("message") + F.length("logger") > 0)
     )
 

@@ -402,8 +402,12 @@ def _hex_text(h: bytes) -> str:
     except ValueError:
         return ""
     if len(b) % 2 == 0:
+        # strict: valid surrogate PAIRS combine fine; a lone surrogate from
+        # a corrupt/hostile CMap must NOT leak into span text (it would
+        # crash Arrow UTF-8 serialization downstream instead of staying
+        # error-as-data), so it falls through to the latin-1 byte view
         try:
-            return b.decode("utf-16-be", "surrogatepass")
+            return b.decode("utf-16-be")
         except UnicodeDecodeError:
             return b.decode("latin-1")
     return b.decode("latin-1")

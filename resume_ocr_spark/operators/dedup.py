@@ -204,6 +204,7 @@ def jaccard_pairs_lsh(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.5,
+    persist_words: bool = True,
 ) -> DataFrame:
     """The 100 TB Jaccard path: exact word-set Jaccard computed only for
     MinHash-LSH candidate pairs. The word-level self-join in
@@ -213,16 +214,20 @@ def jaccard_pairs_lsh(
     pair the banding misses is never scored — which is the standard
     cost/recall dial (MMDS ch.3).
 
-    Storage contract: the word explode is cached (it serves signatures,
-    candidate gating, and scoring — the dominant scan at scale). The cache
-    is NOT released here because the returned DataFrame is lazy; the caller
-    must call ``result.cached_words.unpersist()`` after materializing (or
-    stop the session). Leaving it cached accumulates executor storage
-    pressure on exactly the long-session workloads this path targets."""
+    Storage contract: with ``persist_words=True`` the word explode is
+    cached (it serves signatures, candidate gating, and scoring — the
+    dominant scan at scale). The cache is NOT released here because the
+    returned DataFrame is lazy; the caller must call
+    ``result.cached_words.unpersist()`` after materializing (or stop the
+    session). Callers that run this repeatedly in one session on small
+    inputs (the driver gate, the bench harness) pass
+    ``persist_words=False`` — recomputing the explode is cheaper than
+    accumulating pinned storage across runs."""
     # one word explode serves signatures, candidate gating, and scoring —
     # it is the dominant scan at scale, so cache it across the three uses
     words = _words(df, id_col, text_col)
-    words.persist()
+    if persist_words:
+        words.persist()
     cand = minhash_lsh_candidates(_minhash_from_words(words, id_col), id_col)
     wa = words.select(F.col(id_col).alias("id_a"), "word")
     wb = words.select(F.col(id_col).alias("id_b"), "word")
@@ -232,5 +237,6 @@ def jaccard_pairs_lsh(
         .agg(F.count("*").alias("common"))
     )
     out = _jaccard_from_common(words, common, id_col, threshold)
-    out.cached_words = words  # caller unpersists after materializing
+    if persist_words:
+        out.cached_words = words  # caller unpersists after materializing
     return out

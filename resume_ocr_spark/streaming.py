@@ -158,7 +158,12 @@ def stream_extract(
     extracted table. The file-source + checkpoint pair gives exactly-once
     file processing — a killed stream resumes from the last committed
     batch, and already-processed files are never re-extracted (the
-    streaming twin of pipeline.run_extraction's bucket markers).
+    streaming twin of pipeline.run_extraction's bucket markers). The sink
+    write is idempotent per micro-batch: output is partitioned by
+    ``batch_id`` and each batch dynamically overwrites exactly its own
+    partition, so a crash between the write and the checkpoint commit
+    replays the batch over itself instead of appending duplicates
+    (foreachBatch is at-least-once; idempotence must live in the sink).
 
     Runs one ``availableNow`` drain and returns the number of micro-batches
     processed; call again after new files land to process only the delta.
@@ -184,7 +189,13 @@ def stream_extract(
         out = _extract.extract_documents(
             batch_df.select("doc_id", "spans"), blobs_df,
             broadcast_blobs=broadcast_blobs, ocr_partitions=ocr_partitions)
-        out.write.mode("append").parquet(out_path)
+        (
+            out.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_path)
+        )
         n_batches += 1
 
     q = (

@@ -80,10 +80,13 @@ MIN_HEADINGS_FOR_RESUME = 2
 # resumes vary heading wording ("PERFIL", "Resumo da Carreira", "Experiência
 # Relevante", "Habilidades" — all present in the reference's fixture PDFs),
 # so the judge counts distinct STEM FAMILIES whose capitalized form starts a
-# line (optionally bullet/dash-decorated). Patterns are dialect-neutral
-# ((?m) + plain classes) and are evaluated identically by Python re here and
-# Java regex in operators/analyze.classify_resumes — keep both in lockstep.
-_HL = r"(?m)^[ \t>*•●○-]*"
+# line (optionally bullet/dash-decorated). Patterns are dialect-neutral and
+# evaluated identically by Python re here and Java regex in
+# operators/analyze.classify_resumes — keep both in lockstep. The line
+# anchor is an explicit terminator class, NOT (?m)^: Java MULTILINE also
+# breaks on \r / U+0085 / U+2028-9 while Python's only breaks on \n, which
+# would let the Column mirror and the oracle disagree on bare-\r line ends.
+_HL = r"(?:\A|[\n\r\u0085\u2028\u2029])[ \t>*•●○-]*"
 HEADING_STEM_PATTERNS = (
     _HL + r"(?:RESUMO|Resumo)",
     _HL + r"(?:PERFIL|Perfil)",
