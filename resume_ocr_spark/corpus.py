@@ -349,6 +349,14 @@ def _edge_docs(blobs: list[dict]) -> list[dict]:
     ref = add_blob("edge-blank-image", 0, "image", img)
     out.append({"doc_id": "edge-blank-image",
                 "spans": [_span("image", media_ref=ref, offset=0)]})
+    # Skia-style per-glyph PDF — the real fixtures' emission mode (CTM-
+    # positioned per-glyph runs, explicit space glyphs): keeps the parser's
+    # matrix-tracking path under the distributed contract, not just codec
+    # unit tests
+    gpdf = pdfcodec.write_text_pdf([make_resume_text(rng)], glyph_mode=True)
+    ref = add_blob("edge-glyph-pdf", 0, "pdf", gpdf)
+    out.append({"doc_id": "edge-glyph-pdf",
+                "spans": [_span("pdf", media_ref=ref, offset=0)]})
     # duplicate offsets -> deterministic tie-break (offset, kind, media_ref)
     out.append({"doc_id": "edge-dup-offset", "spans": [
         _span("text", text="segunda parte", offset=1),

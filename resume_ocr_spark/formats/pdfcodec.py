@@ -126,10 +126,44 @@ def _build_pdf(page_objs: list[dict]) -> bytes:
     return b"\n".join(out)
 
 
+def _glyph_stream(lines: list[str]) -> bytes:
+    """Skia-style emission (what Google-Docs PDFs actually contain, and what
+    the real fixtures exercise): a scaled+flipped CTM, one BT block per
+    line, one Td/Tj PER GLYPH with explicit space glyphs. Round-trips
+    through the parser's full CTM×Tm tracking path."""
+    size = 14.666667
+    ops = [b"1 0 0 -1 0 842 cm", b"q", b".75 0 0 .75 72 72 cm"]
+    for li, ln in enumerate(lines):
+        if not ln.strip():
+            continue
+        y = 13.2773438 + li * 14.6666667
+        ops += [b"BT", b"/F1 14.666667 Tf", b"1 0 0 -1 0 .47981739 Tm"]
+        adv_prev = 0.0
+        first = True
+        for ch in ln:
+            hexs = ch.encode("utf-16-be").hex().upper().encode()
+            if first:
+                ops.append(b"0 %.4f Td <%s> Tj" % (-y, hexs))
+                first = False
+            else:
+                ops.append(b"%.4f 0 Td <%s> Tj" % (adv_prev, hexs))
+            # advance ≈ estimated width + small slack: x stays strictly
+            # increasing and the reader's word-gap heuristic never fires
+            adv_prev = _est_width(ch) * size + 2.0 / 0.75
+        ops.append(b"ET")
+    ops.append(b"Q")
+    return b"\n".join(ops)
+
+
 def write_text_pdf(
-    pages: list[str], cid: bool = False, two_column: bool = False
+    pages: list[str], cid: bool = False, two_column: bool = False,
+    glyph_mode: bool = False,
 ) -> bytes:
-    """Each element of ``pages`` is that page's text ('\\n'-separated lines)."""
+    """Each element of ``pages`` is that page's text ('\\n'-separated lines).
+    ``glyph_mode`` writes Skia-style per-glyph CID runs through a scaled
+    CTM (see _glyph_stream) instead of one Tj per line."""
+    if glyph_mode:
+        cid = True
     if cid:
         font = (
             b"<< /Type /Font /Subtype /Type0 /BaseFont /Synth-Identity "
@@ -153,8 +187,10 @@ def write_text_pdf(
             for i, ln in enumerate(lines):
                 placed.append((72.0, 720.0 - 14.0 * i, ln))
         placed = [(x, y, t) for x, y, t in placed if t.strip()]
+        content = (_glyph_stream(lines) if glyph_mode
+                   else _text_stream(placed, cid))
         page_objs.append({
-            "content": _text_stream(placed, cid),
+            "content": content,
             "resources": b"<< /Font << /F1 " + font + b" >> >>",
             "extra": dict(extra),
         })

@@ -163,3 +163,24 @@ class TestObjectStreams:
         objs = pc._parse_objects(pdf)
         assert 1 in objs and b"/ObjStm" not in objs[1]
         assert all(i in objs for i in (2, 3, 4, 5))
+
+
+class TestGlyphMode:
+    """Skia-style per-glyph emission: the writer's realistic mode feeds the
+    parser's CTM×Tm tracking path (what the real fixtures contain)."""
+
+    def test_glyph_roundtrip(self):
+        pdf = pc.write_text_pdf([SAMPLE], glyph_mode=True)
+        out = pc.extract_text(pdf)
+        want = [ln.rstrip() for ln in SAMPLE.split("\n") if ln.strip()]
+        assert [ln for ln in out.split("\n") if ln.strip()] == want
+
+    def test_glyph_multipage_order(self):
+        pdf = pc.write_text_pdf(["pagina um\nlinha dois", "pagina dois"],
+                                glyph_mode=True)
+        assert pc.extract_text(pdf) == "pagina um\nlinha dois\fpagina dois"
+
+    def test_glyph_spaces_exact(self):
+        # explicit space glyphs survive; no spurious heuristic spaces appear
+        pdf = pc.write_text_pdf(["a@b w | x  y"], glyph_mode=True)
+        assert pc.extract_text(pdf) == "a@b w | x  y"
