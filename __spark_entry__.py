@@ -259,6 +259,65 @@ def salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("sum_value", 2).alias("sum_value"))
 
 
+def pivot_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts per priority × status. Explicit pivot values so
+    the plan is a single pass (no distinct-values pre-query)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .select("o_orderpriority",
+                F.coalesce("F", F.lit(0)).alias("n_f"),
+                F.coalesce("O", F.lit(0)).alias("n_o"),
+                F.coalesce("P", F.lit(0)).alias("n_p"))
+    )
+
+
+def percentiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (continuous interpolation) per priority — the
+    exact `percentile` aggregate, not percentile_approx, so the DuckDB
+    quantile_cont oracle matches bit-for-bit after rounding."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 2).alias("p99"),
+    )
+
+
+def exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS through the SQL surface: customers
+    with a finished order but no large order."""
+    for t in ("customer", "orders"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql("""
+      SELECT c_custkey, c_nationkey
+      FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        AND NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_totalprice > 400000)
+    """)
+
+
+def window_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG window over event time per user: max inter-event gap in seconds
+    (the sessionization building block as a standalone window op)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp"))  # NTZ → TZ for unix_micros
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc())
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    return (
+        ev.withColumn("gap_us", gap)
+        .groupBy("user_id")
+        .agg(F.max("gap_us").alias("max_gap_us"),
+             F.count("*").alias("n_events"))
+    )
+
+
 def set_ops_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operators: customers with finished orders EXCEPT those who ever
     placed a >400k order, plus an INTERSECT guard against open-order keys."""
@@ -576,6 +635,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_local_supplier_revenue": sql_local_supplier_revenue,
         "rollup_revenue": rollup_revenue,
         "set_ops_custkeys": set_ops_custkeys,
+        "pivot_order_status": pivot_order_status,
+        "percentiles_price": percentiles_price,
+        "exists_subquery": exists_subquery,
+        "window_lag_gap": window_lag_gap,
         "salted_hot_key_agg": salted_hot_key_agg,
         "dedup_exact": dedup_exact,
         "dedup_minhash_sigs": dedup_minhash_sigs,
@@ -744,6 +807,39 @@ def oracle_sql() -> dict[str, str]:
        SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
       INTERSECT
       SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """
+    sqls["pivot_order_status"] = """
+      SELECT o_orderpriority,
+             COUNT(*) FILTER (o_orderstatus = 'F') AS n_f,
+             COUNT(*) FILTER (o_orderstatus = 'O') AS n_o,
+             COUNT(*) FILTER (o_orderstatus = 'P') AS n_p
+      FROM orders GROUP BY o_orderpriority
+    """
+    sqls["percentiles_price"] = """
+      SELECT o_orderpriority,
+             ROUND(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+             ROUND(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+             ROUND(quantile_cont(o_totalprice, 0.99), 2) AS p99
+      FROM orders GROUP BY o_orderpriority
+    """
+    sqls["exists_subquery"] = """
+      SELECT c_custkey, c_nationkey
+      FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        AND NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_totalprice > 400000)
+    """
+    sqls["window_lag_gap"] = """
+      WITH lagged AS (
+        SELECT user_id,
+               epoch_us(ts) - epoch_us(lag(ts) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+        FROM events
+      )
+      SELECT user_id, MAX(gap_us) AS max_gap_us, COUNT(*) AS n_events
+      FROM lagged GROUP BY user_id
     """
     sqls["salted_hot_key_agg"] = """
       SELECT user_id, COUNT(*) AS count_events,
