@@ -155,22 +155,25 @@ def decode_rimg(payload: bytes) -> np.ndarray:
 
 def decode_image(payload: bytes) -> np.ndarray:
     """Container dispatch → grayscale array (the cv2.imdecode analog):
-    RIMG (the engine's native payload) or real PNG (pure-Python inflate +
-    unfilter, formats/pngcodec.py — the reference's PNG resume uploads,
-    app/services/ocr_service.py:23-46). Anything else (incl. JPEG, whose
-    DCT decode stays out of scope in this container) raises
+    RIMG (the engine's native payload), real PNG (pure-Python inflate +
+    unfilter, formats/pngcodec.py), or real baseline JPEG (pure-Python
+    huffman + IDCT, formats/jpegcodec.py) — the reference's PNG/JPG resume
+    uploads, app/services/ocr_service.py:23-46. Anything else raises
     ImageDecodeError → an error row upstream."""
     if payload[:5] == MAGIC:
         return decode_rimg(payload)
-    from . import pngcodec
+    from . import jpegcodec, pngcodec
 
     if payload[:8] == pngcodec.PNG_MAGIC:
         try:
             return pngcodec.decode_png_gray(payload)
         except pngcodec.PngDecodeError as exc:
             raise ImageDecodeError(f"corrupt PNG: {exc}") from exc
-    if payload[:3] == b"\xff\xd8\xff":
-        raise ImageDecodeError("JPEG decode not supported in this container")
+    if payload[:3] == jpegcodec.JPEG_MAGIC:
+        try:
+            return jpegcodec.decode_jpeg_gray(payload)
+        except jpegcodec.JpegDecodeError as exc:
+            raise ImageDecodeError(f"corrupt JPEG: {exc}") from exc
     raise ImageDecodeError("bad RIMG magic")
 
 

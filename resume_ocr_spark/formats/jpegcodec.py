@@ -1,0 +1,298 @@
+"""Pure-Python baseline JPEG (JFIF) decoder — numpy IDCT, no external libs.
+
+The reference accepts ``.jpg``/``.jpeg`` resume uploads alongside PNG
+(reference: app/services/ocr_service.py:23); PNG decode went native in
+round 2 (pngcodec.py) and this module completes the decode matrix so no
+image container remains stubbed.
+
+Supported: baseline sequential DCT (SOF0), 8-bit samples, 1 or 3
+components, chroma subsampling factors 1–2 (4:4:4 / 4:2:2 / 4:2:0),
+restart intervals.  Progressive (SOF2) and arithmetic coding raise
+``JpegDecodeError`` — callers convert to error rows (error-as-data).
+
+  decode_jpeg(data)       -> (H, W, C) uint8 (C = 1 or 3, YCbCr→RGB done)
+  decode_jpeg_gray(data)  -> (H, W) uint8 (the Y/luma plane — what OCR
+                             preprocessing consumes)
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+JPEG_MAGIC = b"\xff\xd8\xff"
+
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int32)
+
+# orthonormal 8-point DCT-II basis; IDCT(block) = M.T @ block @ M
+_k = np.arange(8)
+_DCT_M = np.cos((2 * _k[None, :] + 1) * _k[:, None] * np.pi / 16) * np.sqrt(0.25)
+_DCT_M[0, :] *= 1 / np.sqrt(2)
+
+
+class JpegDecodeError(ValueError):
+    """Raised on corrupt or unsupported JPEG input."""
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00 unstuffing;
+    stops at any real marker (RSTn handled by the caller)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data, self.pos = data, pos
+        self.bits = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        while self.nbits <= 24:
+            if self.pos >= len(self.data):
+                self.bits = (self.bits << 8) & 0xFFFFFFFF
+                self.nbits += 8  # zero-pad past the end (spec allows)
+                continue
+            b = self.data[self.pos]
+            if b == 0xFF:
+                nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else 0
+                if nxt == 0x00:
+                    self.pos += 2  # stuffed FF
+                else:
+                    # real marker: behave as end-of-data (caller resyncs)
+                    self.bits = (self.bits << 8) & 0xFFFFFFFF
+                    self.nbits += 8
+                    continue
+            else:
+                self.pos += 1
+            self.bits = ((self.bits << 8) | b) & 0xFFFFFFFF
+            self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.bits >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_to_marker(self) -> None:
+        """Drop buffered bits and advance past an RSTn marker."""
+        self.bits = 0
+        self.nbits = 0
+        d, n = self.data, len(self.data)
+        while self.pos < n - 1:
+            if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return
+            self.pos += 1
+        raise JpegDecodeError("expected restart marker")
+
+
+class _Huffman:
+    """Canonical JPEG Huffman table as a (code, length) → symbol dict."""
+
+    def __init__(self, counts: list[int], symbols: bytes):
+        self.lut: dict[tuple[int, int], int] = {}
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(counts[length - 1]):
+                self.lut[(code, length)] = symbols[k]
+                code += 1
+                k += 1
+            code <<= 1
+
+    def decode(self, br: _BitReader) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | br.read_bit()
+            sym = self.lut.get((code, length))
+            if sym is not None:
+                return sym
+        raise JpegDecodeError("invalid Huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    """DIFF/AC value extension (JPEG F.2.2.1)."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    if data[:3] != JPEG_MAGIC:
+        raise JpegDecodeError("bad JPEG magic")
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, _Huffman] = {}
+    huff_ac: dict[int, _Huffman] = {}
+    frame = None
+    restart_interval = 0
+    i = 2
+    n = len(data)
+    try:
+        while i < n:
+            if data[i] != 0xFF:
+                raise JpegDecodeError(f"marker expected at {i}")
+            marker = data[i + 1]
+            i += 2
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                continue
+            if marker == 0xD9:  # EOI
+                break
+            (seglen,) = struct.unpack(">H", data[i : i + 2])
+            seg = data[i + 2 : i + seglen]
+            if marker == 0xDB:  # DQT
+                j = 0
+                while j < len(seg):
+                    pq, tq = seg[j] >> 4, seg[j] & 15
+                    if pq != 0:
+                        raise JpegDecodeError("16-bit quant tables unsupported")
+                    qt[tq] = np.frombuffer(
+                        seg[j + 1 : j + 65], dtype=np.uint8).astype(np.int32)
+                    j += 65
+            elif marker == 0xC4:  # DHT
+                j = 0
+                while j < len(seg):
+                    tc, th = seg[j] >> 4, seg[j] & 15
+                    counts = list(seg[j + 1 : j + 17])
+                    total = sum(counts)
+                    symbols = seg[j + 17 : j + 17 + total]
+                    (huff_dc if tc == 0 else huff_ac)[th] = _Huffman(
+                        counts, symbols)
+                    j += 17 + total
+            elif marker == 0xC0:  # SOF0 baseline
+                prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+                if prec != 8:
+                    raise JpegDecodeError("only 8-bit precision supported")
+                comps = []
+                for c in range(nc):
+                    cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                    comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
+                                  "tq": tq})
+                frame = {"h": h, "w": w, "comps": comps}
+            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                raise JpegDecodeError(
+                    f"unsupported SOF marker 0xFF{marker:02X} "
+                    "(baseline sequential only)")
+            elif marker == 0xDD:  # DRI
+                (restart_interval,) = struct.unpack(">H", seg[:2])
+            elif marker == 0xDA:  # SOS
+                if frame is None:
+                    raise JpegDecodeError("SOS before SOF")
+                ns = seg[0]
+                scan = []
+                for c in range(ns):
+                    cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+                    comp = next(x for x in frame["comps"] if x["id"] == cs)
+                    scan.append((comp, tt >> 4, tt & 15))
+                return _decode_scan(data, i + seglen, frame, scan, qt,
+                                    huff_dc, huff_ac, restart_interval)
+            i += seglen
+    except (IndexError, struct.error) as exc:
+        raise JpegDecodeError(f"truncated JPEG structure: {exc}") from exc
+    raise JpegDecodeError("no scan data found")
+
+
+def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac,
+                 restart_interval) -> np.ndarray:
+    h, w = frame["h"], frame["w"]
+    if h == 0 or w == 0:
+        raise JpegDecodeError("zero-sized image")
+    hmax = max(c["h"] for c, _, _ in scan)
+    vmax = max(c["v"] for c, _, _ in scan)
+    if hmax < 1 or vmax < 1 or hmax > 2 or vmax > 2:
+        raise JpegDecodeError("sampling factors beyond 2 unsupported")
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = []
+    for comp, _, _ in scan:
+        planes.append(np.zeros((mcuy * comp["v"] * 8, mcux * comp["h"] * 8),
+                               dtype=np.float32))
+    br = _BitReader(data, pos)
+    pred = [0] * len(scan)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and \
+                    mcu_count % restart_interval == 0:
+                br.align_to_marker()
+                pred = [0] * len(scan)
+            mcu_count += 1
+            for ci, (comp, td, ta) in enumerate(scan):
+                try:
+                    dc_tab, ac_tab = huff_dc[td], huff_ac[ta]
+                    q = qt[comp["tq"]]
+                except KeyError as exc:
+                    raise JpegDecodeError(f"missing table {exc}") from exc
+                for by in range(comp["v"]):
+                    for bx in range(comp["h"]):
+                        block = _decode_block(br, dc_tab, ac_tab, q, pred, ci)
+                        py = (my * comp["v"] + by) * 8
+                        px = (mx * comp["h"] + bx) * 8
+                        planes[ci][py : py + 8, px : px + 8] = block
+    out_planes = []
+    for ci, (comp, _, _) in enumerate(scan):
+        p = planes[ci]
+        # upsample to full MCU-grid resolution, then crop to (h, w)
+        ry, rx = vmax // comp["v"], hmax // comp["h"]
+        if ry > 1 or rx > 1:
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        out_planes.append(p[:h, :w])
+    img = np.stack(out_planes, axis=-1)
+    if img.shape[2] == 3:
+        img = _ycbcr_to_rgb(img)
+    return np.clip(np.rint(img), 0, 255).astype(np.uint8)
+
+
+def _decode_block(br, dc_tab, ac_tab, q, pred, ci) -> np.ndarray:
+    coefs = np.zeros(64, dtype=np.int32)
+    t = dc_tab.decode(br)
+    diff = _extend(br.read_bits(t), t)
+    pred[ci] += diff
+    coefs[0] = pred[ci]
+    k = 1
+    while k < 64:
+        rs = ac_tab.decode(br)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:  # ZRL: sixteen zeros
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise JpegDecodeError("AC coefficient index out of range")
+        coefs[k] = _extend(br.read_bits(s), s)
+        k += 1
+    dq = np.zeros(64, dtype=np.float32)
+    dq[ZIGZAG] = coefs * q[np.arange(64)]
+    block = dq.reshape(8, 8)
+    return _DCT_M.T @ block @ _DCT_M + 128.0
+
+
+def _ycbcr_to_rgb(img: np.ndarray) -> np.ndarray:
+    y, cb, cr = img[..., 0], img[..., 1] - 128.0, img[..., 2] - 128.0
+    return np.stack([
+        y + 1.402 * cr,
+        y - 0.344136 * cb - 0.714136 * cr,
+        y + 1.772 * cb,
+    ], axis=-1)
+
+
+def decode_jpeg_gray(data: bytes) -> np.ndarray:
+    """The luma plane as grayscale (what OCR preprocessing consumes)."""
+    img = decode_jpeg(data)
+    if img.shape[2] == 1:
+        return img[..., 0]
+    # recover Y from RGB (inverse of _ycbcr_to_rgb to within rounding)
+    rgb = img.astype(np.float64)
+    y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+    return np.clip(np.rint(y), 0, 255).astype(np.uint8)

@@ -3,10 +3,11 @@
 Real pipeline shape for image/audio/video columns at 100 TB scale: media
 travels as a ``binary`` column, every transform is an Arrow batch UDF over
 ``mapInPandas`` (schema, partitioning, batch shape all real).  Image decode
-is real for PNG (pure-Python codec, formats/pngcodec.py) and the engine's
-own RIMG payloads; JPEG/audio/video decode would need cv2/soundfile/ffmpeg
-(not in this container) and stays stubbed behind errors/NotImplementedError,
-with the deterministic RAUD/RVID codecs exercising identical plumbing.
+is real for PNG (formats/pngcodec.py), baseline JPEG (formats/jpegcodec.py)
+and the engine's own RIMG payloads; audio/video decode would need
+soundfile/ffmpeg (not in this container) and stays stubbed behind
+NotImplementedError, with the deterministic RAUD/RVID codecs exercising
+identical plumbing.
 """
 
 from __future__ import annotations
@@ -27,11 +28,11 @@ META_SCHEMA = (
 
 def decode_external_image(payload: bytes) -> np.ndarray:
     """Real-image decode (cv2.imdecode analog): PNG decodes natively via
-    the pure-Python inflate+unfilter codec (formats/pngcodec.py — verified
-    on the reference's real PNG fixtures in tests/test_real_fixtures.py);
-    RIMG passes through. JPEG stays out of scope in this container (DCT
-    decode — swap in cv2/PIL on a real cluster) and raises
-    ImageDecodeError, which callers turn into error rows."""
+    pure-Python inflate+unfilter (formats/pngcodec.py — verified on the
+    reference's real PNG fixtures), baseline JPEG via pure-Python
+    huffman+IDCT (formats/jpegcodec.py), RIMG passes through. Corrupt or
+    unknown containers raise ImageDecodeError, which callers turn into
+    error rows."""
     return imagecodec.decode_image(bytes(payload))
 
 
