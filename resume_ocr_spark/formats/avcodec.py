@@ -69,6 +69,71 @@ def decode_raud(payload: bytes) -> tuple[int, np.ndarray]:
     return sr, np.frombuffer(body, dtype="<i2").copy()
 
 
+def write_wav(pcm: np.ndarray, sample_rate: int = SAMPLE_RATE) -> bytes:
+    """int16 mono PCM → RIFF/WAVE (PCM format 1, 16-bit)."""
+    import struct
+
+    data = np.asarray(pcm).astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+            + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """Real RIFF/WAV decode (PCM format 1, 8/16-bit, any channel count —
+    multi-channel downmixes to mono by averaging). No external libs: WAV
+    PCM is a plain chunked container. → (sample_rate, int16 mono array)."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise AudioDecodeError("bad RIFF/WAVE header")
+    i, n = 12, len(payload)
+    sr = bits = channels = None
+    data = None
+    while i + 8 <= n:
+        cid = payload[i : i + 4]
+        (clen,) = struct.unpack("<I", payload[i + 4 : i + 8])
+        body = payload[i + 8 : i + 8 + clen]
+        if len(body) != clen:
+            raise AudioDecodeError("truncated WAV chunk")
+        if cid == b"fmt ":
+            if clen < 16:
+                raise AudioDecodeError("short fmt chunk")
+            audio_fmt, channels, sr, _br, _ba, bits = struct.unpack(
+                "<HHIIHH", body[:16])
+            if audio_fmt != 1:
+                raise AudioDecodeError(
+                    f"non-PCM WAV (format {audio_fmt}) unsupported")
+        elif cid == b"data":
+            data = body
+        i += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if sr is None or data is None:
+        raise AudioDecodeError("missing fmt or data chunk")
+    if bits == 16:
+        samples = np.frombuffer(
+            data[: len(data) // 2 * 2], dtype="<i2").astype(np.int32)
+    elif bits == 8:  # unsigned 8-bit per spec
+        samples = (np.frombuffer(data, dtype=np.uint8).astype(np.int32)
+                   - 128) * 256
+    else:
+        raise AudioDecodeError(f"{bits}-bit WAV unsupported")
+    if channels > 1:
+        samples = samples[: len(samples) // channels * channels]
+        samples = samples.reshape(-1, channels).mean(axis=1).astype(np.int32)
+    return int(sr), np.clip(samples, -32768, 32767).astype(np.int16)
+
+
+def decode_audio_any(payload: bytes) -> tuple[int, np.ndarray]:
+    """Container dispatch: RAUD (engine-native) or real RIFF/WAV PCM."""
+    if payload[:5] == AUDIO_MAGIC:
+        return decode_raud(payload)
+    if payload[:4] == b"RIFF":
+        return decode_wav(payload)
+    raise AudioDecodeError("bad RAUD magic")
+
+
 def render_video(text: str, h: int = 24, w: int = 32) -> bytes:
     """Deterministic grayscale clip: a content-seeded gradient that drifts one
     pixel per frame (so frame k is recoverable/checkable from frame 0)."""

@@ -847,6 +847,19 @@ def _to_rimg(data: bytes, w: int | None, h: int | None) -> bytes:
 
     if data[:5] == imagecodec.MAGIC:  # writer-native payload: pass through
         return data
+    if data[:3] == b"\xff\xd8\xff":
+        # /DCTDecode XObject — the most common real-world scanned-PDF page
+        # encoding; decode via the baseline JPEG codec
+        from . import jpegcodec
+
+        try:
+            gray = jpegcodec.decode_jpeg_gray(data)
+        except jpegcodec.JpegDecodeError as exc:
+            raise PdfParseError(f"corrupt DCT image: {exc}") from exc
+        import numpy as np
+
+        header = imagecodec.MAGIC + np.array(gray.shape, dtype="<u4").tobytes()
+        return header + gray.tobytes()
     if w and h and len(data) in (w * h * 3, w * h):
         import numpy as np
 

@@ -2,12 +2,11 @@
 
 Real pipeline shape for image/audio/video columns at 100 TB scale: media
 travels as a ``binary`` column, every transform is an Arrow batch UDF over
-``mapInPandas`` (schema, partitioning, batch shape all real).  Image decode
-is real for PNG (formats/pngcodec.py), baseline JPEG (formats/jpegcodec.py)
-and the engine's own RIMG payloads; audio/video decode would need
-soundfile/ffmpeg (not in this container) and stays stubbed behind
-NotImplementedError, with the deterministic RAUD/RVID codecs exercising
-identical plumbing.
+``mapInPandas`` (schema, partitioning, batch shape all real).  Decode is
+real for PNG (formats/pngcodec.py), baseline JPEG (formats/jpegcodec.py),
+RIFF/WAV PCM (avcodec.decode_wav) and the engine's own RIMG/RAUD/RVID
+payloads; only compressed audio/video (MP3/OGG/MP4 — genuinely
+ffmpeg-class work) stays stubbed behind NotImplementedError.
 """
 
 from __future__ import annotations
@@ -37,9 +36,16 @@ def decode_external_image(payload: bytes) -> np.ndarray:
 
 
 def decode_audio(payload: bytes) -> np.ndarray:
-    """STUB — real WAV/MP3 decode (soundfile/ffmpeg) not in container; the
-    RAUD path below exercises identical plumbing."""
-    raise NotImplementedError("audio decode needs soundfile/ffmpeg")
+    """Real audio decode: RIFF/WAV PCM decodes natively
+    (avcodec.decode_wav — plain chunked container, no libs needed); RAUD
+    passes through. Compressed audio (MP3/OGG) genuinely needs
+    ffmpeg/soundfile and stays stubbed."""
+    p = bytes(payload)
+    if (p[:3] == b"ID3" or p[:4] == b"OggS"
+            or p[:2] in (b"\xff\xfb", b"\xff\xf3", b"\xff\xf2")):
+        raise NotImplementedError("compressed audio needs soundfile/ffmpeg")
+    _sr, pcm = avcodec.decode_audio_any(p)
+    return pcm
 
 
 def sample_video_frames(payload: bytes, every_n: int = 30) -> list[np.ndarray]:
@@ -152,7 +158,7 @@ def audio_metadata(media_df: DataFrame) -> DataFrame:
                                  "null payload"))
                     continue
                 try:
-                    sr, pcm = avcodec.decode_raud(bytes(payload))
+                    sr, pcm = avcodec.decode_audio_any(bytes(payload))
                     x = pcm.astype(np.float64) / 32767.0
                     rows.append((
                         doc_id, sr, len(pcm), round(len(pcm) / sr, 4),
@@ -180,7 +186,7 @@ def audio_frame_energy(media_df: DataFrame, frame_len: int = 512) -> DataFrame:
                 if payload is None:
                     continue  # upstream error row, no frames to emit
                 try:
-                    _, pcm = avcodec.decode_raud(bytes(payload))
+                    _, pcm = avcodec.decode_audio_any(bytes(payload))
                 except avcodec.AudioDecodeError:
                     continue  # corrupt rows surface via audio_metadata.error
                 x = pcm.astype(np.float64) / 32767.0

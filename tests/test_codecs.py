@@ -184,3 +184,79 @@ class TestGlyphMode:
         # explicit space glyphs survive; no spurious heuristic spaces appear
         pdf = pc.write_text_pdf(["a@b w | x  y"], glyph_mode=True)
         assert pc.extract_text(pdf) == "a@b w | x  y"
+
+
+class TestWavCodec:
+    """Real RIFF/WAV PCM decode (no libs — plain chunked container)."""
+
+    def test_wav_roundtrip_16bit(self):
+        from resume_ocr_spark.formats import avcodec
+
+        pcm = (np.sin(np.arange(1000) / 7.0) * 30000).astype(np.int16)
+        sr, out = avcodec.decode_wav(avcodec.write_wav(pcm, 44100))
+        assert sr == 44100
+        np.testing.assert_array_equal(out, pcm)
+
+    def test_wav_stereo_downmix_and_8bit(self):
+        import struct
+
+        from resume_ocr_spark.formats import avcodec
+
+        # hand-build a stereo 16-bit WAV: L=100, R=300 → mono mean 200
+        frames = struct.pack("<4h", 100, 300, -100, -300)
+        fmt = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+        wav = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(frames))
+               + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+               + b"data" + struct.pack("<I", len(frames)) + frames)
+        sr, out = avcodec.decode_wav(wav)
+        assert sr == 8000 and list(out) == [200, -200]
+        # unsigned 8-bit: 128 → 0, 129 → 256
+        fmt8 = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+        wav8 = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt8) + 8 + 2)
+                + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt8)) + fmt8
+                + b"data" + struct.pack("<I", 2) + bytes([128, 129]))
+        _, out8 = avcodec.decode_wav(wav8)
+        assert list(out8) == [0, 256]
+
+    def test_wav_errors(self):
+        from resume_ocr_spark.formats import avcodec
+
+        with pytest.raises(avcodec.AudioDecodeError):
+            avcodec.decode_wav(b"RIFF\x00\x00\x00\x00WAVEjunk")
+        # non-PCM (format 3 = float) rejected, not mis-read
+        import struct
+
+        fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+        bad = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt)) + b"WAVE"
+               + b"fmt " + struct.pack("<I", len(fmt)) + fmt)
+        with pytest.raises(avcodec.AudioDecodeError):
+            avcodec.decode_wav(bad)
+
+
+class TestDctPdfImages:
+    """Scanned PDFs whose pages are /DCTDecode (JPEG) XObjects — the most
+    common real-world scan encoding — decode through the JPEG codec."""
+
+    def test_dct_xobject_page_image(self):
+        from tests.test_jpegcodec import encode_jpeg
+
+        page = np.full((64, 48), 140, dtype=np.uint8)
+        jpg = encode_jpeg(page)
+        pdf_parts = [b"%PDF-1.4"]
+        pdf_parts.append(
+            b"1 0 obj\n<< /Type /XObject /Subtype /Image /Width 48 "
+            b"/Height 64 /ColorSpace /DeviceGray /BitsPerComponent 8 "
+            b"/Filter /DCTDecode /Length %d >>\nstream\n" % len(jpg)
+            + jpg + b"\nendstream\nendobj")
+        pdf_parts.append(
+            b"2 0 obj\n<< /Type /Page /Parent 3 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /XObject << /Im1 1 0 R >> >> >>\nendobj")
+        pdf_parts.append(
+            b"3 0 obj\n<< /Type /Pages /Kids [2 0 R] /Count 1 >>\nendobj")
+        pdf_parts.append(
+            b"4 0 obj\n<< /Type /Catalog /Pages 3 0 R >>\nendobj")
+        pdf = b"\n".join(pdf_parts)
+        imgs = pc.extract_page_images(pdf)
+        assert len(imgs) == 1
+        decoded = ic.decode_rimg(imgs[0])
+        np.testing.assert_array_equal(decoded, page)  # flat → exact

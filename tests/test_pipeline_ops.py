@@ -173,18 +173,26 @@ class TestMultimodal:
             assert after[d]["width"] == b["width"] // 2
 
     def test_external_decodes(self):
-        from resume_ocr_spark.formats import imagecodec
+        import numpy as np
 
-        # PNG decode is real now (formats/pngcodec.py); a truncated PNG is
-        # an error *value* path, JPEG stays unsupported in this container
+        from resume_ocr_spark.formats import avcodec, imagecodec
+
+        # PNG/JPEG/WAV decode are real now; corrupt payloads are error
+        # *value* paths, compressed audio/video stay stubbed
         with pytest.raises(imagecodec.ImageDecodeError):
             multimodal.decode_external_image(b"\x89PNG")
         with pytest.raises(imagecodec.ImageDecodeError):
             multimodal.decode_external_image(b"\xff\xd8\xff\xe0jpeg")
+        with pytest.raises(avcodec.AudioDecodeError):
+            multimodal.decode_audio(b"RIFFxxxxWAVE")  # truncated WAV
         with pytest.raises(NotImplementedError):
-            multimodal.decode_audio(b"RIFF")
+            multimodal.decode_audio(b"ID3\x04mp3data")
         with pytest.raises(NotImplementedError):
             multimodal.sample_video_frames(b"\x00")
+        # real WAV round trip through the op-level decoder
+        pcm = (np.sin(np.arange(500) / 5.0) * 20000).astype(np.int16)
+        out = multimodal.decode_audio(avcodec.write_wav(pcm, 8000))
+        np.testing.assert_array_equal(out, pcm)
 
 
 class TestIVF:
