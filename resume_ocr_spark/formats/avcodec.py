@@ -1,12 +1,14 @@
 """Deterministic audio/video container codecs (RAUD / RVID).
 
-The sandbox has no soundfile/ffmpeg/opencv, so — per the multimodal design
-(operators/multimodal.py) — *real* WAV/MP4 decode stays stubbed behind
-``NotImplementedError`` while these two tiny containers make the Spark-side
-plumbing (binary columns, Arrow batch UDFs, frame explode, feature schemas)
-real and fully tested.  Both formats are pure numpy, seeded only by payload
-content, so every render/decode round-trip is bit-deterministic across
-batch sizes and executors.
+Real RIFF/WAV PCM decode is native here (``decode_wav`` — WAV is a plain
+chunked container, no libs needed; ``decode_audio_any`` dispatches
+RAUD|WAV).  Compressed audio/video (MP3/OGG/MP4) genuinely needs
+ffmpeg-class libraries absent from this sandbox and stays stubbed in
+operators/multimodal.py, while these two tiny containers make the
+Spark-side plumbing (binary columns, Arrow batch UDFs, frame explode,
+feature schemas) real and fully tested.  Both are pure numpy, seeded only
+by payload content, so every render/decode round-trip is bit-deterministic
+across batch sizes and executors.
 
 RAUD1 layout: ``b"RAUD1" | <u4 sample_rate> | <u4 n_samples> | int16 LE PCM``
 RVID1 layout: ``b"RVID1" | <u4 n_frames> | <u4 h> | <u4 w> | u8 frames``
@@ -111,6 +113,8 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
         i += 8 + clen + (clen & 1)  # chunks are word-aligned
     if sr is None or data is None:
         raise AudioDecodeError("missing fmt or data chunk")
+    if sr <= 0:
+        raise AudioDecodeError("invalid WAV sample rate 0")
     if bits == 16:
         samples = np.frombuffer(
             data[: len(data) // 2 * 2], dtype="<i2").astype(np.int32)
@@ -131,7 +135,7 @@ def decode_audio_any(payload: bytes) -> tuple[int, np.ndarray]:
         return decode_raud(payload)
     if payload[:4] == b"RIFF":
         return decode_wav(payload)
-    raise AudioDecodeError("bad RAUD magic")
+    raise AudioDecodeError("unknown audio container (RAUD/WAV supported)")
 
 
 def render_video(text: str, h: int = 24, w: int = 32) -> bytes:

@@ -44,35 +44,52 @@ class _BitReader:
     """MSB-first bit reader over entropy-coded data with 0xFF00 unstuffing;
     stops at any real marker (RSTn handled by the caller)."""
 
+    # pad allowance past real data: the spec only permits the final byte's
+    # 1-padding, so a decode that keeps consuming synthesized bytes is a
+    # truncated scan — two bytes of grace covers the worst split read
+    _MAX_PAD_BYTES = 2
+
     def __init__(self, data: bytes, pos: int):
         self.data, self.pos = data, pos
         self.bits = 0
         self.nbits = 0
+        self.pad_bytes = 0
 
-    def _fill(self) -> None:
-        while self.nbits <= 24:
-            if self.pos >= len(self.data):
-                self.bits = (self.bits << 8) & 0xFFFFFFFF
-                self.nbits += 8  # zero-pad past the end (spec allows)
-                continue
-            b = self.data[self.pos]
-            if b == 0xFF:
-                nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else 0
-                if nxt == 0x00:
-                    self.pos += 2  # stuffed FF
-                else:
-                    # real marker: behave as end-of-data (caller resyncs)
-                    self.bits = (self.bits << 8) & 0xFFFFFFFF
-                    self.nbits += 8
-                    continue
-            else:
-                self.pos += 1
-            self.bits = ((self.bits << 8) | b) & 0xFFFFFFFF
+    def _fill_one(self) -> None:
+        """Append exactly one byte — LAZY, so a well-formed image never
+        touches the pad path at all (its final code ends inside real data)
+        and the truncation guard only fires when decoding genuinely asks
+        for bits that don't exist."""
+        if self.pos >= len(self.data):
+            self.pad_bytes += 1
+            if self.pad_bytes > self._MAX_PAD_BYTES:
+                raise JpegDecodeError("truncated entropy-coded scan")
+            self.bits = (self.bits << 8) & 0xFFFFFFFF
             self.nbits += 8
+            return
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else 0
+            if nxt == 0x00:
+                self.pos += 2  # stuffed FF
+            else:
+                # real marker (EOI/RSTn): stop consuming; needing bits past
+                # it means the scan ended before all MCUs decoded
+                self.pad_bytes += 1
+                if self.pad_bytes > self._MAX_PAD_BYTES:
+                    raise JpegDecodeError(
+                        "entropy-coded scan ended before all MCUs")
+                self.bits = (self.bits << 8) & 0xFFFFFFFF
+                self.nbits += 8
+                return
+        else:
+            self.pos += 1
+        self.bits = ((self.bits << 8) | b) & 0xFFFFFFFF
+        self.nbits += 8
 
     def read_bit(self) -> int:
         if self.nbits == 0:
-            self._fill()
+            self._fill_one()
         self.nbits -= 1
         return (self.bits >> self.nbits) & 1
 
@@ -86,6 +103,7 @@ class _BitReader:
         """Drop buffered bits and advance past an RSTn marker."""
         self.bits = 0
         self.nbits = 0
+        self.pad_bytes = 0  # fresh interval, fresh truncation allowance
         d, n = self.data, len(self.data)
         while self.pos < n - 1:
             if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
@@ -127,6 +145,22 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
+    """→ (H, W, C) uint8; 3-component YCbCr is converted to RGB."""
+    planes = _decode_planes(data)
+    img = np.stack(planes, axis=-1)
+    if img.shape[2] == 3:
+        img = _ycbcr_to_rgb(img)
+    return np.clip(np.rint(img), 0, 255).astype(np.uint8)
+
+
+def decode_jpeg_gray(data: bytes) -> np.ndarray:
+    """The luma plane as grayscale (what OCR preprocessing consumes) —
+    taken directly from the decoded Y plane, no RGB round trip."""
+    y = _decode_planes(data)[0]
+    return np.clip(np.rint(y), 0, 255).astype(np.uint8)
+
+
+def _decode_planes(data: bytes) -> list[np.ndarray]:
     if data[:3] != JPEG_MAGIC:
         raise JpegDecodeError("bad JPEG magic")
     qt: dict[int, np.ndarray] = {}
@@ -171,6 +205,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
                 if prec != 8:
                     raise JpegDecodeError("only 8-bit precision supported")
+                if nc not in (1, 3):
+                    raise JpegDecodeError(
+                        f"{nc}-component JPEG unsupported (gray or YCbCr "
+                        "only — CMYK/YCCK would silently mis-convert)")
                 comps = []
                 for c in range(nc):
                     cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
@@ -188,6 +226,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 if frame is None:
                     raise JpegDecodeError("SOS before SOF")
                 ns = seg[0]
+                if ns != len(frame["comps"]):
+                    # a partial-component scan means multi-scan baseline:
+                    # decoding only the first scan would return Y-only as
+                    # a fake success
+                    raise JpegDecodeError(
+                        "multi-scan (non-interleaved per-component) "
+                        "baseline unsupported")
                 scan = []
                 for c in range(ns):
                     cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
@@ -202,10 +247,16 @@ def decode_jpeg(data: bytes) -> np.ndarray:
 
 
 def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac,
-                 restart_interval) -> np.ndarray:
+                 restart_interval) -> list[np.ndarray]:
     h, w = frame["h"], frame["w"]
     if h == 0 or w == 0:
         raise JpegDecodeError("zero-sized image")
+    if len(scan) == 1:
+        # JPEG B.2.3: a single-component scan is NON-interleaved — the MCU
+        # is one data unit in raster order over the component's full sample
+        # grid, whatever sampling factors the SOF declared (jpegtran keeps
+        # the source luma factors on -grayscale output)
+        scan = [({**scan[0][0], "h": 1, "v": 1}, scan[0][1], scan[0][2])]
     hmax = max(c["h"] for c, _, _ in scan)
     vmax = max(c["v"] for c, _, _ in scan)
     if hmax < 1 or vmax < 1 or hmax > 2 or vmax > 2:
@@ -246,10 +297,7 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac,
         if ry > 1 or rx > 1:
             p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
         out_planes.append(p[:h, :w])
-    img = np.stack(out_planes, axis=-1)
-    if img.shape[2] == 3:
-        img = _ycbcr_to_rgb(img)
-    return np.clip(np.rint(img), 0, 255).astype(np.uint8)
+    return out_planes
 
 
 def _decode_block(br, dc_tab, ac_tab, q, pred, ci) -> np.ndarray:
@@ -273,7 +321,7 @@ def _decode_block(br, dc_tab, ac_tab, q, pred, ci) -> np.ndarray:
         coefs[k] = _extend(br.read_bits(s), s)
         k += 1
     dq = np.zeros(64, dtype=np.float32)
-    dq[ZIGZAG] = coefs * q[np.arange(64)]
+    dq[ZIGZAG] = coefs * q
     block = dq.reshape(8, 8)
     return _DCT_M.T @ block @ _DCT_M + 128.0
 
@@ -285,14 +333,3 @@ def _ycbcr_to_rgb(img: np.ndarray) -> np.ndarray:
         y - 0.344136 * cb - 0.714136 * cr,
         y + 1.772 * cb,
     ], axis=-1)
-
-
-def decode_jpeg_gray(data: bytes) -> np.ndarray:
-    """The luma plane as grayscale (what OCR preprocessing consumes)."""
-    img = decode_jpeg(data)
-    if img.shape[2] == 1:
-        return img[..., 0]
-    # recover Y from RGB (inverse of _ycbcr_to_rgb to within rounding)
-    rgb = img.astype(np.float64)
-    y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
-    return np.clip(np.rint(y), 0, 255).astype(np.uint8)

@@ -41,8 +41,10 @@ def decode_audio(payload: bytes) -> np.ndarray:
     passes through. Compressed audio (MP3/OGG) genuinely needs
     ffmpeg/soundfile and stays stubbed."""
     p = bytes(payload)
+    # MPEG audio / ADTS frame sync is 0xFFEx-0xFFFx (11 set bits) — covers
+    # all layer/CRC variants, not just the common 0xFFFB
     if (p[:3] == b"ID3" or p[:4] == b"OggS"
-            or p[:2] in (b"\xff\xfb", b"\xff\xf3", b"\xff\xf2")):
+            or (len(p) > 1 and p[0] == 0xFF and (p[1] & 0xE0) == 0xE0)):
         raise NotImplementedError("compressed audio needs soundfile/ffmpeg")
     _sr, pcm = avcodec.decode_audio_any(p)
     return pcm

@@ -269,3 +269,56 @@ def test_image_branch_dispatch():
     np.testing.assert_array_equal(out, img)
     with pytest.raises(imagecodec.ImageDecodeError):
         imagecodec.decode_image(payload[:20])
+
+
+def test_truncated_scan_raises():
+    """Cutting entropy-coded data mid-scan must raise, not decode the
+    missing region as synthesized zeros."""
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, size=(64, 64), dtype=np.uint8)
+    full = encode_jpeg(img)
+    sos = full.find(b"\xff\xda")
+    cut = sos + (len(full) - sos) // 2
+    with pytest.raises(jpegcodec.JpegDecodeError):
+        jpegcodec.decode_jpeg(full[:cut])
+
+
+def test_single_component_scan_is_noninterleaved():
+    """JPEG B.2.3: grayscale scans ignore SOF sampling factors (jpegtran
+    -grayscale keeps the source's 2x2 luma factors) — blocks are raster
+    order over the full sample grid, not 2x2 MCIs."""
+    img = np.clip(np.rint(np.linspace(0, 255, 24)[None, :]
+                          + np.zeros((24, 1))), 0, 255).astype(np.uint8)
+    data = bytearray(encode_jpeg(img))
+    sof = data.find(b"\xff\xc0")
+    assert data[sof + 11] == 0x11  # h=1,v=1 as written
+    data[sof + 11] = 0x22          # pretend 2x2 luma factors
+    dec = jpegcodec.decode_jpeg_gray(bytes(data))
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert float(err.mean()) < 3  # still decodes correctly, not scrambled
+
+
+def test_four_component_rejected():
+    good = encode_jpeg(np.full((8, 8), 90, dtype=np.uint8))
+    data = bytearray(good)
+    sof = data.find(b"\xff\xc0")
+    # splice a 4-component SOF in place (lengths won't matter: the count
+    # check fires before any table lookups)
+    data[sof + 9] = 4
+    with pytest.raises(jpegcodec.JpegDecodeError):
+        jpegcodec.decode_jpeg(bytes(data))
+
+
+def test_multi_scan_rejected():
+    """A scan carrying fewer components than the frame (multi-scan
+    baseline) must error, not return the Y plane as a fake success."""
+    rgb = np.full((8, 8, 3), 120, dtype=np.uint8)
+    data = bytearray(encode_jpeg(rgb))
+    sos = data.find(b"\xff\xda")
+    # rewrite SOS from 3 components to 1 (shrink the segment)
+    seg_end = sos + 2 + struct.unpack(">H", data[sos + 2 : sos + 4])[0]
+    new_sos = (b"\xff\xda" + struct.pack(">H", 2 + 1 + 2 + 3)
+               + bytes([1, 1, 0x00, 0, 63, 0]))
+    data[sos:seg_end] = new_sos
+    with pytest.raises(jpegcodec.JpegDecodeError):
+        jpegcodec.decode_jpeg(bytes(data))
