@@ -345,6 +345,14 @@ def dedup_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_signatures(docs, "doc_id", "text")
 
 
+def dedup_minhash_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash over 3-word SHINGLES (Broder's formulation — the unit real
+    near-dup pipelines hash; word-set minhash flags too many false
+    near-dups). Same signature shape, shingled input units."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    return dedup.minhash_signatures(docs, "doc_id", "text", shingle=3)
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     return dedup.simhash(docs, "doc_id", "text")
@@ -642,6 +650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_hot_key_agg": salted_hot_key_agg,
         "dedup_exact": dedup_exact,
         "dedup_minhash_sigs": dedup_minhash_sigs,
+        "dedup_minhash_shingles": dedup_minhash_shingles,
         "dedup_simhash": dedup_simhash,
         "dedup_jaccard_pairs": dedup_jaccard_pairs,
         "dedup_lsh_candidates": dedup_lsh_candidates,
@@ -863,6 +872,31 @@ def oracle_sql() -> dict[str, str]:
              MIN(md5(word || ':0')) AS mh0, MIN(md5(word || ':1')) AS mh1,
              MIN(md5(word || ':2')) AS mh2, MIN(md5(word || ':3')) AS mh3
       FROM words GROUP BY doc_id
+    """
+    # 3-word shingles: positional parallel unnest, then i/i+1/i+2 self-joins
+    # rebuild the sliding window exactly as the Column-side slice() does
+    sqls["dedup_minhash_shingles"] = """
+      WITH toks AS (
+        SELECT doc_id, w, i FROM (
+          SELECT doc_id,
+                 unnest(string_split(trim(regexp_replace(lower(text),
+                        '[^a-z0-9]+', ' ', 'g')), ' ')) AS w,
+                 unnest(generate_series(1,
+                        len(string_split(trim(regexp_replace(lower(text),
+                            '[^a-z0-9]+', ' ', 'g')), ' ')))) AS i
+          FROM documents WHERE doc_id < 60
+        ) WHERE w <> ''
+      ), shingles AS (
+        SELECT DISTINCT a.doc_id,
+               a.w || ' ' || b.w || ' ' || c.w AS word
+        FROM toks a
+        JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+        JOIN toks c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+      )
+      SELECT doc_id,
+             MIN(md5(word || ':0')) AS mh0, MIN(md5(word || ':1')) AS mh1,
+             MIN(md5(word || ':2')) AS mh2, MIN(md5(word || ':3')) AS mh3
+      FROM shingles GROUP BY doc_id
     """
     # simhash: 16-bit majority; word hash = low 16 bits of md5 via hex digits
     _digit = ("(instr('0123456789abcdef', substring(md5(word), {p}, 1)) - 1)")

@@ -44,6 +44,29 @@ def _words(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """Distinct (id, word) pairs where 'word' is an n-WORD shingle
+    (space-joined sliding window — Broder's k-shingles, the unit real
+    near-dup pipelines hash; single words flag too many false near-dups).
+    Pure Column ops: normalized split → sequence/slice window → explode."""
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " ")),
+        " ")
+    # guard: sequence(1, 0) would COUNT DOWN in Spark, so short docs get an
+    # explicit empty array instead
+    sh = F.expr(
+        f"CASE WHEN size(tokens) >= {n} THEN "
+        f"transform(sequence(1, size(tokens) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(tokens, i, {n}))) "
+        f"ELSE array() END")
+    return (
+        df.select(F.col(id_col), toks.alias("tokens"))
+        .select(F.col(id_col), F.explode(sh).alias("word"))
+        .filter(F.col("word") != "")
+        .distinct()
+    )
+
+
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Groups of byte-identical (post-normalization) docs: fingerprint,
     representative = min id, dupe count. Map-side combine keeps the shuffle
@@ -71,10 +94,15 @@ def _minhash_from_words(words: DataFrame, id_col: str,
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = MINHASH_K
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = MINHASH_K, shingle: int | None = None,
 ) -> DataFrame:
-    """k-permutation MinHash signature per doc as columns mh0..mh{k-1}."""
-    return _minhash_from_words(_words(df, id_col, text_col), id_col, k)
+    """k-permutation MinHash signature per doc as columns mh0..mh{k-1}.
+    ``shingle=n`` hashes n-word shingles instead of single words (the
+    Broder formulation — what production near-dup pipelines use)."""
+    units = (_shingles(df, id_col, text_col, shingle) if shingle
+             else _words(df, id_col, text_col))
+    return _minhash_from_words(units, id_col, k)
 
 
 def minhash_lsh_candidates(
@@ -160,11 +188,14 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.5,
+    shingle: int | None = None,
 ) -> DataFrame:
     """Exact word-set Jaccard for all pairs above ``threshold``: word-level
     equi self-join → common counts → sizes joined in → |A∩B| / (|A|+|B|-|A∩B|).
+    ``shingle=n`` compares n-word shingle sets instead of word sets.
     At scale, run minhash_lsh_candidates first and join to restrict pairs."""
-    words = _words(df, id_col, text_col)
+    words = (_shingles(df, id_col, text_col, shingle) if shingle
+             else _words(df, id_col, text_col))
     l, r = words.alias("l"), words.alias("r")
     common = (
         l.join(r, (F.col("l.word") == F.col("r.word"))

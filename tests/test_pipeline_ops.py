@@ -48,6 +48,31 @@ class TestDedup:
         assert (1, 2) in pairs
         assert (1, 3) not in pairs and (2, 3) not in pairs
 
+    def test_shingle_units_exact(self, spark):
+        """3-word shingles are the exact sliding window over normalized
+        tokens; docs shorter than n yield no units."""
+        df = spark.createDataFrame(
+            [(1, "The quick, brown FOX jumps!"), (2, "too short"), (3, "")],
+            "doc_id int, text string")
+        rows = {(r["doc_id"], r["word"])
+                for r in dedup._shingles(df, "doc_id", "text", 3).collect()}
+        assert rows == {(1, "the quick brown"), (1, "quick brown fox"),
+                        (1, "brown fox jumps")}
+
+    def test_shingled_jaccard_stricter_than_words(self, spark):
+        """Same word SET, different order → word-Jaccard 1.0 but shingle-
+        Jaccard low: the shingle unit captures sequence, words don't."""
+        a = "spark shuffles data between stages of the plan"
+        b = "the plan of spark stages shuffles data between"
+        df = spark.createDataFrame([(1, a), (2, b)], "doc_id int, text string")
+        wj = {(r["id_a"], r["id_b"]): r["jaccard"]
+              for r in dedup.jaccard_pairs(df, threshold=0.0).collect()}
+        sj = {(r["id_a"], r["id_b"]): r["jaccard"]
+              for r in dedup.jaccard_pairs(
+                  df, threshold=0.0, shingle=3).collect()}
+        assert wj[(1, 2)] == 1.0
+        assert sj.get((1, 2), 0.0) < 0.35
+
     def test_minhash_k128_b16_recall_and_precision(self, spark):
         """Realistic MMDS parameters (K=128 signatures, 16 bands of 8 rows):
         near-identical docs must still collide on some band (recall), while
