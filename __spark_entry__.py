@@ -370,6 +370,16 @@ def dedup_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_candidates(sigs, "doc_id")
 
 
+def dedup_cluster_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING: LSH candidate pairs → connected components →
+    (doc_id, cluster_id=min id in component), the canonical keep-list step.
+    Spark side is iterative min-label propagation; the oracle is a DuckDB
+    recursive CTE computing the same closure."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text")
+    return dedup.dedup_clusters(dedup.minhash_lsh_candidates(sigs, "doc_id"))
+
+
 def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup (dedup family #5): exact pairs ≥ 0.3 over
     embeddings ∪ re-keyed copies — the union plants cosine-1.0 duplicates so
@@ -655,6 +665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_pairs": dedup_jaccard_pairs,
         "dedup_lsh_candidates": dedup_lsh_candidates,
         "dedup_lsh_candidates_k128": dedup_lsh_candidates_k128,
+        "dedup_cluster_ids": dedup_cluster_ids,
         "dedup_jaccard_lsh": dedup_jaccard_lsh,
         "dedup_embedding_pairs": dedup_embedding_pairs,
         "dedup_embedding_lsh": dedup_embedding_lsh,
@@ -942,6 +953,42 @@ def oracle_sql() -> dict[str, str]:
       SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
       FROM banded l JOIN banded r
         ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+    """
+    # connected components over the LSH candidate graph: recursive closure
+    # (id reaches r), component id = min reachable — mirrors the engine's
+    # min-label propagation fixpoint exactly
+    sqls["dedup_cluster_ids"] = """
+      WITH RECURSIVE words AS (
+        SELECT DISTINCT doc_id, w AS word FROM (
+          SELECT doc_id,
+                 unnest(string_split(trim(regexp_replace(lower(text),
+                        '[^a-z0-9]+', ' ', 'g')), ' ')) AS w
+          FROM documents WHERE doc_id < 100
+        ) WHERE w <> ''
+      ), sigs AS (
+        SELECT doc_id,
+               MIN(md5(word || ':0')) AS mh0, MIN(md5(word || ':1')) AS mh1,
+               MIN(md5(word || ':2')) AS mh2, MIN(md5(word || ':3')) AS mh3
+        FROM words GROUP BY doc_id
+      ), banded AS (
+        SELECT doc_id, 0 AS band, md5(mh0 || mh1) AS bh FROM sigs
+        UNION ALL
+        SELECT doc_id, 1 AS band, md5(mh2 || mh3) AS bh FROM sigs
+      ), cand AS (
+        SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        FROM banded l JOIN banded r
+          ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+      ), edges AS (
+        SELECT id_a AS src, id_b AS dst FROM cand
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM cand
+      ), reach AS (
+        SELECT src AS id, src AS r FROM edges
+        UNION
+        SELECT e.src AS id, reach.r AS r
+        FROM edges e JOIN reach ON reach.id = e.dst
+      )
+      SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
     """
     sqls["dedup_embedding_pairs"] = """
       WITH base AS (

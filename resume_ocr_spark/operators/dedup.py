@@ -230,6 +230,52 @@ def embedding_near_dup(
     return similarity.cosine_pairs_lsh(df, dim, threshold, id_col, vec_col)
 
 
+def dedup_clusters(pairs: DataFrame) -> DataFrame:
+    """Near-dup pair list → connected components: (doc_id, cluster_id) with
+    cluster_id = the smallest id in the component (the canonical keep id —
+    the step a real dedup pipeline runs after pair generation; everything
+    with doc_id != cluster_id is a drop candidate).
+
+    Distributed min-label propagation: each iteration joins current labels
+    across edges and keeps the per-node minimum; converges in O(component
+    diameter) iterations — near-dup clusters are shallow (dups of dups of
+    one source), so the loop is short in practice and hard-capped. Only
+    ids that appear in ``pairs`` are labeled (singletons need no cluster).
+    At extreme scale swap the propagation for large-star/small-star
+    (Kiveris et al.) — same join shape, fewer rounds."""
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    labels = (edges.select(F.col("src").alias("id")).distinct()
+              .withColumn("label", F.col("id")))
+    for _ in range(32):  # hard cap ≥ any realistic component diameter
+        nbr = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src").agg(F.min("label").alias("nbr_label"))
+        )
+        new = (
+            labels.join(nbr, labels.id == nbr.src, "left")
+            .select(
+                labels.id,
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("nbr_label"), F.col("label")),
+                ).alias("label"),
+            )
+        )
+        new = new.localCheckpoint(eager=True)  # cut lineage per round
+        changed = (
+            new.alias("n").join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label")).limit(1).count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"),
+                         F.col("label").alias("cluster_id"))
+
+
 def jaccard_pairs_lsh(
     df: DataFrame,
     id_col: str = "doc_id",

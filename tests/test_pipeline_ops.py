@@ -48,6 +48,19 @@ class TestDedup:
         assert (1, 2) in pairs
         assert (1, 3) not in pairs and (2, 3) not in pairs
 
+    def test_cluster_connected_components(self, spark):
+        """Min-label propagation finds components, incl. a 6-deep chain
+        (stresses >1 propagation round) and leaves singletons unlabeled."""
+        pairs = spark.createDataFrame(
+            [(2, 3), (3, 4), (4, 5), (5, 6), (6, 7),   # chain 2..7
+             (10, 11), (11, 12),                        # triangle-ish
+             (20, 21)],
+            "id_a long, id_b long")
+        got = {r["doc_id"]: r["cluster_id"]
+               for r in dedup.dedup_clusters(pairs).collect()}
+        assert got == {2: 2, 3: 2, 4: 2, 5: 2, 6: 2, 7: 2,
+                       10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
     def test_shingle_units_exact(self, spark):
         """3-word shingles are the exact sliding window over normalized
         tokens; docs shorter than n yield no units."""
