@@ -27,18 +27,20 @@ MINHASH_K = 4
 LSH_BANDS = 2  # rows per band = MINHASH_K // LSH_BANDS
 
 
+def _tokens(text_col: str):
+    """Shared normalizer: lowercase, non-alphanumerics → space, trim, split.
+    Single source of truth for _words AND _shingles — the oracle's
+    _WORDS_CTE mirrors this expression and all three must stay in
+    lockstep."""
+    return F.split(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " ")),
+        " ")
+
+
 def _words(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Distinct (id, word) pairs, lowercase, alphanumeric words only."""
     return (
-        df.select(
-            F.col(id_col),
-            F.explode(
-                F.split(
-                    F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " ")),
-                    " ",
-                )
-            ).alias("word"),
-        )
+        df.select(F.col(id_col), F.explode(_tokens(text_col)).alias("word"))
         .filter(F.col("word") != "")
         .distinct()
     )
@@ -49,9 +51,7 @@ def _shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     (space-joined sliding window — Broder's k-shingles, the unit real
     near-dup pipelines hash; single words flag too many false near-dups).
     Pure Column ops: normalized split → sequence/slice window → explode."""
-    toks = F.split(
-        F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " ")),
-        " ")
+    toks = _tokens(text_col)
     # guard: sequence(1, 0) would COUNT DOWN in Spark, so short docs get an
     # explicit empty array instead
     sh = F.expr(
@@ -230,7 +230,7 @@ def embedding_near_dup(
     return similarity.cosine_pairs_lsh(df, dim, threshold, id_col, vec_col)
 
 
-def dedup_clusters(pairs: DataFrame) -> DataFrame:
+def dedup_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
     """Near-dup pair list → connected components: (doc_id, cluster_id) with
     cluster_id = the smallest id in the component (the canonical keep id —
     the step a real dedup pipeline runs after pair generation; everything
@@ -239,17 +239,26 @@ def dedup_clusters(pairs: DataFrame) -> DataFrame:
     Distributed min-label propagation: each iteration joins current labels
     across edges and keeps the per-node minimum; converges in O(component
     diameter) iterations — near-dup clusters are shallow (dups of dups of
-    one source), so the loop is short in practice and hard-capped. Only
-    ids that appear in ``pairs`` are labeled (singletons need no cluster).
-    At extreme scale swap the propagation for large-star/small-star
-    (Kiveris et al.) — same join shape, fewer rounds."""
+    one source). Non-convergence within ``max_iters`` RAISES rather than
+    silently returning intermediate labels (the oracle computes the full
+    closure — a capped partial answer would diverge unseen). Only ids that
+    appear in ``pairs`` are labeled (singletons need no cluster). At
+    extreme scale swap the propagation for large-star/small-star (Kiveris
+    et al.) — same join shape, logarithmic rounds.
+
+    Storage: edges and labels are eagerly localCheckpointed — edges so the
+    upstream pair-generation DAG (often an LSH band self-join) executes
+    ONCE instead of once per round, labels every few rounds to cut lineage
+    growth. Superseded label snapshots become unreferenced on the next
+    checkpoint and are reclaimed asynchronously by Spark's ContextCleaner."""
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     edges = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
     labels = (edges.select(F.col("src").alias("id")).distinct()
-              .withColumn("label", F.col("id")))
-    for _ in range(32):  # hard cap ≥ any realistic component diameter
+              .withColumn("label", F.col("id"))
+              .localCheckpoint(eager=True))
+    for it in range(max_iters):
         nbr = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src").agg(F.min("label").alias("nbr_label"))
@@ -264,16 +273,20 @@ def dedup_clusters(pairs: DataFrame) -> DataFrame:
                 ).alias("label"),
             )
         )
-        new = new.localCheckpoint(eager=True)  # cut lineage per round
+        if it % 3 == 2:  # bound lineage; every round would pin a snapshot
+            new = new.localCheckpoint(eager=True)
         changed = (
             new.alias("n").join(labels.alias("o"), "id")
             .filter(F.col("n.label") != F.col("o.label")).limit(1).count()
         )
         labels = new
         if changed == 0:
-            break
-    return labels.select(F.col("id").alias("doc_id"),
-                         F.col("label").alias("cluster_id"))
+            return labels.select(F.col("id").alias("doc_id"),
+                                 F.col("label").alias("cluster_id"))
+    raise RuntimeError(
+        f"dedup_clusters did not converge in {max_iters} rounds — a "
+        f"component deeper than {max_iters} hops; raise max_iters or use a "
+        "large-star/small-star formulation")
 
 
 def jaccard_pairs_lsh(
