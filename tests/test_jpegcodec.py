@@ -322,3 +322,47 @@ def test_multi_scan_rejected():
     data[sos:seg_end] = new_sos
     with pytest.raises(jpegcodec.JpegDecodeError):
         jpegcodec.decode_jpeg(bytes(data))
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=40),
+    w=st.integers(min_value=1, max_value=40),
+    seed=st.integers(min_value=0, max_value=10_000),
+    subsample=st.booleans(),
+    color=st.booleans(),
+)
+def test_property_roundtrip_never_crashes(h, w, seed, subsample, color):
+    """Any size (incl. non-multiple-of-8/16 and 1-pixel), any content,
+    both color modes: encode→decode preserves shape and stays within
+    quantization error — no crashes, no shape drift."""
+    rng = np.random.RandomState(seed)
+    if color:
+        img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        dec = jpegcodec.decode_jpeg(encode_jpeg(img, subsample=subsample))
+        assert dec.shape == (h, w, 3)
+    else:
+        img = rng.randint(0, 256, size=(h, w), dtype=np.uint8)
+        dec = jpegcodec.decode_jpeg_gray(encode_jpeg(img))
+        assert dec.shape == (h, w)
+        err = np.abs(dec.astype(int) - img.astype(int))
+        assert float(err.mean()) < 40  # noise worst case at q=16
+
+
+@settings(max_examples=25, deadline=None)
+@given(cut=st.integers(min_value=0, max_value=400), data=st.data())
+def test_property_truncation_is_error_or_valid(cut, data):
+    """Truncating a JPEG anywhere either raises JpegDecodeError or, when
+    the cut lands past the last needed byte, still decodes the full frame
+    — it must never crash with a different exception type."""
+    img = np.full((16, 24), 77, dtype=np.uint8)
+    full = encode_jpeg(img)
+    cut = min(cut, len(full))
+    try:
+        out = jpegcodec.decode_jpeg_gray(full[:cut])
+        assert out.shape == (16, 24)  # only reachable if decode succeeded
+    except jpegcodec.JpegDecodeError:
+        pass
