@@ -625,6 +625,39 @@ def video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.length("media").alias("n_bytes"), "error")
 
 
+_STREAM_EXTRACT_CACHE: dict[str, str] = {}
+
+
+def streaming_extract_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingestion under the hard gate: the deterministic corpus
+    lands as file-source micro-batches, runs the SAME extraction plan via
+    foreachBatch with a checkpoint and a batch_id-idempotent sink, and the
+    materialized output must hash-match the single-node oracle (VALUES).
+    Repeat calls in one session reuse the drained output — re-draining an
+    unchanged source is a no-op by checkpoint design."""
+    import tempfile
+
+    from resume_ocr_spark import corpus, streaming as streamops, warehouse
+
+    if "out" not in _STREAM_EXTRACT_CACHE:
+        docs, blobs = corpus.gen_corpus(36, seed=777, with_edge_cases=False)
+        root = tempfile.mkdtemp(prefix="stream_gate_wh_")
+        out = tempfile.mkdtemp(prefix="stream_gate_out_")
+        cp = tempfile.mkdtemp(prefix="stream_gate_cp_")
+        warehouse.build_warehouse(spark, root, docs, blobs)
+        streamops.stream_extract(spark, root, out, cp)
+        _STREAM_EXTRACT_CACHE["out"] = out
+    path = os.path.join(_STREAM_EXTRACT_CACHE["out"],
+                        "documents_extracted_stream", "data")
+    df = spark.read.parquet(path)
+    return df.select(
+        "doc_id",
+        F.size("spans").alias("n_spans"),
+        "parse_failures", "ocr_pages",
+        F.length("full_text").alias("text_len"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship smoke query on sf0.001 (driver checks rows>0)."""
     return extract_pipeline(spark, "/root/testdata/sf0.001")
@@ -679,6 +712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_window_counts": streaming_window_counts,
         "streaming_sessionize": streaming_sessionize,
         "streaming_stateful_sessions": streaming_stateful_sessions,
+        "streaming_extract_ingest": streaming_extract_ingest,
         "extract_pipeline": extract_pipeline,
         "multimodal_meta": multimodal_meta,
         "audio_meta": audio_meta,
@@ -1234,6 +1268,7 @@ def oracle_sql() -> dict[str, str]:
     # the inputs are sf-independent and the codecs/oracle deterministic, so
     # the expected output is computed single-node and embedded as VALUES
     sqls["extract_pipeline"] = _precomputed("extract_pipeline")
+    sqls["streaming_extract_ingest"] = _precomputed("streaming_extract_ingest")
     sqls["embedding_ann_ivf_det"] = _precomputed("embedding_ann_ivf_det")
     sqls["multimodal_meta"] = _precomputed("multimodal_meta")
     sqls["audio_meta"] = _precomputed("audio_meta")
@@ -1298,6 +1333,22 @@ def _precomputed(name: str) -> str:
             ("parse_failures", "INTEGER"), ("ocr_pages", "INTEGER"),
             ("rejected", "BOOLEAN"), ("score_num", "DOUBLE"),
             ("rank", "INTEGER"), ("text_len", "INTEGER")])
+    elif name == "streaming_extract_ingest":
+        docs, blobs = corpus.gen_corpus(36, seed=777, with_edge_cases=False)
+        res = oracle.run_pipeline(docs, blobs)
+        rows = []
+        for d in docs:
+            spans = res[d["doc_id"]]["spans"]
+            rows.append((
+                d["doc_id"], len(spans),
+                sum(1 for s in spans if s["error"] is not None),
+                sum(s["ocr_pages"] or 0 for s in spans),
+                len(oracle.doc_text(spans)),
+            ))
+        sql = _values_sql(rows, [
+            ("doc_id", "VARCHAR"), ("n_spans", "INTEGER"),
+            ("parse_failures", "INTEGER"), ("ocr_pages", "INTEGER"),
+            ("text_len", "INTEGER")])
     elif name == "embedding_ann_ivf_det":
         from resume_ocr_spark.operators import similarity as sim
 

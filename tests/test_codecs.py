@@ -260,3 +260,22 @@ class TestDctPdfImages:
         assert len(imgs) == 1
         decoded = ic.decode_rimg(imgs[0])
         np.testing.assert_array_equal(decoded, page)  # flat → exact
+
+
+class TestGlyphModeProperty:
+    @given(st.lists(
+        st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FFF,
+                                       blacklist_categories=("Cs", "Cc")),
+                min_size=0, max_size=40),
+        min_size=1, max_size=8))
+    @settings(max_examples=30, deadline=None)
+    def test_glyph_roundtrip_any_bmp_text(self, lines):
+        """Per-glyph CID emission round-trips ANY BMP text (the identity
+        ToUnicode CMap carries every code point), with blank lines dropped
+        and right-whitespace trimmed — the writer/parser contract."""
+        text = "\n".join(lines)
+        pdf = pc.write_text_pdf([text], glyph_mode=True)
+        out = pc.extract_text(pdf)
+        want = [ln.rstrip() for ln in lines if ln.strip()]
+        got = [ln for ln in out.split("\n") if ln]
+        assert got == [w for w in want if w]
