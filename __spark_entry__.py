@@ -461,6 +461,15 @@ def embedding_ann_ivf_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(df, query_id=7, k=10, n_probe=4)
 
 
+def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded hyperplane-LSH ANN: exact cosine only among vectors sharing a
+    signature band with the query — the bucket-join top-k (similarity.
+    lsh_bucketed_topk), hash-checked via the same plane constants mirrored
+    into SQL as dedup_embedding_lsh."""
+    return similarity.lsh_bucketed_topk(
+        _t(spark, sf_dir, "embeddings"), query_id=0, dim=64, k=10)
+
+
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return (
@@ -591,6 +600,50 @@ def _media_texts(n: int) -> list[tuple[int, str]]:
             for i in range(n)]
 
 
+def html_strip_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HTML branch standalone under the hard gate: boilerplate strip +
+    block classification over deterministic wrapped resumes, run through
+    the SAME mapInPandas path the pipeline uses; oracle = the shared pure
+    function's output as VALUES (length + md5 of the stripped text)."""
+    import random
+
+    from resume_ocr_spark import corpus
+    from resume_ocr_spark.operators import extract
+
+    rng = random.Random(99)
+    rows = [(f"h{i:03d}", 0, "html",
+             corpus.wrap_html(corpus.make_resume_text(rng)), "")
+            for i in range(25)]
+    spans = spark.createDataFrame(
+        rows, "doc_id string, offset int, kind string, text string, "
+              "media_ref string")
+    blobs = spark.createDataFrame([], "media_ref string, payload binary")
+    out = extract.extract_spans(spans, blobs)
+    return out.select("doc_id", F.length("text").alias("text_len"),
+                      F.md5("text").alias("text_md5"), "error")
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image transform op under the gate: 2× max-pool downsample on the
+    binary column, then metadata — dims/pixels/mean must match the
+    single-node replica exactly."""
+    from resume_ocr_spark.operators import multimodal
+
+    docs = spark.createDataFrame(_media_texts(20), "doc_id long, text string")
+    resized = multimodal.resize_half(multimodal.render_binary_column(docs))
+    return multimodal.image_metadata(resized)
+
+
+def audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level audio feature fan-out (the UDTF-shaped op): fixed-length
+    frames → per-frame RMS energy rows."""
+    from resume_ocr_spark.operators import multimodal
+
+    docs = spark.createDataFrame(_media_texts(20), "doc_id long, text string")
+    return multimodal.audio_frame_energy(
+        multimodal.render_audio_column(docs), frame_len=512)
+
+
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary media column → decode metadata via Arrow
     batch UDF (schema/partitioning/batch shape real; heavy decode is the
@@ -705,6 +758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_topk": embedding_cosine_topk,
         "embedding_ann_ivf": embedding_ann_ivf,
         "embedding_ann_ivf_det": embedding_ann_ivf_det,
+        "embedding_ann_lsh": embedding_ann_lsh,
         "lang_id": lang_id,
         "quality_scores": quality_scores,
         "token_counts": token_counts,
@@ -714,8 +768,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_stateful_sessions": streaming_stateful_sessions,
         "streaming_extract_ingest": streaming_extract_ingest,
         "extract_pipeline": extract_pipeline,
+        "html_strip_gate": html_strip_gate,
         "multimodal_meta": multimodal_meta,
+        "multimodal_resize": multimodal_resize,
         "audio_meta": audio_meta,
+        "audio_energy": audio_energy,
         "video_frames": video_frames,
     }
 
@@ -1228,6 +1285,42 @@ def oracle_sql() -> dict[str, str]:
       SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.3
     """
 
+    # banded hyperplane-LSH ANN: same plane constants as dedup_embedding_lsh;
+    # candidates share band0 OR band1 with the query, exact cosine reranks
+    sqls["embedding_ann_lsh"] = f"""
+      WITH un AS (
+        SELECT vec_id,
+               unnest(CAST(embedding AS DOUBLE[])) AS v,
+               unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings
+      ), planes(b, i, p) AS (VALUES {plane_vals}
+      ), dots AS (
+        SELECT un.vec_id, planes.b, SUM(un.v * planes.p) AS dot
+        FROM un JOIN planes ON un.i = planes.i GROUP BY 1, 2
+      ), sigs AS (
+        SELECT vec_id,
+               CAST(SUM(CASE WHEN dot > 0
+                             THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+                    AS BIGINT) AS sig
+        FROM dots GROUP BY vec_id
+      ), bands AS (
+        SELECT vec_id, (sig % 16) AS b0, ((sig // 16) % 16) AS b1 FROM sigs
+      ), q AS (SELECT b0 AS qb0, b1 AS qb1 FROM bands WHERE vec_id = 0
+      ), bucket AS (
+        SELECT vec_id FROM bands, q WHERE b0 = qb0 OR b1 = qb1
+      ), qv AS (SELECT i, v AS qv FROM un WHERE vec_id = 0
+      ), scored AS (
+        SELECT un.vec_id,
+               ROUND(SUM(un.v * qv.qv) /
+                     SQRT(SUM(un.v * un.v) * SUM(qv.qv * qv.qv)), 6) AS cosine
+        FROM un JOIN qv USING (i)
+        WHERE un.vec_id IN (SELECT vec_id FROM bucket) AND un.vec_id <> 0
+        GROUP BY un.vec_id
+      )
+      SELECT vec_id, cosine FROM scored
+      ORDER BY cosine DESC, vec_id ASC LIMIT 10
+    """
+
     # MinHash at realistic parameters: K=128 signatures, 16 bands of 8 rows
     # (generated SQL — 128 MIN() columns, 16-way banded union)
     _k, _b = MINHASH_K_SCALE, LSH_BANDS_SCALE
@@ -1270,8 +1363,11 @@ def oracle_sql() -> dict[str, str]:
     sqls["extract_pipeline"] = _precomputed("extract_pipeline")
     sqls["streaming_extract_ingest"] = _precomputed("streaming_extract_ingest")
     sqls["embedding_ann_ivf_det"] = _precomputed("embedding_ann_ivf_det")
+    sqls["html_strip_gate"] = _precomputed("html_strip_gate")
     sqls["multimodal_meta"] = _precomputed("multimodal_meta")
+    sqls["multimodal_resize"] = _precomputed("multimodal_resize")
     sqls["audio_meta"] = _precomputed("audio_meta")
+    sqls["audio_energy"] = _precomputed("audio_energy")
     sqls["video_frames"] = _precomputed("video_frames")
     # embedding_ann_ivf stays rows-only: centroids train on a driver-side
     # sample of the sf table, which oracle_sql() cannot see
@@ -1373,6 +1469,52 @@ def _precomputed(name: str) -> str:
         scored.sort(key=lambda t: (-t[1], t[0]))
         sql = _values_sql(scored[:10],
                           [("vec_id", "BIGINT"), ("cosine", "DOUBLE")])
+    elif name == "html_strip_gate":
+        import hashlib
+        import random
+
+        from resume_ocr_spark.formats import htmlcodec
+
+        rng = random.Random(99)
+        rows = []
+        for i in range(25):
+            stripped = htmlcodec.strip_boilerplate(
+                corpus.wrap_html(corpus.make_resume_text(rng)))
+            rows.append((f"h{i:03d}", len(stripped),
+                         hashlib.md5(stripped.encode("utf-8")).hexdigest(),
+                         None))
+        sql = _values_sql(rows, [
+            ("doc_id", "VARCHAR"), ("text_len", "INTEGER"),
+            ("text_md5", "VARCHAR"), ("error", "VARCHAR")])
+    elif name == "multimodal_resize":
+        rows = []
+        for doc_id, text in _media_texts(20):
+            img = imagecodec.decode_image(
+                imagecodec.render_text_image((text or "")[:40]))
+            h2, w2 = (img.shape[0] // 2) * 2, (img.shape[1] // 2) * 2
+            small = img[:h2, :w2].reshape(h2 // 2, 2, w2 // 2, 2).min(
+                axis=(1, 3))
+            rows.append((doc_id, small.shape[0], small.shape[1],
+                         int(small.size), round(float(small.mean()), 4),
+                         None))
+        sql = _values_sql(rows, [
+            ("doc_id", "BIGINT"), ("height", "INTEGER"), ("width", "INTEGER"),
+            ("n_pixels", "BIGINT"), ("mean_intensity", "DOUBLE"),
+            ("error", "VARCHAR")])
+    elif name == "audio_energy":
+        rows = []
+        for doc_id, text in _media_texts(20):
+            _sr, pcm = avcodec.decode_raud(
+                avcodec.render_audio((text or "")[:64]))
+            x = pcm.astype(np.float64) / 32767.0
+            n_frames = len(x) // 512
+            framed = x[: n_frames * 512].reshape(n_frames, 512)
+            rms = np.sqrt(np.mean(framed * framed, axis=1)).round(6)
+            for k in range(n_frames):
+                rows.append((doc_id, k, float(rms[k])))
+        sql = _values_sql(rows, [
+            ("doc_id", "BIGINT"), ("frame_idx", "INTEGER"),
+            ("energy", "DOUBLE")])
     elif name == "multimodal_meta":
         rows = []
         for doc_id, text in _media_texts(30):
