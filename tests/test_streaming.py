@@ -129,6 +129,33 @@ class TestStreamingSessions:
                   for s in grows[d["doc_id"]]]
             assert gk == ek, d["doc_id"]
 
+    def test_stream_extract_replay_is_idempotent(self, spark, tmp_path):
+        """Crash-replay semantics: foreachBatch is at-least-once, so a
+        batch whose output was written but whose checkpoint commit was
+        lost gets REPLAYED. The sink partitions by batch_id and
+        dynamically overwrites, so stale partial output from the doomed
+        attempt is replaced, never duplicated — simulated here by
+        pre-seeding the batch_id=0 partition with garbage rows before the
+        first drain."""
+        from resume_ocr_spark import corpus, warehouse
+
+        docs, blobs = corpus.gen_corpus(12, seed=31, with_edge_cases=False)
+        root, out, cp = (str(tmp_path / p) for p in ("wh", "out", "cp"))
+        warehouse.build_warehouse(spark, root, docs, blobs)
+        out_path = f"{out}/documents_extracted_stream/data"
+        # stale output from a "crashed" earlier attempt of batch 0
+        stale = spark.createDataFrame(
+            [("ghost-doc", 0)], "doc_id string, parse_failures int")
+        (stale.withColumn("batch_id", F.lit(0))
+         .write.mode("overwrite").partitionBy("batch_id").parquet(out_path))
+
+        streamops.stream_extract(spark, root, out, cp)
+        got = spark.read.parquet(out_path)
+        ids = {r["doc_id"] for r in got.select("doc_id").collect()}
+        assert "ghost-doc" not in ids          # stale attempt overwritten
+        assert ids == {d["doc_id"] for d in docs}
+        assert got.count() == len(docs)        # no duplicates either
+
     def test_state_carried_across_microbatches(self, spark, events_pdf,
                                                tmp_path):
         # three time-contiguous files + maxFilesPerTrigger=1 → three
