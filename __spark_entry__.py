@@ -575,6 +575,7 @@ def extract_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = analyze.analyze_documents(
         extract.extract_documents(docs_df, blobs_df, broadcast_blobs=True),
         query=query,
+        persist_input=True,  # live extraction lineage feeds several branches
     )
     return out.select(
         "doc_id",

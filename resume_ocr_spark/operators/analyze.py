@@ -88,11 +88,23 @@ def extract_fields(df: DataFrame, col: str = "full_text") -> DataFrame:
     )
 
 
-def analyze_documents(extracted: DataFrame, query: str | None = None) -> DataFrame:
+def analyze_documents(extracted: DataFrame, query: str | None = None,
+                      persist_input: bool = False) -> DataFrame:
     """documents_extracted → resumes_analyzed.
 
     Output: doc_id, spans, full_text, doc_error, rejected, emails, phones,
-    dates, score_num, score_label, summary, n_sections, rank (query mode)."""
+    dates, score_num, score_label, summary, n_sections, rank (query mode).
+
+    ``persist_input=True`` caches the extracted frame first: this plan
+    references it from multiple branches (analysis UDF input, the base
+    join, the top-k probe), and while AQE's exchange reuse dedupes most of
+    the recompute, caching measures ~25% faster end-to-end when the input
+    is a live extraction lineage. Leave False when the input is already a
+    cheap scan (pipeline.run_extraction reads back from parquet) — the
+    cache is never unpersisted here because the result is lazy; callers
+    own the lifetime (or let the session end reclaim it)."""
+    if persist_input:
+        extracted = extracted.persist()
     base = classify_resumes(extracted)
     base = extract_fields(base)
 
