@@ -625,9 +625,9 @@ def html_strip_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image transform op under the gate: 2× max-pool downsample on the
-    binary column, then metadata — dims/pixels/mean must match the
-    single-node replica exactly."""
+    """Image transform op under the gate: 2× min-pool downsample on the
+    binary column (ink-preserving), then metadata — dims/pixels/mean must
+    match the single-node replica exactly."""
     from resume_ocr_spark.operators import multimodal
 
     docs = spark.createDataFrame(_media_texts(20), "doc_id long, text string")
@@ -694,10 +694,15 @@ def streaming_extract_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from resume_ocr_spark import corpus, streaming as streamops, warehouse
 
     if "out" not in _STREAM_EXTRACT_CACHE:
+        import atexit
+        import shutil
+
         docs, blobs = corpus.gen_corpus(36, seed=777, with_edge_cases=False)
         root = tempfile.mkdtemp(prefix="stream_gate_wh_")
         out = tempfile.mkdtemp(prefix="stream_gate_out_")
         cp = tempfile.mkdtemp(prefix="stream_gate_cp_")
+        for d in (root, out, cp):  # don't accumulate across gate runs
+            atexit.register(shutil.rmtree, d, ignore_errors=True)
         warehouse.build_warehouse(spark, root, docs, blobs)
         streamops.stream_extract(spark, root, out, cp)
         _STREAM_EXTRACT_CACHE["out"] = out

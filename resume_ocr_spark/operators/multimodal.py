@@ -101,8 +101,9 @@ def image_metadata(media_df: DataFrame) -> DataFrame:
 
 
 def resize_half(media_df: DataFrame) -> DataFrame:
-    """Real image transform on the binary column: 2× max-pool downsample
-    (vectorized numpy inside the batch UDF)."""
+    """Real image transform on the binary column: 2× MIN-pool downsample
+    (min preserves dark ink strokes on white documents, where mean/max
+    would thin them; vectorized numpy inside the batch UDF)."""
     def rz(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_payloads = []
