@@ -18,6 +18,7 @@ def get_spark(
     app_name: str = "resume_ocr_spark",
     cores: int | None = None,
     shuffle_partitions: int | None = None,
+    task_retries: int | None = None,
 ) -> SparkSession:
     # one BLAS thread per Python worker: Spark already parallelizes across
     # workers, and N workers × M BLAS threads oversubscribes the box
@@ -26,9 +27,17 @@ def get_spark(
         os.environ.setdefault(var, "1")
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(cores, 32)
+    # C3 retry budget: local mode IGNORES spark.task.maxFailures — retries
+    # require the local[N, F] master form. F=2 means one retry, enough for
+    # transient task faults; every stage is deterministic (value-hash salts,
+    # seeded corpus, pure codecs) so a retried task reproduces its output
+    # exactly (tests/test_retry_determinism.py injects failures to prove it).
+    task_retries = task_retries or int(
+        os.environ.get("SPARK_GRAFT_TASK_RETRIES", "2"))
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(f"local[{cores}]")
+        .master(f"local[{cores}, {task_retries}]")
+        .config("spark.task.maxFailures", str(task_retries))  # cluster parity
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
