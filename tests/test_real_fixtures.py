@@ -125,16 +125,34 @@ def test_oracle_span_direct_text_branch(name):
 
 
 def test_oracle_span_ocr_branch_real_scan():
-    """Image-style fixture goes down the OCR branch: per-page stand-in OCR
-    output (deterministic glyph-matcher — real Tesseract is not in this
-    container) joined with ordered page markers, never an exception."""
+    """Image-style fixture goes down the OCR branch: either real-font OCR
+    recognizes the pages (page-marker joined text), or the confidence gate
+    emits an explicit error row — never garbage text, never an exception."""
     text, error, pages = oracle.extract_span(
         "pdf", "", "m", _load("receita_bolo_img.pdf"))
     assert pages == 2
     if error is None:
         assert "--- Página 1 ---" in text and "--- Página 2 ---" in text
     else:
-        assert error == "empty OCR result"
+        assert error in ("unrecognized glyphs", "empty OCR result")
+
+
+@pytest.mark.parametrize("name,kind", [
+    ("tatiana_guedes.pdf", "pdf"), ("olivia_pereira.png", "image"),
+])
+def test_ocr_confidence_gate_no_garbage(name, kind):
+    """Round-2 verdict ask #1: a real-font page must never flow garbage text
+    into classification. Either the real-font recognizer reads it (text
+    contains the person's name from the scan) or the gate yields an explicit
+    'unrecognized glyphs' error row with ocr_pages still counted."""
+    text, error, pages = oracle.extract_span(kind, "", "m", _load(name))
+    assert pages >= 1
+    if error is None:
+        stem = name.split(".")[0].split("_")[0].upper()  # TATIANA / OLIVIA
+        assert stem in text.upper()
+    else:
+        assert error == "unrecognized glyphs"
+        assert text == ""
 
 
 def test_all_fixture_pdfs_total():
