@@ -69,8 +69,15 @@ def classify_resumes(extracted: DataFrame) -> DataFrame:
     )
     contact = (head.rlike(textproc.EMAIL_PATTERN)
                | head.rlike(textproc.PHONE_PATTERN))
-    accepted = (found >= textproc.MIN_HEADINGS_FOR_RESUME) | (
-        (found >= 1) & contact)
+    # content-negative veto: culinary lexicon outweighs structural headings
+    # (semantic 'mascarado como currículo' reject — textproc lexicon notes)
+    negative = sum(
+        F.when(head.rlike(p), 1).otherwise(0)
+        for p in textproc.NEGATIVE_STEM_PATTERNS
+    )
+    accepted = ((found >= textproc.MIN_HEADINGS_FOR_RESUME) | (
+        (found >= 1) & contact)) & (
+        negative <= textproc.MAX_NEGATIVE_FOR_RESUME)
     return extracted.withColumn(
         "rejected",
         F.when(F.col("doc_error").isNotNull(), F.lit(False)).otherwise(

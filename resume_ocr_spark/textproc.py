@@ -102,23 +102,52 @@ HEADING_STEM_PATTERNS = (
 )
 
 
+# Content-negative lexicon: culinary/recipe token families. The reference's
+# LLM judge rejects documents "mascarado como currículo" — structured like a
+# resume but semantically something else (validation_service.py:115-187 user
+# prompt; fixture receita_bolo.pdf, a cake recipe with resume headings).
+# The deterministic approximation: ≥3 distinct culinary families in the
+# validation window outweigh structural headings. Measured: receita_bolo
+# trips 12 families; every genuine fixture + synthetic resume trips 0.
+# Dialect-neutral spelled-case alternations (no (?i): Java regex needs
+# UNICODE_CASE for accented case folding, Python doesn't — explicit cases
+# keep the oracle and the Column mirror bit-identical).
+NEGATIVE_STEM_PATTERNS = (
+    r"\b(?:X[ÍI]CARAS?|[Xx][íi]caras?)",
+    r"(?:FARINHA|[Ff]arinha)",
+    r"(?:FERMENTO|[Ff]ermento)",
+    r"(?:A[ÇC][ÚU]CAR|[Aa][çc][úu]car)",
+    r"\b(?:OVOS|[Oo]vos)\b",
+    r"\b(?:BOLOS?|[Bb]olos?)\b",
+    r"\b(?:CENOURAS?|[Cc]enouras?)\b",
+    r"(?:MANTEIGA|[Mm]anteiga)",
+    r"(?:CHOCOLATE|[Cc]hocolate)",
+    r"(?:INGREDIENTES|[Ii]ngredientes)",
+    r"(?:MODO DE PREPARO|[Mm]odo de [Pp]reparo)",
+    r"\b(?:FORNO|[Ff]orno)\b",
+    r"(?:COLHER(?:ES)? DE SOPA|[Cc]olher(?:es)? de sopa)",
+)
+MAX_NEGATIVE_FOR_RESUME = 2  # ≥3 distinct culinary families ⇒ semantic reject
+
+
 def is_resume(text: str) -> bool:
-    """Structural resume judge on the first VALIDATION_TEXT_CAP chars:
-    ≥2 distinct heading-stem families, or 1 family plus an explicit contact
-    token (email/phone). Deterministic stand-in for the reference's LLM
-    semantic judge (validation_service.py:115-187) — structure-alike
-    non-resumes (e.g. the receita_bolo 'cake resume' fixture, which only
-    semantics can reject) pass here by design; see tests/test_real_fixtures.
-    Verified to accept every real text fixture resume and reject the
-    synthetic recipe/memo negatives."""
+    """Resume judge on the first VALIDATION_TEXT_CAP chars:
+    structural accept = ≥2 distinct heading-stem families, or 1 family plus
+    an explicit contact token (email/phone); then a content-negative veto =
+    >MAX_NEGATIVE_FOR_RESUME distinct culinary families (the deterministic
+    stand-in for the reference LLM judge's semantic reject of
+    documents 'mascarado como currículo', validation_service.py:115-187).
+    Verified to accept every real text fixture resume and reject both
+    receita_bolo.pdf and the synthetic recipe/memo negatives."""
     head = text[:VALIDATION_TEXT_CAP]
     found = sum(1 for p in HEADING_STEM_PATTERNS if re.search(p, head))
-    if found >= MIN_HEADINGS_FOR_RESUME:
-        return True
-    if found < 1:
+    if found < MIN_HEADINGS_FOR_RESUME and not (
+        found >= 1 and (re.search(EMAIL_PATTERN, head) is not None
+                        or re.search(PHONE_PATTERN, head) is not None)
+    ):
         return False
-    return (re.search(EMAIL_PATTERN, head) is not None
-            or re.search(PHONE_PATTERN, head) is not None)
+    negative = sum(1 for p in NEGATIVE_STEM_PATTERNS if re.search(p, head))
+    return negative <= MAX_NEGATIVE_FOR_RESUME
 
 
 def _is_heading_line(stripped: str) -> bool:

@@ -66,14 +66,16 @@ def test_real_resumes_all_classified():
         assert textproc.is_resume(_text(name)), name
 
 
-def test_cake_resume_is_a_known_structural_false_positive():
+def test_cake_resume_semantic_reject():
     """receita_bolo.pdf is a recipe FORMATTED as a resume (headings
     'Resumo Profissional', 'Experiência Profissional', …). The reference
-    rejects it semantically via its LLM judge (validation_service.py) —
-    a capability a deterministic structural judge intentionally does not
-    claim. Pinned here so the divergence is visible, not silent."""
+    rejects it semantically via its LLM judge (validation_service.py:115-187,
+    'mascarado como currículo'); the deterministic mirror is the
+    content-negative culinary lexicon (textproc.NEGATIVE_STEM_PATTERNS):
+    12 distinct families trip on this document vs 0 on every genuine
+    fixture, so the veto flips it to rejection (round-2 verdict ask #3)."""
     t = _text("receita_bolo.pdf")
-    assert textproc.is_resume(t) is True  # structural acceptance, by design
+    assert textproc.is_resume(t) is False
 
 
 def test_real_fixture_field_extraction():
