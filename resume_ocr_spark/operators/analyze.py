@@ -108,8 +108,11 @@ def analyze_documents(extracted: DataFrame, query: str | None = None,
     the recompute, caching measures ~25% faster end-to-end when the input
     is a live extraction lineage. Leave False when the input is already a
     cheap scan (pipeline.run_extraction reads back from parquet) — the
-    cache is never unpersisted here because the result is lazy; callers
-    own the lifetime (or let the session end reclaim it)."""
+    cache is never unpersisted here because the result is lazy; the pinned
+    frame is handed back as ``result.persisted_input`` so callers release
+    it after materializing (``storage.release_handles(result)``), or wrap
+    the input in ``storage.persisted(...)`` instead — one-shot jobs may
+    simply let session teardown reclaim it."""
     if persist_input:
         extracted = extracted.persist()
     base = classify_resumes(extracted)
@@ -136,6 +139,8 @@ def analyze_documents(extracted: DataFrame, query: str | None = None,
         out = rank_top_k(out)
     else:
         out = out.withColumn("rank", F.lit(None).cast("int"))
+    if persist_input:
+        out.persisted_input = extracted  # caller releases after materializing
     return out
 
 

