@@ -340,11 +340,6 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(docs.unionAll(shifted), "doc_id", "text")
 
 
-def dedup_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    return dedup.minhash_signatures(docs, "doc_id", "text")
-
-
 def dedup_minhash_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash over 3-word SHINGLES (Broder's formulation — the unit real
     near-dup pipelines hash; word-set minhash flags too many false
@@ -496,6 +491,27 @@ def streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round(F.sum("value"), 2).alias("total_value"))
     )
     return streamops.run_available_now(agg, "events_hourly", "complete").select(
+        F.col("w.start").cast("string").alias("window_start"),
+        "event_type", "n_events", "total_value",
+    )
+
+
+def streaming_window_counts_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming in APPEND output mode over a genuine TWO-micro-
+    batch source (time-split files, maxFilesPerTrigger=1): watermark
+    advances between batches and each window row is emitted exactly once
+    when the watermark passes its end. Output = closed windows only —
+    windows still open at drain stay in state (the live-stream form with
+    bounded state; round-2 verdict ask #5). Oracle: the same aggregation
+    restricted to windows whose end ≤ max(ts) − watermark."""
+    from resume_ocr_spark import streaming as streamops
+
+    stream = streamops.events_two_batch_stream(spark, sf_dir)
+    agg = streamops.windowed_counts_append(stream, window="1 hour",
+                                           watermark="2 hours")
+    return streamops.run_available_now(
+        agg, "events_hourly_append", "append"
+    ).select(
         F.col("w.start").cast("string").alias("window_start"),
         "event_type", "n_events", "total_value",
     )
@@ -738,7 +754,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_lag_gap": window_lag_gap,
         "salted_hot_key_agg": salted_hot_key_agg,
         "dedup_exact": dedup_exact,
-        "dedup_minhash_sigs": dedup_minhash_sigs,
         "dedup_minhash_shingles": dedup_minhash_shingles,
         "dedup_simhash": dedup_simhash,
         "dedup_jaccard_pairs": dedup_jaccard_pairs,
@@ -755,6 +770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": token_counts,
         "doc_fingerprints": doc_fingerprints,
         "streaming_window_counts": streaming_window_counts,
+        "streaming_window_counts_append": streaming_window_counts_append,
         "streaming_sessionize": streaming_sessionize,
         "streaming_stateful_sessions": streaming_stateful_sessions,
         "streaming_extract_ingest": streaming_extract_ingest,
@@ -960,12 +976,6 @@ def oracle_sql() -> dict[str, str]:
       FROM uni
       GROUP BY 1 HAVING COUNT(*) > 1
     """
-    sqls["dedup_minhash_sigs"] = _WORDS_CTE.format(filt="WHERE doc_id < 100") + """
-      SELECT doc_id,
-             MIN(md5(word || ':0')) AS mh0, MIN(md5(word || ':1')) AS mh1,
-             MIN(md5(word || ':2')) AS mh2, MIN(md5(word || ':3')) AS mh3
-      FROM words GROUP BY doc_id
-    """
     # 3-word shingles: positional parallel unnest, then i/i+1/i+2 self-joins
     # rebuild the sliding window exactly as the Column-side slice() does
     sqls["dedup_minhash_shingles"] = """
@@ -1139,6 +1149,20 @@ def oracle_sql() -> dict[str, str]:
              event_type, COUNT(*) AS n_events,
              ROUND(SUM(value), 2) AS total_value
       FROM events GROUP BY 1, 2
+    """
+    # append mode: CLOSED windows only — window end ≤ final watermark
+    # (max event time − 2h); Spark emits a window exactly when the
+    # watermark passes its end, verified empirically at sf0.01
+    sqls["streaming_window_counts_append"] = """
+      WITH wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM events),
+      agg AS (
+        SELECT date_trunc('hour', ts) AS wstart, event_type,
+               COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+        FROM events GROUP BY 1, 2
+      )
+      SELECT CAST(wstart AS VARCHAR) AS window_start, event_type,
+             n_events, total_value
+      FROM agg, wm WHERE wstart + INTERVAL 1 HOUR <= wm.w
     """
     _SESSIONS_CTE = """
       WITH lagged AS (

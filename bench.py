@@ -30,11 +30,12 @@ HEADLINE = [
     "q1_pricing_summary", "q3_shipping_priority", "media_join",
     "window_topk_per_group", "topk_orders", "join_region_rollup",
     "sql_local_supplier_revenue",
-    "dedup_exact", "dedup_minhash_sigs", "dedup_jaccard_pairs",
+    "dedup_exact", "dedup_minhash_shingles", "dedup_jaccard_pairs",
     "dedup_jaccard_lsh", "dedup_lsh_candidates_k128",
     "dedup_embedding_pairs", "dedup_embedding_lsh",
     "embedding_cosine_topk", "lang_id",
     "quality_scores", "streaming_window_counts", "streaming_sessionize",
+    "streaming_window_counts_append",
 ]
 
 

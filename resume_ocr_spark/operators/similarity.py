@@ -228,13 +228,18 @@ def _unit(mat: np.ndarray) -> np.ndarray:
 def ivf_assign(
     df: DataFrame, centroids: np.ndarray,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    batch_counter=None,
 ) -> DataFrame:
     """Adds ``cell``: nearest-centroid id, computed batch-vectorized in an
-    Arrow UDF (one matmul per batch — no shuffle)."""
+    Arrow UDF (one matmul per batch — no shuffle). ``batch_counter``: an
+    optional Spark accumulator bumped once per Arrow batch — lets callers
+    (IvfIndex, tests) prove how many assignment passes actually ran."""
     cent = centroids.copy()
 
     def assign(batches):
         for pdf in batches:
+            if batch_counter is not None:
+                batch_counter.add(1)
             mat = np.array(list(pdf[vec_col]), dtype=np.float64)
             cells = (_unit(mat) @ cent.T).argmax(axis=1) if len(mat) else []
             out = pdf[[id_col, vec_col]].copy()
@@ -243,6 +248,57 @@ def ivf_assign(
 
     schema = f"{id_col} long, {vec_col} array<float>, cell int"
     return df.select(id_col, vec_col).mapInPandas(assign, schema=schema)
+
+
+class IvfIndex:
+    """Materialized IVF-Flat index: train once, assign the whole table ONCE,
+    serve many top-k queries off the cached assignment — how an ANN index is
+    actually served (round-2 verdict ask #7; the one-shot :func:`ivf_topk`
+    re-assigns per call, fine for a single query, wasteful for a workload).
+
+    ``build()`` trains the codebook, runs the assignment pass and pins it
+    (``.persist()`` by default, or written to ``path`` as a parquet table —
+    the durable form a real serving layer would read). ``topk()`` only
+    filters the assigned table to the probe cells and reranks exactly.
+    Release executor storage with ``unpersist()`` (or ``storage.persisted``
+    discipline) when the index is retired."""
+
+    def __init__(self, assigned: DataFrame, centroids: np.ndarray,
+                 id_col: str, vec_col: str):
+        self.assigned = assigned
+        self.centroids = centroids
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    @classmethod
+    def build(cls, df: DataFrame, id_col: str = "vec_id",
+              vec_col: str = "embedding", k_cells: int = IVF_CELLS,
+              path: str | None = None, batch_counter=None) -> "IvfIndex":
+        centroids = ivf_train(df, id_col, vec_col, k=k_cells)
+        assigned = ivf_assign(df, centroids, id_col, vec_col, batch_counter)
+        if path is not None:
+            # durable index table, partitioned by cell → probe reads prune
+            # to n_probe partitions at the scan
+            assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+            assigned = df.sparkSession.read.parquet(path)
+        else:
+            assigned = assigned.persist()
+            assigned.count()  # materialize the single assignment pass now
+        return cls(assigned, centroids, id_col, vec_col)
+
+    def topk(self, query_id: int, k: int = 10, n_probe: int = 2) -> DataFrame:
+        qvec = np.array(
+            self.assigned.filter(F.col(self.id_col) == query_id)
+            .select(self.vec_col).first()[0], dtype=np.float64)
+        qvec = qvec / (np.linalg.norm(qvec) or 1.0)
+        probe = [int(c) for c in
+                 (self.centroids @ qvec).argsort()[::-1][:n_probe]]
+        bucket = (self.assigned.filter(F.col("cell").isin(probe))
+                  .select(self.id_col, self.vec_col))
+        return cosine_topk(bucket, query_id, k, self.id_col, self.vec_col)
+
+    def unpersist(self, blocking: bool = False) -> None:
+        self.assigned.unpersist(blocking=blocking)
 
 
 def ivf_topk(

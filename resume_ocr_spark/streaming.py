@@ -75,6 +75,69 @@ def events_file_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_two_batch_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-MICRO-BATCH file stream over the events table: the table is split
+    at the midpoint timestamp into an older and a newer parquet file, mtimes
+    staggered so the file source (oldest-first, maxFilesPerTrigger=1) feeds
+    them as two successive micro-batches. Because the split is by event
+    time, batch 2 is strictly newer than batch 1 — the watermark advanced by
+    batch 1 never drops a batch-2 event, so append-mode results are
+    deterministic and oracle-checkable while still exercising a genuinely
+    advancing watermark across batches (what a single availableNow drain of
+    one file cannot)."""
+    import hashlib
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    key = hashlib.md5(("2batch:" + sf_dir).encode("utf-8")).hexdigest()[:12]
+    d = os.path.join("/tmp", f"events_2batch_{key}")
+    done = os.path.join(d, "_SPLIT_DONE")
+    if not os.path.exists(done):
+        os.makedirs(d, exist_ok=True)
+        t = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+        ts = t.column("ts")
+        tmin, tmax = pc.min(ts).as_py(), pc.max(ts).as_py()
+        mid = tmin + (tmax - tmin) / 2
+        mid_s = pa.scalar(mid, type=ts.type)
+        f0 = os.path.join(d, "batch-0.parquet")
+        f1 = os.path.join(d, "batch-1.parquet")
+        pq.write_table(t.filter(pc.less(ts, mid_s)), f0)
+        pq.write_table(t.filter(pc.greater_equal(ts, mid_s)), f1)
+        now = _time.time()
+        os.utime(f0, (now - 120, now - 120))  # oldest-first pickup order
+        os.utime(f1, (now, now))
+        with open(done, "w"):
+            pass
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+
+
+def windowed_counts_append(stream: DataFrame, window: str = "1 hour",
+                           watermark: str = "2 hours") -> DataFrame:
+    """Tumbling-window aggregation in APPEND output mode: a window row is
+    emitted exactly once, when the watermark passes its end — the live-
+    stream form (complete mode re-emits the whole result table every
+    trigger, which no real sink wants at scale; append + eviction is how
+    the state store stays bounded on an unbounded stream). Only CLOSED
+    windows appear in the output: windows still open when the source
+    drains stay in state, which is precisely the semantics the oracle
+    checks (round-2 verdict ask #5)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
 def run_available_now(df: DataFrame, name: str, output_mode: str) -> DataFrame:
     """Drain the stream into a memory sink with one availableNow trigger and
     return the materialized table."""

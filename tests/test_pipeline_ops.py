@@ -460,3 +460,53 @@ class TestSaltedAggValidation:
 
         with pytest.raises(ValueError, match="avg_value"):
             skew.salted_agg(docs, "lang", {"avg_value": SF.avg("n_chars")})
+
+
+class TestIvfIndex:
+    def test_index_one_assignment_pass_many_queries(self, spark, emb):
+        """IvfIndex.build runs the assignment UDF once (accumulator-proved);
+        subsequent topk() calls reuse the cached assignment and return
+        exactly what the per-query ivf_topk path returns (round-2 verdict
+        ask #7)."""
+        from resume_ocr_spark.operators import similarity
+
+        counter = spark.sparkContext.accumulator(0)
+        idx = similarity.IvfIndex.build(emb, batch_counter=counter)
+        try:
+            batches_after_build = counter.value
+            assert batches_after_build >= 1
+            for qid in (0, 3, 11):
+                got = [(r["vec_id"], r["cosine"])
+                       for r in idx.topk(qid, k=10, n_probe=4).collect()]
+                exp = [(r["vec_id"], r["cosine"])
+                       for r in similarity.ivf_topk(
+                           emb, query_id=qid, k=10, n_probe=4).collect()]
+                assert got == exp, f"query {qid} diverged from one-shot path"
+            # the three queries did not re-run the assignment UDF
+            assert counter.value == batches_after_build
+        finally:
+            idx.unpersist(blocking=True)
+        lvl = idx.assigned.storageLevel
+        assert not (lvl.useMemory or lvl.useDisk)
+
+    def test_index_durable_parquet_form(self, spark, emb, tmp_path):
+        """path= writes the assignment as a cell-partitioned parquet table
+        (the durable serving form); queries off the re-read table match the
+        in-memory index."""
+        from resume_ocr_spark.operators import similarity
+
+        idx_mem = similarity.IvfIndex.build(emb)
+        try:
+            idx_disk = similarity.IvfIndex.build(
+                emb, path=str(tmp_path / "ivf_index"))
+            got = [(r["vec_id"], r["cosine"])
+                   for r in idx_disk.topk(0, k=10, n_probe=4).collect()]
+            exp = [(r["vec_id"], r["cosine"])
+                   for r in idx_mem.topk(0, k=10, n_probe=4).collect()]
+            assert got == exp
+            # partition pruning is available to the probe scan
+            assert (tmp_path / "ivf_index").is_dir()
+            assert any(p.name.startswith("cell=")
+                       for p in (tmp_path / "ivf_index").iterdir())
+        finally:
+            idx_mem.unpersist(blocking=True)

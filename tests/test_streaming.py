@@ -202,3 +202,37 @@ class TestStreamingSessions:
             if u not in last_per_user or s > last_per_user[u][1]:
                 last_per_user[u] = (u, s, e, n)
         assert closed_set == full - set(last_per_user.values())
+
+
+class TestWindowedAppend:
+    def test_append_emits_exactly_closed_windows(self, spark, events_pdf):
+        """Append mode over the two-batch time-split source: a window row
+        appears exactly once, and the output is exactly the windows whose
+        end the final watermark (max ts − 2h) passed — open windows stay
+        in state (bounded-state live-stream form, round-2 verdict ask #5)."""
+        stream = streamops.events_two_batch_stream(spark, SF_DIR)
+        agg = streamops.windowed_counts_append(stream, window="1 hour",
+                                               watermark="2 hours")
+        rows = streamops.run_available_now(
+            agg, "t_wc_append", "append").select(
+            F.col("w.start").alias("wstart"), "event_type",
+            "n_events", "total_value").collect()
+        got = {(r["wstart"], r["event_type"]): (r["n_events"],
+                                                r["total_value"])
+               for r in rows}
+        assert len(got) == len(rows), "a window row was emitted twice"
+
+        ev = events_pdf.copy()
+        ev["wstart"] = ev["ts"].dt.floor("h")
+        wm = ev["ts"].max() - pd.Timedelta(hours=2)
+        grouped = ev.groupby(["wstart", "event_type"]).agg(
+            n=("value", "size"), tot=("value", "sum"))
+        exp = {
+            (w.to_pydatetime(), et): (int(n), round(float(t), 2))
+            for (w, et), (n, t) in grouped.iterrows()
+            if w + pd.Timedelta(hours=1) <= wm
+        }
+        assert got == exp
+        # and strictly fewer rows than the complete-mode result: the open
+        # tail windows are withheld in state, not emitted
+        assert 0 < len(got) < len(grouped)
