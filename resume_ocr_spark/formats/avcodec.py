@@ -162,6 +162,22 @@ def decode_rvid(payload: bytes) -> np.ndarray:
     return np.frombuffer(body, dtype=np.uint8).reshape(n, h, w).copy()
 
 
+def decode_video_any(payload: bytes) -> np.ndarray:
+    """Container dispatch → uint8 frames (n, h, w): RVID (engine-native) or
+    MP4 with an MJPEG track (formats/mp4codec.py). Anything else raises
+    VideoDecodeError → an error row upstream."""
+    if payload[:5] == VIDEO_MAGIC:
+        return decode_rvid(payload)
+    from . import mp4codec
+
+    if mp4codec.is_mp4(payload):
+        try:
+            return mp4codec.extract_frames_gray(payload)
+        except mp4codec.Mp4DecodeError as exc:
+            raise VideoDecodeError(str(exc)) from exc
+    raise VideoDecodeError("bad RVID magic")
+
+
 def frame_to_rimg(frame: np.ndarray) -> bytes:
     """Re-wrap one decoded video frame as a RIMG payload so sampled frames
     feed the existing image operators (metadata/resize) unchanged."""

@@ -51,8 +51,19 @@ def decode_audio(payload: bytes) -> np.ndarray:
 
 
 def sample_video_frames(payload: bytes, every_n: int = 30) -> list[np.ndarray]:
-    """STUB — real MP4/WebM frame sampling (ffmpeg) not in container; the
-    RVID path below exercises identical plumbing."""
+    """Real video frame sampling: MP4 containers with an MJPEG track decode
+    natively (formats/mp4codec.py box parser + baseline JPEG decoder), as
+    does the engine's RVID container. H.264-class tracks and WebM raise —
+    entropy decoding those genuinely needs ffmpeg, and the error surfaces
+    as an explicit message, not silent noise."""
+    from ..formats import mp4codec
+
+    p = bytes(payload)
+    if p[:4] == b"\x1aE\xdf\xa3":  # Matroska/WebM EBML magic
+        raise NotImplementedError("WebM/Matroska decode needs ffmpeg")
+    if mp4codec.is_mp4(p) or p[:5] == avcodec.VIDEO_MAGIC:
+        frames = avcodec.decode_video_any(p)
+        return [frames[k] for k in range(0, frames.shape[0], every_n)]
     raise NotImplementedError("video decode needs ffmpeg")
 
 
@@ -230,7 +241,8 @@ def render_video_column(
 def video_frame_sample(media_df: DataFrame, every_n: int = 2) -> DataFrame:
     """Frame sampling with fan-out: every ``every_n``-th frame becomes its own
     row, re-wrapped as a RIMG image payload so the sampled frames flow
-    straight into image_metadata/resize_half. Corrupt clips → one error row
+    straight into image_metadata/resize_half. Accepts RVID and MJPEG-MP4
+    containers (avcodec.decode_video_any). Corrupt clips → one error row
     (frame_idx = -1), preserving error-as-data."""
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -240,7 +252,7 @@ def video_frame_sample(media_df: DataFrame, every_n: int = 2) -> DataFrame:
                     rows.append((doc_id, -1, None, "null payload"))
                     continue
                 try:
-                    frames = avcodec.decode_rvid(bytes(payload))
+                    frames = avcodec.decode_video_any(bytes(payload))
                 except avcodec.VideoDecodeError as exc:
                     rows.append((doc_id, -1, None, str(exc)))
                     continue
