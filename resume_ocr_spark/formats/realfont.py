@@ -593,10 +593,102 @@ def recognize_page(img: np.ndarray) -> str | None:
     if float(np.mean(scores)) > MAX_MEAN_SCORE:
         return None
     lines_out.sort(key=lambda t: t[0])
-    return "\n".join(_resolve_case_ambiguity(t) for _, t in lines_out)
+    return "\n".join(_correct_line(_resolve_case_ambiguity(t))
+                     for _, t in lines_out)
 
 
-_TOKEN_RE = None
+# --------------------------------------------------------------------------
+# lexicon post-correction (the dictionary layer every production OCR engine
+# runs — Tesseract consults word lists the same way)
+# --------------------------------------------------------------------------
+
+# resume-domain vocabulary, PT + EN: section headings first (they drive the
+# downstream classifier), then high-frequency resume words
+_LEXICON = (
+    "RESUMO", "OBJETIVO", "PERFIL", "FORMAÇÃO", "EDUCAÇÃO", "EXPERIÊNCIA",
+    "EXPERIENCE", "COMPETÊNCIAS", "HABILIDADES", "TECNOLOGIAS",
+    "CERTIFICAÇÕES", "CERTIFICATIONS", "IDIOMAS", "LANGUAGES", "SKILLS",
+    "SUMMARY", "EDUCATION", "OBJECTIVE", "PROJETOS", "PROJECTS",
+    "Certified", "Certificações", "Experiência", "Formação", "Educação",
+    "Competências", "Habilidades", "Objetivo", "Projetos", "Profissional",
+    "Professional", "Acadêmica", "Técnicas", "Responsabilidades",
+    "Ferramentas", "Empresas", "Contato", "Telefone", "Linguagens",
+    "JavaScript", "Python", "Confluence", "Jira", "Trello",
+)
+# directed shape-confusion pairs the matcher actually makes (either order);
+# substituting within a pair costs far less than an arbitrary edit
+_CONFUSION_PAIRS = (
+    ("1", "J"), ("3", "J"), ("l", "I"), ("l", "t"), ("I", "l"), ("r", "i"),
+    ("r", "t"), ("P", "R"), ("P", "F"), ("B", "8"), ("B", "a"), ("0", "O"),
+    ("ú", "u"), ("í", "i"), ("à", "ã"), ("â", "ã"), ("á", "a"), (":", "i"),
+    ("ç", "c"), ("é", "e"), ("ê", "e"), ("õ", "o"), ("ô", "o"),
+)
+_CONF = {frozenset(p) for p in _CONFUSION_PAIRS}
+_SUB_CONF = 0.3      # confusion-pair substitution
+_SUB_ACCENT = 0.1    # same letter modulo accent
+_DEL_PUNCT = 0.5     # stray punctuation inside an alpha token
+_COST_OTHER = 1.0
+_MAX_COST = 0.9      # total corrections allowed per token
+_MIN_TOKEN = 5
+
+
+def _edit_cost(a: str, b: str) -> float:
+    """Weighted Levenshtein with confusion-aware substitution costs."""
+    m, n = len(a), len(b)
+    if abs(m - n) > 2:
+        return 99.0
+    dp = [float(j) for j in range(n + 1)]
+    for i in range(1, m + 1):
+        prev, dp[0] = dp[0], float(i)
+        ai = a[i - 1]
+        del_cost = _DEL_PUNCT if not ai.isalnum() else _COST_OTHER
+        for j in range(1, n + 1):
+            cur = dp[j]
+            bj = b[j - 1]
+            if ai == bj:
+                sub = 0.0
+            elif frozenset((ai, bj)) in _CONF:
+                sub = _SUB_CONF
+            elif _strip_accents(ai).lower() == _strip_accents(bj).lower():
+                sub = _SUB_ACCENT
+            else:
+                sub = _COST_OTHER
+            dp[j] = min(dp[j] + del_cost, dp[j - 1] + _COST_OTHER, prev + sub)
+            prev = cur
+    return dp[n]
+
+
+@lru_cache(maxsize=4096)
+def _lexicon_correct(token: str) -> str:
+    """Replace a near-miss of a known resume-domain word with the word
+    (case pattern adapted); leave everything else untouched."""
+    if len(token) < _MIN_TOKEN:
+        return token
+    alpha = sum(1 for c in token if c.isalpha())
+    if alpha < 0.6 * len(token):
+        return token
+    if any(token == w or token.upper() == w.upper() for w in _LEXICON):
+        return token
+    best, best_c = None, _MAX_COST + 1
+    for w in _LEXICON:
+        c = min(_edit_cost(token, w), _edit_cost(token.upper(), w.upper()))
+        if c < best_c:
+            best_c, best = c, w
+    if best is None or best_c > _MAX_COST:
+        return token
+    ups = sum(1 for c in token if c.isupper())
+    if ups >= 0.7 * alpha:
+        return best.upper()
+    return best[0].upper() + best[1:].lower() if token[0].isupper() else best.lower()
+
+
+def _correct_line(line: str) -> str:
+    out = []
+    for tok in line.split(" "):
+        core = tok.rstrip(":;,.")
+        tail = tok[len(core):]
+        out.append(_lexicon_correct(core) + tail if core else tok)
+    return " ".join(out)
 
 
 def _resolve_case_ambiguity(text: str) -> str:

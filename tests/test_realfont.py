@@ -106,6 +106,19 @@ class TestRecognizer:
         dense = np.zeros((100, 200), dtype=np.uint8)  # all ink
         assert realfont.recognize_page(dense) is None
 
+    def test_lexicon_correction(self):
+        f = realfont._lexicon_correct
+        # systematic shape confusions resolve to resume-domain vocabulary
+        assert f("OB1ETIVO") == "OBJETIVO"          # J ↔ 1
+        assert f("POPMAÇAO") == "FORMAÇÃO"          # F ↔ P + accent
+        assert f("Pesponsabrl:dades") == "Responsabilidades"
+        assert f("Perramentas") == "Ferramentas"
+        # words already correct, names, and far misses stay untouched
+        assert f("Python") == "Python"
+        assert f("PEREIPA") == "PEREIPA"
+        assert f("Selenrum") == "Selenrum"
+        assert f("xyzw") == "xyzw"  # below min length
+
     def test_case_ambiguity_resolution(self):
         f = realfont._resolve_case_ambiguity
         assert f("EXPERlENCIA DE TRABALHO") == "EXPERIENCIA DE TRABALHO"
@@ -135,7 +148,8 @@ class TestFixtureRecognition:
 
     @pytest.mark.parametrize("name,expect", [
         ("mariana_teixeira.png", ["SOBRE", "FULL-STACK"]),
-        ("lucas_barros.png", ["SKILLS", "EXPERIENCIA"]),
+        ("lucas_barros.png", ["SKILLS", "EXPERIÊNCIA"]),
+        ("juliana_alves.png", ["OBJETIVO", "COMPETÊNCIAS"]),
         ("doc_generico.png", ["MINISTERIO DA EDUCA"]),
     ])
     def test_fixture_headings_recovered(self, name, expect):
