@@ -305,6 +305,91 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 50,
         "large-star/small-star formulation")
 
 
+def dedup_clusters_star(pairs: DataFrame, max_rounds: int = 25,
+                        checkpoint_dir: str | None = None) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the formulation that replaces :func:`dedup_clusters`' min-label
+    propagation at extreme scale: O(log n) rounds regardless of component
+    DIAMETER (propagation needs O(diameter) rounds — a pathological chain
+    of re-posts makes that unbounded), one driver-side convergence check
+    per round instead of one per hop.
+
+      large-star(u): every strictly-larger neighbor of u links to
+                     m = min(Γ(u) ∪ {u})
+      small-star(u): every not-larger neighbor (and u itself) links to m
+
+    Alternating the two contracts every component to a star centered on
+    its minimum id; labels then read directly off the final edges. Output
+    schema/semantics are identical to dedup_clusters (hash-equal on the
+    same input, pinned in tests): (doc_id, cluster_id=min id in
+    component), only ids appearing in ``pairs``. Snapshot/checkpoint
+    semantics follow dedup_clusters (``checkpoint_dir`` → reliable)."""
+    spark = pairs.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _snap(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    base = (pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+            .filter(F.col("u") != F.col("v")))
+    nodes = _snap(base.select(F.col("u").alias("id"))
+                  .unionByName(base.select(F.col("v").alias("id"))).distinct())
+    edges = _snap(base.unionByName(
+        base.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct())
+
+    def _sig(df: DataFrame) -> tuple[int, int]:
+        row = df.agg(
+            F.count("*").alias("n"),
+            # bit_xor: order-independent and overflow-free under ANSI mode
+            F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+        ).first()
+        return int(row["n"]), int(row["h"])
+
+    prev = _sig(edges)
+    for _ in range(max_rounds):
+        # large-star: symmetric grouping by u
+        mins = (edges.groupBy("u")
+                .agg(F.least(F.min("v"), F.first("u")).alias("m")))
+        large = (edges.join(mins, "u")
+                 .filter(F.col("v") > F.col("u"))
+                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                 .filter(F.col("u") != F.col("v")))
+        # one snapshot per round (after small-star) bounds lineage; the
+        # large-star intermediate stays lazy inside the round
+        edges = large.unionByName(
+            large.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct()
+        # small-star: group by u over not-larger neighbors
+        directed = edges.filter(F.col("v") < F.col("u"))
+        mins = directed.groupBy("u").agg(F.min("v").alias("m"))
+        small = (directed.join(mins, "u")
+                 .select(F.col("v").alias("n"), F.col("m"))
+                 .unionByName(mins.select(F.col("u").alias("n"), F.col("m")))
+                 .filter(F.col("n") != F.col("m"))
+                 .select(F.col("n").alias("u"), F.col("m").alias("v")))
+        edges = _snap(small.unionByName(
+            small.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct())
+        cur = _sig(edges)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"dedup_clusters_star did not converge in {max_rounds} rounds")
+    neigh_min = (edges.groupBy("u").agg(F.min("v").alias("nm"))
+                 .select(F.col("u").alias("id"), "nm"))
+    return (nodes.join(neigh_min, "id", "left")
+            .select(F.col("id").alias("doc_id"),
+                    F.least(F.col("id"),
+                            F.coalesce(F.col("nm"), F.col("id")))
+                    .alias("cluster_id")))
+
+
 def jaccard_pairs_lsh(
     df: DataFrame,
     id_col: str = "doc_id",

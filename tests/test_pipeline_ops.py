@@ -78,6 +78,40 @@ class TestDedup:
         assert got == {2: 2, 3: 2, 4: 2, 5: 2, 6: 2, 7: 2, 10: 10, 11: 10}
         assert _glob.glob(ckdir + "/*/rdd-*"), "no reliable snapshot written"
 
+    def test_cluster_star_matches_propagation(self, spark):
+        """Large-star/small-star (log-round form) computes the same
+        components as min-label propagation — pinned on a mixed graph and
+        on a 60-node path whose diameter would cost propagation 60 rounds
+        but star only O(log n)."""
+        import random
+
+        rng = random.Random(17)
+        edges = [(2, 3), (3, 4), (4, 5), (5, 6), (6, 7),
+                 (10, 11), (11, 12), (20, 21)]
+        edges += [(rng.randrange(100, 160), rng.randrange(100, 160))
+                  for _ in range(60)]
+        edges = [(a, b) for a, b in edges if a != b]
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        prop = {r["doc_id"]: r["cluster_id"]
+                for r in dedup.dedup_clusters(pairs, max_iters=100).collect()}
+        star = {r["doc_id"]: r["cluster_id"]
+                for r in dedup.dedup_clusters_star(pairs).collect()}
+        assert star == prop
+
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(500, 560)], "id_a long, id_b long")
+        star = {r["doc_id"]: r["cluster_id"]
+                for r in dedup.dedup_clusters_star(chain).collect()}
+        assert star == {i: 500 for i in range(500, 561)}
+
+    def test_cluster_star_reliable_checkpoint(self, spark, tmp_path):
+        pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 8)],
+                                      "id_a long, id_b long")
+        got = {r["doc_id"]: r["cluster_id"]
+               for r in dedup.dedup_clusters_star(
+                   pairs, checkpoint_dir=str(tmp_path / "ck")).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+
     def test_shingle_units_exact(self, spark):
         """3-word shingles are the exact sliding window over normalized
         tokens; docs shorter than n yield no units."""
