@@ -99,7 +99,12 @@ def _resize(img: np.ndarray, hh: int, ww: int) -> np.ndarray:
 # template answer; splitting can't always win because the touch valley can
 # be as deep as a genuine m's arch)
 PAIR_CLUSTERS = ("rt", "ti", "tt", "ft", "fi", "fl", "ru", "rn", "rm",
-                 "rv", "tu", "ri")
+                 "rv", "tu", "ri", "rti")
+
+# natural advances: tightened cluster tracking was tried (it wins on a real
+# touching 'rti': L1 0.21→0.15) but makes genuine 'm' read as "rn" — the
+# classic MJPEG-era OCR ambiguity; the lexicon layer is the right resolver
+CLUSTER_ADVANCE_SCALE = 1.0
 
 
 def _render_cluster(font: "ttfont.TrueTypeFont", chs: str, px_em: float):
@@ -111,7 +116,8 @@ def _render_cluster(font: "ttfont.TrueTypeFont", chs: str, px_em: float):
     for c in chs:
         r = ttfont.render_glyph(font, c, px_em)
         gid = font.glyph_id(c)
-        adv = font.advance(gid) * px_em / font.units_per_em
+        adv = (font.advance(gid) * px_em / font.units_per_em
+               * CLUSTER_ADVANCE_SCALE)
         if r is not None:
             cov, left, top, _adv = r
             parts.append((cov, pen + left, top))
