@@ -76,6 +76,43 @@ def _render_page(lines: list[str], px_em: float = 24.0,
     return page
 
 
+class TestComponents:
+    def test_vectorized_labeling_matches_bfs(self):
+        """Max-propagation component labeling is exactly 8-connected
+        components — parity with a brute-force BFS on random masks."""
+        def bfs(mask):
+            h, w = mask.shape
+            seen = np.zeros_like(mask, dtype=bool)
+            out = []
+            for y in range(h):
+                for x in range(w):
+                    if mask[y, x] and not seen[y, x]:
+                        stack = [(y, x)]
+                        seen[y, x] = True
+                        r0 = r1 = y
+                        c0 = c1 = x
+                        while stack:
+                            cy, cx = stack.pop()
+                            r0, r1 = min(r0, cy), max(r1, cy)
+                            c0, c1 = min(c0, cx), max(c1, cx)
+                            for dy in (-1, 0, 1):
+                                for dx in (-1, 0, 1):
+                                    ny, nx = cy + dy, cx + dx
+                                    if (0 <= ny < h and 0 <= nx < w
+                                            and mask[ny, nx]
+                                            and not seen[ny, nx]):
+                                        seen[ny, nx] = True
+                                        stack.append((ny, nx))
+                        out.append((r0, r1, c0, c1))
+            return sorted(out)
+
+        rng = np.random.RandomState(7)
+        for _ in range(20):
+            mask = rng.rand(rng.randint(3, 20), rng.randint(3, 60)) < 0.3
+            assert sorted(realfont._components(mask)) == bfs(mask)
+        assert realfont._components(np.zeros((4, 5), dtype=bool)) == []
+
+
 class TestRecognizer:
     def test_same_font_round_trip(self):
         """Prototypes come from the same font that rendered the page, so
