@@ -405,82 +405,98 @@ class _LineMatcher:
 
     def match(self, patch: np.ndarray, box: tuple[int, int, int, int]
               ) -> tuple[int, float]:
-        """(proto index, distance) for one ink crop.
+        """(proto index, distance) for one ink crop — see match_many."""
+        return self.match_many([patch], [box])[0]
+
+    def match_many(self, patches: list[np.ndarray],
+                   boxes: list[tuple[int, int, int, int]]
+                   ) -> list[tuple[int, float]]:
+        """Batched (proto index, distance) for the ink crops of one line.
 
         Stage A: normalized-grid L1 + cap-relative metric penalties (a
-        shape prior). Stage B: mean-squared distance between the patch and
-        EVERY prototype rendered at native size, bottom-aligned/x-centered
-        on a shared canvas, minimized over ±1 px shifts and a ±8% size
-        search — one matmul per (shift, size) via ‖a−b‖² expansion. The
-        size search absorbs the page font's cap/x-height ratio differing
-        from the prototype font's (Arial x-height 0.519 em vs DejaVu
-        0.547)."""
-        h, w = patch.shape
-        if h == 0 or w == 0:
-            return 0, np.inf
-        fh = h / self.cap_h
-        fb = (box[1] - self.baseline) / self.cap_h
-        fa = np.log(max(w, 1) / max(h, 1))
-        B = _resize(patch, GRID, GRID).ravel()
-        # metric features and the normalized-grid bitmap are SEPARATE
-        # terms: the features (cap-relative height, baseline offset,
-        # aspect) transfer across fonts and stay strongly weighted; the
-        # stretched-grid bitmap distorts narrow/wide glyphs and serves
-        # only as a weak prior over the native-size stage-B distance
-        grid_d = np.abs(B[None, :] - self.protos).mean(axis=1)
-        feat = (W_HEIGHT * np.abs(fh - self.p_h)
-                + W_BASE * np.abs(fb - self.p_bot)
-                + W_ASPECT * np.abs(fa - self.p_asp))
-        d = grid_d + feat
-
+        shape prior). Stage B: mean-squared distance between each patch
+        and EVERY prototype rendered at native size, bottom-aligned /
+        x-centered on a shared canvas, minimized over ±1 px shifts and a
+        ±8% size search — ONE matmul per size for the whole line via the
+        ‖a−b‖² expansion (all patches' shift canvases stacked). The size
+        search absorbs the page font's cap/x-height ratio differing from
+        the prototype font's (Arial x-height 0.519 em vs DejaVu 0.547)."""
+        G = len(patches)
         H, W = self._canvas_dims()
-        if h > H or w > W:
-            gb = int(np.argmin(d))
-            return gb, float(d[gb])
         area = np.float32(H * W)
-        # 9 shifted placements of the patch on the canvas
-        shifts = []
-        y0, x0 = H - h, (W - w) // 2
-        for dy in (-1, 0, 1):
-            for dx in (-1, 0, 1):
-                y, x = y0 + dy, x0 + dx
-                if y < 0 or x < 0 or y + h > H or x + w > W:
-                    continue
-                canvas = np.zeros((H, W), dtype=np.float32)
-                canvas[y:y + h, x:x + w] = patch
-                shifts.append(canvas.ravel())
-        S = np.stack(shifts)                       # [s, HW]
-        s_sq = (S ** 2).sum(axis=1)                # [s]
-        sizes = (self.px_em_half,
-                 int(round(self.px_em_half * 0.92)),
-                 int(round(self.px_em_half * 1.08)))
+        grid_ds: list[np.ndarray] = []
+        feats: list[np.ndarray] = []
+        rows: list[np.ndarray] = []
+        row_span: list[tuple[int, int] | None] = []
+        for patch, box in zip(patches, boxes):
+            h, w = patch.shape
+            if h == 0 or w == 0:
+                grid_ds.append(np.zeros(len(self.p_h), np.float32))
+                feats.append(np.full(len(self.p_h), np.inf, np.float32))
+                row_span.append(None)
+                continue
+            fh = h / self.cap_h
+            fb = (box[1] - self.baseline) / self.cap_h
+            fa = np.log(max(w, 1) / max(h, 1))
+            B = _resize(patch, GRID, GRID).ravel()
+            # metric features and the normalized-grid bitmap are SEPARATE
+            # terms: the features transfer across fonts and stay strongly
+            # weighted; the stretched-grid bitmap distorts narrow/wide
+            # glyphs and serves only as a weak prior over stage B
+            grid_ds.append(np.abs(B[None, :] - self.protos).mean(axis=1))
+            feats.append(W_HEIGHT * np.abs(fh - self.p_h)
+                         + W_BASE * np.abs(fb - self.p_bot)
+                         + W_ASPECT * np.abs(fa - self.p_asp))
+            if h > H or w > W:
+                row_span.append(None)
+                continue
+            start = len(rows)
+            y0, x0 = H - h, (W - w) // 2
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    y, x = y0 + dy, x0 + dx
+                    if y < 0 or x < 0 or y + h > H or x + w > W:
+                        continue
+                    canvas = np.zeros((H, W), dtype=np.float32)
+                    canvas[y:y + h, x:x + w] = patch
+                    rows.append(canvas.ravel())
+            row_span.append((start, len(rows)))
         best_sq = None
-        best_bot = None
-        for sz in sizes:
-            P, bots, p_sq = _proto_canvases(sz, H, W)
-            # ‖s−p‖² = ‖s‖² + ‖p‖² − 2 s·p   → [s, N]
-            cross = S @ P.T
-            dist = s_sq[:, None] + p_sq[None, :] - 2.0 * cross
-            dmin = dist.min(axis=0)                # [N] best shift
-            if best_sq is None:
-                best_sq, best_bot = dmin, bots
-            else:
-                take = dmin < best_sq
-                best_sq = np.where(take, dmin, best_sq)
-                best_bot = np.where(take, bots, best_bot)
-        msd = np.sqrt(np.maximum(best_sq, 0.0) / area)  # RMS pixel diff
-        # feat already carries the baseline-offset penalty (p_bot at the
-        # reference size ≈ best_bot at any searched size)
-        total = msd + W_FEAT * feat + REFINE_BLEND * grid_d
-        gb = int(np.argmin(total))
-        gd = float(total[gb])
-        if not np.isfinite(gd):
-            gb = int(np.argmin(d))
-            gd = float(d[gb])
-        return gb, gd
+        if rows:
+            S = np.stack(rows)                         # [R, HW]
+            s_sq = (S ** 2).sum(axis=1)                # [R]
+            sizes = (self.px_em_half,
+                     int(round(self.px_em_half * 0.92)),
+                     int(round(self.px_em_half * 1.08)))
+            for sz in sizes:
+                P, _bots, p_sq = _proto_canvases(sz, H, W)
+                # ‖s−p‖² = ‖s‖² + ‖p‖² − 2 s·p   → [R, N]
+                dist = s_sq[:, None] + p_sq[None, :] - 2.0 * (S @ P.T)
+                best_sq = dist if best_sq is None else np.minimum(best_sq, dist)
+        out: list[tuple[int, float]] = []
+        for g in range(G):
+            d = grid_ds[g] + feats[g]
+            span = row_span[g]
+            if span is None or best_sq is None:
+                gb = int(np.argmin(d))
+                gd = float(d[gb])
+                out.append((gb, gd if np.isfinite(gd) else np.inf))
+                continue
+            sq = best_sq[span[0]:span[1]].min(axis=0)   # [N] best shift
+            msd = np.sqrt(np.maximum(sq, 0.0) / area)   # RMS pixel diff
+            # feats already carries the baseline-offset penalty
+            total = msd + W_FEAT * feats[g] + REFINE_BLEND * grid_ds[g]
+            gb = int(np.argmin(total))
+            gd = float(total[gb])
+            if not np.isfinite(gd):
+                gb = int(np.argmin(d))
+                gd = float(d[gb])
+            out.append((gb, gd))
+        return out
 
     def match_with_split(self, band_ink: np.ndarray,
-                         box: tuple[int, int, int, int], depth: int = 0
+                         box: tuple[int, int, int, int], depth: int = 0,
+                         prematch: tuple[int, float] | None = None
                          ) -> list[tuple[tuple[int, int, int, int], int, float]]:
         """[(box, proto_idx, dist)] — splits a poorly-matching wide
         component at its faintest interior column when both halves match
@@ -489,7 +505,7 @@ class _LineMatcher:
         3-glyph merges."""
         r0, r1, c0, c1 = box
         patch = band_ink[r0:r1 + 1, c0:c1 + 1]
-        idx, dist = self.match(patch, box)
+        idx, dist = prematch if prematch is not None else self.match(patch, box)
         w = c1 - c0 + 1
         if depth >= 2 or w < max(5, int(0.55 * self.cap_h)):
             return [(box, idx, dist)]
@@ -562,9 +578,12 @@ def recognize_page(img: np.ndarray) -> str | None:
         px_em_half = int(round(2.0 * cap_h / cap_ratio))
         matcher = _LineMatcher(baseline, cap_h, px_em_half)
         band_ink = ink[r0:r1]
+        patches = [band_ink[b[0]:b[1] + 1, b[2]:b[3] + 1] for b in boxes]
+        first = matcher.match_many(patches, boxes)  # whole line, one matmul
         results: list[tuple[tuple[int, int, int, int], int, float]] = []
-        for box in boxes:
-            results.extend(matcher.match_with_split(band_ink, box))
+        for box, pm in zip(boxes, first):
+            results.extend(matcher.match_with_split(band_ink, box,
+                                                    prematch=pm))
         if not results:
             continue
         results.sort(key=lambda t: t[0][2])
