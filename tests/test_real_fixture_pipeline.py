@@ -93,6 +93,21 @@ def test_real_fixture_span_equality(spark, tmp_path):
         media_span = [s.asDict() for s in got[doc_id]["spans"]][1]
         assert media_span["ocr_pages"] >= 1 or media_span["error"]
 
+    # round-3 capability pin: the real-font OCR reads the raster fixtures
+    # IN THE DISTRIBUTED PIPELINE — most scans extract real text (no error)
+    # and most genuine raster resumes classify as resumes; the two
+    # non-resume rasters are rejected (recipe via the culinary lexicon
+    # veto, the government doc structurally)
+    recognized = {d for d in scans
+                  if [s.asDict() for s in got[d]["spans"]][1]["error"] is None}
+    assert len(recognized) >= 10, f"only {sorted(recognized)} recognized"
+    genuine_scans = scans - {"receita_bolo_img.pdf", "doc_generico.png"}
+    accepted = {d for d in genuine_scans if not got[d]["rejected"]
+                and got[d]["doc_error"] is None}
+    assert len(accepted) >= 8, f"only {sorted(accepted)} accepted"
+    for neg in ("receita_bolo_img.pdf", "doc_generico.png"):
+        assert got[neg]["rejected"] or got[neg]["doc_error"] is not None, neg
+
     # rank parity (top-5 by deterministic score)
     granks = sorted((r["rank"], d) for d, r in got.items()
                     if r["rank"] is not None)
