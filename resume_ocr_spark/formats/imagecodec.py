@@ -207,14 +207,19 @@ def estimate_skew(img: np.ndarray) -> float:
     ys, xs = np.nonzero(img < BIN_THRESHOLD)
     if len(ys) == 0:
         return 0.0
-    h = img.shape[0]
+    h, w = img.shape
     best_k, best_var = 0.0, -1.0
+    # shear shifts grow with page WIDTH (|k|·x), so the index offset must
+    # bound that, not the height — a wide single-line page has shifts far
+    # larger than h (hypothesis-found). Same profile length for every
+    # candidate keeps the variance comparison fair.
+    max_k = max(abs(k) for k in SKEW_CANDIDATES)
+    off = int(np.ceil(max_k * w)) + 1
     # candidates by |k| ascending with a 5% margin: k=0 wins near-ties, so
     # sparse pages (a glyph or two) never get spuriously "deskewed"
     for k in sorted(SKEW_CANDIDATES, key=abs):
         shifts = np.rint(k * xs).astype(np.int64)
-        off = h  # generous bound keeps all indices positive
-        prof = np.bincount(ys - shifts + off, minlength=3 * h)
+        prof = np.bincount(ys - shifts + off, minlength=h + 2 * off)
         v = float(prof.var())
         if v > best_var * 1.05:
             best_var, best_k = v, k

@@ -84,7 +84,9 @@ def events_two_batch_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch 1 never drops a batch-2 event, so append-mode results are
     deterministic and oracle-checkable while still exercising a genuinely
     advancing watermark across batches (what a single availableNow drain of
-    one file cannot)."""
+    one file cannot). Like events_file_stream, the split dir lives under
+    /tmp — single-node semantics; on a real cluster point the source at
+    shared storage (the file stream itself is location-agnostic)."""
     import hashlib
     import time as _time
 
