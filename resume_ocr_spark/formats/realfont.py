@@ -668,6 +668,15 @@ def _edit_cost(a: str, b: str) -> float:
     return dp[n]
 
 
+# segmentation-level confusions: a touching cluster misread as a different
+# glyph sequence. The corrector tries each single rewrite before the
+# weighted edit distance — 'Cetufred' → (tu→rti) → 'Certifred' → one
+# confusion-substitution from 'Certified'
+_CLUSTER_REWRITES = (("tu", "rti"), ("ú", "ti"), ("rn", "m"), ("m", "rn"),
+                     ("h", "li"), ("ti", "ú"))
+_REWRITE_COST = 0.4
+
+
 @lru_cache(maxsize=4096)
 def _lexicon_correct(token: str) -> str:
     """Replace a near-miss of a known resume-domain word with the word
@@ -679,11 +688,19 @@ def _lexicon_correct(token: str) -> str:
         return token
     if any(token == w or token.upper() == w.upper() for w in _LEXICON):
         return token
+    variants = [(token, 0.0)]
+    for src, dst in _CLUSTER_REWRITES:
+        pos = token.find(src)
+        if pos >= 0:
+            variants.append((token[:pos] + dst + token[pos + len(src):],
+                             _REWRITE_COST))
     best, best_c = None, _MAX_COST + 1
     for w in _LEXICON:
-        c = min(_edit_cost(token, w), _edit_cost(token.upper(), w.upper()))
-        if c < best_c:
-            best_c, best = c, w
+        for var, pen in variants:
+            c = pen + min(_edit_cost(var, w),
+                          _edit_cost(var.upper(), w.upper()))
+            if c < best_c:
+                best_c, best = c, w
     if best is None or best_c > _MAX_COST:
         return token
     ups = sum(1 for c in token if c.isupper())

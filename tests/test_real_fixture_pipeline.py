@@ -100,11 +100,11 @@ def test_real_fixture_span_equality(spark, tmp_path):
     # veto, the government doc structurally)
     recognized = {d for d in scans
                   if [s.asDict() for s in got[d]["spans"]][1]["error"] is None}
-    assert len(recognized) >= 10, f"only {sorted(recognized)} recognized"
+    assert len(recognized) >= 12, f"only {sorted(recognized)} recognized"
     genuine_scans = scans - {"receita_bolo_img.pdf", "doc_generico.png"}
     accepted = {d for d in genuine_scans if not got[d]["rejected"]
                 and got[d]["doc_error"] is None}
-    assert len(accepted) >= 8, f"only {sorted(accepted)} accepted"
+    assert len(accepted) >= 10, f"only {sorted(accepted)} accepted"
     for neg in ("receita_bolo_img.pdf", "doc_generico.png"):
         assert got[neg]["rejected"] or got[neg]["doc_error"] is not None, neg
 

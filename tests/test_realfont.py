@@ -150,11 +150,15 @@ class TestRecognizer:
         assert f("POPMAÇAO") == "FORMAÇÃO"          # F ↔ P + accent
         assert f("Pesponsabrl:dades") == "Responsabilidades"
         assert f("Perramentas") == "Ferramentas"
+        # segmentation-cluster rewrites reach misreads plain edits can't
+        assert f("Cetufred") == "Certified"
+        assert f("Cetufrcações") == "Certificações"
         # words already correct, names, and far misses stay untouched
         assert f("Python") == "Python"
         assert f("PEREIPA") == "PEREIPA"
         assert f("Selenrum") == "Selenrum"
         assert f("xyzw") == "xyzw"  # below min length
+        assert f("Scrurn") == "Scrurn"  # rn→m rewrite must not overreach
 
     def test_case_ambiguity_resolution(self):
         f = realfont._resolve_case_ambiguity
