@@ -372,15 +372,26 @@ def _line_metrics(boxes: list[tuple[int, int, int, int]]
     if not talls:
         talls = boxes
     baseline = float(np.median([b[1] for b in talls]))
-    # cap height = 90th-percentile height of baseline-sitting boxes: on a
-    # lowercase-dominant line the median would land on the x-height, but
-    # the few caps/ascenders occupy the top decile (excludes descenders,
-    # which hang below baseline and are filtered by the on_base test)
     on_base = [b for b in talls if abs(b[1] - baseline) <= 1.5]
     if not on_base:
         on_base = talls
-    cap_h = float(np.percentile(
-        [b[1] - b[0] + 1 for b in on_base], 90, method="lower"))
+    # cap height: the TALL height cluster of baseline-sitting boxes.
+    # Percentiles fail both ways — a lowercase-dominant line has <10% caps
+    # (p90 lands on the x-height), an accented cap sticks ~30% above the
+    # real cap (max lands on the accent). Cluster by a 0.82·max cut: two
+    # or more boxes in the tall cluster → its median is the cap height; a
+    # single tall outlier is an accent-topped box → fall back to the top
+    # of the lower cluster.
+    hs = sorted(b[1] - b[0] + 1 for b in on_base)
+    hmax = hs[-1]
+    tall = [h for h in hs if h > 0.82 * hmax]
+    low = [h for h in hs if h <= 0.82 * hmax]
+    if not low:
+        cap_h = float(np.median(hs))
+    elif len(tall) >= 2:
+        cap_h = float(np.median(tall))
+    else:
+        cap_h = float(max(low))
     if cap_h < 3:
         return None
     return baseline, cap_h
