@@ -375,7 +375,11 @@ def ocr_image(payload: bytes) -> str:
         return text
     from . import realfont
 
-    result = realfont.recognize_page(img)
+    # deskew the grayscale before real-font recognition: a slightly tilted
+    # scan would otherwise smear text across line bands (the row-profile
+    # variance estimator returns k=0 on straight pages, so this is free
+    # for the common case)
+    result = realfont.recognize_page(deskew(img))
     if result is not None:
         return result
     raise OcrConfidenceError()

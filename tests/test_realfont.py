@@ -207,3 +207,23 @@ class TestFixtureRecognition:
         up = out.upper()
         for token in expect:
             assert token in up, f"{token} not recovered in {name}"
+
+
+class TestSkewedPage:
+    def test_sheared_page_recovers_via_deskew(self):
+        """A sheared real-font page routed through ocr_image (which deskews
+        before real-font recognition) reads the same as the straight page —
+        small scanner tilt must not break line banding."""
+        from resume_ocr_spark.formats import imagecodec
+
+        page = _render_page(["RESUMO PROFISSIONAL",
+                             "Engenharia de Dados com Spark"])
+        straight = realfont.recognize_page(page)
+        assert straight is not None
+        sheared = imagecodec._shear(page, 0.04)
+        payload = (imagecodec.MAGIC
+                   + np.array(sheared.shape, dtype="<u4").tobytes()
+                   + sheared.tobytes())
+        out = imagecodec.ocr_image(payload)
+        # allow minor edge-glyph differences from the shear resampling
+        assert _lev(out, straight) <= max(2, len(straight) // 20)
