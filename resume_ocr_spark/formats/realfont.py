@@ -55,7 +55,6 @@ REFINE_BLEND = 0.4    # weight of the stage-A grid bitmap in the final score
 W_FEAT = 0.55         # weight of the metric features in the final score
 SPLIT_RETRY_DIST = 0.33  # match worse than this ⇒ try splitting the box
 SPLIT_GAIN = 0.05     # split mean must beat the composite by this margin
-BASE_TOL = 0.0        # baseline-offset slack for cross-font metric variance
 MIN_GLYPH_AREA = 3    # px; smaller components are speck noise
 # matching weights: bitmap L1 distance dominates; metric features separate
 # case pairs and baseline punctuation
@@ -211,31 +210,6 @@ def _native_proto(font_path: str, ch: str, px_em_half: int):
     cap_px = font.cap_height * px_em / font.units_per_em
     bot_rel = (crop.shape[0] - (top - roff)) / cap_px
     return crop.astype(np.float32), float(bot_rel), float(cap_px)
-
-
-def _aligned_l1(patch: np.ndarray, proto: np.ndarray) -> float:
-    """Min mean-L1 between two ink crops over ±1 px alignment shifts
-    (centered-x, bottom-aligned-y as the anchor)."""
-    ph, pw = patch.shape
-    qh, qw = proto.shape
-    H, W = max(ph, qh) + 2, max(pw, qw) + 2
-    canvas_p = np.zeros((H, W), np.float32)
-    # anchor: bottom-aligned, x-centered
-    py, px = H - 1 - ph, (W - pw) // 2
-    canvas_p[py:py + ph, px:px + pw] = patch
-    best = np.inf
-    qy0, qx0 = H - 1 - qh, (W - qw) // 2
-    for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
-            y, x = qy0 + dy, qx0 + dx
-            if y < 0 or x < 0 or y + qh > H or x + qw > W:
-                continue
-            canvas_q = np.zeros((H, W), np.float32)
-            canvas_q[y:y + qh, x:x + qw] = proto
-            d = float(np.abs(canvas_p - canvas_q).mean())
-            if d < best:
-                best = d
-    return best
 
 
 @lru_cache(maxsize=256)
