@@ -70,11 +70,24 @@ def classify_resumes(extracted: DataFrame) -> DataFrame:
     contact = (head.rlike(textproc.EMAIL_PATTERN)
                | head.rlike(textproc.PHONE_PATTERN))
     # content-negative veto: culinary lexicon outweighs structural headings
-    # (semantic 'mascarado como currículo' reject — textproc lexicon notes)
-    negative = sum(
-        F.when(head.rlike(p), 1).otherwise(0)
-        for p in textproc.NEGATIVE_STEM_PATTERNS
-    )
+    # (semantic 'mascarado como currículo' reject — textproc lexicon notes).
+    # Short-circuited behind a substring trigger: the 13 family regexes are
+    # Java-regex scans (~2.2 s over 48k docs), while lower() + contains()
+    # compile to SIMD indexOf (~0.2 s). The stem list is a provable
+    # SUPERSET of every regex variant (all four açúcar accent spellings
+    # included), so the trigger can overfire onto the full count — which
+    # then decides — but never underfire; virtually no genuine document
+    # trips it, and CASE WHEN branches evaluate lazily in codegen.
+    low = F.lower(head)
+    neg_trigger = None
+    for s in textproc.NEGATIVE_TRIGGER_STEMS:
+        c = low.contains(s)
+        neg_trigger = c if neg_trigger is None else (neg_trigger | c)
+    negative = F.when(
+        neg_trigger,
+        sum(F.when(head.rlike(p), 1).otherwise(0)
+            for p in textproc.NEGATIVE_STEM_PATTERNS),
+    ).otherwise(F.lit(0))
     accepted = ((found >= textproc.MIN_HEADINGS_FOR_RESUME) | (
         (found >= 1) & contact)) & (
         negative <= textproc.MAX_NEGATIVE_FOR_RESUME)

@@ -134,6 +134,17 @@ NEGATIVE_STEM_PATTERNS = (
 )
 MAX_NEGATIVE_FOR_RESUME = 2  # ≥3 distinct culinary families ⇒ semantic reject
 
+# lowercase substring superset of every NEGATIVE_STEM_PATTERNS variant —
+# the Column-side fast trigger (SIMD contains) that gates the 13 regex
+# scans in analyze.classify_resumes; every regex match is guaranteed to
+# contain one of these in lower(text) (see test_oracle trigger test)
+NEGATIVE_TRIGGER_STEMS = (
+    "xícara", "xicara", "farinha", "fermento",
+    "çúcar", "çucar", "cúcar", "cucar",   # the four açúcar spellings
+    "ovos", "bolo", "cenoura", "manteiga", "chocolate", "ingredientes",
+    "modo de preparo", "forno", "colher",
+)
+
 
 def is_resume(text: str) -> bool:
     """Resume judge on the first VALIDATION_TEXT_CAP chars:

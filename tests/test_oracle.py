@@ -117,3 +117,26 @@ class TestOracle:
         a = oracle.run_pipeline(docs[:10], blobs)
         b = oracle.run_pipeline(docs[:10], blobs)
         assert a == b
+
+
+def test_negative_trigger_stems_are_superset():
+    """The Column-side substring trigger must never underfire: every string
+    that matches any NEGATIVE_STEM_PATTERNS regex contains one of
+    NEGATIVE_TRIGGER_STEMS in its lowercase form — enumerated over the
+    case/accent variants each pattern accepts."""
+    import re
+
+    variants = [
+        "XÍCARA", "xícaras", "Xicara", "FARINHA", "farinha", "Fermento",
+        "AÇÚCAR", "açúcar", "acucar", "açucar", "acúcar", "OVOS", "ovos",
+        "BOLO", "bolos", "Cenoura", "CENOURAS", "manteiga", "MANTEIGA",
+        "chocolate", "CHOCOLATE", "Ingredientes", "INGREDIENTES",
+        "Modo de Preparo", "MODO DE PREPARO", "forno", "FORNO",
+        "colher de sopa", "COLHERES DE SOPA",
+    ]
+    for v in variants:
+        probe = f"um {v} qualquer"
+        assert any(re.search(p, probe)
+                   for p in textproc.NEGATIVE_STEM_PATTERNS), v
+        low = probe.lower()
+        assert any(s in low for s in textproc.NEGATIVE_TRIGGER_STEMS), v
