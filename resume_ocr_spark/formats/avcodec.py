@@ -2,8 +2,10 @@
 
 Real RIFF/WAV PCM decode is native here (``decode_wav`` — WAV is a plain
 chunked container, no libs needed; ``decode_audio_any`` dispatches
-RAUD|WAV).  Compressed audio/video (MP3/OGG/MP4) genuinely needs
-ffmpeg-class libraries absent from this sandbox and stays stubbed in
+RAUD|WAV).  ``probe_audio_any`` additionally reads container-level
+metadata (ffprobe subset) for MP3 / OGG via formats/mpegaudio.py.
+Decode-to-PCM for compressed audio (MP3/OGG) genuinely needs ffmpeg-class
+libraries absent from this sandbox and stays stubbed in
 operators/multimodal.py, while these two tiny containers make the
 Spark-side plumbing (binary columns, Arrow batch UDFs, frame explode,
 feature schemas) real and fully tested.  Both are pure numpy, seeded only
@@ -136,6 +138,58 @@ def decode_audio_any(payload: bytes) -> tuple[int, np.ndarray]:
     if payload[:4] == b"RIFF":
         return decode_wav(payload)
     raise AudioDecodeError("unknown audio container (RAUD/WAV supported)")
+
+
+def probe_audio_any(payload: bytes) -> dict:
+    """ffprobe-style container probe → uniform metadata dict over every
+    audio container the engine understands: RAUD / RIFF-WAV (header walk,
+    no sample conversion) plus MP3 / OGG-Vorbis / OGG-Opus
+    (formats/mpegaudio.py frame/page walk).  Decode-to-PCM for MP3/OGG
+    remains stubbed; the probe is the honest no-DSP subset."""
+    import struct
+
+    from . import mpegaudio
+
+    p = bytes(payload)
+    if p[:5] == AUDIO_MAGIC:
+        if len(p) < 13:
+            raise AudioDecodeError("bad RAUD magic")
+        sr, n = (int(x) for x in np.frombuffer(p[5:13], dtype="<u4"))
+        if sr <= 0 or len(p[13:]) != 2 * n:
+            raise AudioDecodeError("truncated RAUD payload")
+        return {"codec": "raud-pcm", "sample_rate": sr, "channels": 1,
+                "bitrate_kbps": round(sr * 16 / 1000), "n_frames": n,
+                "duration_sec": round(n / sr, 4), "vbr": False,
+                "tag_frames": None}
+    if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+        i, n = 12, len(p)
+        sr = channels = bits = data_len = None
+        while i + 8 <= n:
+            cid = p[i : i + 4]
+            (clen,) = struct.unpack("<I", p[i + 4 : i + 8])
+            if i + 8 + clen > n:
+                raise AudioDecodeError("truncated WAV chunk")
+            if cid == b"fmt " and clen >= 16:
+                _fmt, channels, sr, _br, _ba, bits = struct.unpack(
+                    "<HHIIHH", p[i + 8 : i + 24])
+            elif cid == b"data":
+                data_len = clen
+            i += 8 + clen + (clen & 1)
+        if not sr or data_len is None or not bits or not channels:
+            raise AudioDecodeError("missing fmt or data chunk")
+        n_samples = data_len // (bits // 8) // channels
+        return {"codec": f"pcm_s{bits}le", "sample_rate": int(sr),
+                "channels": int(channels),
+                "bitrate_kbps": round(sr * bits * channels / 1000),
+                "n_frames": n_samples,
+                "duration_sec": round(n_samples / sr, 4), "vbr": False,
+                "tag_frames": None}
+    if p[:4] == b"OggS":
+        return mpegaudio.parse_ogg_info(p)
+    if (p[:3] == b"ID3"
+            or (len(p) > 1 and p[0] == 0xFF and (p[1] & 0xE0) == 0xE0)):
+        return mpegaudio.parse_mp3_info(p)
+    raise AudioDecodeError("unknown audio container")
 
 
 def render_video(text: str, h: int = 24, w: int = 32) -> bytes:

@@ -4,9 +4,12 @@ Real pipeline shape for image/audio/video columns at 100 TB scale: media
 travels as a ``binary`` column, every transform is an Arrow batch UDF over
 ``mapInPandas`` (schema, partitioning, batch shape all real).  Decode is
 real for PNG (formats/pngcodec.py), baseline JPEG (formats/jpegcodec.py),
-RIFF/WAV PCM (avcodec.decode_wav) and the engine's own RIMG/RAUD/RVID
-payloads; only compressed audio/video (MP3/OGG/MP4 — genuinely
-ffmpeg-class work) stays stubbed behind NotImplementedError.
+RIFF/WAV PCM (avcodec.decode_wav), MJPEG-in-MP4 (formats/mp4codec.py) and
+the engine's own RIMG/RAUD/RVID payloads; container-level probing (codec /
+sample rate / channels / bitrate / duration) additionally covers MP3 and
+OGG Vorbis/Opus (formats/mpegaudio.py).  Only decode-to-PCM for MP3/OGG
+and H.264/WebM video — genuinely ffmpeg-class DSP — stays stubbed behind
+NotImplementedError.
 """
 
 from __future__ import annotations
@@ -187,6 +190,45 @@ def audio_metadata(media_df: DataFrame) -> DataFrame:
                 "zero_crossings", "error"])
 
     return media_df.mapInPandas(meta, schema=AUDIO_META_SCHEMA)
+
+
+AUDIO_PROBE_SCHEMA = (
+    "doc_id long, codec string, sample_rate int, channels int, "
+    "bitrate_kbps int, n_frames long, duration_sec double, vbr boolean, "
+    "error string"
+)
+
+
+def audio_container_metadata(media_df: DataFrame) -> DataFrame:
+    """ffprobe-style probe over the binary audio column: codec, sample rate,
+    channels, bitrate, frame/sample count, duration — WITHOUT decoding
+    payload bits (avcodec.probe_audio_any header walk).  Unlike
+    :func:`audio_metadata` this also covers compressed containers
+    (MP3 frame headers + Xing/VBRI, OGG Vorbis/Opus ident + terminal
+    granule), which is the pass a 100 TB ingest runs over every blob
+    before deciding what to transcode."""
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                if payload is None:
+                    rows.append((doc_id, None, None, None, None, None, None,
+                                 None, "null payload"))
+                    continue
+                try:
+                    m = avcodec.probe_audio_any(bytes(payload))
+                    rows.append((doc_id, m["codec"], m["sample_rate"],
+                                 m["channels"], m["bitrate_kbps"],
+                                 m["n_frames"], m["duration_sec"], m["vbr"],
+                                 None))
+                except avcodec.AudioDecodeError as exc:
+                    rows.append((doc_id, None, None, None, None, None, None,
+                                 None, str(exc)))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "codec", "sample_rate", "channels", "bitrate_kbps",
+                "n_frames", "duration_sec", "vbr", "error"])
+
+    return media_df.mapInPandas(probe, schema=AUDIO_PROBE_SCHEMA)
 
 
 def audio_frame_energy(media_df: DataFrame, frame_len: int = 512) -> DataFrame:
