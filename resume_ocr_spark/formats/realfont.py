@@ -64,6 +64,9 @@ W_HEIGHT, W_BASE, W_ASPECT = 0.45, 0.45, 0.10
 # at mean 0.19–0.22, synthetic garbage (noise/gradient/checker) at ≥0.42
 MAX_MEAN_SCORE = 0.32
 MIN_GLYPHS = 3        # fewer recognizable marks than this ⇒ no confidence
+RARE_GLYPHS = set("{}[]\\|~^<>`_=")  # near-absent from resume text
+RARE_PENALTY = 0.02   # added to rare-glyph match distance (near-tie breaker)
+OBLIQUE_PENALTY = 0.01  # upright text shouldn't win via oblique prototypes
 SPACE_GAP_CAP = 0.34  # inter-glyph gap > this × cap height ⇒ word break
 
 
@@ -380,6 +383,14 @@ class _LineMatcher:
     def __init__(self, baseline: float, cap_h: float, px_em_half: int):
         (self.protos, self.p_h, self.p_bot, self.p_asp,
          self.p_chars, self.p_fonts) = _prototypes()
+        # frequency prior: glyphs essentially absent from document text
+        # (braces, backslash, carets…) and oblique-font variants only win
+        # near-ties when the pixel evidence is genuinely better — the same
+        # language-model bias every production OCR engine applies
+        self.p_prior = np.array(
+            [(RARE_PENALTY if c in RARE_GLYPHS else 0.0)
+             + (OBLIQUE_PENALTY if "Oblique" in f else 0.0)
+             for c, f in zip(self.p_chars, self.p_fonts)], np.float32)
         self.baseline = baseline
         self.cap_h = cap_h
         self.px_em_half = px_em_half
@@ -460,7 +471,7 @@ class _LineMatcher:
                 best_sq = dist if best_sq is None else np.minimum(best_sq, dist)
         out: list[tuple[int, float]] = []
         for g in range(G):
-            d = grid_ds[g] + feats[g]
+            d = grid_ds[g] + feats[g] + self.p_prior
             span = row_span[g]
             if span is None or best_sq is None:
                 gb = int(np.argmin(d))
@@ -470,7 +481,8 @@ class _LineMatcher:
             sq = best_sq[span[0]:span[1]].min(axis=0)   # [N] best shift
             msd = np.sqrt(np.maximum(sq, 0.0) / area)   # RMS pixel diff
             # feats already carries the baseline-offset penalty
-            total = msd + W_FEAT * feats[g] + REFINE_BLEND * grid_ds[g]
+            total = (msd + W_FEAT * feats[g] + REFINE_BLEND * grid_ds[g]
+                     + self.p_prior)
             gb = int(np.argmin(total))
             gd = float(total[gb])
             if not np.isfinite(gd):
@@ -588,8 +600,10 @@ def recognize_page(img: np.ndarray) -> str | None:
     if float(np.mean(scores)) > MAX_MEAN_SCORE:
         return None
     lines_out.sort(key=lambda t: t[0])
-    return "\n".join(_correct_line(_resolve_case_ambiguity(t))
-                     for _, t in lines_out)
+    return "\n".join(
+        _correct_line(_resolve_case_ambiguity(_balance_trailing_paren(
+            _repair_leading_digit(_resolve_midword_punct(t)))))
+        for _, t in lines_out)
 
 
 # --------------------------------------------------------------------------
@@ -609,6 +623,7 @@ _LEXICON = (
     "Professional", "Acadêmica", "Técnicas", "Responsabilidades",
     "Ferramentas", "Empresas", "Contato", "Telefone", "Linguagens",
     "JavaScript", "Python", "Confluence", "Jira", "Trello",
+    "Intelligence", "Inteligência", "Business", "Analista",
 )
 # directed shape-confusion pairs the matcher actually makes (either order);
 # substituting within a pair costs far less than an arbitrary edit
@@ -671,8 +686,17 @@ def _lexicon_correct(token: str) -> str:
     alpha = sum(1 for c in token if c.isalpha())
     if alpha < 0.6 * len(token):
         return token
-    if any(token == w or token.upper() == w.upper() for w in _LEXICON):
+    if any(token == w for w in _LEXICON):
         return token
+    for w in _LEXICON:
+        if token.upper() == w.upper():
+            # case-insensitive hit: trust the lexicon's case only for
+            # genuinely camelCase words ('javascript' → 'JavaScript');
+            # plain or ALL-CAPS words keep the page's case ('SKILLS',
+            # 'Experiência' stay as read)
+            camel = (any(c.isupper() for c in w[1:])
+                     and any(c.islower() for c in w))
+            return w if camel else token
     variants = [(token, 0.0)]
     for src, dst in _CLUSTER_REWRITES:
         pos = token.find(src)
@@ -688,6 +712,8 @@ def _lexicon_correct(token: str) -> str:
                 best_c, best = c, w
     if best is None or best_c > _MAX_COST:
         return token
+    if any(c.isupper() for c in best[1:]) and any(c.islower() for c in best):
+        return best  # camelCase words keep their canonical case
     ups = sum(1 for c in token if c.isupper())
     if ups >= 0.7 * alpha:
         return best.upper()
@@ -701,6 +727,61 @@ def _correct_line(line: str) -> str:
         tail = tok[len(core):]
         out.append(_lexicon_correct(core) + tail if core else tok)
     return " ".join(out)
+
+
+def _resolve_midword_punct(text: str) -> str:
+    """A small 'i' at ~10 px is a dot over a short stem — near-identical to
+    ':' (dot over dot), and the canvas matcher sometimes picks the colon.
+    Mid-word, flanked by letters on both sides, a colon is never real text
+    ('Te:xeira'), so rewrite it to 'i' before the case/lexicon passes.
+
+    The reverse confusion also happens inside acronym pairs: a '/' between
+    capitals matches the oblique-font 'i' ('UXiUI').  In a token whose only
+    lowercase letter is that flanked-by-capitals 'i' (≥4 capitals, so
+    'WiFi' is untouched), the slash is the real glyph."""
+    chars = list(text)
+    for k in range(1, len(chars) - 1):
+        if chars[k] == ":" and chars[k - 1].isalpha() and chars[k + 1].isalpha():
+            chars[k] = "i"
+    toks = "".join(chars).split(" ")
+    for idx, tok in enumerate(toks):
+        ups = sum(1 for c in tok if c.isupper())
+        lows = [(k, c) for k, c in enumerate(tok) if c.islower()]
+        if (ups >= 4 and len(lows) == 1 and lows[0][1] == "i"
+                and 0 < lows[0][0] < len(tok) - 1
+                and tok[lows[0][0] - 1].isupper()
+                and tok[lows[0][0] + 1].isupper()):
+            k = lows[0][0]
+            toks[idx] = tok[:k] + "/" + tok[k + 1:]
+    return " ".join(toks)
+
+
+_DIGIT_LOOKALIKE = {"0": "O", "1": "I", "3": "J", "5": "S", "8": "B"}
+
+
+def _repair_leading_digit(text: str) -> str:
+    """No real word starts with a digit followed by ≥3 capitals ('3ULIANA'):
+    that leading digit is a shape-confused capital (3/J, 0/O, 1/I, 5/S,
+    8/B).  Trailing digits ('WEB3', 'HTML5') are legitimate and untouched."""
+    toks = text.split(" ")
+    for idx, tok in enumerate(toks):
+        if (len(tok) >= 4 and tok[0] in _DIGIT_LOOKALIKE
+                and sum(1 for c in tok[1:] if c.isupper()) >= 3
+                and not any(c.isdigit() for c in tok[1:])):
+            toks[idx] = _DIGIT_LOOKALIKE[tok[0]] + tok[1:]
+    return " ".join(toks)
+
+
+def _balance_trailing_paren(text: str) -> str:
+    """A close paren at ~10 px shares its hook shape with capital J.  When a
+    line has exactly one unclosed '(' and ends in 'J', the J is the missing
+    close paren ('(CSM, PSM IIJ' → '(CSM, PSM II)')."""
+    if text.count("(") == text.count(")") + 1:
+        stripped = text.rstrip()
+        if stripped.endswith("J") and "(" in stripped[:-1]:
+            cut = len(stripped) - 1
+            return text[:cut] + ")" + text[cut + 1:]
+    return text
 
 
 def _resolve_case_ambiguity(text: str) -> str:

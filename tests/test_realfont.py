@@ -168,6 +168,39 @@ class TestRecognizer:
         # mixed-case token (GitLab) left alone
         assert f("AtuaI GitLab") == "Atual GitLab"
 
+    def test_camelcase_lexicon_canonicalization(self):
+        f = realfont._lexicon_correct
+        # case-insensitive hit on a camelCase word restores canonical case
+        assert f("javascript") == "JavaScript"
+        # near-miss of a camelCase word keeps canonical case too (1 ↔ J)
+        assert f("1avaScript") == "JavaScript"
+        # plain and ALL-CAPS words keep the page's case
+        assert f("Experiência") == "Experiência"
+        assert f("EXPERIÊNCIA") == "EXPERIÊNCIA"
+
+    def test_midword_punct_resolution(self):
+        f = realfont._resolve_midword_punct
+        assert f("Te:xeira") == "Teixeira"          # colon between letters
+        assert f("Contato: 9999") == "Contato: 9999"  # real colon kept
+        assert f("UXiUI Designer") == "UX/UI Designer"
+        assert f("WiFi HiFi") == "WiFi HiFi"        # <4 capitals untouched
+
+    def test_leading_digit_repair(self):
+        f = realfont._repair_leading_digit
+        assert f("3ULIANA ALVES") == "JULIANA ALVES"
+        assert f("0LIVIA") == "OLIVIA"
+        # legitimate digit tokens untouched
+        assert f("WEB3 HTML5") == "WEB3 HTML5"
+        assert f("3D 5G") == "3D 5G"
+        assert f("2024 1000") == "2024 1000"
+
+    def test_trailing_paren_balance(self):
+        f = realfont._balance_trailing_paren
+        assert f("Master (CSM, PSM IIJ") == "Master (CSM, PSM II)"
+        # balanced lines and J-final names untouched
+        assert f("Master (CSM, PSM II)") == "Master (CSM, PSM II)"
+        assert f("PSM IIJ") == "PSM IIJ"
+
 
 def _lev(a: str, b: str) -> int:
     m, n = len(a), len(b)
