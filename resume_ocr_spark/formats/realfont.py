@@ -307,6 +307,56 @@ def _components(mask: np.ndarray) -> list[tuple[int, int, int, int]]:
             for a, b, c, d in zip(r0, r1, c0, c1)]
 
 
+def _strip_rules(boxes: list[tuple[int, int, int, int]], band_h: int
+                 ) -> list[tuple[int, int, int, int]]:
+    """Drop underline marks before the diacritic merge glues them onto the
+    glyphs above (a dash under each glyph fakes a descender, turning whole
+    words into ç/q/y/p misreads).
+
+    A rule — solid or dashed — lives in bottom-of-band rows that NO other
+    component occupies (scans put a blank row between text and underline).
+    i/j dots and accents sit at the TOP of the band, and baseline
+    punctuation shares its rows with the letters, so neither qualifies."""
+    flat_idx = [i for i, b in enumerate(boxes)
+                if (b[1] - b[0] + 1) <= 3 and b[0] > band_h * 0.6]
+    if not flat_idx:
+        return boxes
+    flat_set = set(flat_idx)
+    others = [b for i, b in enumerate(boxes) if i not in flat_set]
+    # column-local isolation: glyphs elsewhere in the line (brackets,
+    # descenders) may reach the rule's rows — only ink sharing BOTH the
+    # candidate's rows and its column neighborhood disqualifies it
+    isolated = [
+        i for i in flat_idx
+        if not any(o[0] <= boxes[i][1] and o[1] >= boxes[i][0]
+                   and o[2] <= boxes[i][3] + 2 and o[3] >= boxes[i][2] - 2
+                   for o in others)]
+    if not isolated:
+        return boxes
+    drop: set[int] = set()
+    # a lone long bar is a solid rule (no glyph is 25 px wide and ≤3 tall)
+    drop.update(i for i in isolated if boxes[i][3] - boxes[i][2] + 1 >= 25)
+    # a dashed rule is a DENSE family: ≥4 marks, gaps no wider than ~2
+    # dash widths (baseline commas are isolated too, but sit words apart)
+    family = sorted((i for i in isolated if i not in drop),
+                    key=lambda i: boxes[i][2])
+    run: list[int] = []
+    for i in family:
+        if run:
+            prev = boxes[run[-1]]
+            width = max(prev[3] - prev[2] + 1, 3)
+            if boxes[i][2] - prev[3] - 1 > 2 * width:
+                if len(run) >= 4:
+                    drop.update(run)
+                run = []
+        run.append(i)
+    if len(run) >= 4:
+        drop.update(run)
+    if not drop:
+        return boxes
+    return [b for i, b in enumerate(boxes) if i not in drop]
+
+
 def _merge_overlapping(boxes: list[tuple[int, int, int, int]]
                        ) -> list[tuple[int, int, int, int]]:
     """Merge boxes whose x-intervals overlap ≥40% of the narrower box
@@ -564,10 +614,11 @@ def recognize_page(img: np.ndarray) -> str | None:
     scores: list[float] = []
     for (r0, r1) in _line_bands(binary):
         band = binary[r0:r1]
-        boxes = _merge_overlapping(
+        boxes = _merge_overlapping(_strip_rules(
             [b for b in _components(band)
              if (b[1] - b[0] + 1) * (b[3] - b[2] + 1) >= MIN_GLYPH_AREA
-             and band[b[0]:b[1] + 1, b[2]:b[3] + 1].sum() >= 2])
+             and band[b[0]:b[1] + 1, b[2]:b[3] + 1].sum() >= 2],
+            band.shape[0]))
         met = _line_metrics(boxes)
         if met is None:
             continue
@@ -773,9 +824,21 @@ def _repair_leading_digit(text: str) -> str:
 
 
 def _balance_trailing_paren(text: str) -> str:
-    """A close paren at ~10 px shares its hook shape with capital J.  When a
-    line has exactly one unclosed '(' and ends in 'J', the J is the missing
-    close paren ('(CSM, PSM IIJ' → '(CSM, PSM II)')."""
+    """A close paren at ~10 px shares its hook shape with capital J.  While
+    a '(' is unclosed, a token ending in 'J' right after ≥2 capitals is the
+    missing close paren ('(CSM, PSM IIJ' → '… II)', '(DBAJ Sênior' →
+    '(DBA) Sênior'); a line-final J with an open paren closes it too."""
+    toks = text.split(" ")
+    depth = 0
+    for idx, tok in enumerate(toks):
+        depth += tok.count("(")
+        if (depth > 0 and tok.endswith("J")
+                and sum(1 for c in tok[:-1] if c.isupper()) >= 2
+                and all(c.isupper() or c in "(," for c in tok[:-1])):
+            toks[idx] = tok[:-1] + ")"
+            depth -= 1
+        depth -= tok.count(")")
+    text = " ".join(toks)
     if text.count("(") == text.count(")") + 1:
         stripped = text.rstrip()
         if stripped.endswith("J") and "(" in stripped[:-1]:

@@ -156,6 +156,20 @@ def test_ocr_confidence_gate_no_garbage(name, kind, token):
         assert text == ""
 
 
+def test_underlined_scan_headings_survive_rule_strip():
+    """tatiana_guedes.pdf underlines its field labels with dashed rules; if
+    those dashes merge into the glyphs as fake descenders the whole label
+    degenerates into ç/q/y misreads (pre-fix read: 'ÇÇÇ:').  The rule
+    stripper must let the label and the parenthesized acronym through."""
+    text, error, pages = oracle.extract_span(
+        "pdf", "", "m", _load("tatiana_guedes.pdf"))
+    assert error is None and pages == 1
+    up = text.upper()
+    assert "FUNCAO" in up or "FUNÇÃO" in up
+    assert "(DBA)" in up
+    assert "EXPERIÊNCIA DE TRABALHO" in up
+
+
 def test_ocr_confidence_gate_blocks_garbage():
     """Non-text raster (noise) must yield the explicit gate error, not
     hallucinated characters."""

@@ -194,12 +194,35 @@ class TestRecognizer:
         assert f("3D 5G") == "3D 5G"
         assert f("2024 1000") == "2024 1000"
 
+    def test_strip_rules_geometry(self):
+        f = realfont._strip_rules
+        letters = [(0, 9, x, x + 7) for x in range(0, 80, 10)]
+        # dashed underline: isolated flat family below a blank row → dropped
+        dashes = [(12, 13, x, x + 2) for x in range(0, 60, 5)]
+        assert f(letters + dashes, 14) == letters
+        # solid underline bar → dropped
+        bar = [(12, 13, 0, 59)]
+        assert f(letters + bar, 14) == letters
+        # baseline commas words apart: isolated but sparse → kept
+        commas = [(8, 10, 20, 22), (8, 10, 50, 52), (8, 10, 70, 72),
+                  (8, 10, 90, 92)]
+        assert f(letters + commas, 11) == letters + commas
+        # a bracket descending into the rule rows vetoes only nearby dashes
+        bracket = [(0, 13, 30, 33)]
+        out = f(letters + bracket + dashes, 14)
+        assert bracket[0] in out
+        assert sum(1 for b in dashes if b in out) <= 2  # only its neighbors
+
     def test_trailing_paren_balance(self):
         f = realfont._balance_trailing_paren
         assert f("Master (CSM, PSM IIJ") == "Master (CSM, PSM II)"
+        # mid-line: close as soon as the J-capped acronym ends
+        assert f("(DBAJ Sênior / Arquiteta") == "(DBA) Sênior / Arquiteta"
+        assert f("(Çqo Carlos, SPJ - DBA") == "(Çqo Carlos, SP) - DBA"
         # balanced lines and J-final names untouched
         assert f("Master (CSM, PSM II)") == "Master (CSM, PSM II)"
         assert f("PSM IIJ") == "PSM IIJ"
+        assert f("(CNPJ) 12.345" ) == "(CNPJ) 12.345"
 
 
 def _lev(a: str, b: str) -> int:
