@@ -20,6 +20,13 @@ from __future__ import annotations
 import html as _html
 import re
 
+# elements whose CONTENT is never document text: stripping only the tags
+# would leak raw JS/CSS/markup into the extracted blocks
+_INVISIBLE_RE = re.compile(
+    r"<(script|style|noscript|template|svg)\b[^>]*>.*?</\1\s*>|<!--.*?-->",
+    re.I | re.S,
+)
+
 _BLOCK_SPLIT_RE = re.compile(
     r"<(nav|header|footer|aside|main|article|div|section|p|h[1-6]|ul|table)"
     r"(\s[^>]*)?>|</(nav|header|footer|aside|main|article|div|section|p|h[1-6]|ul|table)>",
@@ -78,6 +85,7 @@ def _link_density(raw: str) -> float:
 
 def strip_boilerplate(doc: str) -> str:
     """Main-content text of an HTML document, blocks joined by newlines."""
+    doc = _INVISIBLE_RE.sub(" ", doc)
     kept: list[str] = []
     for stack, raw in _blocks(doc):
         tags = set(stack)
