@@ -215,11 +215,15 @@ def estimate_skew(img: np.ndarray) -> float:
     # candidate keeps the variance comparison fair.
     max_k = max(abs(k) for k in SKEW_CANDIDATES)
     off = int(np.ceil(max_k * w)) + 1
+    base = ys + off
     # candidates by |k| ascending with a 5% margin: k=0 wins near-ties, so
     # sparse pages (a glyph or two) never get spuriously "deskewed"
     for k in sorted(SKEW_CANDIDATES, key=abs):
-        shifts = np.rint(k * xs).astype(np.int64)
-        prof = np.bincount(ys - shifts + off, minlength=h + 2 * off)
+        if k == 0.0:
+            idx = base
+        else:
+            idx = base - np.rint(k * xs).astype(np.int64)
+        prof = np.bincount(idx, minlength=h + 2 * off)
         v = float(prof.var())
         if v > best_var * 1.05:
             best_var, best_k = v, k
@@ -233,30 +237,35 @@ def deskew(img: np.ndarray) -> np.ndarray:
     h, w = img.shape
     shifts = np.rint(k * np.arange(w)).astype(int)
     out = np.full_like(img, BG)
-    for x in range(w):
-        s = shifts[x]
+    # shifts is monotone in x (fixed k), so equal-shift columns form
+    # contiguous runs — one block copy per distinct shift instead of a
+    # Python loop over every column
+    bounds = [0, *(np.flatnonzero(np.diff(shifts)) + 1), w]
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        s = int(shifts[a])
         if s > 0:
-            out[: h - s, x] = img[s:, x]
+            out[: h - s, a:b] = img[s:, a:b]
         elif s < 0:
-            out[-s:, x] = img[: h + s, x]
+            out[-s:, a:b] = img[: h + s, a:b]
         else:
-            out[:, x] = img[:, x]
+            out[:, a:b] = img[:, a:b]
     return out
 
 
 def median3(img: np.ndarray) -> np.ndarray:
     p = np.pad(img, 1, mode="edge")
-    vals = np.unique(img)
+    # distinct-value probe via bincount: O(n) adds instead of np.unique's
+    # full-image sort (uint8 domain, 256 bins)
+    vals = np.flatnonzero(np.bincount(img.ravel(), minlength=256))
     if len(vals) <= 2:
-        # two-valued image: median of 9 == majority vote — one box sum
+        # two-valued image: median of 9 == majority vote — separable box
+        # sum (2 adds per axis; counts ≤ 9 fit uint8)
+        h, w = img.shape
         lo = int(vals[0])
         hi_mask = (p > lo).astype(np.uint8)
-        s = np.zeros(img.shape, dtype=np.uint8)
-        for dy in range(3):
-            for dx in range(3):
-                s += hi_mask[dy : dy + img.shape[0], dx : dx + img.shape[1]]
-        out = np.where(s >= 5, vals[-1], lo).astype(np.uint8)
-        return out
+        rows = hi_mask[:, 0:w] + hi_mask[:, 1 : w + 1] + hi_mask[:, 2 : w + 2]
+        s = rows[0:h] + rows[1 : h + 1] + rows[2 : h + 2]
+        return np.where(s >= 5, vals[-1], lo).astype(np.uint8)
     stack = np.stack(
         [p[dy : dy + img.shape[0], dx : dx + img.shape[1]]
          for dy in range(3) for dx in range(3)],
@@ -291,7 +300,8 @@ def adaptive_threshold(img: np.ndarray, block: int = 11, c: float = 2.0) -> np.n
     the identical code path, so matching stays exact."""
     k = _gauss_kernel(block).astype(np.float32)
     pad = block // 2
-    p = np.pad(img.astype(np.float32), pad, mode="edge")
+    img32 = img.astype(np.float32)
+    p = np.pad(img32, pad, mode="edge")
     h, w = img.shape
     tmp = np.empty((h + 2 * pad, w), np.float32)
     buf = np.empty_like(tmp)
@@ -305,7 +315,8 @@ def adaptive_threshold(img: np.ndarray, block: int = 11, c: float = 2.0) -> np.n
     for i in range(1, block):
         np.multiply(tmp[i:i + h, :], k[i], out=buf2)
         mean += buf2
-    return (img.astype(np.float32) < mean - np.float32(c)).astype(np.uint8)
+    mean -= np.float32(c)
+    return (img32 < mean).astype(np.uint8)
 
 
 def preprocess(img: np.ndarray) -> np.ndarray:
@@ -320,10 +331,21 @@ def preprocess(img: np.ndarray) -> np.ndarray:
 
 _PROTOS: dict[bytes, str] | None = None
 _FID_OFFSET: tuple[int, int] | None = None
+# vectorized-lookup companions to _PROTOS (built together): prototype cells
+# as a (P, CELL_H*GW) matrix, their chars in dict order, and a subset-sum
+# hash index — cells are 0/1-valued, so hash = Σ weight[i] over set bits
+# with fixed random 64-bit weights; every hash hit is verified by actual
+# byte equality, so lookup results are identical to the dict's
+_PROTO_MAT: np.ndarray | None = None
+_PROTO_CHARS: list[str] | None = None
+_PROTO_HASH_SORTED: np.ndarray | None = None
+_PROTO_ORDER: np.ndarray | None = None
+_HASH_WEIGHTS: np.ndarray | None = None
 
 
 def _build_protos() -> None:
     global _PROTOS, _FID_OFFSET
+    global _PROTO_MAT, _PROTO_CHARS, _PROTO_HASH_SORTED, _PROTO_ORDER, _HASH_WEIGHTS
     protos: dict[bytes, str] = {}
     for ch in CHARSET:
         if ch == " ":
@@ -341,6 +363,17 @@ def _build_protos() -> None:
     binary = adaptive_threshold(median3(page))
     ys, xs = np.nonzero(binary)
     _FID_OFFSET = (int(ys.min()) - MARGIN, int(xs.min()) - MARGIN)
+    mat = np.stack([np.frombuffer(k, dtype=np.uint8) for k in protos])
+    rng = np.random.default_rng(0xC0FFEE)
+    weights = rng.integers(0, 2**64, size=mat.shape[1], dtype=np.uint64)
+    hashes = (mat.astype(np.uint64) * weights).sum(axis=1, dtype=np.uint64)
+    assert len(np.unique(hashes)) == len(protos), "prototype hash collision"
+    order = np.argsort(hashes, kind="stable")
+    _PROTO_MAT = mat
+    _PROTO_CHARS = list(protos.values())
+    _PROTO_HASH_SORTED = hashes[order]
+    _PROTO_ORDER = order
+    _HASH_WEIGHTS = weights
     _PROTOS = protos
 
 
@@ -408,24 +441,56 @@ def _grid_ocr(binary: np.ndarray) -> tuple[str, int, int]:
             lines.append("")
             continue
         n_cols = (int(bxs.max()) - left) // CELL_W + 1
-        chars = []
-        for ci in range(n_cols):
-            c0 = left + ci * CELL_W
-            cell = band[:, c0 : c0 + GLYPH_W * SCALE]
-            if cell.shape != (CELL_H, GLYPH_W * SCALE):
-                # band/cell truncated at the image edge: pad both axes so
-                # prototype matching never sees a short operand
-                cell = np.pad(cell, ((0, CELL_H - cell.shape[0]),
-                                     (0, GLYPH_W * SCALE - cell.shape[1])))
-            ch = protos.get(np.ascontiguousarray(cell).tobytes())
-            if ch is not None:
-                if ch != " ":
-                    n_exact += 1
+        gw = GLYPH_W * SCALE
+        if left >= 0:
+            # vectorized band matcher: gather every cell in one fancy index,
+            # hash against the prototype index, verify hits by byte equality
+            # — identical results to the per-cell dict walk, one numpy pass.
+            # Zero-padding the band right/bottom reproduces the per-cell
+            # truncation pad exactly (np.pad's constant 0).
+            need_w = left + (n_cols - 1) * CELL_W + gw
+            bandp = np.zeros((CELL_H, need_w), dtype=np.uint8)
+            bh, bw = band.shape
+            bandp[:bh, : min(bw, need_w)] = band[:, : min(bw, need_w)]
+            cols = (left + np.arange(n_cols) * CELL_W)[:, None] + np.arange(gw)
+            cells = bandp[:, cols].transpose(1, 0, 2).reshape(n_cols, CELL_H * gw)
+            hashes = (cells.astype(np.uint64) * _HASH_WEIGHTS).sum(
+                axis=1, dtype=np.uint64)
+            pos = np.searchsorted(_PROTO_HASH_SORTED, hashes)
+            pos = np.minimum(pos, len(_PROTO_HASH_SORTED) - 1)
+            cand = _PROTO_ORDER[pos]
+            hit = (_PROTO_HASH_SORTED[pos] == hashes) & (
+                _PROTO_MAT[cand] == cells).all(axis=1)
+            chars = []
+            for ci in range(n_cols):
+                if hit[ci]:
+                    ch = _PROTO_CHARS[cand[ci]]
+                    if ch != " ":
+                        n_exact += 1
+                        n_cells += 1
+                else:
+                    ch = _nearest(cells[ci].reshape(CELL_H, gw), protos)
                     n_cells += 1
-            else:
-                ch = _nearest(cell, protos)
-                n_cells += 1
-            chars.append(ch)
+                chars.append(ch)
+        else:
+            # pathological grid origin (left < 0): keep the per-cell loop,
+            # whose negative-start slice + pad semantics are the contract
+            chars = []
+            for ci in range(n_cols):
+                c0 = left + ci * CELL_W
+                cell = band[:, c0 : c0 + gw]
+                if cell.shape != (CELL_H, gw):
+                    cell = np.pad(cell, ((0, CELL_H - cell.shape[0]),
+                                         (0, gw - cell.shape[1])))
+                ch = protos.get(np.ascontiguousarray(cell).tobytes())
+                if ch is not None:
+                    if ch != " ":
+                        n_exact += 1
+                        n_cells += 1
+                else:
+                    ch = _nearest(cell, protos)
+                    n_cells += 1
+                chars.append(ch)
         lines.append("".join(chars).rstrip())
     while lines and lines[-1] == "":
         lines.pop()
