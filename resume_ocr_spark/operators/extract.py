@@ -170,15 +170,8 @@ def extract_spans(
         .select(_RESULT_COLS)
     )
 
-    # media branch: join payloads, spread spans, batch-extract
+    # media branch: spread spans, join payloads, batch-extract
     blobs = blobs_df.select("media_ref", "payload")
-    if broadcast_blobs:
-        blobs = F.broadcast(blobs)
-    media = (
-        spans_df.filter(is_media)
-        .select("doc_id", "offset", "kind", "media_ref")
-        .join(blobs, "media_ref", "left")  # left: dangling refs become errors
-    )
     # explicit partition count: AQE's coalescing sizes partitions by bytes,
     # but media payloads are tiny relative to their OCR CPU cost — letting it
     # coalesce serializes the whole OCR stage (observed: 6 MB → 1 partition).
@@ -189,7 +182,21 @@ def extract_spans(
     if not ocr_partitions:
         sc = spans_df.sparkSession.sparkContext
         ocr_partitions = sc.defaultParallelism * 2
-    media = media.repartition(ocr_partitions, "doc_id", "offset")
+    media_spans = spans_df.filter(is_media).select(
+        "doc_id", "offset", "kind", "media_ref")
+    if broadcast_blobs:
+        # repartition BEFORE the broadcast join: the shuffle then carries
+        # only the narrow span keys, never payload bytes — the map-side
+        # join attaches payloads after the exchange, same row distribution
+        media = media_spans.repartition(
+            ocr_partitions, "doc_id", "offset"
+        ).join(F.broadcast(blobs), "media_ref", "left")
+        # left join: dangling refs become "missing media blob" error rows
+    else:
+        # shuffle join repartitions by media_ref anyway; restore span-level
+        # distribution afterwards (payload bytes must cross here regardless)
+        media = media_spans.join(blobs, "media_ref", "left").repartition(
+            ocr_partitions, "doc_id", "offset")
     media_b = media.select(
         "doc_id", "offset", "kind", "media_ref", "payload"
     ).mapInPandas(_media_batches, schema=SPAN_RESULT_SCHEMA)
