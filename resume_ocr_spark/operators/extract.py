@@ -133,18 +133,27 @@ def extract_spans(
     is_html = F.col("kind") == "html"
     is_media = F.col("kind").isin("pdf", "image")
 
-    # text branch: pure Column ops — whole-stage codegen, zero Python.
-    # Emptiness uses the oracle's Python str.strip() whitespace set (F.trim
-    # strips ASCII space only — a '\xa0' span must be "empty file" on both
-    # sides, oracle.extract_span parity).
+    # text + unsupported-kind branch: one pure-Column scan — whole-stage
+    # codegen, zero Python, and one fewer pass over the source than
+    # separate branches. Emptiness uses the oracle's Python str.strip()
+    # whitespace set (F.trim strips ASCII space only — a '\xa0' span must
+    # be "empty file" on both sides, oracle.extract_span parity).
+    # NULL-safe routing: a null kind makes every branch predicate SQL
+    # NULL, which would silently drop the span — coalesce routes it here
+    # with the oracle's "unsupported kind: None".
     from ..textproc import PY_WHITESPACE_CLASS
 
     stripped_len = F.length(F.regexp_replace(
         F.coalesce(F.col("text"), F.lit("")), PY_WHITESPACE_CLASS, ""))
     text_b = (
-        spans_df.filter(is_text)
-        .withColumn("error",
-                    F.when(stripped_len == 0, F.lit("empty file")))
+        spans_df.filter(
+            is_text | ~F.coalesce(is_text | is_html | is_media, F.lit(False)))
+        .withColumn(
+            "error",
+            F.when(~F.coalesce(is_text, F.lit(False)),
+                   F.concat(F.lit("unsupported kind: "),
+                            F.coalesce(F.col("kind"), F.lit("None"))))
+            .when(stripped_len == 0, F.lit("empty file")))
         .withColumn("text", F.when(F.col("error").isNull(), F.col("text"))
                     .otherwise(F.lit("")))
         .withColumn("ocr_pages", F.lit(0))
@@ -155,19 +164,6 @@ def extract_spans(
         spans_df.filter(is_html)
         .select("doc_id", "offset", "kind", "media_ref", "text")
         .mapInPandas(_html_batches, schema=SPAN_RESULT_SCHEMA)
-    )
-
-    # unsupported kinds: pure Column error row. NULL-safe: a null kind makes
-    # every branch predicate SQL NULL, which would silently drop the span —
-    # coalesce routes it here with the oracle's "unsupported kind: None"
-    other_b = (
-        spans_df.filter(
-            ~F.coalesce(is_text | is_html | is_media, F.lit(False)))
-        .withColumn("error", F.concat(F.lit("unsupported kind: "),
-                                      F.coalesce(F.col("kind"), F.lit("None"))))
-        .withColumn("text", F.lit(""))
-        .withColumn("ocr_pages", F.lit(0))
-        .select(_RESULT_COLS)
     )
 
     # media branch: spread spans, join payloads, batch-extract
@@ -203,7 +199,7 @@ def extract_spans(
     # dangling media_ref: payload arrived null → oracle.extract_span returned
     # "missing media blob" (it sees payload=None), so nothing extra needed.
 
-    return text_b.unionByName(html_b).unionByName(other_b).unionByName(media_b)
+    return text_b.unionByName(html_b).unionByName(media_b)
 
 
 def reassemble(doc_ids_df: DataFrame, span_results: DataFrame) -> DataFrame:

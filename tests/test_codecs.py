@@ -41,6 +41,74 @@ class TestImageCodec:
         payload = ic.render_text_image(text)
         assert ic.ocr_image(payload) == ic._normalize(text)
 
+    def _grid_ocr_scalar(self, binary):
+        """Per-cell reference for the vectorized band matcher: the original
+        dict-walk semantics (exact lookup, zero-pad truncated cells,
+        _nearest fallback) — _grid_ocr must match this exactly."""
+        protos, (dr, dc) = ic._protos()
+        ys, xs = np.nonzero(binary)
+        if len(ys) == 0:
+            return "", 0, 0
+        top = int(ys.min()) - dr - ic.MARGIN + ic.TEXT_TOP
+        left = int(xs.min()) - dc
+        bottom = int(ys.max())
+        gw = ic.GLYPH_W * ic.SCALE
+        lines, n_exact, n_cells, li = [], 0, 0, 0
+        while top + li * ic.LINE_PITCH <= bottom:
+            r0 = top + li * ic.LINE_PITCH
+            li += 1
+            band = binary[r0 : r0 + ic.CELL_H, :]
+            bxs = np.nonzero(band)[1]
+            if len(bxs) == 0:
+                lines.append("")
+                continue
+            n_cols = (int(bxs.max()) - left) // ic.CELL_W + 1
+            chars = []
+            for ci in range(n_cols):
+                c0 = left + ci * ic.CELL_W
+                cell = band[:, c0 : c0 + gw]
+                if cell.shape != (ic.CELL_H, gw):
+                    cell = np.pad(cell, ((0, ic.CELL_H - cell.shape[0]),
+                                         (0, gw - cell.shape[1])))
+                ch = protos.get(np.ascontiguousarray(cell).tobytes())
+                if ch is not None:
+                    if ch != " ":
+                        n_exact += 1
+                        n_cells += 1
+                else:
+                    ch = self._nearest(cell, protos)
+                    n_cells += 1
+                chars.append(ch)
+            lines.append("".join(chars).rstrip())
+        while lines and lines[-1] == "":
+            lines.pop()
+        return "\n".join(lines), n_exact, n_cells
+
+    @staticmethod
+    def _nearest(cell, protos):
+        return ic._nearest(cell, protos)
+
+    @given(st.integers(0, 2**32 - 1))
+    @settings(max_examples=25, deadline=None)
+    def test_vectorized_grid_matches_scalar_reference(self, seed):
+        """Adversarial binaries: rendered glyph rows corrupted with random
+        bit flips, truncated right/bottom edges — the hashed band matcher
+        must agree with the per-cell dict walk on text AND counts."""
+        rng = np.random.default_rng(seed)
+        text = "".join(rng.choice(list("AbZ9 ?~ç"), size=rng.integers(1, 12)))
+        page = ic.decode_rimg(ic.render_text_image(text))
+        binary = ic.preprocess(page)
+        # corrupt a few pixels so some cells miss the prototype dict
+        for _ in range(int(rng.integers(0, 20))):
+            y = int(rng.integers(0, binary.shape[0]))
+            x = int(rng.integers(0, binary.shape[1]))
+            binary[y, x] ^= 1
+        # random truncation exercises the zero-pad path
+        if rng.random() < 0.5:
+            binary = binary[: rng.integers(binary.shape[0] // 2, binary.shape[0]),
+                            : rng.integers(binary.shape[1] // 2, binary.shape[1])]
+        assert ic._grid_ocr(binary) == self._grid_ocr_scalar(binary)
+
     def test_preprocess_is_position_invariant(self):
         # same glyph at two grid positions yields identical preprocessed cells
         p1 = ic.preprocess(ic.decode_rimg(ic.render_text_image("A")))
