@@ -23,7 +23,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "48000"))
 OCR_PARTITIONS = int(os.environ.get("SPARK_GRAFT_OCR_PARTITIONS", "96"))
-TRIALS = int(os.environ.get("SPARK_GRAFT_TRIALS", "2"))  # best-of: steady state
+TRIALS = int(os.environ.get("SPARK_GRAFT_TRIALS", "3"))  # best-of: steady state
 RUN_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") == "1"
 
 HEADLINE = [
@@ -117,12 +117,19 @@ def main() -> None:
     # steady state, not first-touch costs
     qs["topk_orders"](spark, SF_DIR).collect()
     qs["q1_pricing_summary"](spark, SF_DIR).collect()
+    # best-of-2 per query: this box's co-tenant load arrives in bursts that
+    # inflate single-shot walls up to 3× (BASELINE.md round-3 measurements);
+    # the min of two spaced shots is the documented steady-state protocol
     times: dict[str, float] = {}
+    q_trials = int(os.environ.get("SPARK_GRAFT_QUERY_TRIALS", "2"))
     for name in HEADLINE:
-        t0 = time.time()
-        df = qs[name](spark, SF_DIR)
-        df.collect()
-        times[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(q_trials):
+            t0 = time.time()
+            df = qs[name](spark, SF_DIR)
+            df.collect()
+            best = min(best, time.time() - t0)
+        times[name] = round(best, 3)
 
     # extraction throughput at full parallelism
     root, n_docs = _build_corpus_warehouse(spark, BENCH_DOCS)
