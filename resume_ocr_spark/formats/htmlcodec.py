@@ -26,6 +26,9 @@ _INVISIBLE_RE = re.compile(
     r"<(script|style|noscript|template|svg)\b[^>]*>.*?</\1\s*>|<!--.*?-->",
     re.I | re.S,
 )
+# truncated documents: an unterminated script/style swallows to EOF rather
+# than leaking raw JS/CSS into the block splitter
+_INVISIBLE_OPEN_RE = re.compile(r"<(script|style)\b[^>]*>.*\Z", re.I | re.S)
 
 _BLOCK_SPLIT_RE = re.compile(
     r"<(nav|header|footer|aside|main|article|div|section|p|h[1-6]|ul|table)"
@@ -86,6 +89,7 @@ def _link_density(raw: str) -> float:
 def strip_boilerplate(doc: str) -> str:
     """Main-content text of an HTML document, blocks joined by newlines."""
     doc = _INVISIBLE_RE.sub(" ", doc)
+    doc = _INVISIBLE_OPEN_RE.sub(" ", doc)
     kept: list[str] = []
     for stack, raw in _blocks(doc):
         tags = set(stack)

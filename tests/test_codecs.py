@@ -181,6 +181,27 @@ class TestHtmlCodec:
         assert "ANA SILVA" in out
         assert "EXPERIÊNCIA PROFISSIONAL" in out
 
+    def test_invisible_content_stripped(self):
+        doc = (
+            "<html><head><style>.x{color:red}</style>"
+            "<script type='text/javascript'>var secret = 'LEAK1';</script>"
+            "</head><body><!-- LEAK2 --><main><p>Real content here</p>"
+            "<noscript>LEAK3</noscript><svg><text>LEAK4</text></svg>"
+            "<SCRIPT>function f(){return 'LEAK5'}</SCRIPT></main></body></html>"
+        )
+        out = htmlcodec.strip_boilerplate(doc)
+        assert "Real content here" in out
+        for leak in ("LEAK1", "LEAK2", "LEAK3", "LEAK4", "LEAK5",
+                     "color:red", "javascript"):
+            assert leak not in out
+
+    def test_unterminated_script_swallowed_to_eof(self):
+        doc = ("<main><p>Visible text</p>"
+               "<script>var x = 'LEAK'; // truncated document")
+        out = htmlcodec.strip_boilerplate(doc)
+        assert "Visible text" in out
+        assert "LEAK" not in out
+
     def test_link_density_filter(self):
         doc = ("<div><a href='1'>x</a> <a href='2'>y</a></div>"
                "<p>conteúdo real do documento aqui</p>")
