@@ -195,6 +195,16 @@ class TestHtmlCodec:
                      "color:red", "javascript"):
             assert leak not in out
 
+    @given(st.text(max_size=400))
+    @settings(max_examples=120, deadline=None)
+    def test_strip_boilerplate_total_on_arbitrary_text(self, doc):
+        """Total function: any input yields a str, never an exception —
+        and script content stays stripped no matter what surrounds it."""
+        assert isinstance(htmlcodec.strip_boilerplate(doc), str)
+        doc = doc.replace("leakcanary", "")
+        wrapped = f"<p>keep</p><script>leakcanary {doc}</script>{doc}"
+        assert "leakcanary" not in htmlcodec.strip_boilerplate(wrapped)
+
     def test_unterminated_script_swallowed_to_eof(self):
         doc = ("<main><p>Visible text</p>"
                "<script>var x = 'LEAK'; // truncated document")
