@@ -105,13 +105,8 @@ def minhash_signatures(
     return _minhash_from_words(units, id_col, k)
 
 
-def minhash_lsh_candidates(
-    sigs: DataFrame, id_col: str = "doc_id", k: int = MINHASH_K, bands: int = LSH_BANDS
-) -> DataFrame:
-    """LSH banding: docs sharing any band hash become candidate pairs.
-    This is the 100TB path — candidates come from an equi join on
-    (band, band_hash), so cost tracks true near-duplicate density instead of
-    n² (cf. Broder's shingling / MMDS ch.3)."""
+def _banded(sigs: DataFrame, id_col: str, k: int, bands: int) -> DataFrame:
+    """(id, band, band-hash) rows — the shared banding step."""
     rows_per_band = k // bands
     band_cols = []
     for b in range(bands):
@@ -119,9 +114,34 @@ def minhash_lsh_candidates(
         band_cols.append(
             F.struct(F.lit(b).alias("band"), F.md5(F.concat(*parts)).alias("bh"))
         )
-    banded = sigs.select(
+    return sigs.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("b")
     ).select(id_col, "b.band", "b.bh")
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame, id_col: str = "doc_id", k: int = MINHASH_K,
+    bands: int = LSH_BANDS, max_bucket_size: int | None = None,
+) -> DataFrame:
+    """LSH banding: docs sharing any band hash become candidate pairs.
+    This is the 100TB path — candidates come from an equi join on
+    (band, band_hash), so cost tracks true near-duplicate density instead of
+    n² (cf. Broder's shingling / MMDS ch.3).
+
+    ``max_bucket_size`` guards the degenerate case: boilerplate/template
+    corpora put thousands of near-identical docs in ONE bucket, and the
+    within-bucket self-join then emits C(m, 2) pairs — measured here: 50k
+    docs at 10× near-dup density produced 5.1×10⁸ pairs. Buckets larger
+    than the cap are dropped before the join (the standard production
+    recall dial; such mega-buckets are better handled by
+    :func:`minhash_lsh_star_edges` + clustering, which keeps them at
+    O(m))."""
+    banded = _banded(sigs, id_col, k, bands)
+    if max_bucket_size is not None:
+        sizes = banded.groupBy("band", "bh").agg(F.count("*").alias("_bsz"))
+        banded = (banded.join(
+            sizes.filter(F.col("_bsz") <= max_bucket_size), ["band", "bh"])
+            .drop("_bsz"))
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -134,6 +154,31 @@ def minhash_lsh_candidates(
         .select(
             F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
         )
+        .distinct()
+    )
+
+
+def minhash_lsh_star_edges(
+    sigs: DataFrame, id_col: str = "doc_id", k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """Linear-size LSH edges for CLUSTERING: per bucket, connect every
+    member to the bucket's minimum id — m−1 edges instead of C(m, 2).
+
+    Within a bucket the star and the clique connect exactly the same
+    vertices, so connected components over star edges equal components
+    over :func:`minhash_lsh_candidates` pairs (pinned in tests) — while a
+    mega-bucket of 10⁵ boilerplate near-dups costs 10⁵ edges, not 5×10⁹.
+    This is the edge set :func:`dedup_clusters` / :func:`dedup_clusters_star`
+    should consume at scale; pairwise candidates remain the right input
+    for pair VERIFICATION (LSH-gated exact Jaccard), where the cap
+    parameter bounds the degenerate buckets instead."""
+    banded = _banded(sigs, id_col, k, bands)
+    reps = banded.groupBy("band", "bh").agg(F.min(id_col).alias("_rep"))
+    return (
+        banded.join(reps, ["band", "bh"])
+        .filter(F.col(id_col) != F.col("_rep"))
+        .select(F.col("_rep").alias("id_a"), F.col(id_col).alias("id_b"))
         .distinct()
     )
 

@@ -48,6 +48,43 @@ class TestDedup:
         assert (1, 2) in pairs
         assert (1, 3) not in pairs and (2, 3) not in pairs
 
+    def test_star_edges_cluster_equivalence(self, spark):
+        """Star edges (rep→member per bucket, O(m)) must yield exactly the
+        same connected components as the pairwise candidate clique
+        (O(m²)) — the equivalence that makes star edges the scale-safe
+        clustering input for mega-buckets."""
+        base = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+        rows = [(i, base + f" tail{i % 3}") for i in range(30)]  # 3 clusters
+        rows += [(100, "completely different text about spark catalyst"),
+                 (101, "completely different text about spark catalyst plans")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        sigs = dedup.minhash_signatures(df, "doc_id", "text")
+        via_pairs = {(r["doc_id"], r["cluster_id"]) for r in dedup.dedup_clusters(
+            dedup.minhash_lsh_candidates(sigs, "doc_id"), max_iters=100
+        ).collect()}
+        via_star = {(r["doc_id"], r["cluster_id"]) for r in dedup.dedup_clusters(
+            dedup.minhash_lsh_star_edges(sigs, "doc_id"), max_iters=100
+        ).collect()}
+        assert via_pairs == via_star
+        assert len(via_pairs) > 0
+
+    def test_lsh_bucket_cap_drops_mega_buckets(self, spark):
+        """max_bucket_size prunes degenerate buckets: identical docs land
+        in one bucket per band; capping below the bucket size removes all
+        their pairs while an unrelated small pair survives."""
+        rows = [(i, "same boilerplate text repeated everywhere") for i in range(20)]
+        rows += [(50, "rare pair of documents alpha beta gamma"),
+                 (51, "rare pair of documents alpha beta gamma delta")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        sigs = dedup.minhash_signatures(df, "doc_id", "text")
+        capped = {(r["id_a"], r["id_b"]) for r in dedup.minhash_lsh_candidates(
+            sigs, "doc_id", max_bucket_size=5).collect()}
+        assert all(a >= 50 and b >= 50 for a, b in capped), capped
+        assert (50, 51) in capped
+        uncapped = {(r["id_a"], r["id_b"])
+                    for r in dedup.minhash_lsh_candidates(sigs, "doc_id").collect()}
+        assert len(uncapped) >= 20 * 19 // 2  # the clique the cap removes
+
     def test_cluster_connected_components(self, spark):
         """Min-label propagation finds components, incl. a 6-deep chain
         (stresses >1 propagation round) and leaves singletons unlabeled."""
