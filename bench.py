@@ -51,7 +51,7 @@ def _fresh_spark(cores: int):
                      shuffle_partitions=max(cores, 16))
 
 
-def _build_corpus_warehouse(spark, n_docs: int) -> str:
+def _build_corpus_warehouse(spark, n_docs: int):
     import tempfile
 
     from resume_ocr_spark import corpus, warehouse
@@ -59,11 +59,76 @@ def _build_corpus_warehouse(spark, n_docs: int) -> str:
     root = tempfile.mkdtemp(prefix="bench_wh_")
     docs, blobs = corpus.gen_corpus_fast(n_docs, seed=42)
     warehouse.build_warehouse(spark, root, docs, blobs)
-    return root, len(docs)
+    return root, len(docs), docs, blobs
+
+
+def _oracle_doc_tuples(args):
+    """Pool worker: oracle span sequence for one doc as comparable tuples."""
+    from resume_ocr_spark import oracle
+
+    doc, doc_blobs = args
+    spans = oracle.extract_doc(doc, doc_blobs)
+    return doc["doc_id"], [
+        (s["kind"], s["text"], s["media_ref"], s["offset"],
+         s["error"], s["ocr_pages"]) for s in spans
+    ]
+
+
+def _span_match_rate(spark, out_dir: str, docs: list, blobs: list,
+                     sample_n: int) -> dict:
+    """Span-sequence exact-match rate (the second half of the BASELINE.json
+    metric): distributed output vs the single-node oracle on a deterministic
+    stride sample of the bench corpus (stride sampling hits every doc-mix
+    branch incl. the ~1% skew tail). ``rate`` is the north-rule tuple
+    (kind, text, media_ref, order); ``strict_rate`` additionally requires
+    error and ocr_pages equality per span."""
+    import multiprocessing
+
+    step = max(1, len(docs) // sample_n)
+    sampled = docs[::step][:sample_n]
+    ids = {d["doc_id"] for d in sampled}
+    by_doc: dict[str, dict[str, bytes]] = {}
+    for b in blobs:
+        did = b["media_ref"].split(":")[1]
+        if did in ids:
+            by_doc.setdefault(did, {})[b["media_ref"]] = b["payload"]
+    with multiprocessing.Pool(8) as pool:
+        exp = dict(pool.map(
+            _oracle_doc_tuples,
+            [(d, by_doc.get(d["doc_id"], {})) for d in sampled]))
+
+    rows = (spark.read.parquet(out_dir)
+            .where(spark_col("doc_id").isin(list(ids)))
+            .select("doc_id", "spans").collect())
+    got = {
+        r["doc_id"]: [
+            (s["kind"], s["text"], s["media_ref"], s["offset"],
+             s["error"], s["ocr_pages"])
+            for s in (x.asDict() for x in r["spans"])
+        ] for r in rows
+    }
+    north = strict = 0
+    for did, e in exp.items():
+        g = got.get(did, [])
+        if [t[:4] for t in g] == [t[:4] for t in e]:
+            north += 1
+        if g == e:
+            strict += 1
+    n = len(exp)
+    return {
+        "sampled": n, "exact": north, "rate": round(north / n, 6),
+        "strict_exact": strict, "strict_rate": round(strict / n, 6),
+    }
+
+
+def spark_col(name):
+    from pyspark.sql import functions as F
+
+    return F.col(name)
 
 
 def _run_extraction(spark, root: str, warm_root: str | None = None,
-                    trials: int | None = None) -> tuple[float, int]:
+                    trials: int | None = None) -> tuple[float, int, str]:
     """Full pipeline incl. the parquet sink — a count() alone would let
     Catalyst prune the extraction UDFs (cardinality-preserving join).
 
@@ -94,6 +159,7 @@ def _run_extraction(spark, root: str, warm_root: str | None = None,
     blobs_df = warehouse.read_table(spark, root, "media_blobs")
     wall = float("inf")
     n = 0
+    out_dir = ""
     for _ in range(trials or TRIALS):  # best-of: steady-state throughput
         out_dir = tempfile.mkdtemp(prefix="bench_out_")
         t0 = time.time()
@@ -104,7 +170,7 @@ def _run_extraction(spark, root: str, warm_root: str | None = None,
         out.write.mode("overwrite").parquet(out_dir)
         wall = min(wall, time.time() - t0)
         n = spark.read.parquet(out_dir).count()
-    return wall, n
+    return wall, n, out_dir
 
 
 def main() -> None:
@@ -132,12 +198,18 @@ def main() -> None:
         times[name] = round(best, 3)
 
     # extraction throughput at full parallelism
-    root, n_docs = _build_corpus_warehouse(spark, BENCH_DOCS)
-    warm_root, _ = _build_corpus_warehouse(spark, 40)
-    wall_full, n_out = _run_extraction(spark, root, warm_root)
+    root, n_docs, docs, blobs = _build_corpus_warehouse(spark, BENCH_DOCS)
+    warm_root, _, _, _ = _build_corpus_warehouse(spark, 40)
+    wall_full, n_out, out_dir = _run_extraction(spark, root, warm_root)
     assert n_out == n_docs, f"{n_out} != {n_docs}"
     dps_full = n_docs / wall_full
     times["extract_pipeline"] = round(wall_full, 3)
+
+    # span-sequence exact-match rate vs the oracle (the second half of the
+    # BASELINE.json metric), on the output of the timed run itself
+    sm_docs = int(os.environ.get("SPARK_GRAFT_SPANMATCH_DOCS", "1000"))
+    span_match = (_span_match_rate(spark, out_dir, docs, blobs, sm_docs)
+                  if sm_docs > 0 else {})
 
     scaling = {}
     if RUN_SCALING:
@@ -170,13 +242,13 @@ def main() -> None:
                                      str(BENCH_DOCS // 2)))
         # separate, smaller corpus bounds the low-level wall (~2 min);
         # input is identical across both levels of every round
-        sc_root, sc_n = _build_corpus_warehouse(spark, sc_docs)
+        sc_root, sc_n, _, _ = _build_corpus_warehouse(spark, sc_docs)
         rounds = []
         for _ in range(sc_rounds):
             spark = _fresh_spark(high)
-            wall_h, _ = _run_extraction(spark, sc_root, warm_root, trials=1)
+            wall_h, _, _ = _run_extraction(spark, sc_root, warm_root, trials=1)
             spark = _fresh_spark(low)
-            wall_l, _ = _run_extraction(spark, sc_root, warm_root, trials=1)
+            wall_l, _, _ = _run_extraction(spark, sc_root, warm_root, trials=1)
             rounds.append((sc_n / wall_h, sc_n / wall_l))
         dps_high = max(h for h, _ in rounds)
         dps_low = max(lo for _, lo in rounds)
@@ -203,6 +275,7 @@ def main() -> None:
         "sf": sf,
         "bench_total_sec": total,
         "extraction": {"n_docs": n_docs, "wall_sec": round(wall_full, 3)},
+        "span_match": span_match,
         "scaling": scaling,
     }))
 
