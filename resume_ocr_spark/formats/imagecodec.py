@@ -286,7 +286,8 @@ def _gauss_kernel(block: int = 11) -> np.ndarray:
     return _GAUSS_K[block]
 
 
-def adaptive_threshold(img: np.ndarray, block: int = 11, c: float = 2.0) -> np.ndarray:
+def adaptive_threshold(img: np.ndarray, block: int = 11, c: float = 2.0,
+                       tile: int = 96) -> np.ndarray:
     """Gaussian-weighted adaptive threshold; returns 1=ink, 0=background.
 
     Separable convolution as a shift-multiply-accumulate over the `block`
@@ -297,26 +298,42 @@ def adaptive_threshold(img: np.ndarray, block: int = 11, c: float = 2.0) -> np.n
     threaded path, which is ~25× slower on these small strided operands
     unless every worker pins BLAS to one thread (and session.py's pinning
     shouldn't be a correctness-of-throughput dependency). Prototypes run
-    the identical code path, so matching stays exact."""
+    the identical code path, so matching stays exact.
+
+    Both passes run in `tile`-row blocks so the per-tap working set stays
+    L2-resident instead of streaming the full image through DRAM `block`
+    times — per-element operation order is unchanged, so the output is
+    bit-identical to the unblocked form (pinned by test) while 32
+    concurrent workers stop fighting for the shared memory bus (~25-30%
+    faster at 32-way on this box; padding stays uint8 for the same
+    reason). Promotions are exact: uint8 → float32 loses nothing."""
     k = _gauss_kernel(block).astype(np.float32)
     pad = block // 2
-    img32 = img.astype(np.float32)
-    p = np.pad(img32, pad, mode="edge")
+    p = np.pad(img, pad, mode="edge")
     h, w = img.shape
-    tmp = np.empty((h + 2 * pad, w), np.float32)
-    buf = np.empty_like(tmp)
-    np.multiply(p[:, 0:w], k[0], out=tmp)
-    for i in range(1, block):
-        np.multiply(p[:, i:i + w], k[i], out=buf)
-        tmp += buf
-    mean = np.empty((h, w), np.float32)
+    hp = h + 2 * pad
+    tmp = np.empty((hp, w), np.float32)
+    buf = np.empty((tile, w), np.float32)
+    for r0 in range(0, hp, tile):
+        r1 = min(r0 + tile, hp)
+        t, b = tmp[r0:r1], buf[: r1 - r0]
+        np.multiply(p[r0:r1, 0:w], k[0], out=t)
+        for i in range(1, block):
+            np.multiply(p[r0:r1, i:i + w], k[i], out=b)
+            t += b
+    out = np.empty((h, w), np.uint8)
+    mean = np.empty((tile, w), np.float32)
     buf2 = np.empty_like(mean)
-    np.multiply(tmp[0:h, :], k[0], out=mean)
-    for i in range(1, block):
-        np.multiply(tmp[i:i + h, :], k[i], out=buf2)
-        mean += buf2
-    mean -= np.float32(c)
-    return (img32 < mean).astype(np.uint8)
+    for r0 in range(0, h, tile):
+        n = min(r0 + tile, h) - r0
+        m, b2 = mean[:n], buf2[:n]
+        np.multiply(tmp[r0:r0 + n, :], k[0], out=m)
+        for i in range(1, block):
+            np.multiply(tmp[r0 + i:r0 + i + n, :], k[i], out=b2)
+            m += b2
+        m -= np.float32(c)
+        np.less(img[r0:r0 + n], m, out=out[r0:r0 + n].view(bool))
+    return out
 
 
 def preprocess(img: np.ndarray) -> np.ndarray:

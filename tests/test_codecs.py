@@ -109,6 +109,42 @@ class TestImageCodec:
                             : rng.integers(binary.shape[1] // 2, binary.shape[1])]
         assert ic._grid_ocr(binary) == self._grid_ocr_scalar(binary)
 
+    @given(st.integers(0, 2**32 - 1))
+    @settings(max_examples=20, deadline=None)
+    def test_blocked_threshold_matches_unblocked_reference(self, seed):
+        """The L2-tiled adaptive_threshold must be BIT-identical to the
+        straightforward unblocked separable convolution — per-element float
+        operation order is unchanged by the tiling, so any divergence is a
+        bug, not rounding."""
+        rng = np.random.default_rng(seed)
+        h = int(rng.integers(1, 300))
+        w = int(rng.integers(1, 300))
+        img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        block, c = 11, 2.0
+
+        k = ic._gauss_kernel(block).astype(np.float32)
+        pad = block // 2
+        img32 = img.astype(np.float32)
+        p = np.pad(img32, pad, mode="edge")
+        tmp = np.empty((h + 2 * pad, w), np.float32)
+        buf = np.empty_like(tmp)
+        np.multiply(p[:, 0:w], k[0], out=tmp)
+        for i in range(1, block):
+            np.multiply(p[:, i:i + w], k[i], out=buf)
+            tmp += buf
+        mean = np.empty((h, w), np.float32)
+        buf2 = np.empty_like(mean)
+        np.multiply(tmp[0:h, :], k[0], out=mean)
+        for i in range(1, block):
+            np.multiply(tmp[i:i + h, :], k[i], out=buf2)
+            mean += buf2
+        mean -= np.float32(c)
+        ref = (img32 < mean).astype(np.uint8)
+
+        assert np.array_equal(ic.adaptive_threshold(img), ref)
+        # odd tile sizes exercise the partial-final-block path
+        assert np.array_equal(ic.adaptive_threshold(img, tile=37), ref)
+
     def test_preprocess_is_position_invariant(self):
         # same glyph at two grid positions yields identical preprocessed cells
         p1 = ic.preprocess(ic.decode_rimg(ic.render_text_image("A")))
