@@ -201,3 +201,42 @@ class TestProbeDispatch:
         assert got[5]["error"] is not None and got[5]["codec"] is None
         assert got[6]["error"] == "null payload"
         assert all(got[i]["error"] is None for i in (1, 2, 3, 4))
+
+
+class TestProbeTotality:
+    """Poisoned payloads must surface as AudioDecodeError (→ error rows in
+    the multimodal UDF), never any other exception type."""
+
+    from hypothesis import given, settings, strategies as st
+
+    @given(st.binary(max_size=600))
+    @settings(max_examples=300, deadline=None)
+    def test_random_bytes_total(self, blob):
+        try:
+            meta = avcodec.probe_audio_any(blob)
+            assert isinstance(meta, dict) and "codec" in meta
+        except avcodec.AudioDecodeError:
+            pass
+
+    @given(st.integers(0, 2**32 - 1))
+    @settings(max_examples=150, deadline=None)
+    def test_mutated_valid_streams_total(self, seed):
+        import random as _r
+
+        rng = _r.Random(seed)
+        base = rng.choice([
+            mp3_frame() * 6,
+            ogg_page(vorbis_ident(), granule=0)
+            + ogg_page(bytes(40), granule=4410, seq=1, htype=4),
+            ogg_page(opus_ident(), granule=0)
+            + ogg_page(bytes(20), granule=9600, seq=1, htype=4),
+        ])
+        blob = bytearray(base)
+        for _ in range(rng.randint(1, 12)):
+            blob[rng.randrange(len(blob))] ^= 1 << rng.randrange(8)
+        blob = bytes(blob[: rng.randint(1, len(blob))])
+        try:
+            meta = avcodec.probe_audio_any(blob)
+            assert isinstance(meta, dict)
+        except avcodec.AudioDecodeError:
+            pass
