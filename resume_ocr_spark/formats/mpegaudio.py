@@ -128,13 +128,16 @@ def parse_mp3_info(payload: bytes) -> dict:
         if n_frames == 0 and layer == 3:
             off = i + _xing_offset(version, channels)
             tag = payload[off : off + 4]
-            if tag in (b"Xing", b"Info"):
+            # a stream truncated mid-tag must not escape as struct.error
+            # (hypothesis-found); the tag is advisory, so just skip it
+            if tag in (b"Xing", b"Info") and off + 12 <= len(payload):
                 vbr_tag = tag == b"Xing"
                 (flags,) = struct.unpack(">I", payload[off + 4 : off + 8])
                 if flags & 1:
                     (tag_frames,) = struct.unpack(
                         ">I", payload[off + 8 : off + 12])
-            elif payload[i + 36 : i + 40] == b"VBRI":
+            elif (payload[i + 36 : i + 40] == b"VBRI"
+                  and i + 54 <= len(payload)):
                 vbr_tag = True
                 (tag_frames,) = struct.unpack(
                     ">I", payload[i + 50 : i + 54])
@@ -189,7 +192,12 @@ def parse_ogg_info(payload: bytes) -> dict:
         if len(body) != body_len:
             raise AudioDecodeError("truncated OGG page body")
         if n_pages == 0:
+            # spec-minimum ident sizes (Vorbis I §4.2.2: 30; RFC 7845 §5.1:
+            # 19) — a mutated/truncated ident must become an error row, not
+            # a struct.error task failure (hypothesis-found)
             if body[:7] == b"\x01vorbis":
+                if len(body) < 30:
+                    raise AudioDecodeError("truncated Vorbis ident header")
                 codec = "vorbis"
                 channels = body[11]
                 (sample_rate,) = struct.unpack("<I", body[12:16])
@@ -197,6 +205,8 @@ def parse_ogg_info(payload: bytes) -> dict:
                 if nominal > 0:
                     nominal_kbps = round(nominal / 1000)
             elif body[:8] == b"OpusHead":
+                if len(body) < 19:
+                    raise AudioDecodeError("truncated Opus ident header")
                 codec = "opus"
                 channels = body[9]
                 (preskip,) = struct.unpack("<H", body[10:12])
