@@ -144,10 +144,26 @@ def _extend(v: int, t: int) -> int:
     return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
+# exception types a mutated stream can squeeze out of the entropy/marker
+# walk (hypothesis/mutation-fuzz-found: StopIteration from an exhausted
+# scan, ValueError from odd unpacks). The public decoders translate them
+# to JpegDecodeError so callers' error-as-data handling holds.
+_PARSE_LEAKS = (ValueError, IndexError, KeyError, StopIteration,
+                struct.error, OverflowError)
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """→ (H, W, C) uint8; 3-component YCbCr is converted to RGB."""
-    planes = _decode_planes(data)
-    img = np.stack(planes, axis=-1)
+    """→ (H, W, C) uint8; 3-component YCbCr is converted to RGB.
+
+    Raises only JpegDecodeError on any corrupt input."""
+    try:
+        planes = _decode_planes(data)
+        img = np.stack(planes, axis=-1)
+    except JpegDecodeError:
+        raise
+    except _PARSE_LEAKS as exc:
+        raise JpegDecodeError(
+            f"corrupt JPEG stream: {type(exc).__name__}: {exc}") from exc
     if img.shape[2] == 3:
         img = _ycbcr_to_rgb(img)
     return np.clip(np.rint(img), 0, 255).astype(np.uint8)
@@ -155,8 +171,16 @@ def decode_jpeg(data: bytes) -> np.ndarray:
 
 def decode_jpeg_gray(data: bytes) -> np.ndarray:
     """The luma plane as grayscale (what OCR preprocessing consumes) —
-    taken directly from the decoded Y plane, no RGB round trip."""
-    y = _decode_planes(data)[0]
+    taken directly from the decoded Y plane, no RGB round trip.
+
+    Raises only JpegDecodeError on any corrupt input."""
+    try:
+        y = _decode_planes(data)[0]
+    except JpegDecodeError:
+        raise
+    except _PARSE_LEAKS as exc:
+        raise JpegDecodeError(
+            f"corrupt JPEG stream: {type(exc).__name__}: {exc}") from exc
     return np.clip(np.rint(y), 0, 255).astype(np.uint8)
 
 

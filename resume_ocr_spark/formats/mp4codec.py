@@ -66,9 +66,27 @@ def _full(body: int) -> int:
     return body + 4
 
 
+# exception types a mutated box tree can squeeze out of the table walk
+# (mutation-fuzz-found: struct.error past a truncated chunk offset table,
+# bare ValueError/StopIteration from odd unpacks). The public entry point
+# translates them to Mp4DecodeError so error-as-data handling holds.
+_PARSE_LEAKS = (ValueError, IndexError, KeyError, StopIteration,
+                struct.error, OverflowError)
+
+
 def extract_mjpeg_samples(payload: bytes) -> list[bytes]:
     """MP4 → list of raw sample byte strings from the first video track.
-    Raises Mp4DecodeError on corrupt input or a non-MJPEG codec."""
+    Raises only Mp4DecodeError on corrupt input or a non-MJPEG codec."""
+    try:
+        return _extract_mjpeg_samples(payload)
+    except Mp4DecodeError:
+        raise
+    except _PARSE_LEAKS as exc:
+        raise Mp4DecodeError(
+            f"corrupt MP4 structure: {type(exc).__name__}: {exc}") from exc
+
+
+def _extract_mjpeg_samples(payload: bytes) -> list[bytes]:
     data = payload
     n = len(data)
     if not is_mp4(data):
