@@ -64,6 +64,12 @@ W_HEIGHT, W_BASE, W_ASPECT = 0.45, 0.45, 0.10
 # at mean 0.19–0.22, synthetic garbage (noise/gradient/checker) at ≥0.42
 MAX_MEAN_SCORE = 0.32
 MIN_GLYPHS = 3        # fewer recognizable marks than this ⇒ no confidence
+MAX_PX_EM_HALF = 160  # implied glyph size cap: genuine text lines in every
+# real fixture read px_em_half 11-57; a band whose line metrics imply a
+# poster-sized em (salt-noise pages estimate ~537, a full-page graphic
+# ~414) is not a text line, and rasterizing the whole font at that size
+# costs tens of seconds per band — a 100 TB executor-stall hazard
+# (fuzz-found: a 2%-salt noise page cost 63 s before this gate)
 RARE_GLYPHS = set("{}[]\\|~^<>`_=")  # near-absent from resume text
 RARE_PENALTY = 0.02   # added to rare-glyph match distance (near-tie breaker)
 OBLIQUE_PENALTY = 0.01  # upright text shouldn't win via oblique prototypes
@@ -624,6 +630,8 @@ def recognize_page(img: np.ndarray) -> str | None:
             continue
         baseline, cap_h = met
         px_em_half = int(round(2.0 * cap_h / cap_ratio))
+        if px_em_half > MAX_PX_EM_HALF:
+            continue  # not a text line; see MAX_PX_EM_HALF
         matcher = _LineMatcher(baseline, cap_h, px_em_half)
         band_ink = ink[r0:r1]
         patches = [band_ink[b[0]:b[1] + 1, b[2]:b[3] + 1] for b in boxes]

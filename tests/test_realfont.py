@@ -283,3 +283,26 @@ class TestSkewedPage:
         out = imagecodec.ocr_image(payload)
         # allow minor edge-glyph differences from the shear resampling
         assert _lev(out, straight) <= max(2, len(straight) // 20)
+
+
+class TestDegenerateBandGate:
+    def test_salt_noise_page_rejects_fast(self):
+        """A salt-noise page forms one full-page band whose line metrics
+        imply a poster-sized em (~537 px half-em). Before MAX_PX_EM_HALF
+        this rasterized the whole font at that size (63 s on a 300×400
+        page); the gate must reject it quickly with no text."""
+        import time
+
+        rng = np.random.default_rng(0)
+        salt = (255 - ((rng.random((300, 400)) < 0.02)
+                       .astype(np.uint8) * 255)).astype(np.uint8)
+        t0 = time.time()
+        assert realfont.recognize_page(salt) is None
+        assert time.time() - t0 < 5.0
+
+    def test_gate_bounds_every_fixture_text_size(self):
+        """The cap sits far above genuine text: every real fixture's text
+        bands read px_em_half ≤ 57, so the gate only ever drops graphic /
+        noise bands (doc_generico's full-page logo band is the one known
+        casualty — a garbage '#' line)."""
+        assert realfont.MAX_PX_EM_HALF >= 2 * 57
