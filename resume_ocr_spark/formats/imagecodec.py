@@ -243,6 +243,9 @@ def deskew(img: np.ndarray) -> np.ndarray:
     bounds = [0, *(np.flatnonzero(np.diff(shifts)) + 1), w]
     for a, b in zip(bounds[:-1], bounds[1:]):
         s = int(shifts[a])
+        if abs(s) >= h:
+            continue  # block shifted fully out of frame stays background
+            # (|k|·w can exceed h on wide-short pages — fuzz-found crash)
         if s > 0:
             out[: h - s, a:b] = img[s:, a:b]
         elif s < 0:

@@ -64,6 +64,11 @@ W_HEIGHT, W_BASE, W_ASPECT = 0.45, 0.45, 0.10
 # at mean 0.19–0.22, synthetic garbage (noise/gradient/checker) at ≥0.42
 MAX_MEAN_SCORE = 0.32
 MIN_GLYPHS = 3        # fewer recognizable marks than this ⇒ no confidence
+MAX_DISTINCT_SIZES = 8  # page-level budget of distinct px_em_half values:
+# every real fixture uses 2-6 (name/heading/body/contact tiers); a page
+# whose bands imply more sizes than this is incoherent noise, and each new
+# size costs a full prototype-canvas rasterization (2-8 s) — so the budget
+# bounds worst-case page cost (fuzz-found 8-15 s adversarial pages)
 MAX_PX_EM_HALF = 160  # implied glyph size cap: genuine text lines in every
 # real fixture read px_em_half 11-57; a band whose line metrics imply a
 # poster-sized em (salt-noise pages estimate ~537, a full-page graphic
@@ -618,6 +623,7 @@ def recognize_page(img: np.ndarray) -> str | None:
         # component labeling on dense noise would be pathologically slow
     lines_out: list[tuple[float, str]] = []  # (band_start, text)
     scores: list[float] = []
+    sizes_seen: set[int] = set()
     for (r0, r1) in _line_bands(binary):
         band = binary[r0:r1]
         boxes = _merge_overlapping(_strip_rules(
@@ -632,6 +638,9 @@ def recognize_page(img: np.ndarray) -> str | None:
         px_em_half = int(round(2.0 * cap_h / cap_ratio))
         if px_em_half > MAX_PX_EM_HALF:
             continue  # not a text line; see MAX_PX_EM_HALF
+        sizes_seen.add(px_em_half)
+        if len(sizes_seen) > MAX_DISTINCT_SIZES:
+            return None  # incoherent size spread ⇒ noise page; see budget
         matcher = _LineMatcher(baseline, cap_h, px_em_half)
         band_ink = ink[r0:r1]
         patches = [band_ink[b[0]:b[1] + 1, b[2]:b[3] + 1] for b in boxes]

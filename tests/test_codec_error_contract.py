@@ -63,3 +63,44 @@ def test_mutated_streams_raise_only_named_errors(bases, seed):
         fn(bytes(blob))
     except okexc:
         pass  # the documented contract; anything else propagates and fails
+
+
+class TestOcrSurfaceTotality:
+    """ocr_image must return text or raise OcrConfidenceError /
+    ImageDecodeError on ANY decodable page — adversarial images (noise,
+    flats, salt, mutated renders, stripes) found a deskew crash
+    (|k|·w ≥ h block shift) and two unbounded-cost paths, all fixed."""
+
+    @given(st.integers(0, 2**32 - 1))
+    @settings(max_examples=25, deadline=None)
+    def test_adversarial_images_total(self, seed):
+        rng = np.random.default_rng(seed)
+        pyr = random.Random(seed)
+        h = int(rng.integers(1, 300))
+        w = int(rng.integers(1, 400))
+        kind = seed % 5
+        if kind == 0:
+            img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        elif kind == 1:
+            img = np.full((h, w), int(rng.integers(0, 256)), np.uint8)
+        elif kind == 2:
+            img = (255 - ((rng.random((h, w)) < 0.03)
+                          .astype(np.uint8) * 255)).astype(np.uint8)
+        elif kind == 3:
+            base = imagecodec.decode_rimg(
+                imagecodec.render_text_image("Experiência\nPython"))
+            img = base.copy()
+            for _ in range(pyr.randint(1, 200)):
+                img[pyr.randrange(base.shape[0]),
+                    pyr.randrange(base.shape[1])] ^= 255
+        else:
+            img = ((np.arange(h)[:, None] * int(rng.integers(1, 9))
+                    + np.arange(w)[None, :]) % 256).astype(np.uint8)
+        payload = (imagecodec.MAGIC
+                   + np.array(img.shape, dtype="<u4").tobytes()
+                   + img.tobytes())
+        try:
+            out = imagecodec.ocr_image(payload)
+            assert isinstance(out, str)
+        except (imagecodec.OcrConfidenceError, imagecodec.ImageDecodeError):
+            pass
