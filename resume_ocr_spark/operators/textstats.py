@@ -70,3 +70,38 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     alphanumerics squeezed to single spaces (near-identical docs collide)."""
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " "))
     return df.withColumn("fingerprint", F.md5(norm))
+
+
+def with_pii_redacted(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII redaction for training-data prep: emails → [EMAIL], BR-style
+    phones → [PHONE] (the same patterns textproc.extract_fields finds,
+    reference analog app/utils/validation_service.py field extraction),
+    plus redaction counts for audit metrics. Pure Column ops; regexes are
+    dialect-neutral (no lookaround) so a SQL mirror stays exact."""
+    text = F.col(text_col)
+    email_re = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    phone_re = "\\(\\d{2}\\) 9?\\d{4}-\\d{4}"
+    n_email = F.size(F.regexp_extract_all(text, F.lit(email_re), F.lit(0)))
+    n_phone = F.size(F.regexp_extract_all(text, F.lit(phone_re), F.lit(0)))
+    red = F.regexp_replace(
+        F.regexp_replace(text, email_re, "[EMAIL]"), phone_re, "[PHONE]")
+    return (df.withColumn("text_redacted", red)
+              .withColumn("n_emails_redacted", n_email)
+              .withColumn("n_phones_redacted", n_phone))
+
+
+def with_repeated_line_fraction(df: DataFrame,
+                                text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signal: fraction of non-blank lines that are
+    duplicates of an earlier line (boilerplate/spam marker). Pure Column
+    array ops — no explode, no shuffle:
+    1 - distinct_lines / lines, 0.0 for ≤1-line docs."""
+    lines = F.filter(F.split(F.col(text_col), "\n"),
+                     lambda x: F.trim(x) != "")
+    n = F.size(lines)
+    dn = F.size(F.array_distinct(lines))
+    return df.withColumn(
+        "repeated_line_frac",
+        F.when(n <= 1, F.lit(0.0)).otherwise(
+            F.round(1.0 - dn / n.cast("double"), 3)),
+    )

@@ -274,6 +274,39 @@ class TestTextstats:
                for r in textstats.with_fingerprint(df).collect()}
         assert fps[1] == fps[2] != fps[3]
 
+    def test_pii_redaction(self, spark):
+        df = spark.createDataFrame(
+            [(1, "Contato: joao.silva@example.com ou (11) 98888-1234."),
+             (2, "sem pii aqui"),
+             (3, "a@b.io c@d.net (21) 3333-4444")],
+            "doc_id int, text string")
+        out = {r["doc_id"]: r
+               for r in textstats.with_pii_redacted(df).collect()}
+        assert out[1]["text_redacted"] == "Contato: [EMAIL] ou [PHONE]."
+        assert (out[1]["n_emails_redacted"], out[1]["n_phones_redacted"]) == (1, 1)
+        assert out[2]["text_redacted"] == "sem pii aqui"
+        assert (out[2]["n_emails_redacted"], out[2]["n_phones_redacted"]) == (0, 0)
+        assert out[3]["text_redacted"] == "[EMAIL] [EMAIL] [PHONE]"
+        assert (out[3]["n_emails_redacted"], out[3]["n_phones_redacted"]) == (2, 1)
+        # agreement with the single-node field extractor: no extractable
+        # PII survives redaction on a real corpus sample
+        from resume_ocr_spark import textproc
+        for r in out.values():
+            fields = textproc.extract_fields(r["text_redacted"])
+            assert fields["emails"] == [] and fields["phones"] == []
+
+    def test_repeated_line_fraction(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a\nb\nc"), (2, "spam\nspam\nspam\nspam"),
+             (3, "x\n\n\nx\ny"), (4, "only"), (5, "")],
+            "doc_id int, text string")
+        out = {r["doc_id"]: r["repeated_line_frac"]
+               for r in textstats.with_repeated_line_fraction(df).collect()}
+        assert out[1] == 0.0
+        assert out[2] == 0.75          # 4 lines, 1 distinct
+        assert out[3] == round(1 - 2 / 3, 3)  # blanks excluded
+        assert out[4] == 0.0 and out[5] == 0.0
+
 
 class TestMultimodal:
     def test_metadata_roundtrip(self, spark, docs):
