@@ -140,6 +140,23 @@ def windowed_counts_append(stream: DataFrame, window: str = "1 hour",
     )
 
 
+def dedup_within_watermark(stream: DataFrame,
+                           keys: tuple[str, ...] = ("event_id",),
+                           watermark: str = "2 hours",
+                           ts_col: str = "ts") -> DataFrame:
+    """Streaming exactly-once dedup for at-least-once sources: each key is
+    emitted once, and replays arriving within the watermark horizon of the
+    first sighting are dropped (``dropDuplicatesWithinWatermark``, so the
+    key's state is EVICTED once the watermark passes — plain
+    ``dropDuplicates`` on a stream holds every key forever, which no
+    10¹²-doc ingest can afford). This is the ingestion-side half of the
+    dedup family: batch MinHash/SimHash dedup (operators/dedup.py) removes
+    near-duplicate CONTENT; this removes redelivered EVENTS at the stream
+    boundary, e.g. a replayed kafka partition or a retried file batch."""
+    return (stream.withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(list(keys)))
+
+
 def run_available_now(df: DataFrame, name: str, output_mode: str) -> DataFrame:
     """Drain the stream into a memory sink with one availableNow trigger and
     return the materialized table."""

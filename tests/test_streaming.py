@@ -236,3 +236,41 @@ class TestWindowedAppend:
         # and strictly fewer rows than the complete-mode result: the open
         # tail windows are withheld in state, not emitted
         assert 0 < len(got) < len(grouped)
+
+
+class TestStreamingDedup:
+    def test_replayed_events_emitted_once(self, spark, tmp_path):
+        """An at-least-once source redelivers a slice of batch 1 inside
+        batch 2: every event_id must be emitted exactly once, the batch-2
+        fresh events must all survive, and state must be watermark-bounded
+        (dropDuplicatesWithinWatermark, not an ever-growing dedup map)."""
+        import time as _time
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(f"{SF_DIR}/events.parquet")
+        t = t.take(pa.compute.sort_indices(t, sort_keys=[("ts", "ascending")]))
+        half = t.num_rows // 2
+        b1 = t.slice(0, half)
+        # batch 2 = newer half + a replay of batch 1's newest 50 rows
+        b2 = pa.concat_tables([t.slice(half), b1.slice(half - 50, 50)])
+        d = str(tmp_path / "replay_stream")
+        os.makedirs(d)
+        pq.write_table(b1, os.path.join(d, "batch-0.parquet"))
+        pq.write_table(b2, os.path.join(d, "batch-1.parquet"))
+        n_total, ids = t.num_rows, t.column("event_id").to_pylist()
+        now = _time.time()
+        os.utime(os.path.join(d, "batch-0.parquet"), (now - 120, now - 120))
+        os.utime(os.path.join(d, "batch-1.parquet"), (now, now))
+
+        schema = spark.read.parquet(f"{SF_DIR}/events.parquet").schema
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", "1").parquet(d)
+                  .withColumn("ts", F.col("ts").cast("timestamp")))
+        # generous watermark: every replay arrives within the horizon
+        out = streamops.run_available_now(
+            streamops.dedup_within_watermark(stream, watermark="100 days"),
+            "dedup_stream", "append").toPandas()
+        assert len(out) == n_total
+        assert sorted(out["event_id"]) == sorted(ids)
