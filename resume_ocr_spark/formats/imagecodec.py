@@ -217,12 +217,19 @@ def estimate_skew(img: np.ndarray) -> float:
     off = int(np.ceil(max_k * w)) + 1
     base = ys + off
     # candidates by |k| ascending with a 5% margin: k=0 wins near-ties, so
-    # sparse pages (a glyph or two) never get spuriously "deskewed"
+    # sparse pages (a glyph or two) never get spuriously "deskewed".
+    # ±k share one shift vector: np.rint rounds half to even, which is odd-
+    # symmetric (rint(-x) == -rint(x)), so rint(k·x) for k<0 is exactly
+    # -rint(|k|·x) — half the per-pixel rint passes, bit-identical profiles
+    shift_cache: dict[float, np.ndarray] = {}
     for k in sorted(SKEW_CANDIDATES, key=abs):
         if k == 0.0:
             idx = base
         else:
-            idx = base - np.rint(k * xs).astype(np.int64)
+            a = abs(k)
+            if a not in shift_cache:
+                shift_cache[a] = np.rint(a * xs).astype(np.int64)
+            idx = base - shift_cache[a] if k > 0 else base + shift_cache[a]
         prof = np.bincount(idx, minlength=h + 2 * off)
         v = float(prof.var())
         if v > best_var * 1.05:
