@@ -1,0 +1,100 @@
+"""Benchmark decontamination: flag training documents that overlap a
+held-out evaluation set by shared word n-grams.
+
+The standard LLM-pipeline recipe (GPT-3 appendix C / Llama-style 13-gram
+overlap): shingle the benchmark into word n-grams, shingle each candidate
+training document the same way, and flag any document sharing at least
+``threshold`` n-grams with the benchmark.
+
+100 TB shape — the benchmark side is always small (an eval suite is at most
+~10^6 n-grams), the corpus side is the 100 TB one:
+
+  1. benchmark n-grams are distinct-hashed to 8-byte ``xxhash64`` keys and
+     BROADCAST — the corpus never shuffles to meet them;
+  2. the corpus side explodes its per-doc distinct shingles map-side and
+     inner-joins the broadcast set, so everything surviving the join is
+     already tiny (only contaminated grams);
+  3. the only shuffle is the per-doc count of those matched grams.
+
+``decontaminate`` then drops flagged docs with a LEFT ANTI join against the
+matched-id set; AQE picks a broadcast anti-join while the contaminated set
+fits, and degrades to a shuffled hash anti-join when it does not — both are
+scale-safe (the corpus is never replicated).
+
+Shingling reuses :mod:`.dedup`'s normalization (lowercase, alphanumeric
+words, space-joined windows) so dedup and decontamination agree on what a
+"word" is.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _shingles
+
+DECONTAM_NGRAM = 13  # GPT-3 appendix C uses 13-gram overlap
+
+
+def _benchmark_gram_hashes(
+    benchmark: DataFrame, text_col: str, n: int
+) -> DataFrame:
+    """Distinct xxhash64 keys of the benchmark's word n-grams (small side)."""
+    grams = _shingles(
+        benchmark.select(F.monotonically_increasing_id().alias("_bid"),
+                         F.col(text_col)),
+        "_bid", text_col, n,
+    )
+    return grams.select(F.xxhash64("word").alias("_gram_hash")).distinct()
+
+
+def contamination_counts(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    n: int = DECONTAM_NGRAM,
+    threshold: int = 1,
+) -> DataFrame:
+    """Per-document benchmark-overlap counts.
+
+    Returns ``(id_col, contaminated_ngrams: long, contaminated: boolean)``
+    for every document with at least one matching n-gram; clean documents
+    are absent (callers wanting a full annotation LEFT-join this back and
+    ``coalesce`` the count to 0).
+    """
+    bench = _benchmark_gram_hashes(benchmark, bench_text_col, n)
+    doc_grams = _shingles(docs, id_col, text_col, n).select(
+        F.col(id_col), F.xxhash64("word").alias("_gram_hash")
+    )
+    return (
+        doc_grams.join(F.broadcast(bench), "_gram_hash", "inner")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("contaminated_ngrams"))
+        .withColumn(
+            "contaminated",
+            F.col("contaminated_ngrams") >= F.lit(threshold),
+        )
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    n: int = DECONTAM_NGRAM,
+    threshold: int = 1,
+) -> DataFrame:
+    """Drop documents sharing ≥ ``threshold`` word n-grams with the
+    benchmark; the surviving frame keeps the input schema unchanged."""
+    flagged = (
+        contamination_counts(
+            docs, benchmark, id_col, text_col, bench_text_col, n, threshold
+        )
+        .filter(F.col("contaminated"))
+        .select(id_col)
+    )
+    return docs.join(flagged, id_col, "left_anti")

@@ -308,6 +308,71 @@ class TestTextstats:
         assert out[4] == 0.0 and out[5] == 0.0
 
 
+class TestDecontam:
+    N = 3  # small n so hand-built fixtures can hit/miss precisely
+
+    @staticmethod
+    def _grams(text, n):
+        import re
+        toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    def test_counts_match_python_oracle_on_corpus(self, spark, docs):
+        from resume_ocr_spark.operators import decontam
+        d = docs.select("doc_id", "text").limit(40)
+        bench = d.orderBy("doc_id").limit(3).select(
+            F.col("text").alias("question"))
+        got = {r["doc_id"]: r["contaminated_ngrams"]
+               for r in decontam.contamination_counts(
+                   d, bench, bench_text_col="question", n=self.N).collect()}
+        rows = {r["doc_id"]: r["text"] for r in d.collect()}
+        bgrams = set()
+        for t in (r["question"] for r in bench.collect()):
+            bgrams |= self._grams(t, self.N)
+        for doc_id, text in rows.items():
+            expect = len(self._grams(text, self.N) & bgrams)
+            assert got.get(doc_id, 0) == expect, doc_id
+
+    def test_decontaminate_drops_exact_and_partial_overlap(self, spark):
+        from resume_ocr_spark.operators import decontam
+        docs = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog"),
+             (2, "a totally clean training document with fresh words"),
+             (3, "brown fox jumps embedded inside a longer training text"),
+             (4, "fox brown jumps scrambled order shares no trigram")],
+            "doc_id int, text string")
+        bench = spark.createDataFrame(
+            [("what does the quick brown fox jumps over?",)], "text string")
+        kept = sorted(r["doc_id"] for r in decontam.decontaminate(
+            docs, bench, n=self.N).collect())
+        assert kept == [2, 4]
+        # threshold raises the bar: doc 3 shares exactly 1 trigram
+        kept2 = sorted(r["doc_id"] for r in decontam.decontaminate(
+            docs, bench, n=self.N, threshold=2).collect())
+        assert kept2 == [2, 3, 4]
+
+    def test_short_docs_and_empty_bench_are_clean(self, spark):
+        from resume_ocr_spark.operators import decontam
+        docs = spark.createDataFrame(
+            [(1, "two words"), (2, "")], "doc_id int, text string")
+        bench = spark.createDataFrame([("two words",)], "text string")
+        assert decontam.contamination_counts(
+            docs, bench, n=self.N).count() == 0
+        empty_bench = bench.filter(F.lit(False))
+        assert decontam.decontaminate(
+            docs, empty_bench, n=self.N).count() == 2
+
+    def test_plan_is_broadcast_on_bench_side(self, spark, docs):
+        from resume_ocr_spark.operators import decontam
+        d = docs.select("doc_id", "text").limit(10)
+        bench = d.limit(1).select("text")
+        out = decontam.contamination_counts(d, bench, n=self.N)
+        plan = spark._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted")
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+
 class TestMultimodal:
     def test_metadata_roundtrip(self, spark, docs):
         media = multimodal.render_binary_column(docs.limit(5))
