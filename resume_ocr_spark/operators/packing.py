@@ -1,0 +1,93 @@
+"""Sequence packing for LLM pretraining: assign documents to fixed
+token-budget training sequences.
+
+The 100 TB shape — packing is embarrassingly parallel ACROSS shards and
+sequential WITHIN one, so the plan is a single hash shuffle:
+
+  1. shard each doc (``doc_id % shards`` here for oracle determinism; a
+     production run uses ``pmod(xxhash64(id), shards)`` — same plan);
+  2. one window per shard ordered by doc_id computes the running token
+     total; ``seq_id = floor(prev_cumsum / budget)`` assigns the sequence.
+     No global sort, no driver loop; shard count is sized to executors.
+
+Straddle semantics (documented, deterministic): a document belongs to the
+sequence where its span STARTS, so a sequence may exceed ``budget`` by at
+most ``max_doc_tokens - 1`` — the standard approximate-packing trade that
+keeps assignment windowable instead of sequential. Callers needing hard
+caps truncate the straddling tail downstream.
+
+Token counts come from :func:`..textstats.with_token_counts`'s ``bpe_tokens``
+(ceil of non-space chars / 4) so packing and token accounting agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textstats import with_token_counts
+
+DEFAULT_BUDGET = 2048  # tokens per packed training sequence
+DEFAULT_SHARDS = 64    # parallel packing lanes; size to ~2-4x executors
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = DEFAULT_BUDGET,
+    shards: int = DEFAULT_SHARDS,
+) -> DataFrame:
+    """Per-document packing assignment:
+    ``(id_col, shard, seq_id, n_tokens, seq_offset)`` where ``seq_offset``
+    is the document's starting token position inside its sequence."""
+    if budget <= 0 or shards <= 0:
+        raise ValueError("budget and shards must be positive")
+    toks = with_token_counts(df.select(id_col, text_col), text_col).select(
+        F.col(id_col),
+        (F.col(id_col) % F.lit(shards)).cast("int").alias("shard"),
+        F.col("bpe_tokens").cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return toks.select(
+        F.col(id_col),
+        "shard",
+        F.floor(prev / F.lit(budget)).alias("seq_id"),
+        "n_tokens",
+        (prev % F.lit(budget)).alias("seq_offset"),
+    )
+
+
+def materialize_packed(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = DEFAULT_BUDGET,
+    shards: int = DEFAULT_SHARDS,
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Concatenate each packed sequence's documents (doc_id order) into the
+    actual training row: ``(shard, seq_id, n_docs, total_tokens, text)``.
+    Order inside a sequence is restored by sorting the collected structs —
+    deterministic regardless of shuffle arrival order."""
+    assign = pack_sequences(df, id_col, text_col, budget, shards)
+    joined = assign.join(df.select(id_col, text_col), id_col)
+    packed = joined.groupBy("shard", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col(id_col), F.col(text_col)))
+                ),
+                lambda s: s[text_col],
+            ),
+            sep,
+        ).alias("text"),
+    )
+    return packed

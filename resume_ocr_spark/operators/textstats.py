@@ -105,3 +105,64 @@ def with_repeated_line_fraction(df: DataFrame,
         F.when(n <= 1, F.lit(0.0)).otherwise(
             F.round(1.0 - dn / n.cast("double"), 3)),
     )
+
+
+# --- quality filter chain (C4/Gopher-style keep/drop) ----------------------
+
+# (reason, fires-when) thresholds; mirrored verbatim in the SQL oracle.
+QF_MIN_WORDS = 30          # C4: drop pages with too few words
+QF_MAX_WORDS = 50_000      # Gopher: drop absurdly long docs
+QF_MWL_LO, QF_MWL_HI = 2.5, 12.0  # Gopher: mean word length band
+QF_MAX_SYMBOL_RATIO = 0.10  # C4: symbol-heavy docs (code/ascii-art)
+QF_MAX_TOP_WORD_FRAC = 0.125  # Gopher: most-frequent-word fraction
+QF_BOILERPLATE = "lorem ipsum"  # C4: placeholder-text marker
+
+
+def with_quality_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """C4/Gopher-style quality filter chain: ``keep`` boolean plus a
+    comma-joined ``reasons`` audit string (empty when kept).
+
+    Rules (all pure Column ops, single projection, zero shuffles):
+      too_short / too_long   word count outside [QF_MIN_WORDS, QF_MAX_WORDS]
+      word_length            mean word length outside [2.5, 12] (gibberish /
+                             ascii-art signal, Gopher §A2)
+      symbols                non-alphanumeric-non-space chars > 10% (C4)
+      repetition             most-frequent-word fraction > 12.5% (Gopher's
+                             duplicate-word signal; computed expression-side
+                             as O(words · distinct_words) array ops — cap
+                             input length upstream for multi-MB docs)
+      no_stopwords           none of the EN/PT stopword markers present
+                             (Gopher requires ≥2 stopwords)
+      boilerplate            contains "lorem ipsum"
+
+    ``concat_ws`` skips NULL reason slots in both Spark and DuckDB, which is
+    what keeps the audit string dialect-neutral."""
+    text = F.col(text_col)
+    words = F.split(F.trim(text), "\\s+")
+    nw = F.size(words)
+    nc = F.length(text)
+    mwl = (nc - (nw - F.lit(1))) / nw.cast("double")
+    sym = F.length(F.regexp_replace(text, "[A-Za-z0-9\\s]", ""))
+    sym_ratio = sym / F.greatest(nc, F.lit(1)).cast("double")
+    top_word = F.array_max(
+        F.transform(
+            F.array_distinct(words),
+            lambda w: F.size(F.filter(words, lambda x: x == w)),
+        )
+    )
+    top_frac = top_word / F.greatest(nw, F.lit(1)).cast("double")
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    any_stop = sum(
+        _count_occurrences(padded, m) for m in (PT_MARKERS + EN_MARKERS)
+    )
+    reason = [
+        F.when(nw < QF_MIN_WORDS, F.lit("too_short")),
+        F.when(nw > QF_MAX_WORDS, F.lit("too_long")),
+        F.when((mwl < QF_MWL_LO) | (mwl > QF_MWL_HI), F.lit("word_length")),
+        F.when(sym_ratio > QF_MAX_SYMBOL_RATIO, F.lit("symbols")),
+        F.when(top_frac > QF_MAX_TOP_WORD_FRAC, F.lit("repetition")),
+        F.when(any_stop == 0, F.lit("no_stopwords")),
+        F.when(F.lower(text).contains(QF_BOILERPLATE), F.lit("boilerplate")),
+    ]
+    reasons = F.concat_ws(",", *reason)
+    return df.withColumn("keep", reasons == "").withColumn("reasons", reasons)

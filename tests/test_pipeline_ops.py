@@ -679,3 +679,139 @@ class TestIvfIndex:
                        for p in (tmp_path / "ivf_index").iterdir())
         finally:
             idx_mem.unpersist(blocking=True)
+
+
+class TestQualityFilter:
+    def test_each_reason_fires_on_a_crafted_row(self, spark):
+        # 36 distinct words (top-word fraction 1/36), stopwords present
+        long_ok = "the and with " + " ".join(f"word{i:02d}" for i in range(33))
+        rows = [
+            (1, long_ok),                                   # keep
+            (2, "the short and doc with for this"),         # too_short
+            (3, ("a " * 80).strip()),                       # word_length + repetition + no_stopwords + too_short? no: 80 words
+            (4, long_ok + " " + "#$%@!" * 40),              # symbols
+            (5, ("the quick " * 40).strip()),               # repetition (0.5 > .125)
+            (6, ("zebra yak xylo wombat vulture " * 12).strip()),  # no_stopwords
+            (7, long_ok + " lorem ipsum dolor"),            # boilerplate
+        ]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        out = {r["doc_id"]: r for r in
+               textstats.with_quality_filter(df).collect()}
+        assert out[1]["keep"] and out[1]["reasons"] == ""
+        assert "too_short" in out[2]["reasons"]
+        assert "word_length" in out[3]["reasons"]
+        assert "repetition" in out[3]["reasons"]
+        assert "symbols" in out[4]["reasons"]
+        assert "repetition" in out[5]["reasons"]
+        assert "no_stopwords" in out[6]["reasons"]
+        assert "boilerplate" in out[7]["reasons"]
+        assert all((r["reasons"] == "") == r["keep"] for r in out.values())
+
+    def test_matches_python_oracle_on_corpus(self, spark, docs):
+        import re
+        out = {r["doc_id"]: r for r in textstats.with_quality_filter(
+            docs.limit(60)).collect()}
+        for r in docs.limit(60).collect():
+            text = r["text"]
+            words = re.split(r"\s+", text.strip())
+            nw, nc = len(words), len(text)
+            mwl = (nc - (nw - 1)) / nw
+            sym = len(re.sub(r"[A-Za-z0-9\s]", "", text))
+            top = max(words.count(w) for w in set(words)) / nw
+            padded = f" {text.lower()} "
+            stops = sum(padded.count(m) for m in
+                        textstats.PT_MARKERS + textstats.EN_MARKERS)
+            reasons = [
+                n for n, fired in [
+                    ("too_short", nw < textstats.QF_MIN_WORDS),
+                    ("too_long", nw > textstats.QF_MAX_WORDS),
+                    ("word_length",
+                     mwl < textstats.QF_MWL_LO or mwl > textstats.QF_MWL_HI),
+                    ("symbols", sym / max(nc, 1) > textstats.QF_MAX_SYMBOL_RATIO),
+                    ("repetition", top > textstats.QF_MAX_TOP_WORD_FRAC),
+                    ("no_stopwords", stops == 0),
+                    ("boilerplate", textstats.QF_BOILERPLATE in text.lower()),
+                ] if fired]
+            got = out[r["doc_id"]]
+            assert got["reasons"] == ",".join(reasons), r["doc_id"]
+            assert got["keep"] == (not reasons)
+
+    def test_corpus_has_mixed_outcomes(self, spark, docs):
+        agg = (textstats.with_quality_filter(docs)
+               .groupBy("keep").count().collect())
+        counts = {r["keep"]: r["count"] for r in agg}
+        assert counts.get(True, 0) > 0 and counts.get(False, 0) > 0
+
+
+class TestPacking:
+    BUDGET, SHARDS = 256, 8
+
+    def _assign(self, docs):
+        from resume_ocr_spark.operators import packing
+        return packing.pack_sequences(
+            docs.select("doc_id", "text"),
+            budget=self.BUDGET, shards=self.SHARDS)
+
+    def test_assignment_matches_sequential_recompute(self, spark, docs):
+        import math
+        got = {r["doc_id"]: r for r in self._assign(docs.limit(200)).collect()}
+        texts = {r["doc_id"]: r["text"] for r in docs.limit(200).collect()}
+        by_shard = {}
+        for doc_id in sorted(texts):
+            toks = math.ceil(len("".join(texts[doc_id].split())) / 4.0)
+            shard = doc_id % self.SHARDS
+            prev = by_shard.get(shard, 0)
+            r = got[doc_id]
+            assert r["shard"] == shard
+            assert r["n_tokens"] == toks, doc_id
+            assert r["seq_id"] == prev // self.BUDGET
+            assert r["seq_offset"] == prev % self.BUDGET
+            by_shard[shard] = prev + toks
+
+    def test_deterministic_under_repartition(self, spark, docs):
+        a = sorted(map(tuple, self._assign(docs).collect()))
+        b = sorted(map(tuple, self._assign(docs.repartition(7)).collect()))
+        assert a == b
+
+    def test_sequences_fill_budget_except_last_per_shard(self, spark, docs):
+        rows = self._assign(docs).collect()
+        last_seq = {}
+        for r in rows:
+            last_seq[r["shard"]] = max(last_seq.get(r["shard"], 0), r["seq_id"])
+        span_end = {}
+        for r in rows:
+            key = (r["shard"], r["seq_id"])
+            span_end[key] = max(span_end.get(key, 0),
+                                r["seq_id"] * self.BUDGET
+                                + r["seq_offset"] + r["n_tokens"])
+        for (shard, seq), end in span_end.items():
+            if seq != last_seq[shard]:
+                # a sequence only closes once its span crosses the budget
+                assert end >= (seq + 1) * self.BUDGET, (shard, seq)
+
+    def test_materialize_round_trip(self, spark, docs):
+        from resume_ocr_spark.operators import packing
+        d = docs.limit(50).select("doc_id", "text")
+        packed = packing.materialize_packed(
+            d, budget=self.BUDGET, shards=self.SHARDS, sep="\x1e").collect()
+        assert sum(r["n_docs"] for r in packed) == 50
+        assign = {r["doc_id"]: r for r in self._assign(d).collect()}
+        texts = {r["doc_id"]: r["text"] for r in d.collect()}
+        for row in packed:
+            members = sorted(
+                did for did, a in assign.items()
+                if a["shard"] == row["shard"] and a["seq_id"] == row["seq_id"])
+            assert row["text"] == "\x1e".join(texts[d] for d in members)
+            assert row["total_tokens"] == sum(
+                assign[d]["n_tokens"] for d in members)
+
+    def test_plan_single_hash_exchange_no_global_sort(self, spark, docs):
+        out = self._assign(docs)
+        import re
+        plan = spark._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted")
+        # exactly one physical Exchange (the shard hash shuffle) — the
+        # formatted explain names each node in the tree AND a detail header
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+        assert "hashpartitioning(shard" in plan
+        assert "rangepartitioning" not in plan
