@@ -516,6 +516,19 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.pack_sequences(docs, budget=256, shards=8)
 
 
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus mixing: per-language sampling rates applied via
+    an md5-derived bucket (reproducible across engines/retries). Plan:
+    broadcast join on the 2-row weights table + filter — the corpus never
+    shuffles."""
+    from resume_ocr_spark.operators import mixture
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return mixture.weighted_mixture(
+        docs, {"en": 1.0, "fr": 0.5}, group_col="lang",
+        default_weight=0.25, seed="mix")
+
+
 def streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming: tumbling 1h window + watermark over the events
     stream, availableNow trigger (batch-equivalent semantics for the
@@ -786,7 +799,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_local_supplier_revenue": sql_local_supplier_revenue,
         "rollup_revenue": rollup_revenue,
         "set_ops_custkeys": set_ops_custkeys,
-        "pivot_order_status": pivot_order_status,
         "percentiles_price": percentiles_price,
         "exists_subquery": exists_subquery,
         "window_lag_gap": window_lag_gap,
@@ -808,6 +820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benchmark_decontam": benchmark_decontam,
         "quality_filter": quality_filter,
         "sequence_packing": sequence_packing,
+        "mixture_sample": mixture_sample,
         "streaming_window_counts": streaming_window_counts,
         "streaming_window_counts_append": streaming_window_counts_append,
         "streaming_sessionize": streaming_sessionize,
@@ -829,10 +842,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     oracle BASELINES whose exact-similarity arithmetic is equally
         #     hash-gated through their LSH twins (same threshold + slice);
         #   - distinct_agg's COUNT(DISTINCT) surface overlaps agg_stats
-        #     and set_ops_custkeys.
+        #     and set_ops_custkeys;
+        #   - pivot_order_status is a groupBy+CASE veneer over the agg
+        #     surface already gated by agg_stats/rollup_revenue.
         "dedup_jaccard_pairs": dedup_jaccard_pairs,
         "dedup_embedding_pairs": dedup_embedding_pairs,
         "distinct_agg": distinct_agg,
+        "pivot_order_status": pivot_order_status,
     }
 
 
@@ -1268,6 +1284,23 @@ def oracle_sql() -> dict[str, str]:
         FROM feat
       )
       SELECT doc_id, reasons = '' AS keep, reasons FROM flagged
+    """
+    # mixture sampling: low 16 bits of md5(doc_id ':mix') via hex-digit
+    # arithmetic (the simhash oracle's trick), rate thresholds quantized
+    # to /65536 exactly as mixture.weighted_mixture does
+    _mixd = ("(instr('0123456789abcdef', "
+             "substring(md5(CAST(doc_id AS VARCHAR) || ':mix'), {p}, 1)) - 1)")
+    _mix_bucket = (f"({_mixd.format(p=29)} * 4096 + {_mixd.format(p=30)} * 256"
+                   f" + {_mixd.format(p=31)} * 16 + {_mixd.format(p=32)})")
+    sqls["mixture_sample"] = f"""
+      WITH b AS (
+        SELECT doc_id, lang, CAST({_mix_bucket} AS BIGINT) AS bucket
+        FROM documents
+      )
+      SELECT lang, doc_id, bucket FROM b
+      WHERE bucket < CASE lang WHEN 'en' THEN 65536
+                               WHEN 'fr' THEN 32768
+                               ELSE 16384 END
     """
     # sequence packing: the same per-shard windowed cumsum the engine runs
     sqls["sequence_packing"] = """

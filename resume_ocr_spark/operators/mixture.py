@@ -1,0 +1,89 @@
+"""Deterministic corpus mixing / sampling for training-data pipelines.
+
+Real mixture pipelines (The Pile, Llama data recipes) apply per-source
+WEIGHTS as sampling rates, not exact counts — that keeps the operator a
+broadcast join + filter with zero shuffles of the corpus, the only form
+that survives 100 TB. The decision hash is md5-derived (dialect-neutral:
+hex substring → 16-bit bucket, the same trick :func:`.dedup.simhash`
+uses), so runs are reproducible across engines, repartitions, and retries
+and a DuckDB oracle can replay the exact keep-set.
+
+``stratified_topk`` is the exact-count companion for SMALL group
+cardinalities (languages, sources): a per-group window over hash order.
+Its parallelism is bounded by the number of groups — documented, and the
+reason the rate-based form is the default at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+BUCKETS = 1 << 16  # md5-derived bucket space; rates quantize to 1/65536
+
+
+def with_sample_bucket(
+    df: DataFrame, id_col: str = "doc_id", seed: str = "mix"
+) -> DataFrame:
+    """Uniform deterministic bucket in [0, 65536): low 16 bits of
+    md5(id ':' seed). Changing ``seed`` draws an independent sample."""
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}")))
+    return df.withColumn(
+        "bucket", F.conv(F.substring(h, 29, 4), 16, 10).cast("long")
+    )
+
+
+def weighted_mixture(
+    df: DataFrame,
+    weights: dict[str, float],
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    default_weight: float = 0.0,
+    seed: str = "mix",
+) -> DataFrame:
+    """Keep each row with probability ``weights[group]`` (deterministic in
+    (id, seed)): bucket < floor(weight * 65536). Groups absent from
+    ``weights`` get ``default_weight``. Plan: broadcast hash join on the
+    tiny weights table + filter — the corpus never shuffles."""
+    for g, w in weights.items():
+        if not 0.0 <= w <= 1.0:
+            raise ValueError(f"weight out of [0,1] for {g!r}: {w}")
+    if not 0.0 <= default_weight <= 1.0:
+        raise ValueError(f"default_weight out of [0,1]: {default_weight}")
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(g, int(w * BUCKETS)) for g, w in sorted(weights.items())],
+        f"{group_col} string, _cut int",
+    )
+    out = (
+        with_sample_bucket(df, id_col, seed)
+        .join(F.broadcast(wdf), group_col, "left")
+        .withColumn(
+            "_cut", F.coalesce(F.col("_cut"), F.lit(int(default_weight * BUCKETS)))
+        )
+        .filter(F.col("bucket") < F.col("_cut"))
+        .drop("_cut")
+    )
+    return out
+
+
+def stratified_topk(
+    df: DataFrame,
+    k: int,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: str = "mix",
+) -> DataFrame:
+    """Exactly ``k`` rows per group, chosen by hash order (bucket asc, id
+    asc tie-break) — deterministic quota sampling. Window partitions by
+    group: parallelism = #groups, so this is for LOW-cardinality strata
+    (languages, sources); use :func:`weighted_mixture` when groups are
+    many or huge."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    w = Window.partitionBy(group_col).orderBy("bucket", id_col)
+    return (
+        with_sample_bucket(df, id_col, seed)
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+    )

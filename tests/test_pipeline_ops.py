@@ -815,3 +815,73 @@ class TestPacking:
         assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
         assert "hashpartitioning(shard" in plan
         assert "rangepartitioning" not in plan
+
+
+class TestMixture:
+    def test_bucket_matches_python_md5(self, spark, docs):
+        import hashlib
+        from resume_ocr_spark.operators import mixture
+        rows = mixture.with_sample_bucket(
+            docs.limit(30), seed="s1").select("doc_id", "bucket").collect()
+        for r in rows:
+            h = hashlib.md5(f"{r['doc_id']}:s1".encode()).hexdigest()
+            assert r["bucket"] == int(h[28:32], 16)
+
+    def test_weighted_mixture_rates_and_determinism(self, spark, docs):
+        from resume_ocr_spark.operators import mixture
+        weights = {"en": 1.0, "fr": 0.5}
+        out = mixture.weighted_mixture(
+            docs, weights, group_col="lang", default_weight=0.25)
+        got = out.groupBy("lang").count().collect()
+        base = {r["lang"]: r["count"]
+                for r in docs.groupBy("lang").count().collect()}
+        counts = {r["lang"]: r["count"] for r in got}
+        assert counts["en"] == base["en"]            # rate 1.0 keeps all
+        assert 0 < counts.get("fr", 0) < base["fr"]  # rate 0.5 keeps some
+        # default rate applies to unlisted groups (es/zh/de)
+        assert 0 < counts.get("es", 0) < base["es"]
+        # deterministic under repartition, different under another seed
+        a = sorted(r["doc_id"] for r in out.collect())
+        b = sorted(r["doc_id"] for r in mixture.weighted_mixture(
+            docs.repartition(5), weights, group_col="lang",
+            default_weight=0.25).collect())
+        assert a == b
+        c = sorted(r["doc_id"] for r in mixture.weighted_mixture(
+            docs, weights, group_col="lang", default_weight=0.25,
+            seed="other").collect())
+        assert a != c
+
+    def test_weighted_mixture_plan_broadcasts_weights(self, spark, docs):
+        from resume_ocr_spark.operators import mixture
+        out = mixture.weighted_mixture(docs, {"en": 0.5}, group_col="lang")
+        plan = spark._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted")
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_stratified_topk_exact_quota(self, spark, docs):
+        from resume_ocr_spark.operators import mixture
+        out = mixture.stratified_topk(docs, k=7, group_col="lang")
+        counts = {r["lang"]: r["count"]
+                  for r in out.groupBy("lang").count().collect()}
+        base = {r["lang"]: r["count"]
+                for r in docs.groupBy("lang").count().collect()}
+        for lang, n in counts.items():
+            assert n == min(7, base[lang])
+        # hash order: the kept set is the k smallest buckets per group
+        full = mixture.with_sample_bucket(docs).select(
+            "doc_id", "lang", "bucket").collect()
+        kept = {(r["lang"], r["doc_id"]) for r in out.collect()}
+        by_lang = {}
+        for r in full:
+            by_lang.setdefault(r["lang"], []).append((r["bucket"], r["doc_id"]))
+        for lang, items in by_lang.items():
+            expect = {d for _, d in sorted(items)[:7]}
+            assert {d for l, d in kept if l == lang} == expect
+
+    def test_weight_validation(self, spark, docs):
+        from resume_ocr_spark.operators import mixture
+        with pytest.raises(ValueError):
+            mixture.weighted_mixture(docs, {"en": 1.5}, group_col="lang")
+        with pytest.raises(ValueError):
+            mixture.stratified_topk(docs, k=0, group_col="lang")
