@@ -38,11 +38,17 @@ def _tokens(text_col: str):
 
 
 def _words(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Distinct (id, word) pairs, lowercase, alphanumeric words only."""
+    """Distinct (id, word) pairs, lowercase, alphanumeric words only.
+
+    Distinctness comes from ``array_distinct`` BEFORE the explode — a
+    per-row hash-set, zero shuffles — rather than a post-explode
+    ``.distinct()``, which would shuffle the whole exploded corpus on
+    (id, word). Requires ``id_col`` to be unique per input row (true for
+    every caller: it's the dedup key)."""
     return (
-        df.select(F.col(id_col), F.explode(_tokens(text_col)).alias("word"))
+        df.select(F.col(id_col),
+                  F.explode(F.array_distinct(_tokens(text_col))).alias("word"))
         .filter(F.col("word") != "")
-        .distinct()
     )
 
 
@@ -50,7 +56,10 @@ def _shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """Distinct (id, word) pairs where 'word' is an n-WORD shingle
     (space-joined sliding window — Broder's k-shingles, the unit real
     near-dup pipelines hash; single words flag too many false near-dups).
-    Pure Column ops: normalized split → sequence/slice window → explode."""
+    Pure Column ops: normalized split → sequence/slice window →
+    array_distinct → explode. Like :func:`_words`, distinctness is a
+    per-row array op (no corpus-wide shuffle); ``id_col`` must be unique
+    per input row."""
     toks = _tokens(text_col)
     # guard: sequence(1, 0) would COUNT DOWN in Spark, so short docs get an
     # explicit empty array instead
@@ -61,9 +70,9 @@ def _shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
         f"ELSE array() END")
     return (
         df.select(F.col(id_col), toks.alias("tokens"))
-        .select(F.col(id_col), F.explode(sh).alias("word"))
+        .select(F.col(id_col),
+                F.explode(F.array_distinct(sh)).alias("word"))
         .filter(F.col("word") != "")
-        .distinct()
     )
 
 
