@@ -36,6 +36,8 @@ HEADLINE = [
     "embedding_cosine_topk", "lang_id",
     "quality_scores", "streaming_window_counts", "streaming_sessionize",
     "streaming_window_counts_append",
+    "benchmark_decontam", "quality_filter", "sequence_packing",
+    "mixture_sample",
 ]
 
 

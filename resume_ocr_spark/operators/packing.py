@@ -91,3 +91,46 @@ def materialize_packed(
         ).alias("text"),
     )
     return packed
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 256,
+    overlap: int = 32,
+) -> DataFrame:
+    """Sliding-window document chunking (the embedding-pipeline inverse of
+    packing): split each document into word windows of ``chunk_words`` with
+    ``overlap`` words of context carried between consecutive chunks.
+
+    Output: ``(id_col, chunk_id, chunk_words_n, chunk_text)``. Chunk count
+    is ``1 + ceil(max(nw - chunk, 0) / (chunk - overlap))`` — integer
+    arithmetic only, so a SQL mirror agrees exactly. Whitespace runs
+    normalize to single spaces in ``chunk_text`` (windows are word-indexed).
+
+    Pure per-row Column ops (sequence → transform → explode): zero
+    shuffles at any scale."""
+    if chunk_words <= 0 or not 0 <= overlap < chunk_words:
+        raise ValueError("need chunk_words > 0 and 0 <= overlap < chunk_words")
+    step = chunk_words - overlap
+    words = F.split(F.trim(F.col(text_col)), "\\s+")
+    # n_chunks - 1 = ceil(max(nw - chunk, 0) / step), as integer floor-div
+    chunks = F.expr(
+        f"transform(sequence(0, CAST((greatest(size(_w) - {chunk_words}, 0)"
+        f" + {step - 1}) div {step} AS INT)),"
+        f" i -> struct(CAST(i AS BIGINT) AS chunk_id,"
+        f" array_join(slice(_w, i * {step} + 1, {chunk_words}), ' ')"
+        f" AS chunk_text))"
+    )
+    out = (
+        df.select(F.col(id_col), words.alias("_w"))
+        .select(F.col(id_col), F.explode(chunks).alias("_c"))
+        .select(
+            F.col(id_col),
+            F.col("_c.chunk_id"),
+            F.size(F.split(F.col("_c.chunk_text"), " ")).alias("chunk_words_n"),
+            F.col("_c.chunk_text"),
+        )
+    )
+    return out

@@ -885,3 +885,57 @@ class TestMixture:
             mixture.weighted_mixture(docs, {"en": 1.5}, group_col="lang")
         with pytest.raises(ValueError):
             mixture.stratified_topk(docs, k=0, group_col="lang")
+
+
+class TestChunking:
+    def test_matches_python_recompute(self, spark, docs):
+        import re
+        from resume_ocr_spark.operators import packing
+        chunk, overlap = 32, 8
+        out = {}
+        rows = packing.chunk_documents(
+            docs.limit(80), chunk_words=chunk, overlap=overlap).collect()
+        for r in rows:
+            out.setdefault(r["doc_id"], {})[r["chunk_id"]] = (
+                r["chunk_words_n"], r["chunk_text"])
+        step = chunk - overlap
+        for r in docs.limit(80).collect():
+            words = re.split(r"\s+", r["text"].strip())
+            n_chunks = 1 + -(-max(len(words) - chunk, 0) // step)
+            got = out[r["doc_id"]]
+            assert len(got) == n_chunks, r["doc_id"]
+            for i in range(n_chunks):
+                w = words[i * step: i * step + chunk]
+                assert got[i] == (len(w), " ".join(w)), (r["doc_id"], i)
+
+    def test_overlap_continuity_and_full_coverage(self, spark):
+        from resume_ocr_spark.operators import packing
+        text = " ".join(f"w{i}" for i in range(100))
+        df = spark.createDataFrame([(1, text)], "doc_id int, text string")
+        rows = sorted(
+            packing.chunk_documents(df, chunk_words=40, overlap=10).collect(),
+            key=lambda r: r["chunk_id"])
+        assert len(rows) == 3
+        # consecutive chunks share exactly `overlap` words
+        a, b = rows[0]["chunk_text"].split(" "), rows[1]["chunk_text"].split(" ")
+        assert a[-10:] == b[:10]
+        # every word appears in some chunk
+        seen = {w for r in rows for w in r["chunk_text"].split(" ")}
+        assert seen == {f"w{i}" for i in range(100)}
+        # short doc → exactly one whole-doc chunk
+        short = spark.createDataFrame([(2, "a b c")], "doc_id int, text string")
+        only = packing.chunk_documents(short, chunk_words=40, overlap=10).collect()
+        assert len(only) == 1 and only[0]["chunk_text"] == "a b c"
+
+    def test_zero_exchange_plan(self, spark, docs):
+        import re
+        from resume_ocr_spark.operators import packing
+        out = packing.chunk_documents(docs)
+        plan = spark._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted")
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0
+
+    def test_validation(self, spark, docs):
+        from resume_ocr_spark.operators import packing
+        with pytest.raises(ValueError):
+            packing.chunk_documents(docs, chunk_words=10, overlap=10)
