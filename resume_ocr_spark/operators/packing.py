@@ -108,6 +108,9 @@ def chunk_documents(
     is ``1 + ceil(max(nw - chunk, 0) / (chunk - overlap))`` — integer
     arithmetic only, so a SQL mirror agrees exactly. Whitespace runs
     normalize to single spaces in ``chunk_text`` (windows are word-indexed).
+    "Whitespace" is Java's ASCII ``\\s`` class (space/tab/newline/VT/FF/CR):
+    NBSP and other unicode separators are word characters, matching DuckDB's
+    RE2 mirror and differing from Python's unicode-aware ``\\s``.
 
     Pure per-row Column ops (sequence → transform → explode): zero
     shuffles at any scale."""

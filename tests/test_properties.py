@@ -190,3 +190,68 @@ def test_ad_div_close_does_not_leak_boilerplate():
     out = htmlcodec.strip_boilerplate(doc)
     assert "Conteudo real" in out and "Mais conteudo" in out
     assert "COMPRE AGORA" not in out
+
+
+def test_text_pipeline_ops_total_on_adversarial_text(spark):
+    """decontam / quality filter / packing / chunking / mixture are TOTAL
+    over adversarial unicode: no row ever throws, and each op's core
+    invariant holds on every row."""
+    import random as _random
+
+    from resume_ocr_spark.operators import decontam, mixture, packing
+    from resume_ocr_spark.operators import textstats as ts
+
+    rng = _random.Random(123)
+    nasty = [
+        "", " ", "\t\n\r ", "a", "word " * 5000,
+        "éèê café naïve",     # accents
+        "你好世界 " * 30,              # CJK
+        "\U0001f600\U0001f4a9 emoji ​‍zw",   # emoji + zero-width
+        "السلام rtl text",
+        "x" * 20000,                                    # one giant word
+        "line one\nline one\nline one\nline two",
+        "NUL\x00 byte and \x1b[31mansi\x1b[0m",
+        "<script>alert(1)</script> <b>html</b>",
+        '"quotes" \'and\' `ticks` $(cmd) %s %d {fmt}',
+        "\\n literal backslash-n \\t",
+    ]
+    nasty += ["".join(chr(rng.randrange(1, 0x2FFF)) for _ in range(80))
+              for _ in range(15)]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(nasty)], "doc_id long, text string")
+
+    qf = ts.with_quality_filter(df).collect()
+    assert len(qf) == len(nasty)
+    assert all(r["keep"] == (r["reasons"] == "") for r in qf)
+
+    bench = df.limit(2).select("text")
+    counts = decontam.contamination_counts(df, bench, n=3).collect()
+    assert all(r["contaminated_ngrams"] >= 1 for r in counts)
+
+    packed = packing.pack_sequences(df, budget=64, shards=4).collect()
+    assert len(packed) == len(nasty)
+    assert all(0 <= r["seq_offset"] < 64 and r["n_tokens"] >= 0
+               for r in packed)
+
+    chunks = packing.chunk_documents(df, chunk_words=16, overlap=4).collect()
+    per_doc = {}
+    for r in chunks:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(per_doc) == set(range(len(nasty)))  # every doc chunked
+    import re as _re
+    for i, t in enumerate(nasty):
+        # mirror the ENGINE's tokenization: Spark trim() strips ASCII
+        # spaces only and Java's \s is the ASCII class — NBSP, \x1c and
+        # friends are word characters there, unlike Python's unicode \s
+        words = _re.split(r"[ \t\n\x0b\f\r]+", t.strip(" "))
+        got = {w for r in per_doc[i] for w in r["chunk_text"].split(" ")}
+        assert got == set(words), i  # full word coverage, nothing invented
+
+    mixed = mixture.with_sample_bucket(df).collect()
+    assert all(0 <= r["bucket"] < 65536 for r in mixed)
+    sampled = mixture.weighted_mixture(
+        df.withColumn("grp", (df.doc_id % 2).cast("string")),
+        {"0": 1.0}, group_col="grp", default_weight=0.5)
+    kept = {r["doc_id"] for r in sampled.collect()}
+    assert kept <= set(range(len(nasty)))
+    assert {i for i in range(len(nasty)) if i % 2 == 0} <= kept
