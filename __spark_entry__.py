@@ -1262,8 +1262,10 @@ def oracle_sql() -> dict[str, str]:
                len(words) AS nw,
                (nc - (len(words) - 1)) / CAST(len(words) AS DOUBLE) AS mwl,
                length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS sym,
-               list_max(list_transform(list_distinct(words),
-                        w -> len(list_filter(words, x -> x = w)))) AS topw,
+               list_max(list_transform(
+                 list_distinct(words[1:{textstats.QF_REPETITION_SCAN}]),
+                 w -> len(list_filter(words[1:{textstats.QF_REPETITION_SCAN}],
+                          x -> x = w)))) AS topw,
                {_stop_diff} AS stops
         FROM base
       ), flagged AS (
@@ -1275,7 +1277,7 @@ def oracle_sql() -> dict[str, str]:
                         OR mwl > {textstats.QF_MWL_HI} THEN 'word_length' END,
                  CASE WHEN sym * 1.0 / greatest(nc, 1)
                         > {textstats.QF_MAX_SYMBOL_RATIO} THEN 'symbols' END,
-                 CASE WHEN topw * 1.0 / greatest(nw, 1)
+                 CASE WHEN topw * 1.0 / least(nw, {textstats.QF_REPETITION_SCAN})
                         > {textstats.QF_MAX_TOP_WORD_FRAC} THEN 'repetition' END,
                  CASE WHEN stops = 0 THEN 'no_stopwords' END,
                  CASE WHEN contains(lower(text), '{textstats.QF_BOILERPLATE}')

@@ -115,6 +115,8 @@ QF_MAX_WORDS = 50_000      # Gopher: drop absurdly long docs
 QF_MWL_LO, QF_MWL_HI = 2.5, 12.0  # Gopher: mean word length band
 QF_MAX_SYMBOL_RATIO = 0.10  # C4: symbol-heavy docs (code/ascii-art)
 QF_MAX_TOP_WORD_FRAC = 0.125  # Gopher: most-frequent-word fraction
+QF_REPETITION_SCAN = 2048   # words scanned by the repetition rule (bounds
+                            # the O(words·distinct) expression per row)
 QF_BOILERPLATE = "lorem ipsum"  # C4: placeholder-text marker
 
 
@@ -128,9 +130,11 @@ def with_quality_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
                              ascii-art signal, Gopher §A2)
       symbols                non-alphanumeric-non-space chars > 10% (C4)
       repetition             most-frequent-word fraction > 12.5% (Gopher's
-                             duplicate-word signal; computed expression-side
-                             as O(words · distinct_words) array ops — cap
-                             input length upstream for multi-MB docs)
+                             duplicate-word signal) over the first
+                             QF_REPETITION_SCAN words — the bound keeps the
+                             O(words · distinct_words) expression constant
+                             per row, so multi-MB documents cost the same
+                             as average ones
       no_stopwords           none of the EN/PT stopword markers present
                              (Gopher requires ≥2 stopwords)
       boilerplate            contains "lorem ipsum"
@@ -144,13 +148,14 @@ def with_quality_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
     mwl = (nc - (nw - F.lit(1))) / nw.cast("double")
     sym = F.length(F.regexp_replace(text, "[A-Za-z0-9\\s]", ""))
     sym_ratio = sym / F.greatest(nc, F.lit(1)).cast("double")
+    head = F.slice(words, 1, QF_REPETITION_SCAN)
     top_word = F.array_max(
         F.transform(
-            F.array_distinct(words),
-            lambda w: F.size(F.filter(words, lambda x: x == w)),
+            F.array_distinct(head),
+            lambda w: F.size(F.filter(head, lambda x: x == w)),
         )
     )
-    top_frac = top_word / F.greatest(nw, F.lit(1)).cast("double")
+    top_frac = top_word / F.least(nw, F.lit(QF_REPETITION_SCAN)).cast("double")
     padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
     any_stop = sum(
         _count_occurrences(padded, m) for m in (PT_MARKERS + EN_MARKERS)

@@ -707,6 +707,21 @@ class TestQualityFilter:
         assert "boilerplate" in out[7]["reasons"]
         assert all((r["reasons"] == "") == r["keep"] for r in out.values())
 
+    def test_repetition_scan_is_bounded(self, spark):
+        """The repetition rule reads only the first QF_REPETITION_SCAN
+        words — the per-row cost bound for multi-MB documents."""
+        scan = textstats.QF_REPETITION_SCAN
+        distinct_head = " ".join(f"w{i}" for i in range(scan))
+        tail_spam = " spam" * 600
+        df = spark.createDataFrame(
+            [(1, distinct_head + tail_spam),            # spam beyond the scan
+             (2, ("spam " * 600) + distinct_head)],     # spam inside the scan
+            "doc_id int, text string")
+        out = {r["doc_id"]: r["reasons"]
+               for r in textstats.with_quality_filter(df).collect()}
+        assert "repetition" not in out[1]
+        assert "repetition" in out[2]
+
     def test_matches_python_oracle_on_corpus(self, spark, docs):
         import re
         out = {r["doc_id"]: r for r in textstats.with_quality_filter(
@@ -717,7 +732,9 @@ class TestQualityFilter:
             nw, nc = len(words), len(text)
             mwl = (nc - (nw - 1)) / nw
             sym = len(re.sub(r"[A-Za-z0-9\s]", "", text))
-            top = max(words.count(w) for w in set(words)) / nw
+            head = words[:textstats.QF_REPETITION_SCAN]
+            top = max(head.count(w) for w in set(head)) / min(
+                nw, textstats.QF_REPETITION_SCAN)
             padded = f" {text.lower()} "
             stops = sum(padded.count(m) for m in
                         textstats.PT_MARKERS + textstats.EN_MARKERS)
