@@ -529,6 +529,26 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         default_weight=0.25, seed="mix")
 
 
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation funnel in one job: quality filter → exact dedup
+    (keeper = min surviving id per fingerprint) → benchmark decontamination
+    (bench = 3 lowest-id docs, 3-grams) → mixture sampling (en 1.0 / fr 0.5
+    / default 0.25). Every document reports the FIRST stage that dropped it
+    or NULL when it reaches the training set — two corpus-wide exchanges
+    total (operators/curate.py docstring)."""
+    from resume_ocr_spark.operators import curate
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    bench = (_t(spark, sf_dir, "documents")
+             .filter(F.col("doc_id") < 3)
+             .select(F.col("text").alias("question")))
+    return curate.curate(
+        docs, benchmark=bench, weights={"en": 1.0, "fr": 0.5},
+        group_col="lang", bench_text_col="question", ngram=3,
+        default_weight=0.25, seed="mix",
+    ).select("doc_id", "drop_reason")
+
+
 def streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming: tumbling 1h window + watermark over the events
     stream, availableNow trigger (batch-equivalent semantics for the
@@ -792,7 +812,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "threshold_branch": threshold_branch,
         "error_split": error_split,
         "failure_consolidation": failure_consolidation,
-        "media_join": media_join,
         "window_topk_per_group": window_topk_per_group,
         "agg_stats": agg_stats,
         "join_region_rollup": join_region_rollup,
@@ -821,6 +840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": quality_filter,
         "sequence_packing": sequence_packing,
         "mixture_sample": mixture_sample,
+        "curation_pipeline": curation_pipeline,
         "streaming_window_counts": streaming_window_counts,
         "streaming_window_counts_append": streaming_window_counts_append,
         "streaming_sessionize": streaming_sessionize,
@@ -844,11 +864,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   - distinct_agg's COUNT(DISTINCT) surface overlaps agg_stats
         #     and set_ops_custkeys;
         #   - pivot_order_status is a groupBy+CASE veneer over the agg
-        #     surface already gated by agg_stats/rollup_revenue.
+        #     surface already gated by agg_stats/rollup_revenue;
+        #   - media_join's documents×blobs broadcast equi join is the first
+        #     stage of extract_pipeline, which is hash-gated end-to-end
+        #     including the media branch.
         "dedup_jaccard_pairs": dedup_jaccard_pairs,
         "dedup_embedding_pairs": dedup_embedding_pairs,
         "distinct_agg": distinct_agg,
         "pivot_order_status": pivot_order_status,
+        "media_join": media_join,
     }
 
 
@@ -1303,6 +1327,85 @@ def oracle_sql() -> dict[str, str]:
       WHERE bucket < CASE lang WHEN 'en' THEN 65536
                                WHEN 'fr' THEN 32768
                                ELSE 16384 END
+    """
+    # curation funnel: composes the quality / fingerprint / decontam /
+    # mixture oracle fragments above with the engine's reason precedence
+    # (quality → duplicate → contaminated → sampled_out). 'duplicate' uses
+    # MIN over quality survivors per fingerprint; a NULL keeper (all copies
+    # failed quality) falls through the CASE exactly like Spark's when().
+    sqls["curation_pipeline"] = f"""
+      WITH base AS (
+        SELECT doc_id, text, lang,
+               ' ' || lower(text) || ' ' AS p,
+               regexp_split_to_array(trim(text), '\\s+') AS words,
+               length(text) AS nc
+        FROM documents
+      ), feat AS (
+        SELECT doc_id, text, lang, nc, len(words) AS nw,
+               (nc - (len(words) - 1)) / CAST(len(words) AS DOUBLE) AS mwl,
+               length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS sym,
+               list_max(list_transform(
+                 list_distinct(words[1:{textstats.QF_REPETITION_SCAN}]),
+                 w -> len(list_filter(words[1:{textstats.QF_REPETITION_SCAN}],
+                          x -> x = w)))) AS topw,
+               {_stop_diff} AS stops
+        FROM base
+      ), qf AS (
+        SELECT doc_id, text, lang,
+               NOT (nw < {textstats.QF_MIN_WORDS}
+                    OR nw > {textstats.QF_MAX_WORDS}
+                    OR mwl < {textstats.QF_MWL_LO}
+                    OR mwl > {textstats.QF_MWL_HI}
+                    OR sym * 1.0 / greatest(nc, 1)
+                       > {textstats.QF_MAX_SYMBOL_RATIO}
+                    OR topw * 1.0 / least(nw, {textstats.QF_REPETITION_SCAN})
+                       > {textstats.QF_MAX_TOP_WORD_FRAC}
+                    OR stops = 0
+                    OR contains(lower(text), '{textstats.QF_BOILERPLATE}'))
+               AS keep
+        FROM feat
+      ), keepers AS (
+        SELECT doc_id, lang, keep,
+               MIN(CASE WHEN keep THEN doc_id END) OVER (
+                 PARTITION BY md5(trim(regexp_replace(lower(text),
+                   '[^a-z0-9]+', ' ', 'g')))) AS keeper
+        FROM qf
+      ), toks AS (
+        SELECT doc_id, w, i FROM (
+          SELECT doc_id,
+                 unnest(string_split(trim(regexp_replace(lower(text),
+                        '[^a-z0-9]+', ' ', 'g')), ' ')) AS w,
+                 unnest(generate_series(1,
+                        len(string_split(trim(regexp_replace(lower(text),
+                            '[^a-z0-9]+', ' ', 'g')), ' ')))) AS i
+          FROM documents
+        ) WHERE w <> ''
+      ), grams AS (
+        SELECT DISTINCT a.doc_id,
+               a.w || ' ' || b.w || ' ' || c.w AS gram
+        FROM toks a
+        JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+        JOIN toks c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+      ), contam AS (
+        SELECT DISTINCT g.doc_id FROM grams g
+        JOIN (SELECT DISTINCT gram FROM grams WHERE doc_id < 3) bg
+          USING (gram)
+      ), bkt AS (
+        SELECT doc_id, CAST({_mix_bucket} AS BIGINT) AS bucket
+        FROM documents
+      )
+      SELECT k.doc_id,
+             CASE WHEN NOT k.keep THEN 'quality'
+                  WHEN k.doc_id <> k.keeper THEN 'duplicate'
+                  WHEN c.doc_id IS NOT NULL THEN 'contaminated'
+                  WHEN b.bucket >= CASE k.lang WHEN 'en' THEN 65536
+                                               WHEN 'fr' THEN 32768
+                                               ELSE 16384 END
+                       THEN 'sampled_out'
+             END AS drop_reason
+      FROM keepers k
+      LEFT JOIN contam c ON c.doc_id = k.doc_id
+      JOIN bkt b ON b.doc_id = k.doc_id
     """
     # sequence packing: the same per-shard windowed cumsum the engine runs
     sqls["sequence_packing"] = """

@@ -1,0 +1,109 @@
+"""End-to-end training-corpus curation: the composition of this package's
+pipeline operators into the flow a 100 TB data-curation job actually runs.
+
+    quality filter  →  exact dedup  →  benchmark decontamination  →
+    mixture sampling
+
+Each document gets a ``drop_reason`` (the FIRST stage that rejects it, in
+the order above — the conventional funnel accounting, so stage counts sum
+to drops) or NULL when it survives to the training set.
+
+Plan shape at scale (see each operator's module docstring for its own
+analysis): quality is a zero-shuffle projection; dedup is one window over
+``fingerprint`` (hash shuffle); decontamination broadcasts the eval-set
+n-gram hashes so the corpus never shuffles to meet them, and its per-doc
+match count joins back by id; mixture applies per-group rate cuts as a
+CASE expression over the deterministic md5 bucket (zero joins). Total:
+two corpus-wide hash exchanges (fingerprint, id) regardless of input size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from . import decontam as _decontam
+from . import mixture as _mixture
+from .textstats import with_fingerprint, with_quality_filter
+
+REASON_QUALITY = "quality"
+REASON_DUPLICATE = "duplicate"
+REASON_CONTAMINATED = "contaminated"
+REASON_SAMPLED_OUT = "sampled_out"
+
+
+def curate(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "lang",
+    bench_text_col: str = "text",
+    ngram: int = _decontam.DECONTAM_NGRAM,
+    default_weight: float = 1.0,
+    seed: str = "mix",
+) -> DataFrame:
+    """Annotate every document with its curation outcome.
+
+    Returns the input columns plus ``drop_reason`` (string, NULL = kept).
+    ``benchmark``/``weights`` stages are skipped when not provided.
+    Filter to ``drop_reason IS NULL`` for the training corpus; group by
+    ``drop_reason`` for the funnel audit."""
+    out = with_quality_filter(docs, text_col)
+    quality_drop = ~F.col("keep")
+
+    # funnel semantics: the kept representative is the min id AMONG
+    # QUALITY SURVIVORS of the fingerprint group (a group whose every copy
+    # failed quality yields no 'duplicate' rows — they all report quality)
+    out = with_fingerprint(out, text_col)
+    keeper = F.min(F.when(F.col("keep"), F.col(id_col))).over(
+        Window.partitionBy("fingerprint"))
+    dup_drop = F.col(id_col) != keeper
+
+    if benchmark is not None:
+        flagged = (
+            _decontam.contamination_counts(
+                docs, benchmark, id_col, text_col, bench_text_col, ngram
+            )
+            .filter(F.col("contaminated"))
+            .select(F.col(id_col), F.lit(True).alias("_contam"))
+        )
+        out = out.join(flagged, id_col, "left")
+        contam_drop = F.coalesce(F.col("_contam"), F.lit(False))
+    else:
+        contam_drop = F.lit(False)
+
+    if weights is not None:
+        for g, w in weights.items():
+            if not 0.0 <= w <= 1.0:
+                raise ValueError(f"weight out of [0,1] for {g!r}: {w}")
+        out = _mixture.with_sample_bucket(out, id_col, seed)
+        cut = F.lit(int(default_weight * _mixture.BUCKETS))
+        for g, w in sorted(weights.items()):
+            cut = F.when(F.col(group_col) == g,
+                         F.lit(int(w * _mixture.BUCKETS))).otherwise(cut)
+        sample_drop = F.col("bucket") >= cut
+    else:
+        sample_drop = F.lit(False)
+
+    reason = (
+        F.when(quality_drop, F.lit(REASON_QUALITY))
+        .when(dup_drop, F.lit(REASON_DUPLICATE))
+        .when(contam_drop, F.lit(REASON_CONTAMINATED))
+        .when(sample_drop, F.lit(REASON_SAMPLED_OUT))
+    )
+    drop_cols = [c for c in ("keep", "reasons", "fingerprint", "_contam",
+                             "bucket") if c in out.columns]
+    return out.withColumn("drop_reason", reason).drop(*drop_cols)
+
+
+def curation_audit(curated: DataFrame) -> DataFrame:
+    """Funnel accounting over :func:`curate`'s output: one row per outcome
+    (kept = NULL reason reported as 'kept') with document counts."""
+    return (
+        curated.groupBy(
+            F.coalesce(F.col("drop_reason"), F.lit("kept")).alias("outcome")
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

@@ -956,3 +956,78 @@ class TestChunking:
         from resume_ocr_spark.operators import packing
         with pytest.raises(ValueError):
             packing.chunk_documents(docs, chunk_words=10, overlap=10)
+
+
+class TestCurate:
+    def _mk(self, spark):
+        keep_text = ("the and with " +
+                     " ".join(f"word{i:02d}" for i in range(33)))
+        rows = [
+            (1, keep_text + " alpha", "en"),           # kept
+            (2, "the short and with for doc", "en"),   # quality (too_short)
+            (3, keep_text + " beta", "en"),            # kept (dup keeper)
+            (4, keep_text + " beta", "en"),            # duplicate of 3
+            # 5+6: same fingerprint, BOTH fail quality -> both 'quality',
+            # never 'duplicate'
+            (5, "tiny doc five words only", "en"),
+            (6, "tiny doc five words only", "en"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    def test_reason_funnel(self, spark):
+        from resume_ocr_spark.operators import curate
+        docs = self._mk(spark)
+        bench = spark.createDataFrame(
+            [("alpha " * 5,)], "text string")  # no 3-gram overlap with docs
+        out = {r["doc_id"]: r["drop_reason"]
+               for r in curate.curate(docs, benchmark=bench, ngram=3).collect()}
+        assert out[1] is None
+        assert out[2] == "quality"
+        assert {out[3], out[4]} == {None, "duplicate"}
+        assert out[5] == "quality" and out[6] == "quality"
+
+    def test_contamination_and_sampling_stages(self, spark):
+        from resume_ocr_spark.operators import curate
+        docs = self._mk(spark)
+        # bench shares a 3-gram run with doc 1 only ('word00 word01 word02')
+        bench = spark.createDataFrame(
+            [("quiz: word00 word01 word02 ?",)], "text string")
+        out = {r["doc_id"]: r["drop_reason"]
+               for r in curate.curate(docs, benchmark=bench, ngram=3).collect()}
+        # docs 1,3,4 all contain the gram; 3 survives as keeper? No:
+        # contamination outranks nothing here — order is quality, dup, contam
+        assert out[1] == "contaminated"
+        assert out[3] == "contaminated" or out[4] == "contaminated"
+        # weights: rate 0 for en drops every survivor as sampled_out
+        out0 = {r["doc_id"]: r["drop_reason"]
+                for r in curate.curate(
+                    docs, weights={"en": 0.0}, default_weight=1.0).collect()}
+        assert out0[2] == "quality"            # earlier stages still win
+        assert {out0[3], out0[4]} & {"duplicate"}
+        survivors = [d for d, r in out0.items() if r == "sampled_out"]
+        assert 1 in survivors
+
+    def test_audit_counts_sum(self, spark, docs):
+        from resume_ocr_spark.operators import curate
+        d = docs.select("doc_id", "text", "lang").limit(120)
+        bench = d.orderBy("doc_id").limit(2).select("text")
+        cur = curate.curate(d, benchmark=bench, ngram=3,
+                            weights={"en": 0.5}, default_weight=0.75)
+        audit = {r["outcome"]: r["n_docs"]
+                 for r in curate.curation_audit(cur).collect()}
+        assert sum(audit.values()) == 120
+        assert audit.get("kept", 0) > 0
+        # kept docs all pass the quality filter in isolation
+        kept = cur.filter(F.col("drop_reason").isNull())
+        qf = textstats.with_quality_filter(kept)
+        assert qf.filter(~F.col("keep")).count() == 0
+
+    def test_plan_no_range_partitioning(self, spark, docs):
+        from resume_ocr_spark.operators import curate
+        d = docs.select("doc_id", "text", "lang")
+        bench = d.limit(2).select("text")
+        cur = curate.curate(d, benchmark=bench, ngram=3, weights={"en": 0.9})
+        plan = spark._sc._jvm.PythonSQLUtils.explainString(
+            cur._jdf.queryExecution(), "formatted")
+        assert "rangepartitioning" not in plan
+        assert "CartesianProduct" not in plan
