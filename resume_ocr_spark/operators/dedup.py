@@ -20,7 +20,7 @@ identical signatures, which is what the driver's correctness gate checks.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 MINHASH_K = 4
@@ -485,3 +485,71 @@ def jaccard_pairs_lsh(
     if persist_words:
         out.cached_words = words  # caller unpersists after materializing
     return out
+
+
+# --- incremental dedup (new batch vs historical index) ---------------------
+
+def incremental_exact(
+    new_docs: DataFrame,
+    seen_fingerprints: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact dedup of a NEW BATCH against an already-curated corpus — the
+    daily-increment pattern: the historical side is only its fingerprint
+    column (a compact index you persist between runs), never re-read text.
+
+    Two stages, matching :func:`~.curate.curate`'s within-batch rule:
+      1. within-batch collapse — keep the min id per fingerprint;
+      2. LEFT ANTI join against ``seen_fingerprints`` (AQE broadcasts
+         while the index side fits, shuffled-hash otherwise — both forms
+         never replicate the batch).
+
+    Returns surviving rows of ``new_docs`` plus their ``fingerprint``
+    (append it to the index for the next increment)."""
+    from .textstats import with_fingerprint
+
+    fp = with_fingerprint(new_docs, text_col)
+    keeper = F.min(id_col).over(Window.partitionBy("fingerprint"))
+    fresh = (
+        fp.withColumn("_keeper", keeper)
+        .filter(F.col(id_col) == F.col("_keeper"))
+        .drop("_keeper")
+    )
+    seen = seen_fingerprints.select("fingerprint").distinct()
+    return fresh.join(seen, "fingerprint", "left_anti")
+
+
+def minhash_lsh_probe(
+    new_sigs: DataFrame,
+    index_sigs: DataFrame,
+    id_col: str = "doc_id",
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-dup candidates BETWEEN a new batch and the historical corpus
+    (never within either side): band both, equi-join on (band, band-hash).
+    At 10^12 docs the index side's banded form is a bucketed table you
+    build once; each increment probes it with a join whose cost tracks the
+    increment's size, not the corpus's.
+
+    ``max_bucket_size`` caps degenerate INDEX buckets exactly like
+    :func:`minhash_lsh_candidates` does for self-join buckets.
+
+    Returns distinct ``(new_id, index_id)`` pairs."""
+    nb = _banded(new_sigs, id_col, k, bands)
+    ib = _banded(index_sigs, id_col, k, bands)
+    if max_bucket_size is not None:
+        sizes = ib.groupBy("band", "bh").agg(F.count("*").alias("_bsz"))
+        ib = (ib.join(sizes.filter(F.col("_bsz") <= max_bucket_size),
+                      ["band", "bh"]).drop("_bsz"))
+    return (
+        nb.alias("n")
+        .join(ib.alias("i"),
+              (F.col("n.band") == F.col("i.band"))
+              & (F.col("n.bh") == F.col("i.bh")))
+        .select(F.col(f"n.{id_col}").alias("new_id"),
+                F.col(f"i.{id_col}").alias("index_id"))
+        .distinct()
+    )

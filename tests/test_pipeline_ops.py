@@ -1031,3 +1031,62 @@ class TestCurate:
             cur._jdf.queryExecution(), "formatted")
         assert "rangepartitioning" not in plan
         assert "CartesianProduct" not in plan
+
+
+class TestIncrementalDedup:
+    def test_incremental_exact_drops_seen_and_batch_dupes(self, spark):
+        seen_docs = spark.createDataFrame(
+            [(1, "historical document alpha"), (2, "historical document beta")],
+            "doc_id long, text string")
+        seen = textstats.with_fingerprint(seen_docs).select("fingerprint")
+        batch = spark.createDataFrame(
+            [(10, "historical document alpha"),     # seen -> dropped
+             (11, "brand new document gamma"),      # fresh -> kept
+             (12, "brand new document gamma"),      # in-batch dup -> dropped
+             (13, "Historical DOCUMENT beta!!"),    # normalizes to seen
+             (14, "another fresh one delta")],
+            "doc_id long, text string")
+        out = dedup.incremental_exact(batch, seen)
+        kept = sorted(r["doc_id"] for r in out.collect())
+        assert kept == [11, 14]
+        assert "fingerprint" in out.columns  # appendable to the index
+
+    def test_incremental_exact_empty_index_keeps_batch_reps(self, spark):
+        batch = spark.createDataFrame(
+            [(1, "a doc"), (2, "a doc"), (3, "other")],
+            "doc_id long, text string")
+        empty = spark.createDataFrame([], "fingerprint string")
+        kept = sorted(r["doc_id"]
+                      for r in dedup.incremental_exact(batch, empty).collect())
+        assert kept == [1, 3]
+
+    def test_lsh_probe_cross_pairs_only(self, spark):
+        base = "the quick brown fox jumps over the lazy dog near the river"
+        index_docs = spark.createDataFrame(
+            [(100, base), (101, "completely unrelated archival text here"),
+             (102, base + " yesterday")],
+            "doc_id long, text string")
+        batch_docs = spark.createDataFrame(
+            [(1, base + " today"),                  # near-dup of 100/102
+             (2, "fresh unrelated batch content about spark plans"),
+             (3, base + " tonight")],               # near-dup too
+            "doc_id long, text string")
+        isigs = dedup.minhash_signatures(index_docs, "doc_id", "text")
+        bsigs = dedup.minhash_signatures(batch_docs, "doc_id", "text")
+        pairs = {(r["new_id"], r["index_id"])
+                 for r in dedup.minhash_lsh_probe(bsigs, isigs).collect()}
+        assert (1, 100) in pairs
+        assert all(n in (1, 3) and i in (100, 102) for n, i in pairs), pairs
+        # within-side pairs never emitted: ids 1-3 never appear as index_id
+        assert all(i >= 100 for _, i in pairs)
+        # bucket cap on the index side prunes its mega-bucket
+        boiler = spark.createDataFrame(
+            [(200 + i, "same boilerplate text everywhere") for i in range(20)]
+            + [(300, base)], "doc_id long, text string")
+        bsig2 = dedup.minhash_signatures(
+            spark.createDataFrame([(5, "same boilerplate text everywhere")],
+                                  "doc_id long, text string"), "doc_id", "text")
+        capped = dedup.minhash_lsh_probe(
+            bsig2, dedup.minhash_signatures(boiler, "doc_id", "text"),
+            max_bucket_size=5).collect()
+        assert capped == []
