@@ -37,7 +37,7 @@ HEADLINE = [
     "quality_scores", "streaming_window_counts", "streaming_sessionize",
     "streaming_window_counts_append",
     "benchmark_decontam", "quality_filter", "sequence_packing",
-    "mixture_sample",
+    "mixture_sample", "curation_pipeline",
 ]
 
 
