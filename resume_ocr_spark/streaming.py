@@ -312,3 +312,83 @@ def stateful_sessions(stream: DataFrame, flush_open: bool = True) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_curate(
+    spark: SparkSession,
+    docs_dir: str,
+    out_root: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> int:
+    """Streaming incremental curation: parquet files landing in ``docs_dir``
+    become micro-batches; each batch is quality-filtered then exact-deduped
+    against the PERSISTED fingerprint index built by all PRIOR batches
+    (``dedup.incremental_exact``), and survivors + their fingerprints are
+    appended batch-idempotently (partitioned by ``batch_id``, dynamic
+    overwrite — the same exactly-once sink contract as
+    :func:`stream_extract`).
+
+    Replay safety requires one extra rule: when micro-batch N replays after
+    a crash between sink write and checkpoint commit, the index may already
+    contain N's own fingerprints from the failed attempt — so the index
+    read EXCLUDES the current ``batch_id`` partition; otherwise the replay
+    would drop the whole batch as already-seen and commit an empty
+    partition over the data (pinned by the replay test).
+
+    Returns the number of micro-batches processed in this availableNow
+    drain; call again after new files land to curate only the delta.
+    """
+    import os as _os
+
+    from pyspark.errors import AnalysisException
+
+    from .operators import dedup as _dedup
+    from .operators.textstats import with_quality_filter
+
+    schema = spark.read.parquet(docs_dir).schema
+    reader = (spark.readStream.schema(schema)
+              .option("recursiveFileLookup", "true"))
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(docs_dir)
+
+    kept_path = _os.path.join(out_root, "curated_docs", "data")
+    index_path = _os.path.join(out_root, "curated_index", "data")
+    n_batches = 0
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        nonlocal n_batches
+        try:
+            seen = (spark.read.parquet(index_path)
+                    .filter(F.col("batch_id") != int(batch_id))
+                    .select("fingerprint"))
+        except AnalysisException:  # first batch: no index yet
+            seen = spark.createDataFrame([], "fingerprint string")
+        survivors = with_quality_filter(batch_df).filter(F.col("keep")).drop(
+            "keep", "reasons")
+        fresh = _dedup.incremental_exact(survivors, seen).withColumn(
+            "batch_id", F.lit(int(batch_id)))
+        (
+            fresh.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(kept_path)
+        )
+        (
+            fresh.select("fingerprint", "batch_id")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(index_path)
+        )
+        n_batches += 1
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return n_batches

@@ -274,3 +274,74 @@ class TestStreamingDedup:
             "dedup_stream", "append").toPandas()
         assert len(out) == n_total
         assert sorted(out["event_id"]) == sorted(ids)
+
+
+class TestStreamCurate:
+    @staticmethod
+    def _keep_text(tag: str) -> str:
+        # passes every quality rule; distinct per tag
+        return ("the and with " +
+                " ".join(f"{tag}word{i:02d}" for i in range(33)))
+
+    def _write_file(self, path, rows):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        pq.write_table(pa.table({
+            "doc_id": [r[0] for r in rows],
+            "text": [r[1] for r in rows]}), path)
+
+    def test_dedups_across_microbatches(self, spark, tmp_path):
+        src = str(tmp_path / "docs")
+        os.makedirs(src)
+        shared = self._keep_text("shared")
+        batch0 = [(1, self._keep_text("a")),
+                  (2, shared),
+                  (3, "too short to pass quality"),
+                  (4, self._keep_text("b")),
+                  (5, self._keep_text("b"))]          # in-batch dup of 4
+        batch1 = [(10, shared),                        # cross-batch dup of 2
+                  (11, self._keep_text("c"))]
+        self._write_file(f"{src}/00.parquet", batch0)
+        self._write_file(f"{src}/01.parquet", batch1)
+        out, cp = str(tmp_path / "out"), str(tmp_path / "cp")
+        n = streamops.stream_curate(spark, src, out, cp,
+                                    max_files_per_trigger=1)
+        assert n == 2
+        kept = spark.read.parquet(f"{out}/curated_docs/data")
+        ids = sorted(r["doc_id"] for r in kept.collect())
+        assert ids == [1, 2, 4, 11]
+        # index holds exactly the kept fingerprints, tagged by batch
+        idx = spark.read.parquet(f"{out}/curated_index/data")
+        assert idx.count() == 4
+        assert {r["batch_id"] for r in idx.collect()} == {0, 1}
+        # a later drain over a new file continues the same index
+        self._write_file(f"{src}/02.parquet",
+                         [(20, shared), (21, self._keep_text("d"))])
+        n2 = streamops.stream_curate(spark, src, out, cp,
+                                     max_files_per_trigger=1)
+        assert n2 == 1
+        ids = sorted(r["doc_id"] for r in
+                     spark.read.parquet(f"{out}/curated_docs/data").collect())
+        assert ids == [1, 2, 4, 11, 21]
+
+    def test_replay_excludes_own_index_partition(self, spark, tmp_path):
+        """The crash-replay hazard specific to a self-referential index:
+        batch 0's fingerprints are already persisted when batch 0 replays.
+        If the index read included them, the replay would flag every doc
+        as seen and overwrite the kept partition with EMPTY output."""
+        src = str(tmp_path / "docs")
+        os.makedirs(src)
+        rows = [(1, self._keep_text("x")), (2, self._keep_text("y"))]
+        self._write_file(f"{src}/00.parquet", rows)
+        out = str(tmp_path / "out")
+        streamops.stream_curate(spark, src, out, str(tmp_path / "cp1"))
+        before = sorted(r["doc_id"] for r in spark.read.parquet(
+            f"{out}/curated_docs/data").collect())
+        assert before == [1, 2]
+        # fresh checkpoint: batch 0 replays over the already-written index
+        streamops.stream_curate(spark, src, out, str(tmp_path / "cp2"))
+        after = sorted(r["doc_id"] for r in spark.read.parquet(
+            f"{out}/curated_docs/data").collect())
+        assert after == before
+        idx = spark.read.parquet(f"{out}/curated_index/data")
+        assert idx.count() == 2
