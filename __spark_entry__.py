@@ -1276,10 +1276,11 @@ def oracle_sql() -> dict[str, str]:
         for m in (textstats.PT_MARKERS + textstats.EN_MARKERS))
     sqls["quality_filter"] = f"""
       WITH base AS (
-        SELECT doc_id, text,
-               ' ' || lower(text) || ' ' AS p,
-               regexp_split_to_array(trim(text), '\\s+') AS words,
-               length(text) AS nc
+        -- coalesce mirrors the engine: NULL text is judged as empty
+        SELECT doc_id, coalesce(text, '') AS text,
+               ' ' || lower(coalesce(text, '')) || ' ' AS p,
+               regexp_split_to_array(trim(coalesce(text, '')), '\\s+') AS words,
+               length(coalesce(text, '')) AS nc
         FROM documents
       ), feat AS (
         SELECT doc_id, text, nc,
@@ -1335,10 +1336,10 @@ def oracle_sql() -> dict[str, str]:
     # failed quality) falls through the CASE exactly like Spark's when().
     sqls["curation_pipeline"] = f"""
       WITH base AS (
-        SELECT doc_id, text, lang,
-               ' ' || lower(text) || ' ' AS p,
-               regexp_split_to_array(trim(text), '\\s+') AS words,
-               length(text) AS nc
+        SELECT doc_id, coalesce(text, '') AS text, lang,
+               ' ' || lower(coalesce(text, '')) || ' ' AS p,
+               regexp_split_to_array(trim(coalesce(text, '')), '\\s+') AS words,
+               length(coalesce(text, '')) AS nc
         FROM documents
       ), feat AS (
         SELECT doc_id, text, lang, nc, len(words) AS nw,

@@ -49,7 +49,22 @@ def curate(
     Returns the input columns plus ``drop_reason`` (string, NULL = kept).
     ``benchmark``/``weights`` stages are skipped when not provided.
     Filter to ``drop_reason IS NULL`` for the training corpus; group by
-    ``drop_reason`` for the funnel audit."""
+    ``drop_reason`` for the funnel audit.
+
+    The staging columns ``keep/reasons/fingerprint/bucket/_contam`` are
+    reserved: an input already carrying one would be silently clobbered
+    and dropped, so that's an error here."""
+    reserved = {"keep", "reasons", "fingerprint", "bucket", "_contam"}
+    clash = reserved & set(docs.columns)
+    if clash:
+        raise ValueError(f"input carries reserved curation columns: "
+                         f"{sorted(clash)}")
+    if not 0.0 <= default_weight <= 1.0:
+        raise ValueError(f"default_weight out of [0,1]: {default_weight}")
+    if weights is not None:
+        for g, w in weights.items():
+            if not 0.0 <= w <= 1.0:
+                raise ValueError(f"weight out of [0,1] for {g!r}: {w}")
     out = with_quality_filter(docs, text_col)
     quality_drop = ~F.col("keep")
 
@@ -62,9 +77,15 @@ def curate(
     dup_drop = F.col(id_col) != keeper
 
     if benchmark is not None:
+        # only quality survivors are shingled — the flag is never read for
+        # quality-dropped rows (reason precedence), and the shingle explode
+        # + hash join is the funnel's heaviest map stage, so skipping the
+        # dropped fraction is free and output-identical
+        survivors = (with_quality_filter(docs, text_col)
+                     .filter(F.col("keep")).select(id_col, text_col))
         flagged = (
             _decontam.contamination_counts(
-                docs, benchmark, id_col, text_col, bench_text_col, ngram
+                survivors, benchmark, id_col, text_col, bench_text_col, ngram
             )
             .filter(F.col("contaminated"))
             .select(F.col(id_col), F.lit(True).alias("_contam"))
@@ -75,9 +96,6 @@ def curate(
         contam_drop = F.lit(False)
 
     if weights is not None:
-        for g, w in weights.items():
-            if not 0.0 <= w <= 1.0:
-                raise ValueError(f"weight out of [0,1] for {g!r}: {w}")
         out = _mixture.with_sample_bucket(out, id_col, seed)
         cut = F.lit(int(default_weight * _mixture.BUCKETS))
         for g, w in sorted(weights.items()):

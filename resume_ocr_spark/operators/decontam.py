@@ -62,7 +62,9 @@ def contamination_counts(
     Returns ``(id_col, contaminated_ngrams: long, contaminated: boolean)``
     for every document with at least one matching n-gram; clean documents
     are absent (callers wanting a full annotation LEFT-join this back and
-    ``coalesce`` the count to 0).
+    ``coalesce`` the count to 0). ``id_col`` must be unique per row: gram
+    distinctness is per-row, so a duplicated id would double-count its
+    matched grams.
     """
     bench = _benchmark_gram_hashes(benchmark, bench_text_col, n)
     doc_grams = _shingles(docs, id_col, text_col, n).select(

@@ -108,7 +108,9 @@ def minhash_signatures(
 ) -> DataFrame:
     """k-permutation MinHash signature per doc as columns mh0..mh{k-1}.
     ``shingle=n`` hashes n-word shingles instead of single words (the
-    Broder formulation — what production near-dup pipelines use)."""
+    Broder formulation — what production near-dup pipelines use).
+    ``id_col`` must be unique per row (MIN aggregation itself is
+    duplicate-insensitive, but the shared tokenizers assume it)."""
     units = (_shingles(df, id_col, text_col, shingle) if shingle
              else _words(df, id_col, text_col))
     return _minhash_from_words(units, id_col, k)
@@ -247,7 +249,10 @@ def jaccard_pairs(
     """Exact word-set Jaccard for all pairs above ``threshold``: word-level
     equi self-join → common counts → sizes joined in → |A∩B| / (|A|+|B|-|A∩B|).
     ``shingle=n`` compares n-word shingle sets instead of word sets.
-    At scale, run minhash_lsh_candidates first and join to restrict pairs."""
+    At scale, run minhash_lsh_candidates first and join to restrict pairs.
+    ``id_col`` must be unique per row (it's the dedup key): set
+    distinctness is per-row (:func:`_words`), so a duplicated id would
+    double-count members and inflate jaccard."""
     words = (_shingles(df, id_col, text_col, shingle) if shingle
              else _words(df, id_col, text_col))
     l, r = words.alias("l"), words.alias("r")

@@ -140,8 +140,12 @@ def with_quality_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
       boilerplate            contains "lorem ipsum"
 
     ``concat_ws`` skips NULL reason slots in both Spark and DuckDB, which is
-    what keeps the audit string dialect-neutral."""
-    text = F.col(text_col)
+    what keeps the audit string dialect-neutral.
+
+    NULL text is treated as empty (→ too_short): without the coalesce,
+    every rule's condition would be NULL, no when() would fire, and NULL
+    documents would silently pass the gate."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
     words = F.split(F.trim(text), "\\s+")
     nw = F.size(words)
     nc = F.length(text)

@@ -369,19 +369,25 @@ def stream_curate(
             "keep", "reasons")
         fresh = _dedup.incremental_exact(survivors, seen).withColumn(
             "batch_id", F.lit(int(batch_id)))
-        (
-            fresh.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(kept_path)
-        )
-        (
-            fresh.select("fingerprint", "batch_id")
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(index_path)
-        )
+        # persist: the quality→dedup→anti-join plan feeds TWO sinks; without
+        # it the second write recomputes everything including the index scan
+        fresh.persist()
+        try:
+            (
+                fresh.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(kept_path)
+            )
+            (
+                fresh.select("fingerprint", "batch_id")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(index_path)
+            )
+        finally:
+            fresh.unpersist()
         n_batches += 1
 
     q = (

@@ -707,6 +707,17 @@ class TestQualityFilter:
         assert "boilerplate" in out[7]["reasons"]
         assert all((r["reasons"] == "") == r["keep"] for r in out.values())
 
+    def test_null_text_is_dropped_not_kept(self, spark):
+        """NULL text must be judged as empty (too_short), not slip through
+        because every rule condition is NULL (code-review finding)."""
+        df = spark.createDataFrame([(1, None), (2, "")],
+                                   "doc_id int, text string")
+        out = {r["doc_id"]: r for r in
+               textstats.with_quality_filter(df).collect()}
+        for i in (1, 2):
+            assert not out[i]["keep"]
+            assert "too_short" in out[i]["reasons"]
+
     def test_repetition_scan_is_bounded(self, spark):
         """The repetition rule reads only the first QF_REPETITION_SCAN
         words — the per-row cost bound for multi-MB documents."""
@@ -1021,6 +1032,16 @@ class TestCurate:
         kept = cur.filter(F.col("drop_reason").isNull())
         qf = textstats.with_quality_filter(kept)
         assert qf.filter(~F.col("keep")).count() == 0
+
+    def test_input_validation(self, spark, docs):
+        from resume_ocr_spark.operators import curate
+        d = docs.select("doc_id", "text", "lang")
+        with pytest.raises(ValueError, match="default_weight"):
+            curate.curate(d, weights={"en": 0.5}, default_weight=7.5)
+        with pytest.raises(ValueError, match="weight out of"):
+            curate.curate(d, weights={"en": -0.1})
+        with pytest.raises(ValueError, match="reserved"):
+            curate.curate(d.withColumn("bucket", F.lit(1)))
 
     def test_plan_no_range_partitioning(self, spark, docs):
         from resume_ocr_spark.operators import curate
