@@ -549,6 +549,26 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "drop_reason")
 
 
+def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-prep vocabulary head: top-100 words by total occurrences
+    (deterministic count-desc/word-asc tie-break) with doc frequency."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return textstats.vocab_topk(docs, k=100)
+
+
+def corpus_stats_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-planning stats: doc counts + token totals by lang × source
+    with CUBE subtotals (the grouping-sets surface the reference lacks,
+    SURVEY §2.6)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = textstats.with_token_counts(docs)
+    return (
+        toks.cube("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum(F.col("bpe_tokens").cast("bigint")).alias("total_tokens"))
+    )
+
+
 def streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming: tumbling 1h window + watermark over the events
     stream, availableNow trigger (batch-equivalent semantics for the
@@ -873,6 +893,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_agg": distinct_agg,
         "pivot_order_status": pivot_order_status,
         "media_join": media_join,
+        # new tail entries (added after the 50-slot cap was reached):
+        # oracle-verified every CI pass by tests/test_contract_tail.py
+        "vocab_topk": vocab_topk,
+        "corpus_stats_cube": corpus_stats_cube,
     }
 
 
@@ -1407,6 +1431,31 @@ def oracle_sql() -> dict[str, str]:
       FROM keepers k
       LEFT JOIN contam c ON c.doc_id = k.doc_id
       JOIN bkt b ON b.doc_id = k.doc_id
+    """
+    # vocabulary head: non-distinct unnest (term frequency), same
+    # normalization as the dedup word CTEs; deterministic tie-break makes
+    # the LIMIT boundary engine-independent
+    sqls["vocab_topk"] = """
+      WITH w AS (
+        SELECT doc_id, w AS word FROM (
+          SELECT doc_id,
+                 unnest(string_split(trim(regexp_replace(lower(text),
+                        '[^a-z0-9]+', ' ', 'g')), ' ')) AS w
+          FROM documents
+        ) WHERE w <> ''
+      )
+      SELECT word, COUNT(*) AS n_occurrences,
+             COUNT(DISTINCT doc_id) AS n_docs
+      FROM w GROUP BY word
+      ORDER BY n_occurrences DESC, word
+      LIMIT 100
+    """
+    sqls["corpus_stats_cube"] = """
+      SELECT lang, source, COUNT(*) AS n_docs,
+             SUM(CAST(ceil(length(regexp_replace(text, '\\s', '', 'g')) / 4.0)
+                      AS BIGINT)) AS total_tokens
+      FROM documents
+      GROUP BY CUBE (lang, source)
     """
     # sequence packing: the same per-shard windowed cumsum the engine runs
     sqls["sequence_packing"] = """

@@ -175,3 +175,37 @@ def with_quality_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
     ]
     reasons = F.concat_ws(",", *reason)
     return df.withColumn("keep", reasons == "").withColumn("reasons", reasons)
+
+
+def vocab_topk(
+    df: DataFrame,
+    k: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus vocabulary head — the tokenizer-training prep step: top-``k``
+    words by total occurrences with document frequency alongside.
+
+    Normalization matches the dedup family (:func:`~.dedup._tokens`:
+    lowercase, alphanumeric runs). Occurrences are counted WITHOUT
+    per-doc dedup (term frequency); ``n_docs`` uses a distinct count.
+    Tie-break is deterministic (count desc, word asc) so the top-``k``
+    SET is engine-independent. Plan: explode → one groupBy(word) shuffle
+    with map-side partial aggregation → TakeOrderedAndProject."""
+    from .dedup import _tokens
+
+    if k <= 0:
+        raise ValueError("k must be positive")
+    words = (
+        df.select(F.col(id_col), F.explode(_tokens(text_col)).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    return (
+        words.groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct(id_col).alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("word"))
+        .limit(k)
+    )

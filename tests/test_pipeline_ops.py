@@ -1111,3 +1111,26 @@ class TestIncrementalDedup:
             bsig2, dedup.minhash_signatures(boiler, "doc_id", "text"),
             max_bucket_size=5).collect()
         assert capped == []
+
+
+class TestVocabTopK:
+    def test_counts_match_python_recompute(self, spark, docs):
+        import re
+        from collections import Counter
+        d = docs.limit(60)
+        got = textstats.vocab_topk(d, k=20).collect()
+        occ, dfreq = Counter(), Counter()
+        for r in d.collect():
+            toks = [t for t in re.split(
+                r"[^a-z0-9]+", r["text"].lower()) if t]
+            occ.update(toks)
+            dfreq.update(set(toks))
+        expect = sorted(occ.items(), key=lambda t: (-t[1], t[0]))[:20]
+        assert [(r["word"], r["n_occurrences"]) for r in got] == expect
+        for r in got:
+            assert r["n_docs"] == dfreq[r["word"]]
+
+    def test_k_bounds_and_validation(self, spark, docs):
+        assert len(textstats.vocab_topk(docs, k=5).collect()) == 5
+        with pytest.raises(ValueError):
+            textstats.vocab_topk(docs, k=0)
