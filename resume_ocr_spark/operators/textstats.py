@@ -209,3 +209,52 @@ def vocab_topk(
         .orderBy(F.col("n_occurrences").desc(), F.col("word"))
         .limit(k)
     )
+
+
+def with_unigram_logprob(
+    df: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """CCNet-style perplexity surrogate: mean per-word negative log
+    probability under a unigram model — the cheap stand-in for the KenLM
+    quality signal real pipelines use (high = out-of-domain/gibberish).
+
+    ``vocab`` is ``(word, n_occurrences)`` — typically :func:`vocab_topk`'s
+    output (or the full count table). Smoothing is add-``alpha`` over the
+    vocab size, so out-of-vocabulary words get the floor probability
+    instead of -inf.
+
+    Plan: explode → broadcast join against the (small) vocab → one
+    groupBy(id) average. The corpus never shuffles to meet the model;
+    adding a doc never changes another doc's score (the model is fixed at
+    call time — train it on a sample, apply to everything)."""
+    from .dedup import _tokens
+
+    totals = vocab.agg(
+        F.sum("n_occurrences").alias("_total"),
+        F.count(F.lit(1)).alias("_vsize"),
+    ).collect()[0]
+    total = float(totals["_total"] or 0.0)
+    vsize = int(totals["_vsize"] or 0)
+    denom = total + alpha * (vsize + 1)  # +1: the OOV bucket
+    words = (
+        df.select(F.col(id_col), F.explode(_tokens(text_col)).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    joined = words.join(
+        F.broadcast(vocab.select("word", "n_occurrences")), "word", "left"
+    )
+    logp = F.log(
+        (F.coalesce(F.col("n_occurrences"), F.lit(0)) + F.lit(alpha))
+        / F.lit(denom)
+    )
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.round(F.avg(-logp), 4).alias("unigram_nll"),
+            F.count(F.lit(1)).alias("n_scored_words"),
+        )
+    )

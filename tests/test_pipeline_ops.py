@@ -1134,3 +1134,40 @@ class TestVocabTopK:
         assert len(textstats.vocab_topk(docs, k=5).collect()) == 5
         with pytest.raises(ValueError):
             textstats.vocab_topk(docs, k=0)
+
+
+class TestUnigramLogprob:
+    def test_matches_python_model(self, spark, docs):
+        import math
+        import re
+        from collections import Counter
+        d = docs.limit(40)
+        vocab = textstats.vocab_topk(d, k=100)
+        got = {r["doc_id"]: r for r in
+               textstats.with_unigram_logprob(d, vocab).collect()}
+        counts = Counter()
+        for r in d.collect():
+            counts.update(t for t in re.split(
+                r"[^a-z0-9]+", r["text"].lower()) if t)
+        head = dict(sorted(counts.items(),
+                           key=lambda t: (-t[1], t[0]))[:100])
+        total, vsize = sum(head.values()), len(head)
+        denom = total + 1.0 * (vsize + 1)
+        for r in d.collect():
+            toks = [t for t in re.split(
+                r"[^a-z0-9]+", r["text"].lower()) if t]
+            nll = -sum(math.log((head.get(t, 0) + 1.0) / denom)
+                       for t in toks) / len(toks)
+            g = got[r["doc_id"]]
+            assert g["n_scored_words"] == len(toks)
+            assert abs(g["unigram_nll"] - nll) < 1e-3, r["doc_id"]
+
+    def test_gibberish_scores_worse_than_common_text(self, spark, docs):
+        vocab = textstats.vocab_topk(docs, k=100)
+        common = docs.limit(1).select("text").collect()[0]["text"]
+        probe = spark.createDataFrame(
+            [(1, common), (2, "zxqvju wqplf krtbn mmzoxx yqee")],
+            "doc_id int, text string")
+        out = {r["doc_id"]: r["unigram_nll"] for r in
+               textstats.with_unigram_logprob(probe, vocab).collect()}
+        assert out[2] > out[1]
