@@ -110,5 +110,14 @@ def main(sf_dir: str = "/root/testdata/sf0.01", only: list[str] | None = None):
 
 
 if __name__ == "__main__":
-    only = sys.argv[1].split(",") if len(sys.argv) > 1 else None
-    sys.exit(1 if main(only=only) else 0)
+    # usage: check_contract.py [name1,name2,...] [sf_dir]
+    #   SPARK_GRAFT_GATE_SF overrides the default sf0.01 directory, e.g.
+    #   SPARK_GRAFT_GATE_SF=/root/testdata/sf0.1 for the 10x-scale sweep
+    only = None
+    sf_dir = os.environ.get("SPARK_GRAFT_GATE_SF", "/root/testdata/sf0.01")
+    for arg in sys.argv[1:]:
+        if os.path.isdir(arg):
+            sf_dir = arg
+        else:
+            only = arg.split(",")
+    sys.exit(1 if main(sf_dir=sf_dir, only=only) else 0)
