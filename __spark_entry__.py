@@ -900,16 +900,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-_WORDS_CTE = """
-  WITH words AS (
-    SELECT DISTINCT doc_id, w AS word FROM (
+# the ONE SQL copy of dedup._tokens' normalization (lowercase, alnum runs);
+# _WORDS_CTE wraps it with per-doc DISTINCT, vocab_topk counts it raw
+_RAW_WORDS_SUBQUERY = """
       SELECT doc_id,
              unnest(string_split(trim(regexp_replace(lower(text),
                     '[^a-z0-9]+', ' ', 'g')), ' ')) AS w
       FROM documents {filt}
+"""
+
+_WORDS_CTE = (
+    """
+  WITH words AS (
+    SELECT DISTINCT doc_id, w AS word FROM ("""
+    + _RAW_WORDS_SUBQUERY
+    + """
     ) WHERE w <> ''
   )
 """
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1435,14 +1444,10 @@ def oracle_sql() -> dict[str, str]:
     # vocabulary head: non-distinct unnest (term frequency), same
     # normalization as the dedup word CTEs; deterministic tie-break makes
     # the LIMIT boundary engine-independent
-    sqls["vocab_topk"] = """
+    sqls["vocab_topk"] = f"""
       WITH w AS (
-        SELECT doc_id, w AS word FROM (
-          SELECT doc_id,
-                 unnest(string_split(trim(regexp_replace(lower(text),
-                        '[^a-z0-9]+', ' ', 'g')), ' ')) AS w
-          FROM documents
-        ) WHERE w <> ''
+        SELECT doc_id, w AS word FROM ({_RAW_WORDS_SUBQUERY.format(filt="")})
+        WHERE w <> ''
       )
       SELECT word, COUNT(*) AS n_occurrences,
              COUNT(DISTINCT doc_id) AS n_docs

@@ -227,26 +227,37 @@ def with_unigram_logprob(
     vocab size, so out-of-vocabulary words get the floor probability
     instead of -inf.
 
-    Plan: explode → broadcast join against the (small) vocab → one
-    groupBy(id) average. The corpus never shuffles to meet the model;
-    adding a doc never changes another doc's score (the model is fixed at
-    call time — train it on a sample, apply to everything)."""
+    Every input id is present in the output: documents with zero scorable
+    tokens (NULL/empty/punctuation-only text) return ``unigram_nll = NULL``
+    and ``n_scored_words = 0`` — treat NULL as "unscorable" (usually a
+    drop), never as "fine".
+
+    Plan: the vocab is collected ONCE (it must be broadcast-small anyway)
+    so its lineage — often a corpus-wide count — is not re-run by the
+    join; then explode_outer (zero-token docs yield one NULL-word row, so
+    every id survives the aggregation) → broadcast join → one groupBy(id)
+    average. The corpus never shuffles to meet the model; adding a doc
+    never changes another doc's score (the model is fixed at call time —
+    train it on a sample, apply to everything)."""
     from .dedup import _tokens
 
-    totals = vocab.agg(
-        F.sum("n_occurrences").alias("_total"),
-        F.count(F.lit(1)).alias("_vsize"),
-    ).collect()[0]
-    total = float(totals["_total"] or 0.0)
-    vsize = int(totals["_vsize"] or 0)
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0 (got {alpha}): alpha=0 turns "
+                         "OOV words into log(0)=NULL, which avg() would "
+                         "silently skip")
+    rows = vocab.select("word", "n_occurrences").collect()
+    total = float(sum(r["n_occurrences"] for r in rows))
+    vsize = len(rows)
     denom = total + alpha * (vsize + 1)  # +1: the OOV bucket
-    words = (
-        df.select(F.col(id_col), F.explode(_tokens(text_col)).alias("word"))
-        .filter(F.col("word") != "")
+    spark = df.sparkSession
+    vocab_local = spark.createDataFrame(
+        [(r["word"], int(r["n_occurrences"])) for r in rows],
+        "word string, n_occurrences bigint",
     )
-    joined = words.join(
-        F.broadcast(vocab.select("word", "n_occurrences")), "word", "left"
-    )
+    toks = F.filter(_tokens(text_col), lambda x: x != "")
+    words = df.select(
+        F.col(id_col), F.explode_outer(toks).alias("word"))
+    joined = words.join(F.broadcast(vocab_local), "word", "left")
     logp = F.log(
         (F.coalesce(F.col("n_occurrences"), F.lit(0)) + F.lit(alpha))
         / F.lit(denom)
@@ -254,7 +265,10 @@ def with_unigram_logprob(
     return (
         joined.groupBy(id_col)
         .agg(
-            F.round(F.avg(-logp), 4).alias("unigram_nll"),
-            F.count(F.lit(1)).alias("n_scored_words"),
+            # NULL-word rows (zero-token docs) contribute nothing: the
+            # when() leaves them NULL and avg()/count() skip NULLs
+            F.round(F.avg(F.when(F.col("word").isNotNull(), -logp)), 4)
+            .alias("unigram_nll"),
+            F.count("word").alias("n_scored_words"),
         )
     )

@@ -1162,6 +1162,25 @@ class TestUnigramLogprob:
             assert g["n_scored_words"] == len(toks)
             assert abs(g["unigram_nll"] - nll) < 1e-3, r["doc_id"]
 
+    def test_zero_token_docs_survive_as_unscorable(self, spark, docs):
+        """NULL/empty/punctuation-only docs stay in the output with
+        unigram_nll=NULL and n_scored_words=0 (never silently vanish —
+        code-review finding), and alpha<=0 is rejected."""
+        vocab = textstats.vocab_topk(docs.limit(20), k=50)
+        probe = spark.createDataFrame(
+            [(1, None), (2, ""), (3, "!!! ... ???"), (4, "real words here")],
+            "doc_id int, text string")
+        out = {r["doc_id"]: r for r in
+               textstats.with_unigram_logprob(probe, vocab).collect()}
+        assert set(out) == {1, 2, 3, 4}
+        for i in (1, 2, 3):
+            assert out[i]["unigram_nll"] is None
+            assert out[i]["n_scored_words"] == 0
+        assert out[4]["unigram_nll"] is not None
+        assert out[4]["n_scored_words"] == 3
+        with pytest.raises(ValueError, match="alpha"):
+            textstats.with_unigram_logprob(probe, vocab, alpha=0.0)
+
     def test_gibberish_scores_worse_than_common_text(self, spark, docs):
         vocab = textstats.vocab_topk(docs, k=100)
         common = docs.limit(1).select("text").collect()[0]["text"]

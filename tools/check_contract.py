@@ -113,11 +113,17 @@ if __name__ == "__main__":
     # usage: check_contract.py [name1,name2,...] [sf_dir]
     #   SPARK_GRAFT_GATE_SF overrides the default sf0.01 directory, e.g.
     #   SPARK_GRAFT_GATE_SF=/root/testdata/sf0.1 for the 10x-scale sweep
-    only = None
+    only: list[str] = []
     sf_dir = os.environ.get("SPARK_GRAFT_GATE_SF", "/root/testdata/sf0.01")
     for arg in sys.argv[1:]:
-        if os.path.isdir(arg):
+        if os.sep in arg:  # path-shaped → must be a real sf dir
+            if not os.path.isdir(arg):
+                sys.exit(f"error: sf_dir does not exist: {arg}")
             sf_dir = arg
         else:
-            only = arg.split(",")
-    sys.exit(1 if main(sf_dir=sf_dir, only=only) else 0)
+            only.extend(arg.split(","))
+    import __spark_entry__ as _entry
+    unknown = set(only) - set(_entry.queries())
+    if unknown:
+        sys.exit(f"error: unknown query names: {sorted(unknown)}")
+    sys.exit(1 if main(sf_dir=sf_dir, only=only or None) else 0)
