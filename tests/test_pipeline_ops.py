@@ -1190,3 +1190,49 @@ class TestUnigramLogprob:
         out = {r["doc_id"]: r["unigram_nll"] for r in
                textstats.with_unigram_logprob(probe, vocab).collect()}
         assert out[2] > out[1]
+
+
+class TestSubmitCuration:
+    def test_job_writes_three_tables_and_audit_sums(self, spark, docs,
+                                                    tmp_path):
+        import json
+        import sys
+        from tools import submit_curation
+        src = str(tmp_path / "in.parquet")
+        docs.select("doc_id", "text", "lang").limit(100).write.parquet(src)
+        bench = str(tmp_path / "bench.parquet")
+        docs.select("text").limit(2).write.parquet(bench)
+        out = str(tmp_path / "out")
+        argv = ["submit_curation.py", "--input", src, "--output", out,
+                "--benchmark", bench, "--ngram", "3",
+                "--weights", '{"en": 0.9}', "--default-weight", "0.8"]
+        old = sys.argv
+        sys.argv = argv
+        try:
+            rc = submit_curation.main()
+        finally:
+            sys.argv = old
+        assert rc == 0
+        ann = spark.read.parquet(f"{out}/annotated")
+        kept = spark.read.parquet(f"{out}/curated")
+        audit = {r["outcome"]: r["n_docs"] for r in
+                 spark.read.parquet(f"{out}/audit").collect()}
+        assert ann.count() == 100
+        assert sum(audit.values()) == 100
+        assert kept.count() == audit["kept"] > 0
+        assert "drop_reason" not in kept.columns
+
+    def test_job_refuses_zero_keep(self, spark, docs, tmp_path):
+        import sys
+        from tools import submit_curation
+        src = str(tmp_path / "in2.parquet")
+        docs.select("doc_id", "text", "lang").limit(20).write.parquet(src)
+        old = sys.argv
+        sys.argv = ["x", "--input", src, "--output",
+                    str(tmp_path / "out2"),
+                    "--weights", "{}", "--default-weight", "0.0"]
+        try:
+            rc = submit_curation.main()
+        finally:
+            sys.argv = old
+        assert rc == 4
