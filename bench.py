@@ -94,7 +94,10 @@ def _span_match_rate(spark, out_dir: str, docs: list, blobs: list,
         did = b["media_ref"].split(":")[1]
         if did in ids:
             by_doc.setdefault(did, {})[b["media_ref"]] = b["payload"]
-    with multiprocessing.Pool(8) as pool:
+    # spawn, not fork: the default fork start method would fork a live
+    # Spark driver (JVM + py4j threads), which can deadlock the children
+    # (ADVICE r3). spawn re-imports this module in clean workers.
+    with multiprocessing.get_context("spawn").Pool(8) as pool:
         exp = dict(pool.map(
             _oracle_doc_tuples,
             [(d, by_doc.get(d["doc_id"], {})) for d in sampled]))

@@ -21,6 +21,8 @@ import struct
 
 import numpy as np
 
+from . import raise_site
+
 JPEG_MAGIC = b"\xff\xd8\xff"
 
 ZIGZAG = np.array([
@@ -163,7 +165,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         raise
     except _PARSE_LEAKS as exc:
         raise JpegDecodeError(
-            f"corrupt JPEG stream: {type(exc).__name__}: {exc}") from exc
+            f"corrupt JPEG stream: {type(exc).__name__}: {exc}"
+            f" [{raise_site(exc)}]") from exc
     if img.shape[2] == 3:
         img = _ycbcr_to_rgb(img)
     return np.clip(np.rint(img), 0, 255).astype(np.uint8)
@@ -180,7 +183,8 @@ def decode_jpeg_gray(data: bytes) -> np.ndarray:
         raise
     except _PARSE_LEAKS as exc:
         raise JpegDecodeError(
-            f"corrupt JPEG stream: {type(exc).__name__}: {exc}") from exc
+            f"corrupt JPEG stream: {type(exc).__name__}: {exc}"
+            f" [{raise_site(exc)}]") from exc
     return np.clip(np.rint(y), 0, 255).astype(np.uint8)
 
 

@@ -23,6 +23,8 @@ import struct
 
 import numpy as np
 
+from . import raise_site
+
 MP4_BRANDS = (b"isom", b"mp41", b"mp42", b"iso2", b"avc1", b"M4V ", b"qt  ")
 
 
@@ -83,7 +85,8 @@ def extract_mjpeg_samples(payload: bytes) -> list[bytes]:
         raise
     except _PARSE_LEAKS as exc:
         raise Mp4DecodeError(
-            f"corrupt MP4 structure: {type(exc).__name__}: {exc}") from exc
+            f"corrupt MP4 structure: {type(exc).__name__}: {exc}"
+            f" [{raise_site(exc)}]") from exc
 
 
 def _extract_mjpeg_samples(payload: bytes) -> list[bytes]:

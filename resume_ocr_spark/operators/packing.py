@@ -132,7 +132,13 @@ def chunk_documents(
         .select(
             F.col(id_col),
             F.col("_c.chunk_id"),
-            F.size(F.split(F.col("_c.chunk_text"), " ")).alias("chunk_words_n"),
+            # split('', ' ') yields [''], which would count an empty/
+            # whitespace-only document as one word — report 0 instead
+            # (SQL mirror: CASE WHEN chunk_text = '' THEN 0 ELSE
+            #  len(string_split(chunk_text, ' ')) END), ADVICE r3
+            F.when(F.col("_c.chunk_text") == "", F.lit(0))
+            .otherwise(F.size(F.split(F.col("_c.chunk_text"), " ")))
+            .alias("chunk_words_n"),
             F.col("_c.chunk_text"),
         )
     )

@@ -968,6 +968,20 @@ class TestChunking:
         with pytest.raises(ValueError):
             packing.chunk_documents(docs, chunk_words=10, overlap=10)
 
+    def test_empty_doc_counts_zero_words(self, spark):
+        # split('') yields [''] — an empty document must report
+        # chunk_words_n = 0, not 1 (ADVICE r3), while still emitting its
+        # one (empty) chunk so per-doc coverage invariants hold
+        from resume_ocr_spark.operators import packing
+        df = spark.createDataFrame(
+            [(1, ""), (2, "   "), (3, "one two")],
+            "doc_id int, text string")
+        rows = {r["doc_id"]: r
+                for r in packing.chunk_documents(df).collect()}
+        assert rows[1]["chunk_words_n"] == 0 and rows[1]["chunk_text"] == ""
+        assert rows[2]["chunk_words_n"] == 0 and rows[2]["chunk_text"] == ""
+        assert rows[3]["chunk_words_n"] == 2
+
 
 class TestCurate:
     def _mk(self, spark):
@@ -1236,3 +1250,10 @@ class TestSubmitCuration:
         finally:
             sys.argv = old
         assert rc == 4
+        # the refusal must happen BEFORE curated/ is written — a retry or
+        # downstream consumer must not find a complete-looking empty
+        # curated table (ADVICE r3); annotated/ + audit/ stay for diagnosis
+        import os
+        assert not os.path.exists(str(tmp_path / "out2" / "curated"))
+        assert os.path.exists(str(tmp_path / "out2" / "annotated"))
+        assert os.path.exists(str(tmp_path / "out2" / "audit"))

@@ -60,19 +60,24 @@ def main() -> int:
     annotated.persist()
     try:
         annotated.write.mode("overwrite").parquet(f"{args.output}/annotated")
-        kept = annotated.filter(F.col("drop_reason").isNull()).drop(
-            "drop_reason")
-        kept.write.mode("overwrite").parquet(f"{args.output}/curated")
         audit = curate.curation_audit(annotated)
         audit.write.mode("overwrite").parquet(f"{args.output}/audit")
         rows = {r["outcome"]: r["n_docs"] for r in audit.collect()}
+        # refusal check BEFORE curated/ exists: a kept==0 run must not leave
+        # a complete-looking (empty) curated table for a scheduler retry or
+        # downstream consumer to pick up (ADVICE r3) — annotated/ + audit/
+        # stay for diagnosis, curated/ is never written.
+        if rows.get("kept", 0) == 0:
+            print(json.dumps({"outcomes": rows}))
+            print("curation kept zero documents — refusing the run "
+                  "(curated/ not written)", file=sys.stderr)
+            return 4
+        kept = annotated.filter(F.col("drop_reason").isNull()).drop(
+            "drop_reason")
+        kept.write.mode("overwrite").parquet(f"{args.output}/curated")
     finally:
         annotated.unpersist()
     print(json.dumps({"outcomes": rows}))
-    if rows.get("kept", 0) == 0:
-        print("curation kept zero documents — refusing the run",
-              file=sys.stderr)
-        return 4
     return 0
 
 
