@@ -1068,6 +1068,85 @@ class TestCurate:
         assert "CartesianProduct" not in plan
 
 
+class TestSubstringDedup:
+    def _recompute(self, texts: dict, k: int) -> set:
+        """Pure-python oracle: maximal cross-doc duplicated k-gram runs."""
+        import re
+        from collections import defaultdict
+        words = {i: [w for w in re.split(
+            " ", re.sub(r"[^a-z0-9]+", " ", t.lower()).strip()) if w]
+            for i, t in texts.items()}
+        owners = defaultdict(set)
+        sh = {}
+        for i, ws in words.items():
+            sh[i] = [" ".join(ws[p:p + k]) for p in range(len(ws) - k + 1)]
+            for g in sh[i]:
+                owners[g].add(i)
+        spans = set()
+        for i, grams in sh.items():
+            dup = [p + 1 for p, g in enumerate(grams) if len(owners[g]) >= 2]
+            run = []
+            for p in dup + [None]:
+                if run and (p is None or p != run[-1] + 1):
+                    spans.add((i, run[0], run[-1] + k - 1, len(run)))
+                    run = []
+                if p is not None:
+                    run.append(p)
+        return spans
+
+    def test_matches_python_recompute_on_planted_corpus(self, spark):
+        shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        texts = {
+            1: f"unique one {shared} closing remark here now",
+            2: f"other prefix words {shared} and a different ending",
+            3: "nothing in common with anybody else at all honestly",
+            4: f"double {shared} middle filler words {shared} done",
+            5: "short doc",
+            6: "",
+        }
+        df = spark.createDataFrame(list(texts.items()),
+                                   "doc_id int, text string")
+        got = {(r["doc_id"], r["span_start"], r["span_end"],
+                r["n_dup_shingles"])
+               for r in dedup.substring_duplicate_spans(df, k=4).collect()}
+        assert got == self._recompute(texts, 4)
+        # the shared run must appear as ONE maximal island per occurrence
+        assert len([s for s in got if s[0] == 4]) == 2
+
+    def test_spans_index_real_words_and_match_across_docs(self, spark, docs):
+        import re
+        k = 8
+        rows = dedup.substring_duplicate_spans(
+            docs.select("doc_id", "text"), k=k).collect()
+        assert rows, "sf corpus carries natural 8-gram dups"
+        texts = {r["doc_id"]: r["text"]
+                 for r in docs.select("doc_id", "text").collect()}
+        span_texts = {}
+        for r in rows:
+            ws = [w for w in re.split(
+                " ", re.sub(r"[^a-z0-9]+", " ",
+                            texts[r["doc_id"]].lower()).strip()) if w]
+            assert 1 <= r["span_start"] <= r["span_end"] <= len(ws)
+            assert (r["span_end"] - r["span_start"] + 1
+                    == r["n_dup_shingles"] + k - 1)
+            span_texts.setdefault(
+                " ".join(ws[r["span_start"] - 1:r["span_end"]]),
+                set()).add(r["doc_id"])
+        # every reported span's full text is genuinely shared: at least one
+        # other doc contains its k-gram prefix
+        joined = {i: " ".join([w for w in re.split(
+            " ", re.sub(r"[^a-z0-9]+", " ", t.lower()).strip()) if w])
+            for i, t in texts.items()}
+        for stext, owners in span_texts.items():
+            prefix = " ".join(stext.split(" ")[:k])
+            holders = {i for i, t in joined.items() if prefix in t}
+            assert len(holders) >= 2, stext[:60]
+
+    def test_validation(self, spark, docs):
+        with pytest.raises(ValueError):
+            dedup.substring_duplicate_spans(docs, k=1)
+
+
 class TestIncrementalDedup:
     def test_incremental_exact_drops_seen_and_batch_dupes(self, spark):
         seen_docs = spark.createDataFrame(
