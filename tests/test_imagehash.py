@@ -1,0 +1,143 @@
+"""Perceptual-hash dedup (operators/imagehash.py): hash correctness against
+independent recomputation, banding recall guarantees, and the Spark pairing
+path end-to-end."""
+
+import numpy as np
+import pytest
+
+from resume_ocr_spark.formats import imagecodec
+from resume_ocr_spark.operators import imagehash, multimodal
+
+
+def _ham(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def test_area_resize_exact_blocks():
+    # 4x4 -> 2x2: each output cell is the mean of a disjoint 2x2 block
+    img = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    out = imagehash._area_resize(img, 2, 2)
+    expect = np.array([[2.5, 4.5], [10.5, 12.5]])
+    assert np.allclose(out, expect)
+
+
+def test_area_resize_uneven_partitions_cover_input():
+    # 5x7 -> 2x3: blocks partition the input (means weighted by true areas),
+    # so the area-weighted mean of outputs equals the global mean
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, size=(5, 7)).astype(np.uint8)
+    out = imagehash._area_resize(img, 2, 3)
+    re = np.minimum((np.arange(1, 3) * 5) // 2, 5)
+    ce = np.minimum((np.arange(1, 4) * 7) // 3, 7)
+    rs = np.concatenate(([0], re[:-1]))
+    cs = np.concatenate(([0], ce[:-1]))
+    areas = np.outer(re - rs, ce - cs)
+    assert np.isclose((out * areas).sum() / areas.sum(), img.mean())
+
+
+def test_dct_matrix_orthonormal():
+    c = imagehash._dct_matrix(8)
+    assert np.allclose(c @ c.T, np.eye(8), atol=1e-12)
+
+
+def test_phash_properties():
+    img = imagecodec.decode_image(
+        imagecodec.render_text_image("Maria Silva Senior Data Engineer"))
+    h = imagehash.phash64(img)
+    assert h == imagehash.phash64(img.copy())          # deterministic
+    assert h & 1 == 0                                  # LSB pad bit is 0
+    # brightness invariance: pHash ignores the DC term, so a global
+    # brightness shift flips (almost) no bits
+    brighter = np.clip(img.astype(np.int32) + 20, 0, 255).astype(np.uint8)
+    assert _ham(h, imagehash.phash64(brighter)) <= 2
+
+
+def test_phash_orders_by_similarity():
+    base = "Maria Silva Senior Data Engineer Python"
+    near = "Maria Silva Senior Data Engineer Scala.."
+    far = "Completely unrelated pancake recipe text"
+    hs = [
+        imagehash.phash64(imagecodec.decode_image(
+            imagecodec.render_text_image(t[:40])))
+        for t in (base, near, far)
+    ]
+    assert _ham(hs[0], hs[1]) < _ham(hs[0], hs[2])
+    assert _ham(hs[0], hs[2]) > 6
+
+
+def test_bits_to_i64_two_complement():
+    bits = np.zeros(64, dtype=bool)
+    bits[0] = True  # MSB set -> negative in two's complement
+    assert imagehash._bits_to_i64(bits) == -(2**63)
+    bits = np.zeros(64, dtype=bool)
+    bits[-1] = True
+    assert imagehash._bits_to_i64(bits) == 1
+
+
+@pytest.mark.usefixtures("spark")
+def test_spark_hashes_match_local(spark):
+    texts = ["Maria Silva Senior Data Engineer Python",
+             "Joao Souza Junior Backend Developer Go!",
+             "Completely unrelated pancake recipe text"]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["phash"], r["dhash"])
+        for r in imagehash.with_image_hashes(
+            multimodal.render_binary_column(docs)).collect()
+    }
+    for i, t in enumerate(texts):
+        img = imagecodec.decode_image(imagecodec.render_text_image(t[:40]))
+        assert out[i] == (imagehash.phash64(img), imagehash.dhash64(img))
+
+
+@pytest.mark.usefixtures("spark")
+def test_near_dup_pairs_and_band_recall(spark):
+    # 0/1 identical, 2 a one-word variant, 3 unrelated
+    texts = {
+        0: "Maria Silva Senior Data Engineer Python",
+        1: "Maria Silva Senior Data Engineer Python",
+        2: "Maria Silva Junior Data Engineer Python",
+        3: "Completely unrelated pancake recipe text",
+    }
+    docs = spark.createDataFrame(
+        sorted(texts.items()), "doc_id long, text string")
+    hashes = imagehash.with_image_hashes(
+        multimodal.render_binary_column(docs))
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in imagehash.phash_near_dup(hashes).collect()}
+    assert pairs[(0, 1)] == 0
+    # banding guarantee: any pair with hamming < bands shares a band, so
+    # every such pair MUST be in the output regardless of bucket layout
+    local = {
+        i: imagehash.phash64(imagecodec.decode_image(
+            imagecodec.render_text_image(t[:40])))
+        for i, t in texts.items()
+    }
+    for a in texts:
+        for b in texts:
+            if a < b and _ham(local[a], local[b]) <= 3:
+                assert (a, b) in pairs
+    # unrelated doc never pairs under the distance cap
+    assert not any(3 in p for p in pairs)
+
+
+@pytest.mark.usefixtures("spark")
+def test_corrupt_payload_becomes_error_row_not_pair(spark):
+    good = imagecodec.render_text_image("Maria Silva Senior Data Engineer")
+    media = spark.createDataFrame(
+        [(0, bytes(good)), (1, b"NOTANIMAGE"), (2, None)],
+        "doc_id long, media binary")
+    out = imagehash.with_image_hashes(media).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[0]["error"] is None and by_id[0]["phash"] is not None
+    assert by_id[1]["phash"] is None and by_id[1]["error"]
+    assert by_id[2]["error"] == "null payload"
+    # error rows are filtered before banding, not joined as NULL keys
+    assert imagehash.phash_near_dup(
+        imagehash.with_image_hashes(media)).count() == 0
+
+
+def test_phash_near_dup_rejects_bad_bands():
+    with pytest.raises(ValueError):
+        imagehash.phash_near_dup(None, bands=5)
