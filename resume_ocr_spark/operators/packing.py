@@ -31,22 +31,23 @@ DEFAULT_BUDGET = 2048  # tokens per packed training sequence
 DEFAULT_SHARDS = 64    # parallel packing lanes; size to ~2-4x executors
 
 
-def pack_sequences(
-    df: DataFrame,
+def pack_sequences_from_counts(
+    counts: DataFrame,
     id_col: str = "doc_id",
-    text_col: str = "text",
     budget: int = DEFAULT_BUDGET,
     shards: int = DEFAULT_SHARDS,
 ) -> DataFrame:
-    """Per-document packing assignment:
-    ``(id_col, shard, seq_id, n_tokens, seq_offset)`` where ``seq_offset``
-    is the document's starting token position inside its sequence."""
+    """The packing core over precomputed counts ``(id_col, n_tokens)``:
+    per-shard windowed cumsum → ``seq_id`` assignment, one hash exchange.
+    Token counts can come from any counter — the chars/4 estimate
+    (:func:`pack_sequences`) or the real BPE encoder
+    (:func:`..bpe.pack_sequences_bpe`)."""
     if budget <= 0 or shards <= 0:
         raise ValueError("budget and shards must be positive")
-    toks = with_token_counts(df.select(id_col, text_col), text_col).select(
+    toks = counts.select(
         F.col(id_col),
         (F.col(id_col) % F.lit(shards)).cast("int").alias("shard"),
-        F.col("bpe_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
     )
     w = (
         Window.partitionBy("shard")
@@ -61,6 +62,22 @@ def pack_sequences(
         "n_tokens",
         (prev % F.lit(budget)).alias("seq_offset"),
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = DEFAULT_BUDGET,
+    shards: int = DEFAULT_SHARDS,
+) -> DataFrame:
+    """Per-document packing assignment:
+    ``(id_col, shard, seq_id, n_tokens, seq_offset)`` where ``seq_offset``
+    is the document's starting token position inside its sequence."""
+    counts = with_token_counts(df.select(id_col, text_col), text_col).select(
+        F.col(id_col), F.col("bpe_tokens").alias("n_tokens"))
+    return pack_sequences_from_counts(
+        counts, id_col=id_col, budget=budget, shards=shards)
 
 
 def materialize_packed(
