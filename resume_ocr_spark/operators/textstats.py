@@ -211,6 +211,149 @@ def vocab_topk(
     )
 
 
+def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Raw term-frequency table ``(word, n_occurrences)`` over the corpus —
+    the unigram model input (no per-doc dedup, no top-k cut)."""
+    from .dedup import _tokens
+
+    return (
+        df.select(F.explode(_tokens(text_col)).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+
+
+def bigram_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adjacent-word-pair counts ``(w1, w2, n_occurrences)`` — the bigram
+    model input. Pairs are built per row as an array transform (zero
+    shuffle until the final count groupBy, which is bounded by the number
+    of DISTINCT bigrams, not corpus size)."""
+    from .dedup import _tokens
+
+    # CASE guard: sequence(1, 0) would count DOWN (the dedup._shingles
+    # gotcha), so sub-2-word docs get an explicit empty array
+    pairs = F.expr(
+        "CASE WHEN size(_t) >= 2 THEN "
+        "transform(sequence(1, size(_t) - 1),"
+        " i -> struct(_t[i - 1] AS w1, _t[i] AS w2)) "
+        "ELSE array() END")
+    return (
+        df.select(F.filter(_tokens(text_col),
+                           lambda x: x != "").alias("_t"))
+        .select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+
+
+def with_bigram_logprob(
+    df: DataFrame,
+    unigrams: DataFrame,
+    bigrams: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.7,
+    alpha: float = 1.0,
+    min_count: int = 1,
+    max_model_rows: int = 5_000_000,
+) -> DataFrame:
+    """Interpolated-bigram LM document scorer — one fidelity step past
+    :func:`with_unigram_logprob` toward the CCNet/KenLM perplexity filter
+    (VERDICT r3 next-round #5): mean per-word negative log probability
+    under ``λ·P(w|prev) + (1−λ)·P(w)``.
+
+      P(w)      = (c(w) + α) / (T + α·(V+1))        add-α unigram
+      P(w|prev) = (c(prev,w) + α) / (c(prev) + α·(V+1))  add-α bigram
+      first word of a document scores P(w) alone (no BOS state).
+
+    ``unigrams`` is :func:`word_counts` output, ``bigrams`` is
+    :func:`bigram_counts` output — train them on a SAMPLE slice and apply
+    to everything, exactly like the unigram scorer. Bigrams below
+    ``min_count`` are pruned from the model (the standard size dial: the
+    scorer backs off toward the unigram term via the α floor).
+
+    Scale posture: both model frames are collected ONCE and broadcast —
+    ``max_model_rows`` hard-caps the driver collect (a 5M-row bigram
+    table ≈ 150 MB, the edge of comfortable broadcast; prune harder or
+    sample smaller rather than raising it). The corpus side is a
+    zero-shuffle array transform (word + prev-word structs built per row,
+    no window, no self-join) → two broadcast joins → one groupBy(id).
+    Totality: zero-token documents survive with ``bigram_nll = NULL,
+    n_scored_words = 0``."""
+    from .dedup import _tokens
+
+    if alpha <= 0:
+        raise ValueError("alpha must be > 0 (the α floor is what keeps "
+                         "unseen words/bigrams off log(0))")
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1] (got {lam})")
+    uni_rows = unigrams.select("word", "n_occurrences").collect()
+    big_rows = (
+        bigrams.filter(F.col("n_occurrences") >= min_count)
+        .select("w1", "w2", "n_occurrences").collect()
+    )
+    if len(uni_rows) + len(big_rows) > max_model_rows:
+        raise ValueError(
+            f"model too large to broadcast ({len(uni_rows)} unigrams + "
+            f"{len(big_rows)} bigrams > {max_model_rows}); raise min_count "
+            "or train on a smaller sample")
+    total = float(sum(r["n_occurrences"] for r in uni_rows))
+    vsize = len(uni_rows)
+    floor = alpha * (vsize + 1)
+    spark = df.sparkSession
+    uni_local = spark.createDataFrame(
+        [(r["word"], int(r["n_occurrences"])) for r in uni_rows]
+        or [("", 0)],
+        "word string, c bigint",
+    )
+    big_local = spark.createDataFrame(
+        [(r["w1"], r["w2"], int(r["n_occurrences"])) for r in big_rows]
+        or [("", "", 0)],
+        "w1 string, w2 string, c bigint",
+    )
+    # (pos, word, prev) structs per row — zero-shuffle, no window
+    toks = F.filter(_tokens(text_col), lambda x: x != "")
+    # get() tolerates the out-of-range probe on empty docs (plain _t[i]
+    # throws INVALID_ARRAY_INDEX under Spark 4's stricter default)
+    pos_structs = F.expr(
+        "transform(sequence(1, greatest(size(_t), 1)),"
+        " i -> struct(get(_t, i - 1) AS word,"
+        " CASE WHEN i > 1 THEN get(_t, i - 2) END AS prev))")
+    words = (
+        df.select(F.col(id_col), toks.alias("_t"))
+        .select(F.col(id_col), F.size("_t").alias("_n"),
+                F.explode(pos_structs).alias("s"))
+        # size-1 sequence on empty docs yields one NULL-word row → totality
+        .select(id_col, "_n", "s.word", "s.prev")
+    )
+    cw = F.coalesce(F.col("u.c"), F.lit(0))
+    cprev = F.coalesce(F.col("up.c"), F.lit(0))
+    cbig = F.coalesce(F.col("b.c"), F.lit(0))
+    p_uni = (cw + F.lit(alpha)) / F.lit(total + floor)
+    p_big = (cbig + F.lit(alpha)) / (cprev + F.lit(floor))
+    p = F.when(F.col("w.prev").isNull(), p_uni).otherwise(
+        F.lit(lam) * p_big + F.lit(1.0 - lam) * p_uni)
+    scored = (
+        words.alias("w")
+        .join(F.broadcast(uni_local).alias("u"),
+              F.col("w.word") == F.col("u.word"), "left")
+        .join(F.broadcast(uni_local.withColumnRenamed("word", "pword")
+                          ).alias("up"),
+              F.col("w.prev") == F.col("up.pword"), "left")
+        .join(F.broadcast(big_local).alias("b"),
+              (F.col("w.prev") == F.col("b.w1"))
+              & (F.col("w.word") == F.col("b.w2")), "left")
+        .select(F.col(f"w.{id_col}").alias(id_col), F.col("w.word").alias("word"),
+                F.when(F.col("w.word").isNotNull(), -F.log(p)).alias("nll"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.round(F.avg("nll"), 4).alias("bigram_nll"),
+        F.count("word").alias("n_scored_words"),
+    )
+
+
 def with_unigram_logprob(
     df: DataFrame,
     vocab: DataFrame,
