@@ -38,6 +38,9 @@ HEADLINE = [
     "streaming_window_counts_append",
     "benchmark_decontam", "quality_filter", "sequence_packing",
     "mixture_sample", "curation_pipeline",
+    # round-4 additions
+    "text_stats", "dedup_phash", "bpe_token_counts", "bigram_logprob",
+    "multimodal_pipeline",
 ]
 
 

@@ -455,6 +455,7 @@ def jaccard_pairs_lsh(
     text_col: str = "text",
     threshold: float = 0.5,
     persist_words: bool = True,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """The 100 TB Jaccard path: exact word-set Jaccard computed only for
     MinHash-LSH candidate pairs. The word-level self-join in
@@ -478,7 +479,10 @@ def jaccard_pairs_lsh(
     words = _words(df, id_col, text_col)
     if persist_words:
         words.persist()
-    cand = minhash_lsh_candidates(_minhash_from_words(words, id_col), id_col)
+    # max_bucket_size forwards the degenerate-bucket dial (boilerplate
+    # floods put C(m,2) candidate pairs in one bucket — cap before the join)
+    cand = minhash_lsh_candidates(_minhash_from_words(words, id_col), id_col,
+                                  max_bucket_size=max_bucket_size)
     wa = words.select(F.col(id_col).alias("id_a"), "word")
     wb = words.select(F.col(id_col).alias("id_b"), "word")
     common = (

@@ -1,0 +1,59 @@
+"""Executed-plan regression guard (VERDICT r3 #4): pin the flagship's
+RUNTIME (AQE-final) plan so regressions can't hide behind the pre-execution
+explain.
+
+Measured ground truth (this test documents it): the round-3 audit note
+claiming "AQE converts the two SortMergeJoins to broadcast at runtime" was
+an artifact — it inspected a count()-wrapped query execution whose column
+pruning shrank the payload side below the broadcast threshold. Executing
+the REAL frame (collect of the full payload) keeps exactly two
+SortMergeJoins: analyze's LeftOuter self-joins on doc_id, where BOTH sides
+are corpus-sized and co-partitioned — the correct 100 TB plan (broadcast
+there would scale with the corpus and OOM). Every dimension-shaped join
+still executes as broadcast. The pin: never MORE than those two SMJs, and
+never a cartesian."""
+
+import re
+
+import pytest
+
+
+@pytest.mark.usefixtures("spark")
+def test_extract_pipeline_final_plan_join_strategies(spark):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.extract_pipeline(spark, "/root/testdata/sf0.001")
+    # collect() (not count()) — count() wraps the frame in a NEW aggregate
+    # query execution with different pruning, leaving this frame's own AQE
+    # plan unfinalized (and measuring the wrong plan — see module docstring)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final, "AQE did not finalize the plan"
+    smj = re.findall(r"SortMergeJoin \[(\w+)#\d+\], \[(\w+)#\d+\], (\w+)",
+                     final)
+    assert len(smj) <= 2, f"new SortMergeJoins appeared: {smj}"
+    for left_key, right_key, join_type in smj:
+        # only the co-partitioned corpus-sized self-joins may sort-merge
+        assert (left_key, right_key) == ("doc_id", "doc_id"), smj
+        assert join_type == "LeftOuter", smj
+    assert "BroadcastHashJoin" in final
+    # no data-sized cartesian either (the only nested-loop the engine ever
+    # plans is similarity's intentional 1-row probe broadcast)
+    assert "CartesianProduct" not in final
+
+
+@pytest.mark.usefixtures("spark")
+def test_curation_pipeline_final_plan_broadcast_and_bounded_exchanges(spark):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.curation_pipeline(spark, "/root/testdata/sf0.001")
+    df.collect()  # see above: collect executes THIS frame's plan
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final
+    assert "SortMergeJoin" not in final
+    assert "CartesianProduct" not in final
+    # the funnel's contract: corpus-wide shuffles stay bounded regardless
+    # of input size (curate.py docstring — two corpus exchanges + the
+    # model-side exchanges, never one per stage)
+    n_shuffles = len(re.findall(r"Exchange hashpartitioning", final))
+    assert n_shuffles <= 6, f"curation shuffle count grew: {n_shuffles}"

@@ -1,0 +1,77 @@
+"""Gate-membership pin (ADVICE r3, medium): the driver's correctness gate
+checks the FIRST 50 queries() entries in insertion order, so gate membership
+is an implementation detail of dict ordering — any accidental reorder or
+mid-dict insertion silently changes what the external gate verifies. This
+test pins the exact first-50 name list; changing gate membership must be a
+deliberate edit HERE, reviewed together with the registry change."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+GATED_50 = [
+    # relational surface
+    "q1_pricing_summary", "q3_shipping_priority", "point_lookup",
+    "filter_predicates", "kind_dispatch", "threshold_branch", "error_split",
+    "failure_consolidation", "window_topk_per_group", "agg_stats",
+    "join_region_rollup", "sql_local_supplier_revenue", "rollup_revenue",
+    "pivot_order_status", "set_ops_custkeys", "percentiles_price",
+    "exists_subquery", "window_lag_gap", "salted_hot_key_agg", "media_join",
+    # dedup family
+    "dedup_exact", "dedup_minhash_shingles", "dedup_simhash",
+    "dedup_lsh_candidates_k128", "dedup_cluster_ids", "dedup_jaccard_lsh",
+    "dedup_substring", "dedup_embedding_lsh", "dedup_phash",
+    # similarity / ANN
+    "embedding_cosine_topk", "embedding_ann_ivf_det", "embedding_ann_lsh",
+    # text analysis / tokenization
+    "text_stats", "vocab_topk", "corpus_stats_cube", "bpe_token_counts",
+    "bigram_logprob",
+    # curation funnel
+    "benchmark_decontam", "quality_filter", "sequence_packing",
+    "mixture_sample", "curation_pipeline",
+    # streaming
+    "streaming_window_counts", "streaming_window_counts_append",
+    "streaming_sessionize", "streaming_stateful_sessions",
+    "streaming_extract_ingest",
+    # extraction engine + media
+    "extract_pipeline", "html_strip_gate", "multimodal_pipeline",
+]
+
+EXPECTED_TAIL = [
+    "topk_orders", "distinct_agg", "lang_id", "quality_scores",
+    "token_counts", "doc_fingerprints", "multimodal_meta",
+    "multimodal_resize", "audio_meta", "audio_energy", "video_frames",
+    "dedup_jaccard_pairs", "dedup_embedding_pairs",
+]
+
+
+def test_first_50_names_pinned_in_order():
+    names = list(entrymod.queries())
+    assert len(GATED_50) == 50
+    assert names[:50] == GATED_50, (
+        "gate membership changed — if deliberate, update GATED_50 and "
+        "EXPECTED_TAIL together with the registry")
+
+
+def test_tail_names_pinned():
+    names = list(entrymod.queries())
+    assert names[50:] == EXPECTED_TAIL
+
+
+def test_every_gated_entry_is_hash_checked():
+    # a gated slot without an oracle degrades to a rows-only check — every
+    # slot in the external gate must carry the full hash comparison
+    oracles = entrymod.oracle_sql()
+    missing = [n for n in GATED_50 if n not in oracles]
+    assert not missing, f"gated entries without oracles: {missing}"
+
+
+def test_every_tail_entry_is_hash_checked():
+    # the tail replica (test_contract_tail) is only as strong as its
+    # oracles — rows-only tail entries would silently weaken CI
+    oracles = entrymod.oracle_sql()
+    missing = [n for n in EXPECTED_TAIL if n not in oracles]
+    assert not missing, f"tail entries without oracles: {missing}"
