@@ -141,3 +141,33 @@ def test_corrupt_payload_becomes_error_row_not_pair(spark):
 def test_phash_near_dup_rejects_bad_bands():
     with pytest.raises(ValueError):
         imagehash.phash_near_dup(None, bands=5)
+
+
+@pytest.mark.usefixtures("spark")
+def test_video_frames_compose_into_phash_dedup(spark):
+    """Cross-modality composition: video_frame_sample re-wraps frames as
+    RIMG image payloads, so sampled frames flow straight into the
+    perceptual-hash dedup path — two clips of the same text must produce
+    frame-level exact pHash pairs."""
+    from resume_ocr_spark.operators import multimodal
+
+    docs = spark.createDataFrame(
+        [(0, "Maria Silva Senior Data Engineer"),
+         (1, "Maria Silva Senior Data Engineer"),
+         (2, "A completely different clip text!")],
+        "doc_id long, text string")
+    frames = multimodal.video_frame_sample(
+        multimodal.render_video_column(docs), every_n=2)
+    # one row per (doc, frame): re-key so each frame hashes independently
+    keyed = frames.filter(frames.error.isNull()).select(
+        (frames.doc_id * 1000 + frames.frame_idx).alias("doc_id"), "media")
+    hashes = imagehash.with_image_hashes(keyed)
+    pairs = imagehash.phash_near_dup(hashes, max_distance=2).collect()
+    # clips 0 and 1 are identical -> every sampled frame pairs across them
+    cross = [(r["id_a"], r["id_b"]) for r in pairs
+             if r["id_a"] // 1000 == 0 and r["id_b"] // 1000 == 1
+             and r["hamming"] == 0]
+    assert cross, "identical clips produced no frame-level phash pairs"
+    # nothing pairs with the different clip at distance <= 2
+    assert not any(r["id_a"] // 1000 == 2 or r["id_b"] // 1000 == 2
+                   for r in pairs)

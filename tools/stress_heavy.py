@@ -1,0 +1,179 @@
+"""Heavy-family stress sweep at 10× sf0.1 (= 100× the sf0.01 gate scale).
+
+VERDICT r3 #7/#8: evidence the 100× scale claims with data, not design
+prose. Builds a 50k-document corpus by replicating the sf0.1 documents
+table 10× with per-replica tail mutations (replicas are NEAR-duplicates of
+each other — high MinHash similarity, distinct fingerprints — so the LSH
+paths face 10 planted near-dups per document), plus an optional MEGA-BUCKET
+variant where a fraction of documents share one exact text (the boilerplate
+flood that degenerates bucket self-joins; the curation funnel's
+window-over-fingerprint skew case).
+
+Runs each heavy operator at sf0.1 (5k docs) and at the 50k stress scale,
+reports walls and the scale ratio. Pass/fail: every op completes and no
+wall grows more than 10× its sf0.1 reading (work grows ~10×; superlinear
+growth would flag a hidden all-pairs path).
+
+    python tools/stress_heavy.py [--mega FRAC] [--out results.json]
+
+Co-tenant protocol (BASELINE.md): check `uptime` first; never run
+concurrently with bench or pytest.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPLICAS = int(os.environ.get("SPARK_GRAFT_STRESS_REPLICAS", "10"))
+MAX_BUCKET = 200          # the production recall dial for pair candidates
+LSH_K, LSH_BANDS = 128, 16
+
+
+def build_stress_corpus(spark, mega_frac: float) -> str:
+    """sf0.1 documents × REPLICAS with per-replica tail mutation; with
+    --mega, the first ``mega_frac`` of every replica's docs are REPLACED by
+    one shared boilerplate text (exact-dup flood across replicas)."""
+    out = tempfile.mkdtemp(prefix="stress_docs_")
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    boiler = ("subscribe to our newsletter for updates terms of service "
+              "privacy policy all rights reserved contact us about careers "
+              "copyright notice cookie settings do not sell my information")
+    n_docs = docs.count()
+    parts = []
+    for k in range(REPLICAS):
+        rep = docs.select(
+            (F.col("doc_id") + k * 1_000_000).alias("doc_id"),
+            (F.when(
+                F.col("doc_id") < int(n_docs * mega_frac), F.lit(boiler))
+             .otherwise(
+                F.concat(F.col("text"), F.lit(f" replica{k} marker")))
+             ).alias("text"),
+            "lang", "source",
+        )
+        parts.append(rep)
+    uni = parts[0]
+    for p in parts[1:]:
+        uni = uni.unionAll(p)
+    path = os.path.join(out, "documents.parquet")
+    uni.repartition(32).write.mode("overwrite").parquet(path)
+    return path
+
+
+def force(df) -> int:
+    """Materialize EVERY output column, not just the row count: a bare
+    count() lets Catalyst prune row-count-preserving work (LEFT JOINs,
+    windows — e.g. the whole curation funnel), so walls would measure a
+    skeleton plan. Summing a hash of all columns defeats the pruning."""
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        # bit_xor, not sum: summing 64-bit hashes overflows under ANSI mode
+        F.bit_xor(F.xxhash64(*[F.col(c) for c in df.columns])).alias("h"),
+    ).collect()[0]
+    return int(row["n"])
+
+
+def timed(label: str, fn, results: dict) -> None:
+    t0 = time.time()
+    n = fn()
+    dt = round(time.time() - t0, 2)
+    results[label] = {"wall_sec": dt, "rows": n}
+    print(f"  {label}: {dt}s, {n} rows", flush=True)
+
+
+def run_family(spark, docs_path: str, results: dict) -> None:
+    from resume_ocr_spark.operators import curate, dedup
+
+    docs = spark.read.parquet(docs_path).select("doc_id", "text", "lang")
+
+    def lsh_k128():
+        sigs = dedup.minhash_signatures(docs, "doc_id", "text", k=LSH_K)
+        return force(dedup.minhash_lsh_candidates(
+            sigs, "doc_id", k=LSH_K, bands=LSH_BANDS,
+            max_bucket_size=MAX_BUCKET))
+
+    def jaccard_lsh():
+        return force(dedup.jaccard_pairs_lsh(
+            docs, "doc_id", "text", threshold=0.3,
+            max_bucket_size=MAX_BUCKET, persist_words=False))
+
+    def cluster_star():
+        sigs = dedup.minhash_signatures(docs, "doc_id", "text")
+        edges = dedup.minhash_lsh_star_edges(sigs, "doc_id")
+        return force(dedup.dedup_clusters_star(edges))
+
+    def curation():
+        bench = docs.filter(F.col("doc_id") < 3).select(
+            F.col("text").alias("question"))
+        return force(curate.curate(
+            docs, benchmark=bench, weights={"en": 1.0, "fr": 0.5},
+            group_col="lang", bench_text_col="question", ngram=3,
+            default_weight=0.25, seed="mix"))
+
+    def substring():
+        return force(dedup.substring_duplicate_spans(
+            docs, "doc_id", "text", k=8))
+
+    timed("lsh_candidates_k128", lsh_k128, results)
+    timed("jaccard_lsh", jaccard_lsh, results)
+    timed("cluster_star", cluster_star, results)
+    timed("curation_pipeline", curation, results)
+    timed("substring_dedup", substring, results)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mega", type=float, default=0.0,
+                    help="fraction of docs replaced by one shared "
+                         "boilerplate text (mega-bucket stress)")
+    ap.add_argument("--out", default="")
+    args = ap.parse_args()
+
+    from resume_ocr_spark.session import get_spark
+
+    spark = get_spark(app_name="stress_heavy", cores=32,
+                      shuffle_partitions=64)
+    report: dict = {"sf_dir": SF_DIR, "replicas": REPLICAS,
+                    "mega_frac": args.mega, "baseline": {}, "stress": {}}
+
+    print(f"baseline at {SF_DIR}:", flush=True)
+    run_family(spark, os.path.join(SF_DIR, "documents.parquet"),
+               report["baseline"])
+
+    print(f"building stress corpus ({REPLICAS}x, mega={args.mega})...",
+          flush=True)
+    path = build_stress_corpus(spark, args.mega)
+    n = spark.read.parquet(path).count()
+    report["stress_docs"] = n
+    print(f"stress sweep over {n} docs:", flush=True)
+    run_family(spark, path, report["stress"])
+
+    bad = []
+    for k, v in report["stress"].items():
+        base = report["baseline"][k]["wall_sec"]
+        ratio = round(v["wall_sec"] / max(base, 0.01), 1)
+        v["ratio_vs_baseline"] = ratio
+        if v["wall_sec"] > 10 * max(base, 1.0):
+            bad.append((k, ratio))
+    report["pass"] = not bad
+    print(json.dumps(report))
+    if args.out:
+        with open(args.out, "w") as fh:
+            json.dump(report, fh, indent=1)
+    if bad:
+        print(f"FAIL: superlinear walls {bad}", file=sys.stderr)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
