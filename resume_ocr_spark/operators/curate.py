@@ -1,8 +1,8 @@
 """End-to-end training-corpus curation: the composition of this package's
 pipeline operators into the flow a 100 TB data-curation job actually runs.
 
-    quality filter  →  exact dedup  →  benchmark decontamination  →
-    mixture sampling
+    quality filter  →  exact dedup  →  [MinHash near-dup]  →
+    benchmark decontamination  →  mixture sampling
 
 Each document gets a ``drop_reason`` (the FIRST stage that rejects it, in
 the order above — the conventional funnel accounting, so stage counts sum
@@ -15,6 +15,15 @@ n-gram hashes so the corpus never shuffles to meet them, and its per-doc
 match count joins back by id; mixture applies per-group rate cuts as a
 CASE expression over the deterministic md5 bucket (zero joins). Total:
 two corpus-wide hash exchanges (fingerprint, id) regardless of input size.
+
+The optional near-dup stage (``near_dup=True`` — the RefinedWeb/Llama
+fuzzy-dedup step real recipes run between exact dedup and
+decontamination) is the funnel's one deliberately heavy stage: MinHash
+signatures over the exact-dedup survivors, star-edge LSH buckets (O(m)
+edges even for boilerplate floods), log-round connected components, keep
+the minimum id per cluster. It adds the signature shuffle and the
+clustering's checkpointed rounds — costs that track near-duplicate
+density, never n².
 """
 
 from __future__ import annotations
@@ -28,6 +37,7 @@ from .textstats import with_fingerprint, with_quality_filter
 
 REASON_QUALITY = "quality"
 REASON_DUPLICATE = "duplicate"
+REASON_NEAR_DUPLICATE = "near_duplicate"
 REASON_CONTAMINATED = "contaminated"
 REASON_SAMPLED_OUT = "sampled_out"
 
@@ -43,18 +53,26 @@ def curate(
     ngram: int = _decontam.DECONTAM_NGRAM,
     default_weight: float = 1.0,
     seed: str = "mix",
+    near_dup: bool = False,
+    minhash_k: int = 4,
+    lsh_bands: int = 2,
+    shingle: int | None = 3,
 ) -> DataFrame:
     """Annotate every document with its curation outcome.
 
     Returns the input columns plus ``drop_reason`` (string, NULL = kept).
-    ``benchmark``/``weights`` stages are skipped when not provided.
+    ``benchmark``/``weights`` stages are skipped when not provided;
+    ``near_dup=True`` enables the MinHash fuzzy-dedup stage (module
+    docstring) with ``minhash_k`` permutations over ``shingle``-word
+    units banded into ``lsh_bands`` buckets.
     Filter to ``drop_reason IS NULL`` for the training corpus; group by
     ``drop_reason`` for the funnel audit.
 
-    The staging columns ``keep/reasons/fingerprint/bucket/_contam`` are
-    reserved: an input already carrying one would be silently clobbered
-    and dropped, so that's an error here."""
-    reserved = {"keep", "reasons", "fingerprint", "bucket", "_contam"}
+    The staging columns ``keep/reasons/fingerprint/bucket/_contam/_neardup``
+    are reserved: an input already carrying one would be silently
+    clobbered and dropped, so that's an error here."""
+    reserved = {"keep", "reasons", "fingerprint", "bucket", "_contam",
+                "_neardup"}
     clash = reserved & set(docs.columns)
     if clash:
         raise ValueError(f"input carries reserved curation columns: "
@@ -75,6 +93,34 @@ def curate(
     keeper = F.min(F.when(F.col("keep"), F.col(id_col))).over(
         Window.partitionBy("fingerprint"))
     dup_drop = F.col(id_col) != keeper
+
+    if near_dup:
+        from . import dedup as _dedup
+
+        # near-dup input = survivors of quality + exact dedup (recomputed
+        # zero-shuffle like the decontam survivor set below): signatures →
+        # star-edge buckets → log-round components → keep min id/cluster.
+        # dedup_clusters_star emits only ids that share a bucket, so the
+        # left join leaves singleton docs NULL (= kept).
+        fp = with_fingerprint(with_quality_filter(docs, text_col), text_col)
+        exact_keeper = F.min(F.when(F.col("keep"), F.col(id_col))).over(
+            Window.partitionBy("fingerprint"))
+        nd_surv = (fp.withColumn("_k", exact_keeper)
+                   .filter(F.col("keep") & (F.col(id_col) == F.col("_k")))
+                   .select(id_col, text_col))
+        sigs = _dedup.minhash_signatures(
+            nd_surv, id_col, text_col, k=minhash_k, shingle=shingle)
+        edges = _dedup.minhash_lsh_star_edges(
+            sigs, id_col, k=minhash_k, bands=lsh_bands)
+        nd_dropped = (
+            _dedup.dedup_clusters_star(edges)
+            .filter(F.col(id_col) != F.col("cluster_id"))
+            .select(F.col(id_col), F.lit(True).alias("_neardup"))
+        )
+        out = out.join(nd_dropped, id_col, "left")
+        near_drop = F.coalesce(F.col("_neardup"), F.lit(False))
+    else:
+        near_drop = F.lit(False)
 
     if benchmark is not None:
         # only quality survivors are shingled — the flag is never read for
@@ -108,11 +154,12 @@ def curate(
     reason = (
         F.when(quality_drop, F.lit(REASON_QUALITY))
         .when(dup_drop, F.lit(REASON_DUPLICATE))
+        .when(near_drop, F.lit(REASON_NEAR_DUPLICATE))
         .when(contam_drop, F.lit(REASON_CONTAMINATED))
         .when(sample_drop, F.lit(REASON_SAMPLED_OUT))
     )
     drop_cols = [c for c in ("keep", "reasons", "fingerprint", "_contam",
-                             "bucket") if c in out.columns]
+                             "_neardup", "bucket") if c in out.columns]
     return out.withColumn("drop_reason", reason).drop(*drop_cols)
 
 

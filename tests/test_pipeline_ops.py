@@ -1067,6 +1067,56 @@ class TestCurate:
         assert "rangepartitioning" not in plan
         assert "CartesianProduct" not in plan
 
+    def _mk_near(self, spark):
+        base = ("the and with " +
+                " ".join(f"word{i:02d}" for i in range(40)))
+        rows = [
+            (1, base + " ending alpha", "en"),   # near-dup keeper
+            (2, base + " ending omega", "en"),   # near-dup of 1 (1 word off)
+            (3, base + " ending alpha", "en"),   # EXACT dup of 1
+            (4, "the zebra and xylophone with quartz "
+                + " ".join(f"other{i:02d}" for i in range(30)), "en"),
+            (5, "tiny five words doc", "en"),    # quality drop
+        ]
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, lang string")
+
+    def test_near_dup_stage_off_by_default(self, spark):
+        from resume_ocr_spark.operators import curate
+        out = {r["doc_id"]: r["drop_reason"]
+               for r in curate.curate(self._mk_near(spark)).collect()}
+        assert "near_duplicate" not in set(out.values())
+        assert out[2] is None  # fuzzy twin survives without the stage
+
+    def test_near_dup_stage_reasons_and_precedence(self, spark):
+        from resume_ocr_spark.operators import curate
+        out = {r["doc_id"]: r["drop_reason"]
+               for r in curate.curate(
+                   self._mk_near(spark), near_dup=True).collect()}
+        assert out[1] is None                  # cluster minimum kept
+        assert out[2] == "near_duplicate"      # fuzzy twin dropped
+        assert out[3] == "duplicate"           # EXACT dup outranks near-dup
+        assert out[4] is None                  # distinct doc untouched
+        assert out[5] == "quality"             # earlier stage still wins
+
+    def test_near_dup_composes_with_later_stages(self, spark):
+        from resume_ocr_spark.operators import curate
+        docs = self._mk_near(spark)
+        # bench shares a 3-gram with every base-derived doc; near-dup is
+        # decided first, so doc 2 reports near_duplicate, keeper 1 reports
+        # contaminated
+        bench = spark.createDataFrame(
+            [("quiz: word00 word01 word02 ?",)], "text string")
+        out = {r["doc_id"]: r["drop_reason"]
+               for r in curate.curate(
+                   docs, benchmark=bench, ngram=3, near_dup=True).collect()}
+        assert out[1] == "contaminated"
+        assert out[2] == "near_duplicate"
+        audit = {r["outcome"]: r["n_docs"] for r in curate.curation_audit(
+            curate.curate(docs, benchmark=bench, ngram=3,
+                          near_dup=True)).collect()}
+        assert sum(audit.values()) == 5
+
 
 class TestSubstringDedup:
     def _recompute(self, texts: dict, k: int) -> set:

@@ -3,7 +3,8 @@
     spark-submit --py-files dist/resume_ocr_spark.zip tools/submit_curation.py \
         --input <docs.parquet> --output <dir> \
         [--benchmark <bench.parquet>] [--weights '{"en": 1.0, "fr": 0.5}'] \
-        [--default-weight 1.0] [--group-col lang] [--ngram 13] [--seed mix]
+        [--default-weight 1.0] [--group-col lang] [--ngram 13] [--seed mix] \
+        [--near-dup] [--minhash-k 128] [--lsh-bands 16] [--shingle 5]
 
 Writes three tables under --output:
     curated/      surviving documents (drop_reason IS NULL), input schema
@@ -38,6 +39,11 @@ def main() -> int:
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--ngram", type=int, default=13)
     ap.add_argument("--seed", default="mix")
+    ap.add_argument("--near-dup", action="store_true",
+                    help="enable the MinHash fuzzy-dedup stage")
+    ap.add_argument("--minhash-k", type=int, default=128)
+    ap.add_argument("--lsh-bands", type=int, default=16)
+    ap.add_argument("--shingle", type=int, default=5)
     args = ap.parse_args()
 
     from resume_ocr_spark.operators import curate
@@ -56,6 +62,8 @@ def main() -> int:
         id_col=args.id_col, text_col=args.text_col,
         group_col=args.group_col, ngram=args.ngram,
         default_weight=args.default_weight, seed=args.seed,
+        near_dup=args.near_dup, minhash_k=args.minhash_k,
+        lsh_bands=args.lsh_bands, shingle=args.shingle,
     )
     annotated.persist()
     try:
