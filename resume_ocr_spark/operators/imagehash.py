@@ -149,21 +149,7 @@ def phash_near_dup(
     :func:`.dedup.minhash_lsh_candidates`."""
     if 64 % bands != 0:
         raise ValueError(f"bands must divide 64 (got {bands})")
-    width = 64 // bands
-    mask = (1 << width) - 1
-    df = hash_df.filter(F.col(hash_col).isNotNull())
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.shiftright(F.col(hash_col), b * width).bitwiseAND(F.lit(mask))
-            .alias("bb"),
-        )
-        for b in range(bands)
-    ]
-    banded = df.select(
-        F.col(id_col), F.col(hash_col),
-        F.explode(F.array(*band_cols)).alias("b"),
-    ).select(id_col, hash_col, "b.band", "b.bb")
+    banded = _hash_bands(hash_df, id_col, hash_col, bands)
     if max_bucket_size is not None:
         sizes = banded.groupBy("band", "bb").agg(F.count("*").alias("_bsz"))
         banded = (banded.join(
@@ -190,4 +176,73 @@ def phash_near_dup(
         cand.withColumn("hamming", hamming.cast("int"))
         .filter(F.col("hamming") <= max_distance)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def _hash_bands(df: DataFrame, id_col: str, hash_col: str,
+                bands: int) -> DataFrame:
+    """(id, hash, band, band_bits) rows — the shared banding step."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col(hash_col), b * width).bitwiseAND(F.lit(mask))
+            .alias("bb"),
+        )
+        for b in range(bands)
+    ]
+    return (
+        df.filter(F.col(hash_col).isNotNull())
+        .select(F.col(id_col), F.col(hash_col),
+                F.explode(F.array(*band_cols)).alias("b"))
+        .select(id_col, hash_col, "b.band", "b.bb")
+    )
+
+
+def phash_probe(
+    new_hashes: DataFrame,
+    index_hashes: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "phash",
+    max_distance: int = 6,
+    bands: int = 4,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Image near-dups BETWEEN a new batch and a persisted hash index —
+    the incremental form (the :func:`~.dedup.minhash_lsh_probe` twin for
+    the perceptual-hash family): band both sides, join only across them,
+    verify with exact Hamming distance.
+
+    The index side is just the (id, hash) table you append each batch's
+    hashes to — 16 bytes/image, never the pixels. Cost tracks the
+    increment's size; ``max_bucket_size`` caps degenerate INDEX buckets
+    (an index flooded with one logo).
+
+    Returns ``(new_id, index_id, hamming)`` pairs within
+    ``max_distance``."""
+    if 64 % bands != 0:
+        raise ValueError(f"bands must divide 64 (got {bands})")
+    nb = _hash_bands(new_hashes, id_col, hash_col, bands)
+    ib = _hash_bands(index_hashes, id_col, hash_col, bands)
+    if max_bucket_size is not None:
+        sizes = ib.groupBy("band", "bb").agg(F.count("*").alias("_bsz"))
+        ib = (ib.join(sizes.filter(F.col("_bsz") <= max_bucket_size),
+                      ["band", "bb"]).drop("_bsz"))
+    cand = (
+        nb.alias("n")
+        .join(ib.alias("i"),
+              (F.col("n.band") == F.col("i.band"))
+              & (F.col("n.bb") == F.col("i.bb")))
+        .select(F.col(f"n.{id_col}").alias("new_id"),
+                F.col(f"i.{id_col}").alias("index_id"),
+                F.col(f"n.{hash_col}").alias("_ha"),
+                F.col(f"i.{hash_col}").alias("_hb"))
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_distance)
+        .select("new_id", "index_id", "hamming")
     )

@@ -171,3 +171,36 @@ def test_video_frames_compose_into_phash_dedup(spark):
     # nothing pairs with the different clip at distance <= 2
     assert not any(r["id_a"] // 1000 == 2 or r["id_b"] // 1000 == 2
                    for r in pairs)
+
+
+@pytest.mark.usefixtures("spark")
+def test_phash_probe_incremental_index(spark):
+    """Incremental image dedup: a new batch probes the persisted hash
+    index — pairs only ACROSS sides, never within either, and the index
+    side is hashes only (16 bytes/image)."""
+    texts = {
+        10: "Maria Silva Senior Data Engineer Python",   # index
+        11: "A completely different recipe for cake!!",  # index
+        20: "Maria Silva Senior Data Engineer Python",   # new: dup of 10
+        21: "Brand new never before seen document 42",   # new: fresh
+        22: "Brand new never before seen document 42",   # new: dup of 21
+    }
+
+    def hashes(ids):
+        docs = spark.createDataFrame(
+            [(i, texts[i]) for i in ids], "doc_id long, text string")
+        return imagehash.with_image_hashes(
+            multimodal.render_binary_column(docs)).select("doc_id", "phash")
+
+    index = hashes([10, 11])
+    new = hashes([20, 21, 22])
+    pairs = {(r["new_id"], r["index_id"]): r["hamming"]
+             for r in imagehash.phash_probe(new, index).collect()}
+    assert pairs[(20, 10)] == 0          # the cross-side duplicate
+    # within-batch dup (21, 22) is NOT the probe's job — no same-side pairs
+    assert all(n in (20, 21, 22) and i in (10, 11) for n, i in pairs)
+    assert (21, 10) not in pairs and (21, 11) not in pairs
+    # degenerate-index cap: bucket of size 1 drops everything
+    assert imagehash.phash_probe(new, index, max_bucket_size=0).count() == 0
+    with pytest.raises(ValueError):
+        imagehash.phash_probe(new, index, bands=7)

@@ -1386,3 +1386,63 @@ class TestSubmitCuration:
         assert not os.path.exists(str(tmp_path / "out2" / "curated"))
         assert os.path.exists(str(tmp_path / "out2" / "annotated"))
         assert os.path.exists(str(tmp_path / "out2" / "audit"))
+
+
+class TestSubmitTokenize:
+    def test_job_trains_applies_and_packs(self, spark, docs, tmp_path):
+        import json as _json
+        import sys
+        from tools import submit_tokenize
+        src = str(tmp_path / "tok_in.parquet")
+        docs.select("doc_id", "text").limit(60).write.parquet(src)
+        out = str(tmp_path / "tok_out")
+        old = sys.argv
+        sys.argv = ["x", "--input", src, "--output", out,
+                    "--num-merges", "50", "--sample-docs", "30",
+                    "--budget", "128", "--shards", "4"]
+        try:
+            rc = submit_tokenize.main()
+        finally:
+            sys.argv = old
+        assert rc == 0
+        merges = spark.read.parquet(f"{out}/merges").orderBy("rank").collect()
+        counts = spark.read.parquet(f"{out}/token_counts")
+        packed = spark.read.parquet(f"{out}/packed")
+        assert counts.count() == 60 and packed.count() == 60
+        # packed totals agree with the count table
+        joined = packed.join(counts, "doc_id")
+        assert joined.filter(
+            F.col("n_tokens") != F.col("bpe_tokens")).count() == 0
+        # merges round-trip: re-running with --merges reproduces counts
+        out2 = str(tmp_path / "tok_out2")
+        sys.argv = ["x", "--input", src, "--output", out2,
+                    "--merges", f"{out}/merges",
+                    "--budget", "128", "--shards", "4"]
+        try:
+            rc2 = submit_tokenize.main()
+        finally:
+            sys.argv = old
+        assert rc2 == 0
+        a = sorted(map(tuple, counts.collect()))
+        b = sorted(map(tuple,
+                       spark.read.parquet(f"{out2}/token_counts").collect()))
+        assert a == b
+        assert len(merges) == 50
+
+    def test_job_refuses_empty_corpus(self, spark, tmp_path):
+        import os
+        import sys
+        from tools import submit_tokenize
+        src = str(tmp_path / "tok_empty.parquet")
+        spark.createDataFrame(
+            [(1, "..."), (2, None)], "doc_id long, text string"
+        ).write.parquet(src)
+        out = str(tmp_path / "tok_empty_out")
+        old = sys.argv
+        sys.argv = ["x", "--input", src, "--output", out]
+        try:
+            rc = submit_tokenize.main()
+        finally:
+            sys.argv = old
+        assert rc == 4
+        assert not os.path.exists(out)  # refusal writes nothing
