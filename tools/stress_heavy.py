@@ -91,7 +91,7 @@ def timed(label: str, fn, results: dict) -> None:
 
 
 def run_family(spark, docs_path: str, results: dict) -> None:
-    from resume_ocr_spark.operators import curate, dedup
+    from resume_ocr_spark.operators import curate, dedup, imagehash, multimodal
 
     docs = spark.read.parquet(docs_path).select("doc_id", "text", "lang")
 
@@ -123,11 +123,22 @@ def run_family(spark, docs_path: str, results: dict) -> None:
         return force(dedup.substring_duplicate_spans(
             docs, "doc_id", "text", k=8))
 
+    def phash_dedup():
+        # render → decode → DCT hash → Hamming-LSH pairing; the replica
+        # corpus plants 10 identically-rendered twins per doc (the
+        # replica marker lands past the 40-char render prefix), so the
+        # pairing faces dense true positives — cap bounds the buckets
+        hashes = imagehash.with_image_hashes(
+            multimodal.render_binary_column(docs))
+        return force(imagehash.phash_near_dup(
+            hashes, max_distance=6, max_bucket_size=MAX_BUCKET))
+
     timed("lsh_candidates_k128", lsh_k128, results)
     timed("jaccard_lsh", jaccard_lsh, results)
     timed("cluster_star", cluster_star, results)
     timed("curation_pipeline", curation, results)
     timed("substring_dedup", substring, results)
+    timed("phash_dedup", phash_dedup, results)
 
 
 def main() -> int:
