@@ -411,7 +411,9 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level exact dedup (the suffix-array modality, VERDICT r3
-    #2): maximal ≥8-word spans shared verbatim across documents, as hashed
+    #2): maximal runs of 8-word windows each duplicated in some other
+    document (consecutive windows may match different partners — see
+    dedup.substring_duplicate_spans' span-semantics note), as hashed
     k-gram runs — membership aggregation, never pair enumeration. The sf
     documents table carries ~1k natural cross-doc 8-gram collisions, so no
     duplicates need planting."""

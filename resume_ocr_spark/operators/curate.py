@@ -54,9 +54,9 @@ def curate(
     default_weight: float = 1.0,
     seed: str = "mix",
     near_dup: bool = False,
-    minhash_k: int = 4,
-    lsh_bands: int = 2,
-    shingle: int | None = 3,
+    minhash_k: int = 128,
+    lsh_bands: int = 16,
+    shingle: int | None = 5,
 ) -> DataFrame:
     """Annotate every document with its curation outcome.
 
@@ -64,7 +64,13 @@ def curate(
     ``benchmark``/``weights`` stages are skipped when not provided;
     ``near_dup=True`` enables the MinHash fuzzy-dedup stage (module
     docstring) with ``minhash_k`` permutations over ``shingle``-word
-    units banded into ``lsh_bands`` buckets.
+    units banded into ``lsh_bands`` buckets. The defaults (128/16/5,
+    8 rows per band) are the production-safe configuration: two docs
+    only bucket together on 8 simultaneous minhash agreements, so
+    false-positive drops are rare. Few-permutation configs (k=4/b=2)
+    bucket ~Jaccard-0.3 docs with double-digit probability and the
+    star-edge closure then chains unrelated docs into one cluster —
+    fine for tests, unsafe as a default.
     Filter to ``drop_reason IS NULL`` for the training corpus; group by
     ``drop_reason`` for the funnel audit.
 
@@ -112,8 +118,12 @@ def curate(
             nd_surv, id_col, text_col, k=minhash_k, shingle=shingle)
         edges = _dedup.minhash_lsh_star_edges(
             sigs, id_col, k=minhash_k, bands=lsh_bands)
+        # dedup_clusters_star's output schema is fixed (doc_id, cluster_id)
+        # regardless of the input id column — rename before filtering so a
+        # non-default id_col resolves
         nd_dropped = (
             _dedup.dedup_clusters_star(edges)
+            .withColumnRenamed("doc_id", id_col)
             .filter(F.col(id_col) != F.col("cluster_id"))
             .select(F.col(id_col), F.lit(True).alias("_neardup"))
         )

@@ -570,9 +570,20 @@ def substring_duplicate_spans(
     text_col: str = "text",
     k: int = 8,
 ) -> DataFrame:
-    """Substring-level exact dedup: maximal word spans shared verbatim with
-    at least one OTHER document (the suffix-array-style modality next to
-    doc-level MinHash; the reference has no dedup at all — VERDICT r3 #2).
+    """Substring-level exact dedup: maximal runs of ``k``-word windows
+    each of which appears verbatim in at least one OTHER document (the
+    suffix-array-style modality next to doc-level MinHash; the reference
+    has no dedup at all — VERDICT r3 #2).
+
+    Span semantics — precise, because it matters for span-removal
+    accounting: every k-gram inside a reported span is duplicated
+    SOMEWHERE else, but consecutive k-grams may match DIFFERENT partner
+    documents, so the span as a whole need not occur verbatim in any
+    single other document. A span is "text built entirely from shared
+    k-grams", the property dedup policies act on (ExactSubstr-style
+    removal), not "text with one verbatim twin" — recovering per-partner
+    spans would need the pairwise join this operator deliberately
+    avoids.
 
     Method — hashed k-gram runs, the distributed stand-in for a suffix
     array's duplicated-run scan:

@@ -50,8 +50,14 @@ def _area_resize(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     h, w = img.shape
     re = np.minimum((np.arange(1, out_h + 1) * h) // out_h, h)
     ce = np.minimum((np.arange(1, out_w + 1) * w) // out_w, w)
-    rs = np.concatenate(([0], re[:-1]))
-    cs = np.concatenate(([0], ce[:-1]))
+    rs = np.minimum((np.arange(out_h) * h) // out_h, h - 1)
+    cs = np.minimum((np.arange(out_w) * w) // out_w, w - 1)
+    # upscale case (image smaller than the grid): floor(i·h/H) can equal
+    # floor((i+1)·h/H), which would make an EMPTY block (mean 0 — a
+    # checkerboard artifact on small images); widen to ≥1 pixel so the
+    # cell nearest-neighbor-samples instead
+    re = np.maximum(re, rs + 1)
+    ce = np.maximum(ce, cs + 1)
     x = img.astype(np.float64)
     # row-sum prefix trick: cumsum once, slice block sums in O(out area)
     rowsum = np.vstack([np.zeros((1, w)), x.cumsum(axis=0)])

@@ -289,16 +289,21 @@ def with_bigram_logprob(
                          "unseen words/bigrams off log(0))")
     if not 0.0 <= lam <= 1.0:
         raise ValueError(f"lam must be in [0, 1] (got {lam})")
-    uni_rows = unigrams.select("word", "n_occurrences").collect()
+    # limit(cap + 1) BOUNDS the collect itself: an over-sized model pulls
+    # at most cap+1 rows to the driver before the error fires, instead of
+    # OOMing the driver first and never reaching a post-hoc length check
+    uni_rows = (unigrams.select("word", "n_occurrences")
+                .limit(max_model_rows + 1).collect())
     big_rows = (
         bigrams.filter(F.col("n_occurrences") >= min_count)
-        .select("w1", "w2", "n_occurrences").collect()
+        .select("w1", "w2", "n_occurrences")
+        .limit(max_model_rows + 1).collect()
     )
     if len(uni_rows) + len(big_rows) > max_model_rows:
         raise ValueError(
-            f"model too large to broadcast ({len(uni_rows)} unigrams + "
-            f"{len(big_rows)} bigrams > {max_model_rows}); raise min_count "
-            "or train on a smaller sample")
+            f"model too large to broadcast (>{max_model_rows} rows across "
+            "unigrams + bigrams); raise min_count or train on a smaller "
+            "sample")
     total = float(sum(r["n_occurrences"] for r in uni_rows))
     vsize = len(uni_rows)
     floor = alpha * (vsize + 1)
@@ -323,10 +328,9 @@ def with_bigram_logprob(
         " CASE WHEN i > 1 THEN get(_t, i - 2) END AS prev))")
     words = (
         df.select(F.col(id_col), toks.alias("_t"))
-        .select(F.col(id_col), F.size("_t").alias("_n"),
-                F.explode(pos_structs).alias("s"))
+        .select(F.col(id_col), F.explode(pos_structs).alias("s"))
         # size-1 sequence on empty docs yields one NULL-word row → totality
-        .select(id_col, "_n", "s.word", "s.prev")
+        .select(id_col, "s.word", "s.prev")
     )
     cw = F.coalesce(F.col("u.c"), F.lit(0))
     cprev = F.coalesce(F.col("up.c"), F.lit(0))

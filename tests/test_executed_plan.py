@@ -29,8 +29,13 @@ def test_extract_pipeline_final_plan_join_strategies(spark):
     df.collect()
     final = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in final, "AQE did not finalize the plan"
-    smj = re.findall(r"SortMergeJoin \[(\w+)#\d+\], \[(\w+)#\d+\], (\w+)",
-                     final)
+    # key suffix is #NNN for strings but #NNNL for bigints — the L must be
+    # optional or long-keyed SMJs silently escape the pin (review r4);
+    # the raw-occurrence backstop catches any shape the regex misses
+    smj = re.findall(
+        r"SortMergeJoin \[(\w+)#\d+L?\], \[(\w+)#\d+L?\], (\w+)", final)
+    assert final.count("SortMergeJoin") == len(smj), (
+        "a SortMergeJoin printed in a shape the key regex does not parse")
     assert len(smj) <= 2, f"new SortMergeJoins appeared: {smj}"
     for left_key, right_key, join_type in smj:
         # only the co-partitioned corpus-sized self-joins may sort-merge

@@ -35,6 +35,31 @@ def test_area_resize_uneven_partitions_cover_input():
     assert np.isclose((out * areas).sum() / areas.sum(), img.mean())
 
 
+def test_area_resize_upscale_replicates_not_zero_fills(tmp_path=None):
+    # image smaller than the grid: empty blocks would read mean 0 and turn
+    # a uniform image into a checkerboard (code-review r4 finding) — the
+    # widened blocks must nearest-sample instead
+    img = np.full((4, 4), 200, dtype=np.uint8)
+    out = imagehash._area_resize(img, 8, 8)
+    assert np.allclose(out, 200.0)
+    # and small-image similarity stays monotone: a 1-px retouch of a
+    # 16x16 gradient is closer than an unrelated noise image (tiny inputs
+    # upscale 2x into the DCT grid, so single-pixel edits carry more
+    # relative energy than at native sizes — ordering, not tiny distance,
+    # is the invariant worth pinning)
+    def _d(a, b):
+        return bin((imagehash.phash64(a) ^ imagehash.phash64(b))
+                   & ((1 << 64) - 1)).count("1")
+
+    icon = np.outer(np.arange(16), np.arange(16)).astype(np.uint8)
+    icon2 = icon.copy()
+    icon2[7, 7] = 255
+    noise = np.random.RandomState(1).randint(
+        0, 256, size=(16, 16)).astype(np.uint8)
+    assert _d(icon, icon.copy()) == 0
+    assert _d(icon, icon2) < _d(icon, noise)
+
+
 def test_dct_matrix_orthonormal():
     c = imagehash._dct_matrix(8)
     assert np.allclose(c @ c.T, np.eye(8), atol=1e-12)
