@@ -659,6 +659,24 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination (tail entry, round 4): corpus
+    vectors vs a 3-vector benchmark side, max-cosine flag at 0.8. One
+    bench vector is re-keyed into the corpus so the cosine-1.0 flag path
+    provably fires. Zero-shuffle: bench folds into the plan as a literal
+    (decontam.semantic_contamination)."""
+    from resume_ocr_spark.operators import decontam
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bench = emb.filter(F.col("vec_id") < 3)
+    planted = bench.filter(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 900000).alias("vec_id"), "embedding")
+    corpus = emb.filter(F.col("vec_id") >= 3).unionAll(planted)
+    return decontam.semantic_contamination(
+        corpus, bench, threshold=0.8
+    ).select("vec_id", "max_benchmark_cosine", "contaminated")
+
+
 def benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (GPT-3 appendix C / Llama recipe): flag
     training documents sharing word n-grams with a held-out eval set. Bench
@@ -1099,6 +1117,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frames": video_frames,
         "dedup_jaccard_pairs": dedup_jaccard_pairs,
         "dedup_embedding_pairs": dedup_embedding_pairs,
+        # round-4 tail addition: the semantic sibling of benchmark_decontam
+        # (which gates the decontam family's n-gram form in slot space)
+        "semantic_decontam": semantic_decontam,
     }
     return {**gated, **tail}
 
@@ -2050,6 +2071,39 @@ def oracle_sql() -> dict[str, str]:
       SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 7 AS span_end,
              CAST(COUNT(*) AS BIGINT) AS n_dup_shingles
       FROM isl GROUP BY doc_id, grp
+    """
+
+    # semantic decontamination: corpus ∪ planted-bench-copy vs the 3-vector
+    # bench side; SQL rebuilds the max-cosine per corpus vector with the
+    # dedup_embedding_pairs unnest construction. The flag compares the
+    # ROUNDED max (as the engine does) so the 0.8 boundary can't diverge.
+    sqls["semantic_decontam"] = """
+      WITH corpus AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 3
+        UNION ALL
+        SELECT vec_id + 900000 AS vec_id, embedding
+        FROM embeddings WHERE vec_id = 0
+      ), cu AS (
+        SELECT vec_id,
+               unnest(CAST(embedding AS DOUBLE[])) AS v,
+               unnest(generate_series(1, len(embedding))) AS i
+        FROM corpus
+      ), bu AS (
+        SELECT vec_id AS bid,
+               unnest(CAST(embedding AS DOUBLE[])) AS v,
+               unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings WHERE vec_id < 3
+      ), pairs AS (
+        SELECT c.vec_id, b.bid,
+               SUM(c.v * b.v) / SQRT(SUM(c.v * c.v) * SUM(b.v * b.v))
+                 AS cosine
+        FROM cu c JOIN bu b ON b.i = c.i
+        GROUP BY 1, 2
+      )
+      SELECT vec_id,
+             ROUND(MAX(cosine), 6) AS max_benchmark_cosine,
+             ROUND(MAX(cosine), 6) >= 0.8 AS contaminated
+      FROM pairs GROUP BY vec_id
     """
 
     # ---- former rows-only entries, upgraded to hard checks (VERDICT #3):

@@ -81,6 +81,62 @@ def contamination_counts(
     )
 
 
+SEMANTIC_BENCH_CAP = 20_000  # max benchmark vectors folded into the plan
+
+
+def semantic_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_vec_col: str = "embedding",
+    threshold: float = 0.9,
+    bench_cap: int = SEMANTIC_BENCH_CAP,
+) -> DataFrame:
+    """Embedding-space decontamination — the semantic sibling of the
+    n-gram overlap check: flag corpus documents whose embedding is within
+    cosine ``threshold`` of ANY benchmark embedding (catches paraphrased /
+    reformatted eval leakage that shares no 13-gram).
+
+    Returns every corpus row plus ``max_benchmark_cosine`` (rounded to 6)
+    and ``contaminated``.
+
+    100 TB shape: the benchmark embeddings are collected once (bounded by
+    ``bench_cap`` via limit — an eval suite is small by definition) and
+    folded into the plan as a LITERAL array of vectors; per corpus row the
+    max cosine is an array expression (transform + zip_with folds) — zero
+    joins, zero shuffles, the corpus is scanned exactly once. Benchmarks
+    past the cap should go through an LSH prune (the
+    :func:`~.similarity.lsh_signature` banding) before the exact pass."""
+    if not -1.0 <= threshold <= 1.0:
+        raise ValueError(f"threshold out of [-1, 1]: {threshold}")
+    rows = (benchmark.select(bench_vec_col)
+            .limit(bench_cap + 1).collect())
+    if len(rows) > bench_cap:
+        raise ValueError(
+            f"benchmark side exceeds bench_cap={bench_cap} vectors; "
+            "LSH-prune the corpus against a banded benchmark first")
+    if not rows:
+        return (corpus
+                .withColumn("max_benchmark_cosine",
+                            F.lit(None).cast("double"))
+                .withColumn("contaminated", F.lit(False)))
+    from .similarity import _array_cosine
+
+    bench_lit = F.array(*[
+        F.array(*[F.lit(float(x)) for x in r[bench_vec_col]]) for r in rows
+    ])
+    vec = F.col(vec_col).cast("array<double>")
+    max_cos = F.array_max(
+        F.transform(bench_lit, lambda b: _array_cosine(vec, b)))
+    return (
+        corpus
+        .withColumn("max_benchmark_cosine", F.round(max_cos, 6))
+        .withColumn("contaminated",
+                    F.col("max_benchmark_cosine") >= F.lit(threshold))
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,

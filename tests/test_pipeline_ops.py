@@ -1446,3 +1446,48 @@ class TestSubmitTokenize:
             sys.argv = old
         assert rc == 4
         assert not os.path.exists(out)  # refusal writes nothing
+
+
+class TestSemanticDecontam:
+    def test_matches_numpy_and_flags_planted_copy(self, spark):
+        import numpy as np
+        from resume_ocr_spark.operators import decontam
+        rng = np.random.RandomState(11)
+        bench_v = rng.randn(3, 8).astype(float)
+        corpus_v = rng.randn(5, 8).astype(float)
+        corpus_v[4] = bench_v[1]  # planted exact copy
+        bench = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(bench_v)],
+            "vec_id long, embedding array<double>")
+        corpus = spark.createDataFrame(
+            [(100 + i, [float(x) for x in v])
+             for i, v in enumerate(corpus_v)],
+            "vec_id long, embedding array<double>")
+        out = {r["vec_id"]: (r["max_benchmark_cosine"], r["contaminated"])
+               for r in decontam.semantic_contamination(
+                   corpus, bench, threshold=0.9).collect()}
+        bn = bench_v / np.linalg.norm(bench_v, axis=1, keepdims=True)
+        cn = corpus_v / np.linalg.norm(corpus_v, axis=1, keepdims=True)
+        expect = (cn @ bn.T).max(axis=1)
+        for i in range(5):
+            assert abs(out[100 + i][0] - round(float(expect[i]), 6)) < 2e-6
+        assert out[104] == (1.0, True)
+        assert sum(1 for v in out.values() if v[1]) == 1
+
+    def test_empty_bench_and_cap_guard(self, spark):
+        from resume_ocr_spark.operators import decontam
+        corpus = spark.createDataFrame(
+            [(1, [1.0, 0.0])], "vec_id long, embedding array<double>")
+        empty = spark.createDataFrame(
+            [], "vec_id long, embedding array<double>")
+        row = decontam.semantic_contamination(corpus, empty).collect()[0]
+        assert row["max_benchmark_cosine"] is None
+        assert row["contaminated"] is False
+        big = spark.createDataFrame(
+            [(i, [1.0, 0.0]) for i in range(5)],
+            "vec_id long, embedding array<double>")
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="bench_cap"):
+            decontam.semantic_contamination(corpus, big, bench_cap=2)
+        with _pytest.raises(ValueError, match="threshold"):
+            decontam.semantic_contamination(corpus, big, threshold=2.0)

@@ -44,7 +44,7 @@ EXPECTED_TAIL = [
     "topk_orders", "distinct_agg", "lang_id", "quality_scores",
     "token_counts", "doc_fingerprints", "multimodal_meta",
     "multimodal_resize", "audio_meta", "audio_energy", "video_frames",
-    "dedup_jaccard_pairs", "dedup_embedding_pairs",
+    "dedup_jaccard_pairs", "dedup_embedding_pairs", "semantic_decontam",
 ]
 
 
