@@ -659,6 +659,31 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _semantic_dedup_input():
+    """Deterministic SemDeDup fixture: 100 base vectors + 20 perturbed
+    copies of the first 20 (cosine ≈ 0.999 near-dups)."""
+    import numpy as np
+
+    rng = np.random.RandomState(21)
+    base = rng.randn(120, 16)
+    base[100:] = base[:20] + 0.01 * rng.randn(20, 16)
+    return base.astype(np.float32)
+
+
+def semantic_dedup_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup on a deterministic input (tail entry, round 4): k-means
+    cells → within-cell exact cosine → drop rows with a lower-id neighbor
+    ≥ 0.95. Hash-checked against a single-node replica (shared
+    kmeans_codebook + sequential-fold cosine) embedded as VALUES — the
+    embedding_ann_ivf_det pattern."""
+    from resume_ocr_spark.operators import dedup
+
+    vecs = _semantic_dedup_input()
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    return dedup.semantic_dedup(df, n_clusters=8, threshold=0.95)
+
+
 def semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space decontamination (tail entry, round 4): corpus
     vectors vs a 3-vector benchmark side, max-cosine flag at 0.8. One
@@ -1117,9 +1142,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frames": video_frames,
         "dedup_jaccard_pairs": dedup_jaccard_pairs,
         "dedup_embedding_pairs": dedup_embedding_pairs,
-        # round-4 tail addition: the semantic sibling of benchmark_decontam
-        # (which gates the decontam family's n-gram form in slot space)
+        # round-4 tail additions: the semantic siblings of
+        # benchmark_decontam / the dedup family (which gate the n-gram and
+        # MinHash forms in slot space)
         "semantic_decontam": semantic_decontam,
+        "semantic_dedup_det": semantic_dedup_det,
     }
     return {**gated, **tail}
 
@@ -2120,6 +2147,7 @@ def oracle_sql() -> dict[str, str]:
     sqls["video_frames"] = _precomputed("video_frames")
     sqls["multimodal_pipeline"] = _precomputed("multimodal_pipeline")
     sqls["dedup_phash"] = _precomputed("dedup_phash")
+    sqls["semantic_dedup_det"] = _precomputed("semantic_dedup_det")
     # embedding_ann_ivf (sample-trained codebook) left the registry in
     # round 3: its codebook trains on a driver-side sample of the sf table,
     # which oracle_sql() cannot see, so it could only ever be a rows-only
@@ -2368,6 +2396,32 @@ def _precomputed(name: str) -> str:
             ("rms", "DOUBLE"), ("zero_crossings", "INTEGER"),
             ("energy", "DOUBLE"), ("n_bytes", "INTEGER"),
             ("error", "VARCHAR")])
+    elif name == "semantic_dedup_det":
+        from resume_ocr_spark.operators import similarity as sim
+
+        work = _semantic_dedup_input()          # float32, as the UDF sees it
+        wf = work.astype(np.float64)            # cast(array<double>) widen
+        cent = sim.kmeans_codebook(wf, k=8)
+        assign = (sim._unit(work) @ cent.T).argmax(axis=1)
+        rows = []
+        for i in range(len(work)):
+            keep = True
+            for j in range(i):
+                if int(assign[j]) != int(assign[i]):
+                    continue
+                dot = nl = nr = 0.0
+                for x, y in zip(wf[i], wf[j]):  # index-ascending folds,
+                    dot += x * y                # like _array_cosine's
+                for x in wf[i]:                 # sequential aggregates
+                    nl += x * x
+                for y in wf[j]:
+                    nr += y * y
+                if dot / (nl * nr) ** 0.5 >= 0.95:
+                    keep = False
+                    break
+            rows.append((i, int(assign[i]), keep))
+        sql = _values_sql(rows, [
+            ("vec_id", "BIGINT"), ("cell", "INTEGER"), ("keep", "BOOLEAN")])
     elif name == "dedup_phash":
         # hashes pinned as VALUES from the engine's own pure function (the
         # multimodal precedent); banding, candidate join and Hamming

@@ -289,6 +289,70 @@ def embedding_near_dup(
     return similarity.cosine_pairs_lsh(df, dim, threshold, id_col, vec_col)
 
 
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    centroids=None,
+    max_cell_size: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+    k-means-cluster the embeddings, then compute exact cosine pairs ONLY
+    WITHIN a cluster and drop every row with a lower-id near-neighbor.
+
+    Clustering is what makes corpus-scale embedding dedup tractable: the
+    within-cell self-join costs Σ|cell|² instead of n² — with k cells of
+    ~n/k rows that is n²/k, and real-data cells are far smaller than the
+    worst case. The greedy keep-min-id rule matches :func:`exact_dedup`'s
+    keeper semantics (deterministic; a row survives iff no lower id sits
+    within ``threshold`` cosine in its cell).
+
+    Plan: driver-bounded codebook train (:func:`~.similarity.ivf_train`,
+    pass ``centroids`` to reuse one), zero-shuffle batch-UDF assignment,
+    one hash shuffle on ``cell`` for the self-join, one distinct on
+    dropped ids. ``max_cell_size`` is the degenerate-cell dial: cells
+    past the cap skip pairing (their rows keep; the cap is a recall
+    trade, exactly like the MinHash bucket cap).
+
+    Returns every input id with ``(id_col, cell, keep)``."""
+    from . import similarity
+
+    if not -1.0 <= threshold <= 1.0:
+        raise ValueError(f"threshold out of [-1, 1]: {threshold}")
+    if centroids is None:
+        centroids = similarity.ivf_train(
+            df, id_col, vec_col, k=n_clusters)
+    assigned = similarity.ivf_assign(df, centroids, id_col, vec_col)
+    paired = assigned
+    if max_cell_size is not None:
+        sizes = assigned.groupBy("cell").agg(F.count("*").alias("_csz"))
+        paired = (assigned.join(
+            sizes.filter(F.col("_csz") <= max_cell_size), "cell")
+            .drop("_csz"))
+    vec_d = F.col(vec_col).cast("array<double>")
+    left = paired.select(F.col(id_col).alias("id_a"),
+                         vec_d.alias("_va"), "cell")
+    right = paired.select(F.col(id_col).alias("id_b"),
+                          vec_d.alias("_vb"), "cell")
+    cos = similarity._array_cosine(F.col("_va"), F.col("_vb"))
+    dropped = (
+        left.join(right, (left.cell == right.cell)
+                  & (F.col("id_a") < F.col("id_b")))
+        .filter(cos >= F.lit(threshold))
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("_semdrop", F.lit(True))
+    )
+    return (
+        assigned.select(id_col, "cell")
+        .join(dropped, id_col, "left")
+        .select(F.col(id_col), F.col("cell"),
+                F.coalesce(~F.col("_semdrop"), F.lit(True)).alias("keep"))
+    )
+
+
 def dedup_clusters(pairs: DataFrame, max_iters: int = 50,
                    checkpoint_dir: str | None = None) -> DataFrame:
     """Near-dup pair list → connected components: (doc_id, cluster_id) with

@@ -1491,3 +1491,68 @@ class TestSemanticDecontam:
             decontam.semantic_contamination(corpus, big, bench_cap=2)
         with _pytest.raises(ValueError, match="threshold"):
             decontam.semantic_contamination(corpus, big, threshold=2.0)
+
+
+class TestSemanticDedup:
+    def _emb(self, spark, planted=6):
+        import numpy as np
+        rng = np.random.RandomState(21)
+        base = rng.randn(40, 16)
+        # rows 40.. are perturbed copies of rows 0..planted-1 (cos ~0.999)
+        dup = base[:planted] + 0.01 * rng.randn(planted, 16)
+        vecs = np.vstack([base, dup]).astype(np.float32)
+        rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"), vecs
+
+    def test_drops_planted_copies_keeps_min_id(self, spark):
+        from resume_ocr_spark.operators import dedup
+        df, vecs = self._emb(spark)
+        out = {r["vec_id"]: r["keep"] for r in dedup.semantic_dedup(
+            df, n_clusters=4, threshold=0.95).collect()}
+        assert len(out) == 46
+        import numpy as np
+        vn = vecs.astype(np.float64)
+        vn = vn / np.linalg.norm(vn, axis=1, keepdims=True)
+        sims = vn @ vn.T
+        for j in range(40, 46):
+            # each planted copy has its (lower-id) original at cos > .99
+            assert sims[j, j - 40] > 0.99
+        # copies drop unless clustering separated them from the original
+        # (recall dial); originals always keep (no lower-id neighbor)
+        assert all(out[i] for i in range(40) if not any(
+            sims[i, j] >= 0.95 and j < i for j in range(46)))
+        dropped = [i for i, k in out.items() if not k]
+        assert dropped and all(i >= 40 for i in dropped)
+
+    def test_single_cluster_matches_brute_rule(self, spark):
+        import numpy as np
+        from resume_ocr_spark.operators import dedup
+        df, vecs = self._emb(spark, planted=4)
+        out = {r["vec_id"]: r["keep"] for r in dedup.semantic_dedup(
+            df, n_clusters=1, threshold=0.95).collect()}
+        vn = vecs.astype(np.float64)
+        vn = vn / np.linalg.norm(vn, axis=1, keepdims=True)
+        sims = vn @ vn.T
+        expect = {i: not any(sims[i, j] >= 0.95 - 1e-9 for j in range(i))
+                  for i in range(44)}
+        # tolerance band: only pairs far from the threshold are asserted
+        for i in range(44):
+            near_boundary = any(abs(sims[i, j] - 0.95) < 1e-6
+                                for j in range(i))
+            if not near_boundary:
+                assert out[i] == expect[i], i
+
+    def test_cell_cap_skips_pairing(self, spark):
+        from resume_ocr_spark.operators import dedup
+        df, _ = self._emb(spark)
+        out = dedup.semantic_dedup(df, n_clusters=1, threshold=0.95,
+                                   max_cell_size=2).collect()
+        assert all(r["keep"] for r in out)  # the one giant cell is capped
+
+    def test_threshold_guard(self, spark):
+        import pytest as _pytest
+        from resume_ocr_spark.operators import dedup
+        df, _ = self._emb(spark)
+        with _pytest.raises(ValueError, match="threshold"):
+            dedup.semantic_dedup(df, threshold=1.5)
