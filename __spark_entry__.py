@@ -659,6 +659,17 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style removal (tail entry, round 4): cut every maximal
+    duplicated ≥8-word span except its keeper occurrence (min id owning
+    the span's first k-gram) and rebuild the surviving text — the act-on-it
+    step for dedup_substring, same single hash shuffle."""
+    from resume_ocr_spark.operators import dedup
+
+    return dedup.remove_duplicate_spans(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", k=8)
+
+
 def _semantic_dedup_input():
     """Deterministic SemDeDup fixture: 100 base vectors + 20 perturbed
     copies of the first 20 (cosine ≈ 0.999 near-dups)."""
@@ -1147,6 +1158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # MinHash forms in slot space)
         "semantic_decontam": semantic_decontam,
         "semantic_dedup_det": semantic_dedup_det,
+        "substring_removal": substring_removal,
     }
     return {**gated, **tail}
 
@@ -2098,6 +2110,50 @@ def oracle_sql() -> dict[str, str]:
       SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 7 AS span_end,
              CAST(COUNT(*) AS BIGINT) AS n_dup_shingles
       FROM isl GROUP BY doc_id, grp
+    """
+
+    # substring removal: the detection CTE chain of dedup_substring plus
+    # per-hash min owner, keeper-aware cuts, and index-filtered rebuild.
+    # COALESCE guards: DuckDB's generate_series(1, 0) is NULL (not empty),
+    # so empty docs must coalesce to '' / 0 like the engine's guarded
+    # CASE does.
+    _KEPT_IDX = ("list_filter(COALESCE(generate_series(1, len(ws)), []), "
+                 "i -> len(list_filter(COALESCE(cut, []), "
+                 "c -> i >= c.s AND i <= c.e)) = 0)")
+    sqls["substring_removal"] = f"""
+      WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split(trim(regexp_replace(lower(text),
+                   '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '') AS ws
+        FROM documents
+      ), sh AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos,
+               md5(array_to_string(list_slice(ws, i, i + 7), ' ')) AS h
+        FROM w, UNNEST(generate_series(1, len(ws) - 7)) AS t(i)
+      ), dup AS (
+        SELECT h, MIN(doc_id) AS owner FROM sh
+        GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+      ), marked AS (
+        SELECT s.doc_id, s.pos, d.owner FROM sh s JOIN dup d USING (h)
+      ), isl AS (
+        SELECT doc_id, pos, owner,
+               pos - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                        ORDER BY pos) AS grp
+        FROM marked
+      ), spans AS (
+        SELECT doc_id, MIN(pos) AS s, MAX(pos) + 7 AS e,
+               arg_min(owner, pos) AS first_owner
+        FROM isl GROUP BY doc_id, grp
+      ), cuts AS (
+        SELECT doc_id, list(struct_pack(s := s, e := e)) AS cut
+        FROM spans WHERE first_owner <> doc_id GROUP BY doc_id
+      )
+      SELECT w.doc_id,
+             COALESCE(array_to_string(list_transform({_KEPT_IDX},
+                 i -> ws[i]), ' '), '') AS text_clean,
+             CAST(len(ws) - len({_KEPT_IDX}) AS INT) AS n_words_removed,
+             CAST(len(COALESCE(cut, [])) AS INT) AS n_spans_removed
+      FROM w LEFT JOIN cuts USING (doc_id)
     """
 
     # semantic decontamination: corpus ∪ planted-bench-copy vs the 3-vector

@@ -289,6 +289,89 @@ def embedding_near_dup(
     return similarity.cosine_pairs_lsh(df, dim, threshold, id_col, vec_col)
 
 
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """ExactSubstr-style REMOVAL (the Lee et al. "Deduplicating Training
+    Data" act-on-it step for :func:`substring_duplicate_spans`): cut each
+    maximal duplicated span from every document EXCEPT the span's keeper,
+    so at least one occurrence of every duplicated region survives.
+
+    Keeper rule (deterministic, join-free): the keeper of a span is the
+    minimum doc id among documents containing the span's FIRST duplicated
+    k-gram — computable from the same per-hash aggregation that marks
+    duplicates, so removal costs the same single hash shuffle as
+    detection, never a pairwise join. (Granularity note: spans are shingle
+    runs, see :func:`substring_duplicate_spans`'s span-semantics note —
+    a span's later k-grams may have other owners; the first-k-gram rule
+    keeps the policy single-pass. A doc can keep one span and lose
+    another.)
+
+    Output: every input row as ``(id_col, text_clean, n_words_removed,
+    n_spans_removed)`` — ``text_clean`` re-joins the surviving normalized
+    words with single spaces (the ``_tokens`` normalization, same as the
+    detection pass)."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    ws = F.filter(_tokens(text_col), lambda x: x != "")
+    base = df.select(F.col(id_col), ws.alias("_ws"))
+    shingle_expr = F.expr(
+        f"CASE WHEN size(_ws) >= {k} THEN "
+        f"transform(sequence(1, size(_ws) - {k - 1}), i -> "
+        f"struct(CAST(i AS BIGINT) AS pos, "
+        f"md5(array_join(slice(_ws, i, {k}), ' ')) AS h)) "
+        f"ELSE array() END"
+    )
+    sh = (
+        base.select(F.col(id_col), F.explode(shingle_expr).alias("_s"))
+        .select(F.col(id_col), F.col("_s.pos").alias("pos"),
+                F.col("_s.h").alias("h"))
+    )
+    dup_own = (
+        sh.groupBy("h")
+        .agg(F.countDistinct(id_col).alias("_nd"),
+             F.min(id_col).alias("_owner"))
+        .filter(F.col("_nd") >= 2)
+        .select("h", "_owner")
+    )
+    marked = sh.join(dup_own, "h").select(F.col(id_col), "pos", "_owner")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    isl = marked.withColumn("_grp", F.col("pos") - F.row_number().over(w))
+    spans = (
+        isl.groupBy(id_col, "_grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).alias("span_end"),
+            # owner of the span's first k-gram: struct-min orders by pos
+            F.min(F.struct("pos", "_owner")).alias("_first"),
+        )
+        .filter(F.col(f"_first._owner") != F.col(id_col))  # keeper keeps
+        .select(F.col(id_col), "span_start", "span_end")
+    )
+    cuts = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_cut"),
+    )
+    joined = base.join(cuts, id_col, "left").withColumn(
+        "_cut", F.coalesce(F.col("_cut"), F.array()))
+    # sequence(1, 0) DESCENDS on empty docs (the _shingles gotcha) — guard
+    kept_expr = (
+        "CASE WHEN size(_ws) = 0 THEN array() ELSE "
+        "filter(sequence(1, size(_ws)), i -> NOT exists(_cut, "
+        "c -> i BETWEEN c.span_start AND c.span_end)) END"
+    )
+    kept = F.expr(kept_expr)
+    return joined.select(
+        F.col(id_col),
+        F.expr(f"array_join(transform({kept_expr}, i -> _ws[i - 1]), ' ')")
+        .alias("text_clean"),
+        (F.size("_ws") - F.size(kept)).alias("n_words_removed"),
+        F.size("_cut").alias("n_spans_removed"),
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -211,6 +211,41 @@ def vocab_topk(
     )
 
 
+def with_compression_ratio(df: DataFrame,
+                           text_col: str = "text") -> DataFrame:
+    """Compression-ratio quality signal (the Dolma/RedPajama-style zlib
+    heuristic): ``compression_ratio = deflate(utf8(text)) / len(utf8)``,
+    rounded to 4. Very low ratios mark templated/repeated boilerplate;
+    ratios near (or above) 1.0 mark high-entropy gibberish/binary junk —
+    both tails are drop candidates real pipelines cut on.
+
+    zlib is not expressible as a Column function, so this is an Arrow
+    batch UDF — still a zero-shuffle projection; the per-row cost is the
+    deflate pass itself. NULL/empty text reports NULL (unscorable)."""
+    import zlib
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def comp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ratios = []
+            for t in pdf[text_col]:
+                if not t:
+                    ratios.append(None)
+                    continue
+                raw = t.encode("utf-8")
+                ratios.append(round(len(zlib.compress(raw, 6)) / len(raw), 4))
+            out = pdf.copy()
+            out["compression_ratio"] = ratios
+            yield out
+
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in df.schema.fields)
+    return df.mapInPandas(
+        comp, schema=f"{fields}, compression_ratio double")
+
+
 def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Raw term-frequency table ``(word, n_occurrences)`` over the corpus —
     the unigram model input (no per-doc dedup, no top-k cut)."""

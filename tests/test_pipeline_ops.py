@@ -1556,3 +1556,90 @@ class TestSemanticDedup:
         df, _ = self._emb(spark)
         with _pytest.raises(ValueError, match="threshold"):
             dedup.semantic_dedup(df, threshold=1.5)
+
+
+class TestCompressionRatio:
+    def test_matches_zlib_and_orders_by_entropy(self, spark):
+        import zlib
+        texts = {
+            1: "spam spam spam " * 200,                   # highly repetitive
+            2: "the quick brown fox jumps over the lazy dog and then "
+               "discusses seventeen distinct topics in varied words",
+            3: "kq8Zx!mN3vR7bT1cW9yU5aE2sD4fG6hJ0pL",     # high entropy
+            4: "",
+            5: None,
+        }
+        df = spark.createDataFrame(
+            sorted(((k, v) for k, v in texts.items()),
+                   key=lambda t: t[0]),
+            "doc_id long, text string")
+        from resume_ocr_spark.operators import textstats
+        out = {r["doc_id"]: r["compression_ratio"]
+               for r in textstats.with_compression_ratio(df).collect()}
+        for i in (1, 2, 3):
+            raw = texts[i].encode("utf-8")
+            assert out[i] == round(len(zlib.compress(raw, 6)) / len(raw), 4)
+        assert out[1] < out[2] < out[3]    # repetitive < prose < gibberish
+        assert out[4] is None and out[5] is None
+        # input columns survive the projection
+        cols = textstats.with_compression_ratio(df).columns
+        assert cols == ["doc_id", "text", "compression_ratio"]
+
+
+class TestRemoveDuplicateSpans:
+    def _docs(self, spark):
+        shared = " ".join(f"dup{i:02d}" for i in range(12))  # 12-word block
+        rows = [
+            (1, f"alpha beta {shared} gamma delta"),   # keeper (min id)
+            (2, f"epsilon zeta {shared} eta theta"),   # loses the block
+            (3, f"iota kappa {shared} lam mu"),        # loses the block
+            (4, "totally unrelated words only here"),  # untouched
+            (5, ""),                                   # empty doc survives
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_keeper_keeps_others_cut(self, spark):
+        from resume_ocr_spark.operators import dedup
+        out = {r["doc_id"]: r for r in dedup.remove_duplicate_spans(
+            self._docs(spark), k=8).collect()}
+        assert len(out) == 5
+        # doc 1 is the min-id owner of the shared block's first 8-gram
+        assert "dup00" in out[1]["text_clean"]
+        assert out[1]["n_spans_removed"] == 0
+        for d in (2, 3):
+            assert "dup" not in out[d]["text_clean"], out[d]["text_clean"]
+            assert out[d]["n_spans_removed"] == 1
+            assert out[d]["n_words_removed"] == 12
+            # non-duplicated flanks survive
+            assert out[2]["text_clean"].startswith("epsilon zeta")
+        assert out[4]["n_words_removed"] == 0
+        assert out[5] ["text_clean"] == "" and out[5]["n_words_removed"] == 0
+
+    def test_removal_consistent_with_detection(self, spark):
+        # every doc's removed word count equals the total width of its
+        # non-keeper spans as reported by substring_duplicate_spans
+        from resume_ocr_spark.operators import dedup
+        docs = self._docs(spark)
+        spans = dedup.substring_duplicate_spans(docs, k=8).collect()
+        removed = {r["doc_id"]: r["n_words_removed"]
+                   for r in dedup.remove_duplicate_spans(docs, k=8).collect()}
+        widths = {}
+        for s in spans:
+            widths.setdefault(s["doc_id"], 0)
+            widths[s["doc_id"]] += s["span_end"] - s["span_start"] + 1
+        # keeper docs keep their spans; doc 1 keeps, 2/3 lose everything
+        assert removed[2] == widths[2] and removed[3] == widths[3]
+        assert removed[1] == 0 and 1 in widths
+
+    def test_at_least_one_occurrence_survives(self, spark):
+        # the duplicated region's text still exists somewhere post-removal
+        from resume_ocr_spark.operators import dedup
+        out = dedup.remove_duplicate_spans(self._docs(spark), k=8).collect()
+        survivors = " | ".join(r["text_clean"] for r in out)
+        assert "dup00" in survivors and "dup11" in survivors
+
+    def test_k_guard(self, spark):
+        import pytest as _pytest
+        from resume_ocr_spark.operators import dedup
+        with _pytest.raises(ValueError):
+            dedup.remove_duplicate_spans(self._docs(spark), k=1)
