@@ -692,7 +692,10 @@ def semantic_dedup_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = _semantic_dedup_input()
     rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
-    return dedup.semantic_dedup(df, n_clusters=8, threshold=0.95)
+    # persist_assigned=False: the gate/bench call this repeatedly in one
+    # session — a pinned cache per call would leak executor storage
+    return dedup.semantic_dedup(df, n_clusters=8, threshold=0.95,
+                                persist_assigned=False)
 
 
 def semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2123,7 +2126,8 @@ def oracle_sql() -> dict[str, str]:
     sqls["substring_removal"] = f"""
       WITH w AS (
         SELECT doc_id,
-               list_filter(string_split(trim(regexp_replace(lower(text),
+               list_filter(string_split(trim(regexp_replace(lower(
+                   coalesce(text, '')),
                    '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '') AS ws
         FROM documents
       ), sh AS (
@@ -2133,20 +2137,25 @@ def oracle_sql() -> dict[str, str]:
       ), dup AS (
         SELECT h, MIN(doc_id) AS owner FROM sh
         GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
-      ), marked AS (
-        SELECT s.doc_id, s.pos, d.owner FROM sh s JOIN dup d USING (h)
+      ), cov AS (
+        SELECT s.doc_id, CAST(gs.widx AS BIGINT) AS widx,
+               (d.owner = s.doc_id) AS owned
+        FROM sh s JOIN dup d USING (h),
+             UNNEST(generate_series(s.pos, s.pos + 7)) AS gs(widx)
+      ), cutw AS (
+        SELECT doc_id, widx FROM cov
+        GROUP BY doc_id, widx HAVING NOT BOOL_OR(owned)
       ), isl AS (
-        SELECT doc_id, pos, owner,
-               pos - ROW_NUMBER() OVER (PARTITION BY doc_id
-                                        ORDER BY pos) AS grp
-        FROM marked
+        SELECT doc_id, widx,
+               widx - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                         ORDER BY widx) AS grp
+        FROM cutw
       ), spans AS (
-        SELECT doc_id, MIN(pos) AS s, MAX(pos) + 7 AS e,
-               arg_min(owner, pos) AS first_owner
+        SELECT doc_id, MIN(widx) AS s, MAX(widx) AS e
         FROM isl GROUP BY doc_id, grp
       ), cuts AS (
         SELECT doc_id, list(struct_pack(s := s, e := e)) AS cut
-        FROM spans WHERE first_owner <> doc_id GROUP BY doc_id
+        FROM spans GROUP BY doc_id
       )
       SELECT w.doc_id,
              COALESCE(array_to_string(list_transform({_KEPT_IDX},
@@ -2455,10 +2464,10 @@ def _precomputed(name: str) -> str:
     elif name == "semantic_dedup_det":
         from resume_ocr_spark.operators import similarity as sim
 
-        work = _semantic_dedup_input()          # float32, as the UDF sees it
-        wf = work.astype(np.float64)            # cast(array<double>) widen
-        cent = sim.kmeans_codebook(wf, k=8)
-        assign = (sim._unit(work) @ cent.T).argmax(axis=1)
+        work = _semantic_dedup_input()          # float32 storage values
+        wf = work.astype(np.float64)            # the UDF widens to float64
+        cent = sim.kmeans_codebook(wf, k=8)     # BEFORE normalizing — the
+        assign = (sim._unit(wf) @ cent.T).argmax(axis=1)  # replica must too
         rows = []
         for i in range(len(work)):
             keep = True

@@ -81,7 +81,8 @@ def contamination_counts(
     )
 
 
-SEMANTIC_BENCH_CAP = 20_000  # max benchmark vectors folded into the plan
+SEMANTIC_LITERAL_CAP = 512        # bench vectors foldable as plan literals
+SEMANTIC_BENCH_CAP = 200_000      # hard cap for the Arrow-UDF path
 
 
 def semantic_contamination(
@@ -92,6 +93,7 @@ def semantic_contamination(
     bench_vec_col: str = "embedding",
     threshold: float = 0.9,
     bench_cap: int = SEMANTIC_BENCH_CAP,
+    method: str = "auto",
 ) -> DataFrame:
     """Embedding-space decontamination — the semantic sibling of the
     n-gram overlap check: flag corpus documents whose embedding is within
@@ -99,18 +101,33 @@ def semantic_contamination(
     reformatted eval leakage that shares no 13-gram).
 
     Returns every corpus row plus ``max_benchmark_cosine`` (rounded to 6)
-    and ``contaminated``.
+    and ``contaminated``. Totality: NULL corpus embeddings report
+    ``(NULL, False)`` — unscorable, same convention as an empty benchmark;
+    NULL benchmark embeddings are skipped.
 
-    100 TB shape: the benchmark embeddings are collected once (bounded by
-    ``bench_cap`` via limit — an eval suite is small by definition) and
-    folded into the plan as a LITERAL array of vectors; per corpus row the
-    max cosine is an array expression (transform + zip_with folds) — zero
-    joins, zero shuffles, the corpus is scanned exactly once. Benchmarks
-    past the cap should go through an LSH prune (the
-    :func:`~.similarity.lsh_signature` banding) before the exact pass."""
+    100 TB shape — zero joins, zero shuffles either way; the corpus is
+    scanned exactly once:
+
+    ``method='literal'`` (default for ≤ {lit_cap} bench vectors): the
+    bench is folded into the plan as a literal array of (unit-handled)
+    vectors; per-row max cosine is a transform + zip_with fold with the
+    per-bench norms precomputed driver-side and the corpus norm hoisted
+    to one column — the form the DuckDB gate mirrors bit-for-bit.
+    Catalyst literal folding is O(bench × dim) expression NODES, so this
+    path is capped hard: measured on this class of host, ~10⁵ literal
+    nodes already cost a minute of driver planning.
+
+    ``method='udf'`` (default above the literal cap, up to ``bench_cap``):
+    the bench ships as a numpy matrix inside an Arrow batch UDF closure —
+    one matmul per batch. Float results can differ from the fold path in
+    the last ulp (BLAS summation order), so the gate entry pins the
+    literal form.""".format(lit_cap=SEMANTIC_LITERAL_CAP)
     if not -1.0 <= threshold <= 1.0:
         raise ValueError(f"threshold out of [-1, 1]: {threshold}")
+    if method not in ("auto", "literal", "udf"):
+        raise ValueError(f"unknown method: {method!r}")
     rows = (benchmark.select(bench_vec_col)
+            .filter(F.col(bench_vec_col).isNotNull())
             .limit(bench_cap + 1).collect())
     if len(rows) > bench_cap:
         raise ValueError(
@@ -121,20 +138,89 @@ def semantic_contamination(
                 .withColumn("max_benchmark_cosine",
                             F.lit(None).cast("double"))
                 .withColumn("contaminated", F.lit(False)))
-    from .similarity import _array_cosine
-
+    vecs = [[float(x) for x in r[bench_vec_col]] for r in rows]
+    if method == "auto":
+        method = "literal" if len(vecs) <= SEMANTIC_LITERAL_CAP else "udf"
+    if method == "literal" and len(vecs) > SEMANTIC_LITERAL_CAP:
+        raise ValueError(
+            f"literal folding capped at {SEMANTIC_LITERAL_CAP} bench "
+            f"vectors (got {len(vecs)}): the plan-node cost is "
+            "O(bench × dim) driver-side — use method='udf'")
+    if method == "udf":
+        return _semantic_contamination_udf(corpus, vecs, vec_col, threshold)
+    # literal fold: per-bench norms² precomputed with the same sequential
+    # summation the aggregate fold uses (bit-identical), corpus norm²
+    # hoisted to ONE column instead of being re-folded per bench vector
+    norms2 = []
+    for v in vecs:
+        n = 0.0
+        for x in v:
+            n += x * x
+        norms2.append(n)
     bench_lit = F.array(*[
-        F.array(*[F.lit(float(x)) for x in r[bench_vec_col]]) for r in rows
+        F.struct(
+            F.array(*[F.lit(x) for x in v]).alias("bv"),
+            F.lit(n2).alias("nr"),
+        )
+        for v, n2 in zip(vecs, norms2)
     ])
     vec = F.col(vec_col).cast("array<double>")
-    max_cos = F.array_max(
-        F.transform(bench_lit, lambda b: _array_cosine(vec, b)))
+    nl = F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x)
+    dot = lambda b: F.aggregate(  # noqa: E731 — mirrors _array_cosine
+        F.zip_with(vec, b["bv"], lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x)
+    max_cos = F.array_max(F.transform(
+        bench_lit, lambda b: dot(b) / F.sqrt(F.col("_nl") * b["nr"])))
     return (
         corpus
+        .withColumn("_nl", nl)
         .withColumn("max_benchmark_cosine", F.round(max_cos, 6))
-        .withColumn("contaminated",
-                    F.col("max_benchmark_cosine") >= F.lit(threshold))
+        .withColumn(
+            "contaminated",
+            F.coalesce(F.col("max_benchmark_cosine") >= F.lit(threshold),
+                       F.lit(False)))
+        .drop("_nl")
     )
+
+
+def _semantic_contamination_udf(
+    corpus: DataFrame, vecs: list[list[float]], vec_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Large-bench path: one numpy matmul per Arrow batch."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    bench = np.asarray(vecs, dtype=np.float64)
+    bench_unit = bench / np.linalg.norm(bench, axis=1, keepdims=True)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            maxc: list[float | None] = []
+            for v in pdf[vec_col]:
+                if v is None:
+                    maxc.append(None)
+                    continue
+                x = np.asarray(list(v), dtype=np.float64)
+                n = np.linalg.norm(x)
+                if n == 0:
+                    maxc.append(None)
+                    continue
+                maxc.append(round(float((bench_unit @ (x / n)).max()), 6))
+            out["max_benchmark_cosine"] = maxc
+            out["contaminated"] = [
+                (c is not None and c >= threshold) for c in maxc]
+            yield out
+
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in corpus.schema.fields)
+    return corpus.mapInPandas(
+        score,
+        schema=f"{fields}, max_benchmark_cosine double, "
+               "contaminated boolean")
 
 
 def decontaminate(

@@ -300,24 +300,35 @@ def remove_duplicate_spans(
     maximal duplicated span from every document EXCEPT the span's keeper,
     so at least one occurrence of every duplicated region survives.
 
-    Keeper rule (deterministic, join-free): the keeper of a span is the
-    minimum doc id among documents containing the span's FIRST duplicated
-    k-gram — computable from the same per-hash aggregation that marks
-    duplicates, so removal costs the same single hash shuffle as
-    detection, never a pairwise join. (Granularity note: spans are shingle
-    runs, see :func:`substring_duplicate_spans`'s span-semantics note —
-    a span's later k-grams may have other owners; the first-k-gram rule
-    keeps the policy single-pass. A doc can keep one span and lose
-    another.)
+    Keeper rule (deterministic, gram-granular): each duplicated k-gram's
+    keeper is the minimum doc id containing it; a WORD is cut from doc d
+    iff at least one duplicated k-gram covers it and EVERY duplicated
+    k-gram covering it in d is owned elsewhere. This provably preserves
+    one occurrence of every duplicated k-gram: in its owner document all
+    of the gram's words are covered by an owned gram, so none are cut.
+    (A span-level first-gram rule — the obvious shortcut — can destroy
+    ALL copies of a region when one doc's island chains grams with
+    different owners; caught in the round-4 review, pinned by
+    ``test_overlapping_owner_chain_keeps_every_region``.)
+
+    Cost: the same detection hash shuffle plus a bounded ×k explode of
+    the DUPLICATED-gram subset only (word-coverage marking), one
+    (doc, word) aggregation, never a pairwise join.
 
     Output: every input row as ``(id_col, text_clean, n_words_removed,
     n_spans_removed)`` — ``text_clean`` re-joins the surviving normalized
     words with single spaces (the ``_tokens`` normalization, same as the
-    detection pass)."""
+    detection pass); ``n_spans_removed`` counts maximal runs of cut
+    words. NULL text is treated as empty (totality, quality_filter's
+    convention)."""
     if k < 2:
         raise ValueError("k must be >= 2")
-    ws = F.filter(_tokens(text_col), lambda x: x != "")
-    base = df.select(F.col(id_col), ws.alias("_ws"))
+    base = df.select(
+        F.col(id_col),
+        F.coalesce(F.col(text_col), F.lit("")).alias("_txt"),
+    )
+    ws = F.filter(_tokens("_txt"), lambda x: x != "")
+    base = base.select(F.col(id_col), ws.alias("_ws"))
     shingle_expr = F.expr(
         f"CASE WHEN size(_ws) >= {k} THEN "
         f"transform(sequence(1, size(_ws) - {k - 1}), i -> "
@@ -337,18 +348,26 @@ def remove_duplicate_spans(
         .filter(F.col("_nd") >= 2)
         .select("h", "_owner")
     )
-    marked = sh.join(dup_own, "h").select(F.col(id_col), "pos", "_owner")
-    w = Window.partitionBy(id_col).orderBy("pos")
-    isl = marked.withColumn("_grp", F.col("pos") - F.row_number().over(w))
+    covered = (
+        sh.join(dup_own, "h")
+        .select(F.col(id_col),
+                F.explode(F.expr(f"sequence(pos, pos + {k - 1})"))
+                .alias("widx"),
+                (F.col("_owner") == F.col(id_col)).alias("_owned"))
+    )
+    cut_words = (
+        covered.groupBy(id_col, "widx")
+        .agg(F.max("_owned").alias("_any_owned"))
+        .filter(~F.col("_any_owned"))
+        .select(id_col, "widx")
+    )
+    w = Window.partitionBy(id_col).orderBy("widx")
+    isl = cut_words.withColumn(
+        "_grp", F.col("widx") - F.row_number().over(w))
     spans = (
         isl.groupBy(id_col, "_grp")
-        .agg(
-            F.min("pos").alias("span_start"),
-            (F.max("pos") + F.lit(k - 1)).alias("span_end"),
-            # owner of the span's first k-gram: struct-min orders by pos
-            F.min(F.struct("pos", "_owner")).alias("_first"),
-        )
-        .filter(F.col(f"_first._owner") != F.col(id_col))  # keeper keeps
+        .agg(F.min("widx").alias("span_start"),
+             F.max("widx").alias("span_end"))
         .select(F.col(id_col), "span_start", "span_end")
     )
     cuts = spans.groupBy(id_col).agg(
@@ -380,10 +399,18 @@ def semantic_dedup(
     n_clusters: int = 16,
     centroids=None,
     max_cell_size: int | None = None,
+    persist_assigned: bool = True,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
     k-means-cluster the embeddings, then compute exact cosine pairs ONLY
     WITHIN a cluster and drop every row with a lower-id near-neighbor.
+
+    Preconditions (inherited from :func:`~.similarity.ivf_assign`'s fixed
+    Arrow schema): ``id_col`` must be integral (long); vectors are carried
+    as array<float>, so array<double> inputs are float32-quantized before
+    the cosine stage — "exact cosine" means exact over those quantized
+    values (pairs within ~1e-7 of the threshold can flip vs a float64
+    pipeline).
 
     Clustering is what makes corpus-scale embedding dedup tractable: the
     within-cell self-join costs Σ|cell|² instead of n² — with k cells of
@@ -408,6 +435,14 @@ def semantic_dedup(
         centroids = similarity.ivf_train(
             df, id_col, vec_col, k=n_clusters)
     assigned = similarity.ivf_assign(df, centroids, id_col, vec_col)
+    # the assignment frame feeds three subtrees (both join sides + the
+    # final keep-join) with different projections — without a persist the
+    # full-corpus batch-UDF matmul pass runs three times. Same storage
+    # contract as jaccard_pairs_lsh: the result is lazy, so the caller
+    # unpersists via result.cached_assigned after materializing (gate/
+    # bench-style repeat callers pass persist_assigned=False).
+    if persist_assigned:
+        assigned.persist()
     paired = assigned
     if max_cell_size is not None:
         sizes = assigned.groupBy("cell").agg(F.count("*").alias("_csz"))
@@ -428,12 +463,15 @@ def semantic_dedup(
         .distinct()
         .withColumn("_semdrop", F.lit(True))
     )
-    return (
+    out = (
         assigned.select(id_col, "cell")
         .join(dropped, id_col, "left")
         .select(F.col(id_col), F.col("cell"),
                 F.coalesce(~F.col("_semdrop"), F.lit(True)).alias("keep"))
     )
+    if persist_assigned:
+        out.cached_assigned = assigned
+    return out
 
 
 def dedup_clusters(pairs: DataFrame, max_iters: int = 50,

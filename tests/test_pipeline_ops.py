@@ -1643,3 +1643,97 @@ class TestRemoveDuplicateSpans:
         from resume_ocr_spark.operators import dedup
         with _pytest.raises(ValueError):
             dedup.remove_duplicate_spans(self._docs(spark), k=1)
+
+
+class TestRemovalOwnerChain:
+    def test_overlapping_owner_chain_keeps_every_region(self, spark):
+        """Round-4 review counterexample: doc1's duplicated island chains a
+        gram owned by doc0 with a gram owned by doc1 itself. The naive
+        span-level first-gram keeper cut the whole island in BOTH docs 1
+        and 2, destroying every copy of 'b..i'. The gram-granular rule
+        must keep each duplicated gram's text in its owner document."""
+        from resume_ocr_spark.operators import dedup
+        rows = [
+            (0, "a b c d e f g h"),
+            (1, "a b c d e f g h i"),
+            (2, "b c d e f g h i"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in
+               dedup.remove_duplicate_spans(df, k=8).collect()}
+        # doc0 owns 'a..h': keeps everything
+        assert out[0]["text_clean"] == "a b c d e f g h"
+        # doc1 owns 'b..i', so those words keep (each is covered by the
+        # owned gram); its leading 'a' is covered ONLY by the doc0-owned
+        # gram and is cut
+        assert out[1]["text_clean"] == "b c d e f g h i"
+        # doc2's only duplicated gram is owned by doc1 -> fully cut
+        assert out[2]["text_clean"] == ""
+        # the invariant the naive rule broke: BOTH duplicated regions
+        # survive verbatim in their owner documents
+        assert "a b c d e f g h" in out[0]["text_clean"]
+        assert "b c d e f g h i" in out[1]["text_clean"]
+
+    def test_null_text_total(self, spark):
+        from resume_ocr_spark.operators import dedup
+        df = spark.createDataFrame(
+            [(1, None), (2, "some words here")], "doc_id long, text string")
+        out = {r["doc_id"]: r for r in
+               dedup.remove_duplicate_spans(df, k=8).collect()}
+        assert out[1]["text_clean"] == ""
+        assert out[1]["n_words_removed"] == 0
+        assert out[1]["n_spans_removed"] == 0
+
+
+class TestSemanticDecontamPaths:
+    def test_udf_path_matches_literal_path(self, spark):
+        import numpy as np
+        from resume_ocr_spark.operators import decontam
+        rng = np.random.RandomState(5)
+        bench = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(rng.randn(4, 8))],
+            "vec_id long, embedding array<double>")
+        corpus = spark.createDataFrame(
+            [(100 + i, [float(x) for x in v])
+             for i, v in enumerate(rng.randn(10, 8))],
+            "vec_id long, embedding array<double>")
+        a = {r["vec_id"]: (r["max_benchmark_cosine"], r["contaminated"])
+             for r in decontam.semantic_contamination(
+                 corpus, bench, method="literal").collect()}
+        b = {r["vec_id"]: (r["max_benchmark_cosine"], r["contaminated"])
+             for r in decontam.semantic_contamination(
+                 corpus, bench, method="udf").collect()}
+        for k in a:
+            assert abs(a[k][0] - b[k][0]) <= 1e-6 and a[k][1] == b[k][1]
+
+    def test_null_embeddings_total_and_bench_nulls_skipped(self, spark):
+        from resume_ocr_spark.operators import decontam
+        bench = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, None)], "vec_id long, embedding array<double>")
+        corpus = spark.createDataFrame(
+            [(10, [1.0, 0.0]), (11, None)],
+            "vec_id long, embedding array<double>")
+        for method in ("literal", "udf"):
+            out = {r["vec_id"]: (r["max_benchmark_cosine"], r["contaminated"])
+                   for r in decontam.semantic_contamination(
+                       corpus, bench, threshold=0.9,
+                       method=method).collect()}
+            assert out[10] == (1.0, True), method
+            assert out[11] == (None, False), method
+
+    def test_literal_cap_and_method_guard(self, spark):
+        import pytest as _pytest
+        from resume_ocr_spark.operators import decontam
+        corpus = spark.createDataFrame(
+            [(1, [1.0, 0.0])], "vec_id long, embedding array<double>")
+        big = spark.createDataFrame(
+            [(i, [1.0, float(i)]) for i in range(
+                decontam.SEMANTIC_LITERAL_CAP + 1)],
+            "vec_id long, embedding array<double>")
+        with _pytest.raises(ValueError, match="literal folding capped"):
+            decontam.semantic_contamination(corpus, big, method="literal")
+        with _pytest.raises(ValueError, match="unknown method"):
+            decontam.semantic_contamination(corpus, big, method="magic")
+        # auto silently takes the UDF path above the literal cap
+        assert decontam.semantic_contamination(
+            corpus, big).collect()[0]["contaminated"] in (True, False)
