@@ -124,17 +124,8 @@ def cosine_pairs_lsh(
     (zip_with fold, no unnest). Recall < 1 by design for pairs far below
     cosine 1; near-identical vectors agree on all bits of every band, so true
     near-dups survive the pruning with high probability."""
-    sigs = lsh_signature(df, dim, id_col, vec_col)
-    bits_per_band = N_PLANES // bands
-    mask = (1 << bits_per_band) - 1
-    banded = sigs.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("vec"),
-        F.explode(F.array(*[
-            (F.shiftright(F.col("lsh_sig"), b * bits_per_band)
-             .bitwiseAND(F.lit(mask)) + F.lit(b * (mask + 1))).alias(f"b{b}")
-            for b in range(bands)
-        ])).alias("bucket"),
-    )
+    banded = _sig_buckets(lsh_signature(df, dim, id_col, vec_col),
+                          id_col, vec_col, bands)
     left = banded.select(F.col(id_col).alias("id_a"), F.col("vec").alias("va"),
                          "bucket")
     right = banded.select(F.col(id_col).alias("id_b"), F.col("vec").alias("vb"),
@@ -149,6 +140,65 @@ def cosine_pairs_lsh(
             "cosine", F.round(_array_cosine(F.col("va"), F.col("vb")), 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
+    )
+
+
+def _sig_buckets(sigs: DataFrame, id_col: str, vec_col: str,
+                 bands: int) -> DataFrame:
+    """(id, vec_double, bucket) rows from lsh_signature output — the
+    shared banding step (band index baked into the bucket value)."""
+    bits_per_band = N_PLANES // bands
+    mask = (1 << bits_per_band) - 1
+    return sigs.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("vec"),
+        F.explode(F.array(*[
+            (F.shiftright(F.col("lsh_sig"), b * bits_per_band)
+             .bitwiseAND(F.lit(mask)) + F.lit(b * (mask + 1))).alias(f"b{b}")
+            for b in range(bands)
+        ])).alias("bucket"),
+    )
+
+
+def cosine_probe_lsh(
+    new_df: DataFrame,
+    index_df: DataFrame,
+    dim: int,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bands: int = LSH_SIM_BANDS,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Embedding near-dups BETWEEN a new batch and a persisted index — the
+    incremental twin completing the probe family (text:
+    :func:`~.dedup.minhash_lsh_probe`, image:
+    :func:`~.imagehash.phash_probe`): hyperplane-LSH band both sides with
+    the SAME seeded planes, join only across them, exact cosine per
+    candidate. The index side is the (id, embedding) table you append each
+    batch to; its banded form is rebuildable from the stored vectors at
+    any time. ``max_bucket_size`` caps degenerate INDEX buckets.
+
+    Returns ``(new_id, index_id, cosine)`` pairs at ≥ ``threshold``."""
+    nb = _sig_buckets(lsh_signature(new_df, dim, id_col, vec_col),
+                      id_col, vec_col, bands)
+    ib = _sig_buckets(lsh_signature(index_df, dim, id_col, vec_col),
+                      id_col, vec_col, bands)
+    if max_bucket_size is not None:
+        sizes = ib.groupBy("bucket").agg(F.count("*").alias("_bsz"))
+        ib = (ib.join(sizes.filter(F.col("_bsz") <= max_bucket_size),
+                      "bucket").drop("_bsz"))
+    cand = (
+        nb.select(F.col(id_col).alias("new_id"),
+                  F.col("vec").alias("va"), "bucket")
+        .join(ib.select(F.col(id_col).alias("index_id"),
+                        F.col("vec").alias("vb"), "bucket"), "bucket")
+        .dropDuplicates(["new_id", "index_id"])
+    )
+    return (
+        cand.withColumn(
+            "cosine", F.round(_array_cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("new_id", "index_id", "cosine")
     )
 
 

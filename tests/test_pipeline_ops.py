@@ -1737,3 +1737,54 @@ class TestSemanticDecontamPaths:
         # auto silently takes the UDF path above the literal cap
         assert decontam.semantic_contamination(
             corpus, big).collect()[0]["contaminated"] in (True, False)
+
+
+class TestCosineProbeLsh:
+    def test_cross_side_only_and_finds_planted(self, spark):
+        import numpy as np
+        from resume_ocr_spark.operators import similarity
+        rng = np.random.RandomState(9)
+        idx_v = rng.randn(30, 64).astype(np.float64)
+        new_v = rng.randn(5, 64).astype(np.float64)
+        new_v[0] = idx_v[7]            # planted cross-side duplicate
+        new_v[1] = new_v[2]            # within-batch dup: NOT the probe's job
+        index = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(idx_v)],
+            "vec_id long, embedding array<double>")
+        new = spark.createDataFrame(
+            [(100 + i, [float(x) for x in v]) for i, v in enumerate(new_v)],
+            "vec_id long, embedding array<double>")
+        pairs = {(r["new_id"], r["index_id"]): r["cosine"]
+                 for r in similarity.cosine_probe_lsh(
+                     new, index, dim=64, threshold=0.9).collect()}
+        assert pairs[(100, 7)] == 1.0
+        assert all(n >= 100 and i < 100 for n, i in pairs)  # cross only
+        # degenerate-index cap drops everything at cap 0
+        assert similarity.cosine_probe_lsh(
+            new, index, dim=64, threshold=0.9,
+            max_bucket_size=0).count() == 0
+
+    def test_agrees_with_self_join_on_cross_pairs(self, spark):
+        import numpy as np
+        from resume_ocr_spark.operators import similarity
+        rng = np.random.RandomState(13)
+        idx_v = rng.randn(15, 64)
+        new_v = np.vstack([idx_v[3] + 0.001 * rng.randn(64),
+                           rng.randn(2, 64)])
+        index = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(idx_v)],
+            "vec_id long, embedding array<double>")
+        new = spark.createDataFrame(
+            [(100 + i, [float(x) for x in v]) for i, v in enumerate(new_v)],
+            "vec_id long, embedding array<double>")
+        probe = {(r["new_id"], r["index_id"]): r["cosine"]
+                 for r in similarity.cosine_probe_lsh(
+                     new, index, dim=64, threshold=0.5).collect()}
+        # the union self-join finds the same cross pairs (it may also find
+        # within-side pairs, which the probe intentionally excludes)
+        union = new.unionAll(index)
+        both = {(r["id_b"], r["id_a"]): r["cosine"]
+                for r in similarity.cosine_pairs_lsh(
+                    union, dim=64, threshold=0.5).collect()
+                if r["id_b"] >= 100 and r["id_a"] < 100}
+        assert probe == both
