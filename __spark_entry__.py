@@ -660,10 +660,12 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ExactSubstr-style removal (tail entry, round 4): cut every maximal
-    duplicated ≥8-word span except its keeper occurrence (min id owning
-    the span's first k-gram) and rebuild the surviving text — the act-on-it
-    step for dedup_substring, same single hash shuffle."""
+    """ExactSubstr-style removal (tail entry, round 4): cut duplicated
+    ≥8-word regions and rebuild the surviving text — gram-granular keeper
+    rule (a word is cut iff every duplicated k-gram covering it is owned
+    by a lower doc id; NOT a span-level first-gram keeper, which can
+    destroy all copies — see dedup.remove_duplicate_spans) — the
+    act-on-it step for dedup_substring, same single hash shuffle."""
     from resume_ocr_spark.operators import dedup
 
     return dedup.remove_duplicate_spans(
@@ -1849,8 +1851,9 @@ def oracle_sql() -> dict[str, str]:
     """
     sqls["corpus_stats_cube"] = """
       SELECT lang, source, COUNT(*) AS n_docs,
-             SUM(CAST(ceil(length(regexp_replace(text, '\\s', '', 'g')) / 4.0)
-                      AS BIGINT)) AS total_tokens
+             CAST(SUM(CAST(ceil(length(regexp_replace(text, '\\s', '', 'g'))
+                                / 4.0) AS BIGINT))
+                  AS BIGINT) AS total_tokens
       FROM documents
       GROUP BY CUBE (lang, source)
     """

@@ -44,6 +44,32 @@ HEADLINE = [
 ]
 
 
+_LOAD_SAMPLES: list[dict] = []
+
+
+def _sample_load(phase: str) -> None:
+    """Noise provenance (VERDICT r4 #6): this host is co-tenant — external
+    load bursts inflate walls up to 3×, and round 4's headline drop was
+    adjudicated as noise only by hand.  Sampling 1/5/15-min loadavg +
+    uptime at every phase boundary puts that evidence INSIDE the bench
+    JSON: a reading taken at load1 >> own-core usage explains itself."""
+    try:
+        l1, l5, l15 = os.getloadavg()
+    except OSError:  # pragma: no cover - loadavg is always available here
+        l1 = l5 = l15 = -1.0
+    up = None
+    try:
+        with open("/proc/uptime") as fh:
+            up = float(fh.read().split()[0])
+    except OSError:  # pragma: no cover
+        pass
+    _LOAD_SAMPLES.append({
+        "phase": phase, "ts": round(time.time(), 1),
+        "load1": round(l1, 2), "load5": round(l5, 2), "load15": round(l15, 2),
+        "uptime_sec": round(up, 1) if up is not None else None,
+    })
+
+
 def _fresh_spark(cores: int):
     from pyspark.sql import SparkSession
 
@@ -185,6 +211,7 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0.1)
+    _sample_load("start")
     spark = _fresh_spark(CPUS)
     qs = entrymod.queries()
     # warm-up: JVM/codegen/FS-cache priming so per-query times reflect
@@ -204,6 +231,7 @@ def main() -> None:
             df.collect()
             best = min(best, time.time() - t0)
         times[name] = round(best, 3)
+    _sample_load("after_queries")
 
     # extraction throughput at full parallelism
     root, n_docs, docs, blobs = _build_corpus_warehouse(spark, BENCH_DOCS)
@@ -212,6 +240,7 @@ def main() -> None:
     assert n_out == n_docs, f"{n_out} != {n_docs}"
     dps_full = n_docs / wall_full
     times["extract_pipeline"] = round(wall_full, 3)
+    _sample_load("after_extraction")
 
     # span-sequence exact-match rate vs the oracle (the second half of the
     # BASELINE.json metric), on the output of the timed run itself
@@ -252,7 +281,8 @@ def main() -> None:
         # input is identical across both levels of every round
         sc_root, sc_n, _, _ = _build_corpus_warehouse(spark, sc_docs)
         rounds = []
-        for _ in range(sc_rounds):
+        for i in range(sc_rounds):
+            _sample_load(f"scaling_round{i}")
             spark = _fresh_spark(high)
             wall_h, _, _ = _run_extraction(spark, sc_root, warm_root, trials=1)
             spark = _fresh_spark(low)
@@ -274,6 +304,7 @@ def main() -> None:
             ],
         }
 
+    _sample_load("end")
     total = round(sum(times.values()), 3)
     print(json.dumps({
         "metric": "extraction docs/sec @ local[%d]" % CPUS,
@@ -285,6 +316,11 @@ def main() -> None:
         "extraction": {"n_docs": n_docs, "wall_sec": round(wall_full, 3)},
         "span_match": span_match,
         "scaling": scaling,
+        # co-tenant noise provenance: loadavg counts EVERY tenant's runnable
+        # threads; our own bench contributes ≤CPUS of it. load1 far above
+        # the sample's neighbors ⇒ external burst ⇒ inflated walls.
+        "host_load": {"cpus_visible": os.cpu_count(),
+                      "samples": _LOAD_SAMPLES},
     }))
 
 

@@ -108,7 +108,8 @@ def semantic_contamination(
     100 TB shape — zero joins, zero shuffles either way; the corpus is
     scanned exactly once:
 
-    ``method='literal'`` (default for ≤ {lit_cap} bench vectors): the
+    ``method='literal'`` (default for ≤ SEMANTIC_LITERAL_CAP = 512 bench
+    vectors): the
     bench is folded into the plan as a literal array of (unit-handled)
     vectors; per-row max cosine is a transform + zip_with fold with the
     per-bench norms precomputed driver-side and the corpus norm hoisted
@@ -121,7 +122,7 @@ def semantic_contamination(
     the bench ships as a numpy matrix inside an Arrow batch UDF closure —
     one matmul per batch. Float results can differ from the fold path in
     the last ulp (BLAS summation order), so the gate entry pins the
-    literal form.""".format(lit_cap=SEMANTIC_LITERAL_CAP)
+    literal form."""
     if not -1.0 <= threshold <= 1.0:
         raise ValueError(f"threshold out of [-1, 1]: {threshold}")
     if method not in ("auto", "literal", "udf"):

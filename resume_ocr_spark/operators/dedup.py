@@ -399,8 +399,8 @@ def semantic_dedup(
     n_clusters: int = 16,
     centroids=None,
     max_cell_size: int | None = None,
-    persist_assigned: bool = True,
-) -> DataFrame:
+    persist_assigned: bool = False,
+):
     """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
     k-means-cluster the embeddings, then compute exact cosine pairs ONLY
     WITHIN a cluster and drop every row with a lower-id near-neighbor.
@@ -426,7 +426,15 @@ def semantic_dedup(
     past the cap skip pairing (their rows keep; the cap is a recall
     trade, exactly like the MinHash bucket cap).
 
-    Returns every input id with ``(id_col, cell, keep)``."""
+    Returns every input id with ``(id_col, cell, keep)``.  With
+    ``persist_assigned=True`` returns ``(result, assigned_handle)``
+    instead: the assignment frame feeds three subtrees, so one-shot
+    callers can persist it and explicitly
+    ``assigned_handle.unpersist()`` after materializing ``result`` —
+    an explicit tuple because an attribute stapled onto the result
+    DataFrame would silently vanish on any further transformation
+    (round-4 advice). Composing / repeat callers (the gate, benches)
+    keep the default and let Spark recompute."""
     from . import similarity
 
     if not -1.0 <= threshold <= 1.0:
@@ -437,10 +445,8 @@ def semantic_dedup(
     assigned = similarity.ivf_assign(df, centroids, id_col, vec_col)
     # the assignment frame feeds three subtrees (both join sides + the
     # final keep-join) with different projections — without a persist the
-    # full-corpus batch-UDF matmul pass runs three times. Same storage
-    # contract as jaccard_pairs_lsh: the result is lazy, so the caller
-    # unpersists via result.cached_assigned after materializing (gate/
-    # bench-style repeat callers pass persist_assigned=False).
+    # full-corpus batch-UDF matmul pass runs three times; opt-in because
+    # the result is lazy and the caller owns the unpersist (see docstring).
     if persist_assigned:
         assigned.persist()
     paired = assigned
@@ -470,7 +476,7 @@ def semantic_dedup(
                 F.coalesce(~F.col("_semdrop"), F.lit(True)).alias("keep"))
     )
     if persist_assigned:
-        out.cached_assigned = assigned
+        return out, assigned
     return out
 
 

@@ -1557,6 +1557,27 @@ class TestSemanticDedup:
         with _pytest.raises(ValueError, match="threshold"):
             dedup.semantic_dedup(df, threshold=1.5)
 
+    def test_persist_assigned_returns_explicit_handle(self, spark):
+        """persist_assigned=True hands back (result, assigned) as a tuple —
+        not a DataFrame attribute, which any further transform would
+        silently drop (round-4 advice) — and the handle unpersists."""
+        from pyspark.sql import DataFrame as SparkDF
+
+        from resume_ocr_spark.operators import dedup
+        df, _ = self._emb(spark)
+        res = dedup.semantic_dedup(df, n_clusters=4, threshold=0.95,
+                                   persist_assigned=True)
+        assert isinstance(res, tuple) and len(res) == 2
+        out, handle = res
+        assert isinstance(out, SparkDF) and isinstance(handle, SparkDF)
+        assert handle.storageLevel.useMemory
+        rows = {r["vec_id"]: r["keep"] for r in out.collect()}
+        default = {r["vec_id"]: r["keep"] for r in dedup.semantic_dedup(
+            df, n_clusters=4, threshold=0.95).collect()}
+        assert rows == default  # persistence never changes the answer
+        handle.unpersist()
+        assert not handle.storageLevel.useMemory
+
 
 class TestCompressionRatio:
     def test_matches_zlib_and_orders_by_entropy(self, spark):

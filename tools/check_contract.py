@@ -1,8 +1,18 @@
 """Local replica of the driver's correctness gate.
 
 Runs every __spark_entry__.queries() entry at sf0.01 and compares with its
-oracle_sql() in DuckDB: row count, column names, and an order-insensitive
-value hash (columns sorted by name, rows sorted, values stringified).
+oracle_sql() in DuckDB: row count, column names, an order-insensitive
+value hash (columns sorted by name, rows sorted, values stringified), AND
+a canonical result-type signature per column.
+
+The type signature exists because the stringified-value hash is type-blind
+(VERDICT r4 #2): DuckDB SUM(BIGINT) returns HUGEINT, which a pandas/Arrow
+fetch — the path the driver uses — renders as float64 while Spark emits
+int64, so the driver's hash diverges even though fetchall() values
+stringify equal.  canon_type() maps both engines' type names onto a shared
+vocabulary; HUGEINT and DECIMAL oracle outputs are flagged outright (the
+oracle must CAST them away) so the replica fails exactly where the driver
+would.
 """
 
 from __future__ import annotations
@@ -18,6 +28,47 @@ import duckdb  # noqa: E402
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+
+#: oracle output types that the driver's pandas/Arrow fetch mangles —
+#: HUGEINT→float64, DECIMAL→float64 — making its hash diverge from Spark's
+#: int64 even when the values are identical.  Oracles must CAST these away.
+BANNED_ORACLE_TYPES = ("hugeint", "decimal")
+
+
+def canon_type(t: str) -> str:
+    """Map a Spark dtype string or DuckDB type name onto one vocabulary.
+
+    Integer widths are collapsed (the hash stringifies values, so widths
+    never diverge) but int-vs-float and the BANNED kinds are preserved.
+    """
+    s = str(t).strip().lower()
+    if s.startswith("decimal"):
+        return "decimal"
+    if s == "hugeint":
+        return "hugeint"
+    if s.endswith("[]") or s.startswith("array"):
+        return "array"
+    if s.startswith("struct"):
+        return "struct"
+    if s.startswith("map"):
+        return "map"
+    if s in ("tinyint", "smallint", "int", "integer", "bigint", "long",
+             "utinyint", "usmallint", "uinteger", "ubigint", "hugeint"):
+        return "int"
+    if s in ("float", "double", "real"):
+        return "float"
+    if s in ("string", "varchar", "text", "char"):
+        return "str"
+    if s in ("boolean", "bool"):
+        return "bool"
+    if s == "date":
+        return "date"
+    if s.startswith("timestamp"):
+        return "ts"
+    if s in ("binary", "blob"):
+        return "bin"
+    return s
 
 
 def norm_cell(v) -> str:
@@ -65,6 +116,7 @@ def main(sf_dir: str = "/root/testdata/sf0.01", only: list[str] | None = None):
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
+            stypes = {c: canon_type(t) for c, t in sdf.dtypes}
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as exc:
             print(f"FAIL  {name}: spark error: {exc}")
@@ -77,24 +129,39 @@ def main(sf_dir: str = "/root/testdata/sf0.01", only: list[str] | None = None):
                 print(f"WARN  {name}: zero rows")
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            rel = con.sql(oracles[name])
+            dcols = list(rel.columns)
+            draw_types = [str(t) for t in rel.types]
+            dtypes = {c: canon_type(t) for c, t in zip(dcols, draw_types)}
+            drows = rel.fetchall()
         except Exception as exc:
             print(f"FAIL  {name}: duckdb error: {exc}")
             failures += 1
             continue
+        banned = [f"{c}:{t}" for c, t in zip(dcols, draw_types)
+                  if canon_type(t) in BANNED_ORACLE_TYPES]
+        if banned:
+            print(f"FAIL  {name}: oracle type lint — driver-unsafe column "
+                  f"type(s) {banned}; CAST them in the oracle SQL")
+            failures += 1
+            continue
         ok_cols = sorted(scols) == sorted(dcols)
+        ok_types = ok_cols and all(stypes[c] == dtypes[c] for c in scols)
         ok_count = len(srows) == len(drows)
         sh, dh = frame_hash(scols, srows), frame_hash(dcols, drows)
         ok_hash = sh == dh
-        status = "OK  " if (ok_cols and ok_count and ok_hash) else "FAIL"
+        status = "OK  " if (ok_cols and ok_types and ok_count and ok_hash) else "FAIL"
         if status == "FAIL":
             failures += 1
         print(f"{status}  {name}: rows {len(srows)}/{len(drows)} "
-              f"cols={ok_cols} hash={'=' if ok_hash else f'{sh}!={dh}'} ({dt:.1f}s)")
+              f"cols={ok_cols} types={ok_types} "
+              f"hash={'=' if ok_hash else f'{sh}!={dh}'} ({dt:.1f}s)")
         if not ok_cols:
             print(f"      spark={sorted(scols)} duck={sorted(dcols)}")
+        elif not ok_types:
+            diff = {c: (stypes[c], dtypes[c]) for c in scols
+                    if stypes[c] != dtypes[c]}
+            print(f"      type mismatch (spark, duck): {diff}")
         if ok_cols and ok_count and not ok_hash:
             sset = {tuple(norm_cell(v) for v in r) for r in srows}
             dset = {tuple(norm_cell(v) for v in r) for r in drows}
