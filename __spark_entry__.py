@@ -516,14 +516,18 @@ def dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-dup via perceptual hash (the multimodal dedup modality,
     VERDICT r3 #6): deterministic corpus with planted exact-duplicate and
     retouched-variant renders → real decode → DCT pHash → Hamming-LSH band
-    join → exact bit_count distance ≤ 6. Oracle: the engine's own hash
-    values as VALUES (the multimodal precedent) with banding, candidate
-    join and Hamming arithmetic re-implemented independently in SQL."""
+    join → exact bit_count distance ≤ 6. Every 13th doc ships as a
+    progressive (SOF2) JPEG re-encode of its render (VERDICT r4 #3), so
+    the gate also exercises cross-container near-dup: doc 13 (progressive)
+    must still pair with doc 1's RIMG render. Oracle: the engine's own
+    hash values as VALUES (the multimodal precedent) with banding,
+    candidate join and Hamming arithmetic re-implemented independently in
+    SQL."""
     from resume_ocr_spark.operators import imagehash, multimodal
 
     docs = spark.createDataFrame(_phash_docs(), "doc_id long, text string")
     hashes = imagehash.with_image_hashes(
-        multimodal.render_binary_column(docs))
+        multimodal.render_binary_column(docs, progressive_every=13))
     return imagehash.phash_near_dup(hashes, max_distance=6, bands=4)
 
 
@@ -637,10 +641,12 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         return df.select(*sel)
 
+    # every 10th image ships as a progressive (SOF2) JPEG re-encode of its
+    # render (VERDICT r4 #3) — both stages decode a container MIX
     img_meta = multimodal.image_metadata(
-        multimodal.render_binary_column(docs30))
+        multimodal.render_binary_column(docs30, progressive_every=10))
     img_half = multimodal.image_metadata(multimodal.resize_half(
-        multimodal.render_binary_column(docs20)))
+        multimodal.render_binary_column(docs20, progressive_every=10)))
     aud_meta = multimodal.audio_metadata(
         multimodal.render_audio_column(docs30))
     aud_energy = multimodal.audio_frame_energy(
@@ -968,6 +974,22 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.image_metadata(resized)
 
 
+def reencode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10 — JPEG re-encode sink (round 5, un-skipping the round-1 by-design
+    skip now that formats/jpegenc.py exists): decode a mixed RIMG/SOF2
+    container column, re-encode every image as a deterministic baseline
+    JPEG (base64 for the wire is one F.base64 away). Oracle: byte length +
+    md5 of the exact bytes from the single-node replica — pins encoder
+    byte-determinism across executors."""
+    from resume_ocr_spark.operators import multimodal
+
+    docs = spark.createDataFrame(_media_texts(20), "doc_id long, text string")
+    out = multimodal.reencode_jpeg(
+        multimodal.render_binary_column(docs, progressive_every=10))
+    return out.select("doc_id", "n_bytes",
+                      F.md5("jpeg").alias("jpeg_md5"), "error")
+
+
 def audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-level audio feature fan-out (the UDTF-shaped op): fixed-length
     frames → per-frame RMS energy rows."""
@@ -1164,6 +1186,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_decontam": semantic_decontam,
         "semantic_dedup_det": semantic_dedup_det,
         "substring_removal": substring_removal,
+        # round-5 tail addition: P10 re-encode sink (jpegenc-backed);
+        # container-mix decode is gated via multimodal_pipeline/dedup_phash
+        "reencode_jpeg": reencode_jpeg,
     }
     return {**gated, **tail}
 
@@ -2214,6 +2239,7 @@ def oracle_sql() -> dict[str, str]:
     sqls["audio_energy"] = _precomputed("audio_energy")
     sqls["video_frames"] = _precomputed("video_frames")
     sqls["multimodal_pipeline"] = _precomputed("multimodal_pipeline")
+    sqls["reencode_jpeg"] = _precomputed("reencode_jpeg")
     sqls["dedup_phash"] = _precomputed("dedup_phash")
     sqls["semantic_dedup_det"] = _precomputed("semantic_dedup_det")
     # embedding_ann_ivf (sample-trained codebook) left the registry in
@@ -2391,6 +2417,22 @@ def _precomputed(name: str) -> str:
             ("n_samples", "BIGINT"), ("duration_sec", "DOUBLE"),
             ("rms", "DOUBLE"), ("zero_crossings", "INTEGER"),
             ("error", "VARCHAR")])
+    elif name == "reencode_jpeg":
+        import hashlib
+
+        from resume_ocr_spark.formats import jpegenc
+        from resume_ocr_spark.operators import multimodal as _mm
+
+        rows = []
+        for doc_id, text in _media_texts(20):
+            payload = _mm.render_media_payload(doc_id, text,
+                                               progressive_every=10)
+            out = jpegenc.encode_jpeg(imagecodec.decode_image(payload))
+            rows.append((doc_id, len(out),
+                         hashlib.md5(out).hexdigest(), None))
+        sql = _values_sql(rows, [
+            ("doc_id", "BIGINT"), ("n_bytes", "INTEGER"),
+            ("jpeg_md5", "VARCHAR"), ("error", "VARCHAR")])
     elif name == "video_frames":
         rows = []
         for doc_id, text in _media_texts(20):
@@ -2416,15 +2458,17 @@ def _precomputed(name: str) -> str:
                          duration_sec, rms, zero_crossings, energy, n_bytes,
                          error))
 
+        from resume_ocr_spark.operators import multimodal as _mm
+
         for doc_id, text in _media_texts(30):
             img = imagecodec.decode_image(
-                imagecodec.render_text_image((text or "")[:40]))
+                _mm.render_media_payload(doc_id, text, progressive_every=10))
             pad("image_meta", doc_id, height=img.shape[0],
                 width=img.shape[1], n_pixels=int(img.size),
                 mean_intensity=round(float(img.mean()), 4))
         for doc_id, text in _media_texts(20):
             img = imagecodec.decode_image(
-                imagecodec.render_text_image((text or "")[:40]))
+                _mm.render_media_payload(doc_id, text, progressive_every=10))
             h2, w2 = (img.shape[0] // 2) * 2, (img.shape[1] // 2) * 2
             small = img[:h2, :w2].reshape(h2 // 2, 2, w2 // 2, 2).min(
                 axis=(1, 3))
@@ -2496,8 +2540,10 @@ def _precomputed(name: str) -> str:
         # arithmetic re-implemented independently in SQL
         from resume_ocr_spark.operators import imagehash
 
+        from resume_ocr_spark.operators import multimodal
+
         hvals = ",\n".join(
-            f"({doc_id}, {imagehash.phash64(imagecodec.decode_image(imagecodec.render_text_image((text or '')[:40])))})"
+            f"({doc_id}, {imagehash.phash64(imagecodec.decode_image(multimodal.render_media_payload(doc_id, text, progressive_every=13)))})"
             for doc_id, text in _phash_docs())
         sql = f"""
           WITH h(doc_id, phash) AS (VALUES

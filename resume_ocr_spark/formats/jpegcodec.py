@@ -5,10 +5,22 @@ The reference accepts ``.jpg``/``.jpeg`` resume uploads alongside PNG
 round 2 (pngcodec.py) and this module completes the decode matrix so no
 image container remains stubbed.
 
-Supported: baseline sequential DCT (SOF0), 8-bit samples, 1 or 3
-components, chroma subsampling factors 1–2 (4:4:4 / 4:2:2 / 4:2:0),
-restart intervals.  Progressive (SOF2) and arithmetic coding raise
-``JpegDecodeError`` — callers convert to error rows (error-as-data).
+Supported: baseline sequential DCT (SOF0) and progressive DCT (SOF2 —
+spectral selection + successive approximation, DC/AC first and refinement
+scans, EOB runs, per spec G.1/G.2 and the libjpeg-compatible semantics),
+8-bit samples, 1 or 3 components, chroma subsampling factors 1–2
+(4:4:4 / 4:2:2 / 4:2:0), restart intervals.  Arithmetic coding and other
+SOF variants raise ``JpegDecodeError`` — callers convert to error rows
+(error-as-data).
+
+Progressive matters at corpus scale: SOF2 is the majority raster encoding
+of real web images (most photo JPEGs on the web are progressive), so a
+100 TB crawl pipeline that errors on SOF2 drops most of its image spans
+(VERDICT r4 next-step #3).  Correctness pin: progressive and baseline
+encodings of the same image carry the SAME quantized DCT coefficients —
+only the entropy-coding order differs — so decoding a progressive
+re-encode must be bit-identical to the baseline decode
+(tests/test_jpeg_progressive.py).
 
   decode_jpeg(data)       -> (H, W, C) uint8 (C = 1 or 3, YCbCr→RGB done)
   decode_jpeg_gray(data)  -> (H, W) uint8 (the Y/luma plane — what OCR
@@ -195,6 +207,7 @@ def _decode_planes(data: bytes) -> list[np.ndarray]:
     huff_dc: dict[int, _Huffman] = {}
     huff_ac: dict[int, _Huffman] = {}
     frame = None
+    coef = None  # progressive coefficient state, keyed by component id
     restart_interval = 0
     i = 2
     n = len(data)
@@ -229,7 +242,7 @@ def _decode_planes(data: bytes) -> list[np.ndarray]:
                     (huff_dc if tc == 0 else huff_ac)[th] = _Huffman(
                         counts, symbols)
                     j += 17 + total
-            elif marker == 0xC0:  # SOF0 baseline
+            elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
                 prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
                 if prec != 8:
                     raise JpegDecodeError("only 8-bit precision supported")
@@ -242,17 +255,30 @@ def _decode_planes(data: bytes) -> list[np.ndarray]:
                     cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
                     comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
                                   "tq": tq})
-                frame = {"h": h, "w": w, "comps": comps}
-            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                frame = {"h": h, "w": w, "comps": comps,
+                         "progressive": marker == 0xC2}
+                if frame["progressive"]:
+                    coef = _init_coef(frame)
+            elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
                 raise JpegDecodeError(
                     f"unsupported SOF marker 0xFF{marker:02X} "
-                    "(baseline sequential only)")
+                    "(baseline sequential or progressive only)")
             elif marker == 0xDD:  # DRI
                 (restart_interval,) = struct.unpack(">H", seg[:2])
             elif marker == 0xDA:  # SOS
                 if frame is None:
                     raise JpegDecodeError("SOS before SOF")
+                if frame["progressive"]:
+                    # one of possibly many scans: decode into the shared
+                    # coefficient state, then resync the marker walk at the
+                    # next real marker (tables/DRI may change between scans)
+                    end = _decode_prog_scan(
+                        data, i + seglen, seg, frame, coef, huff_dc,
+                        huff_ac, restart_interval)
+                    frame["n_scans"] = frame.get("n_scans", 0) + 1
+                    i = _next_marker(data, end)
+                    continue
                 ns = seg[0]
                 if ns != len(frame["comps"]):
                     # a partial-component scan means multi-scan baseline:
@@ -271,6 +297,8 @@ def _decode_planes(data: bytes) -> list[np.ndarray]:
             i += seglen
     except (IndexError, struct.error) as exc:
         raise JpegDecodeError(f"truncated JPEG structure: {exc}") from exc
+    if frame is not None and frame.get("progressive") and frame.get("n_scans"):
+        return _idct_assemble(frame, coef, qt)
     raise JpegDecodeError("no scan data found")
 
 
@@ -352,6 +380,259 @@ def _decode_block(br, dc_tab, ac_tab, q, pred, ci) -> np.ndarray:
     dq[ZIGZAG] = coefs * q
     block = dq.reshape(8, 8)
     return _DCT_M.T @ block @ _DCT_M + 128.0
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2) — spec G.1/G.2, libjpeg-compatible semantics
+# ---------------------------------------------------------------------------
+
+def _init_coef(frame) -> dict[int, np.ndarray]:
+    """Per-component quantized-coefficient buffers, MCU-grid padded.
+
+    Coefficients live in ZIGZAG index order (same layout the baseline
+    block decoder fills) and accumulate across scans; dequant + IDCT run
+    once at EOI.  Also precomputes each component's interleaved (MCU) and
+    non-interleaved (own-sample-grid) block dims — AC scans are always
+    non-interleaved (B.2.3), DC scans may be either."""
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if not all(1 <= c["h"] <= 2 and 1 <= c["v"] <= 2 for c in comps):
+        raise JpegDecodeError("sampling factors beyond 2 unsupported")
+    h, w = frame["h"], frame["w"]
+    if h == 0 or w == 0:
+        raise JpegDecodeError("zero-sized image")
+    frame["mcux"] = -(-w // (8 * hmax))
+    frame["mcuy"] = -(-h // (8 * vmax))
+    frame["hmax"], frame["vmax"] = hmax, vmax
+    coef: dict[int, np.ndarray] = {}
+    seen = set()
+    for c in comps:
+        if c["id"] in seen:
+            raise JpegDecodeError("duplicate component id")
+        seen.add(c["id"])
+        cw = -(-(w * c["h"]) // hmax)   # component sample dims (A.1.1)
+        ch = -(-(h * c["v"]) // vmax)
+        c["bw"], c["bh"] = -(-cw // 8), -(-ch // 8)
+        coef[c["id"]] = np.zeros(
+            (frame["mcuy"] * c["v"], frame["mcux"] * c["h"], 64),
+            dtype=np.int32)
+    return coef
+
+
+def _next_marker(data: bytes, pos: int) -> int:
+    """Position of the next real marker's 0xFF at/after ``pos`` — skips
+    entropy remainder bytes, stuffed FF00, fill FFs, and stray RSTn."""
+    n = len(data)
+    while pos < n - 1:
+        if data[pos] != 0xFF:
+            pos += 1
+        elif data[pos + 1] == 0xFF:
+            pos += 1          # fill byte
+        elif data[pos + 1] == 0x00 or 0xD0 <= data[pos + 1] <= 0xD7:
+            pos += 2          # stuffed byte / restart marker
+        else:
+            return pos
+    raise JpegDecodeError("no marker after progressive scan")
+
+
+def _dc_first(br, dc_tab, blk, pred, ci, al) -> None:
+    t = dc_tab.decode(br)
+    pred[ci] += _extend(br.read_bits(t), t)
+    blk[0] = pred[ci] << al
+
+
+def _dc_refine(br, blk, al) -> None:
+    # DC point transform is an arithmetic shift (G.1.2.1), so each
+    # refinement bit is literally bit Al of the two's-complement value
+    if br.read_bit():
+        blk[0] |= np.int32(1 << al)
+
+
+def _ac_first(br, ac_tab, blk, ss, se, al, eobrun) -> int:
+    """First AC scan for one block; returns the updated EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = ac_tab.decode(br)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:         # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1       # this block is run member #1
+            if r:
+                eobrun += br.read_bits(r)
+            break
+        k += r
+        if k > se:
+            raise JpegDecodeError("AC coefficient outside spectral band")
+        blk[k] = _extend(br.read_bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine(br, ac_tab, blk, ss, se, al, eobrun) -> int:
+    """AC refinement scan for one block (G.1.2.3); returns the EOB run.
+
+    Every already-nonzero coefficient visited gets one correction bit;
+    new coefficients arrive as ±(1<<Al) after skipping ``r`` zero-HISTORY
+    positions (nonzero-history positions don't count toward the run)."""
+    p1, m1 = 1 << al, -(1 << al)
+
+    def correct(k: int) -> None:
+        v = int(blk[k])
+        if br.read_bit() and (v & p1) == 0:
+            blk[k] = v + (p1 if v >= 0 else m1)
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = ac_tab.decode(br)
+            r, s = rs >> 4, rs & 15
+            newval = 0
+            if s == 0:
+                if r != 15:     # EOBn: refine the rest, then run
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.read_bits(r)
+                    break
+                # r == 15: ZRL — skip 16 zero-history positions below
+            else:
+                if s != 1:
+                    raise JpegDecodeError("AC refinement magnitude != 1")
+                newval = p1 if br.read_bit() else m1
+            while k <= se:
+                if blk[k] != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                blk[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if blk[k] != 0:
+                correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_prog_scan(data, pos, seg, frame, coef, huff_dc, huff_ac,
+                      restart_interval) -> int:
+    """Decode one progressive scan into ``coef``; returns the byte
+    position where entropy-coded data ended (marker resync from there)."""
+    ns = seg[0]
+    scan = []
+    for c in range(ns):
+        cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+        comp = next((x for x in frame["comps"] if x["id"] == cs), None)
+        if comp is None:
+            raise JpegDecodeError(f"scan references unknown component {cs}")
+        scan.append((comp, tt >> 4, tt & 15))
+    ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+    ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 15
+    if ss == 0:
+        if se != 0:
+            raise JpegDecodeError("progressive scan mixes DC and AC")
+    else:
+        if ns != 1:
+            raise JpegDecodeError("interleaved AC scan is illegal (G.1.1)")
+        if not ss <= se <= 63:
+            raise JpegDecodeError(f"bad spectral band [{ss},{se}]")
+    if al > 13 or ah > 13 or (ah and ah != al + 1):
+        raise JpegDecodeError(f"bad successive approximation Ah={ah} Al={al}")
+
+    def tables(td, ta):
+        try:
+            dc = huff_dc[td] if (ss == 0 and ah == 0) else None
+            ac = huff_ac[ta] if ss != 0 else None
+        except KeyError as exc:
+            raise JpegDecodeError(f"missing Huffman table {exc}") from exc
+        return dc, ac
+
+    br = _BitReader(data, pos)
+    pred = [0] * ns
+    eobrun = 0
+    unit = 0
+
+    def maybe_restart():
+        nonlocal pred, eobrun
+        if restart_interval and unit and unit % restart_interval == 0:
+            br.align_to_marker()
+            pred = [0] * ns
+            eobrun = 0
+
+    if ns > 1:
+        # interleaved DC scan over the frame MCU grid (AC rejected above)
+        tabs = [tables(td, ta) for _, td, ta in scan]
+        for my in range(frame["mcuy"]):
+            for mx in range(frame["mcux"]):
+                maybe_restart()
+                unit += 1
+                for ci, (comp, _, _) in enumerate(scan):
+                    blocks = coef[comp["id"]]
+                    for by in range(comp["v"]):
+                        for bx in range(comp["h"]):
+                            blk = blocks[my * comp["v"] + by,
+                                         mx * comp["h"] + bx]
+                            if ah == 0:
+                                _dc_first(br, tabs[ci][0], blk, pred, ci, al)
+                            else:
+                                _dc_refine(br, blk, al)
+    else:
+        # non-interleaved: raster order over the component's own block grid
+        comp, td, ta = scan[0]
+        dc_tab, ac_tab = tables(td, ta)
+        blocks = coef[comp["id"]]
+        for by in range(comp["bh"]):
+            for bx in range(comp["bw"]):
+                maybe_restart()
+                unit += 1
+                blk = blocks[by, bx]
+                if ss == 0:
+                    if ah == 0:
+                        _dc_first(br, dc_tab, blk, pred, 0, al)
+                    else:
+                        _dc_refine(br, blk, al)
+                elif ah == 0:
+                    eobrun = _ac_first(br, ac_tab, blk, ss, se, al, eobrun)
+                else:
+                    eobrun = _ac_refine(br, ac_tab, blk, ss, se, al, eobrun)
+    return br.pos
+
+
+def _idct_assemble(frame, coef, qt) -> list[np.ndarray]:
+    """Accumulated coefficients → planes: dequant, vectorized IDCT over all
+    blocks at once (einsum = the per-block ``M.T @ B @ M``), upsample, crop
+    — numerically identical to the baseline block path (float32 dequant,
+    float64 basis, +128, float32 plane)."""
+    h, w = frame["h"], frame["w"]
+    planes = []
+    for comp in frame["comps"]:
+        q = qt.get(comp["tq"])
+        if q is None:
+            raise JpegDecodeError(f"missing quant table {comp['tq']}")
+        dq = (coef[comp["id"]] * q[None, None, :]).astype(np.float32)
+        nat = np.zeros_like(dq)
+        nat[:, :, ZIGZAG] = dq
+        bh, bw = nat.shape[:2]
+        blocks = nat.reshape(bh, bw, 8, 8)
+        out = np.einsum("ji,yxjk,kl->yxil", _DCT_M, blocks, _DCT_M,
+                        optimize=True) + 128.0
+        plane = out.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        plane = plane.astype(np.float32)
+        ry = frame["vmax"] // comp["v"]
+        rx = frame["hmax"] // comp["h"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        planes.append(plane[:h, :w])
+    return planes
 
 
 def _ycbcr_to_rgb(img: np.ndarray) -> np.ndarray:

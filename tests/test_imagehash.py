@@ -229,3 +229,41 @@ def test_phash_probe_incremental_index(spark):
     assert imagehash.phash_probe(new, index, max_bucket_size=0).count() == 0
     with pytest.raises(ValueError):
         imagehash.phash_probe(new, index, bands=7)
+
+
+def test_cross_container_near_dup_caught():
+    """Round-5 realism pin: the same document rendered as RIMG vs re-encoded
+    as a progressive (SOF2) JPEG must still pair under pHash — the
+    real-world 'same image saved through different encoders' case. q=16
+    quantization must not move the DCT sign structure pHash reads."""
+    from resume_ocr_spark.formats import jpegenc
+
+    text = "Maria Silva Senior Data Engineer Python"
+    img = imagecodec.decode_image(imagecodec.render_text_image(text[:40]))
+    prog = imagecodec.decode_image(jpegenc.encode_jpeg(img, progressive=True))
+    d = bin(imagehash.phash64(img) ^ imagehash.phash64(prog)).count("1")
+    assert d <= 6, f"cross-container pHash distance {d} exceeds pair cutoff"
+
+
+@pytest.mark.usefixtures("spark")
+def test_progressive_payloads_in_spark_hash_path(spark):
+    """render_binary_column(progressive_every=2) ships half the corpus as
+    SOF2 JPEG; the Spark hash path must match the single-node replica on
+    the EXACT payload each doc got."""
+    from resume_ocr_spark.operators import multimodal as mm
+
+    texts = ["Maria Silva Senior Data Engineer Python",
+             "Joao Souza Junior Backend Developer Go!"]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["phash"]
+        for r in imagehash.with_image_hashes(
+            mm.render_binary_column(docs, progressive_every=2)).collect()
+    }
+    for i, t in enumerate(texts):
+        payload = mm.render_media_payload(i, t, progressive_every=2)
+        if i % 2 == 0:
+            assert payload[:3] == b"\xff\xd8\xff"  # really a JPEG
+        img = imagecodec.decode_image(payload)
+        assert out[i] == imagehash.phash64(img)

@@ -45,7 +45,7 @@ EXPECTED_TAIL = [
     "token_counts", "doc_fingerprints", "multimodal_meta",
     "multimodal_resize", "audio_meta", "audio_energy", "video_frames",
     "dedup_jaccard_pairs", "dedup_embedding_pairs", "semantic_decontam",
-    "semantic_dedup_det", "substring_removal",
+    "semantic_dedup_det", "substring_removal", "reencode_jpeg",
 ]
 
 

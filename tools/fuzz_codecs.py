@@ -39,8 +39,8 @@ import numpy as np  # noqa: E402
 
 from resume_ocr_spark import textproc  # noqa: E402
 from resume_ocr_spark.formats import (avcodec, imagecodec, jpegcodec,  # noqa: E402
-                                      mp4codec, mpegaudio, pdfcodec, pngcodec,
-                                      realfont)
+                                      jpegenc, mp4codec, mpegaudio, pdfcodec,
+                                      pngcodec, realfont)
 
 FIXDIR = "/root/reference/tests/curriculos"
 PAGE_WALL_BUDGET = 30.0  # s; a single garbage page may not cost more
@@ -100,6 +100,12 @@ def campaign_containers(n: int) -> None:
          pdfcodec.extract_page_images, pdfcodec.PdfParseError),
         ("rimg", img, imagecodec.decode_image, imagecodec.ImageDecodeError),
         ("jpg", js, jpegcodec.decode_jpeg_gray, jpegcodec.JpegDecodeError),
+        ("jpg_prog", jpegenc.encode_jpeg(raw[:64, :64], progressive=True),
+         jpegcodec.decode_jpeg_gray, jpegcodec.JpegDecodeError),
+        ("jpg_prog_color", jpegenc.encode_jpeg(
+            np.stack([raw[:48, :48]] * 3, axis=-1), progressive=True,
+            subsample=True, restart_interval=4),
+         jpegcodec.decode_jpeg, jpegcodec.JpegDecodeError),
         ("wav", avcodec.write_wav(np.zeros(400, np.int16), 8000),
          avcodec.decode_wav, avcodec.AudioDecodeError),
         ("mp4", mp4codec.write_mjpeg_mp4([js] * 2, 64, 64, fps=5),
