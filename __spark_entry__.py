@@ -760,6 +760,28 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.pack_sequences(docs, budget=256, shards=8)
 
 
+def epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-order operator (round 5, VERDICT r4 #5): deterministic
+    seeded global permutation for epoch 3 — md5-hash order, sharded
+    row_number windows, zero collects; reproducible across engines /
+    retries / cluster sizes, which a seeded rand() is not."""
+    from resume_ocr_spark.operators import packing
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return packing.epoch_shuffle(docs, epoch=3, shards=8)
+
+
+def packing_sentinels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loader-contract packing (round 5, VERDICT r4 #5): per packed
+    sequence, ordered doc ids + BOS/EOS slot offsets with the sentinel
+    budget (2/doc) reserved in the token accounting; CSV-serialized so the
+    gate hash is engine-stable."""
+    from resume_ocr_spark.operators import packing
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return packing.pack_with_sentinels(docs, budget=256, shards=8)
+
+
 def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic corpus mixing: per-language sampling rates applied via
     an md5-derived bucket (reproducible across engines/retries). Plan:
@@ -1186,9 +1208,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_decontam": semantic_decontam,
         "semantic_dedup_det": semantic_dedup_det,
         "substring_removal": substring_removal,
-        # round-5 tail addition: P10 re-encode sink (jpegenc-backed);
-        # container-mix decode is gated via multimodal_pipeline/dedup_phash
+        # round-5 tail additions: P10 re-encode sink (jpegenc-backed;
+        # container-mix decode is gated via multimodal_pipeline/dedup_phash)
+        # and the training-order pair (packing core is gated via
+        # sequence_packing — these add the epoch permutation + sentinel
+        # loader contract on top)
         "reencode_jpeg": reencode_jpeg,
+        "epoch_order": epoch_order,
+        "packing_sentinels": packing_sentinels,
     }
     return {**gated, **tail}
 
@@ -1899,6 +1926,56 @@ def oracle_sql() -> dict[str, str]:
       SELECT doc_id, shard, CAST(prev // 256 AS BIGINT) AS seq_id,
              n_tokens, CAST(prev % 256 AS BIGINT) AS seq_offset
       FROM cum
+    """
+    # epoch shuffle: the same md5-order permutation, digits 1-4 of the hash
+    # (the mixture/simhash hex-digit idiom reads the LOW 16 bits at 29-32;
+    # the shard key reads the HIGH 16 at 1-4 — mirrors F.conv(substring 1,4))
+    _epd = "(instr('0123456789abcdef', substring(ok, {p}, 1)) - 1)"
+    _ep_shard = (f"({_epd.format(p=1)} * 4096 + {_epd.format(p=2)} * 256"
+                 f" + {_epd.format(p=3)} * 16 + {_epd.format(p=4)})")
+    sqls["epoch_order"] = f"""
+      WITH h AS (
+        SELECT doc_id,
+               md5(CAST(doc_id AS VARCHAR) || ':epoch:3') AS ok
+        FROM documents
+      ), s AS (
+        SELECT doc_id, ok, CAST({_ep_shard} % 8 AS INT) AS shard FROM h
+      )
+      SELECT doc_id, CAST(3 AS INT) AS epoch, shard,
+             CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ok, doc_id)
+                  - 1 AS BIGINT) AS pos
+      FROM s
+    """
+    # sentinel packing: sequence_packing's cumsum with +2 tokens/doc
+    # reserved, grouped to the loader contract (ordered ids + BOS/EOS slots)
+    sqls["packing_sentinels"] = """
+      WITH toks AS (
+        SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+               CAST(ceil(length(regexp_replace(text, '\\s', '', 'g')) / 4.0)
+                    AS BIGINT) + 2 AS n_tokens
+        FROM documents
+      ), cum AS (
+        SELECT doc_id, shard, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (
+                 PARTITION BY shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+        FROM toks
+      ), per AS (
+        SELECT doc_id, shard, CAST(prev // 256 AS BIGINT) AS seq_id,
+               n_tokens, CAST(prev % 256 AS BIGINT) AS seq_offset
+        FROM cum
+      )
+      SELECT shard, seq_id,
+             COUNT(*) AS n_docs,
+             CAST(SUM(n_tokens - 2) AS BIGINT) AS total_tokens,
+             CAST(SUM(n_tokens) AS BIGINT) AS total_with_sentinels,
+             string_agg(CAST(doc_id AS VARCHAR), ','
+                        ORDER BY doc_id) AS doc_ids_csv,
+             string_agg(CAST(seq_offset AS VARCHAR), ','
+                        ORDER BY doc_id) AS doc_offsets_csv,
+             string_agg(CAST(seq_offset + n_tokens - 1 AS VARCHAR), ','
+                        ORDER BY doc_id) AS eos_offsets_csv
+      FROM per GROUP BY shard, seq_id
     """
     sqls["streaming_window_counts"] = """
       SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,

@@ -110,6 +110,109 @@ def materialize_packed(
     return packed
 
 
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    epoch: int = 0,
+    shards: int = DEFAULT_SHARDS,
+    seed: str = "epoch",
+) -> DataFrame:
+    """Deterministic global training-order permutation for one epoch
+    (VERDICT r4 next-step #5): every document gets a reproducible position
+    ``(shard, pos)``; global order = shards ascending, ``pos`` within.
+
+    Order key is ``md5(id ':' seed ':' epoch)`` — the dialect-neutral
+    hash-order trick of :mod:`.mixture`, so the permutation is identical
+    across engines, repartitions, task retries and cluster sizes (a seeded
+    ``rand()`` is none of those), and a DuckDB oracle replays it exactly.
+    Changing ``epoch`` redraws an independent permutation — no state
+    carried between epochs.
+
+    100 TB shape: ``shard`` = first 16 md5 bits mod ``shards``, then ONE
+    hash exchange feeds per-shard ``row_number`` windows (hash order is
+    uniform, so shards stay balanced at any corpus size); zero collects,
+    no global sort. A loader materializes training order by reading shards
+    in index order — the same contract as :func:`pack_sequences`'s lanes.
+
+    Output: ``(id_col, epoch, shard, pos)``."""
+    if shards <= 0:
+        raise ValueError("shards must be positive")
+    h = F.md5(F.concat(F.col(id_col).cast("string"),
+                       F.lit(f":{seed}:{epoch}")))
+    base = df.select(
+        F.col(id_col),
+        h.alias("_ok"),
+        (F.conv(F.substring(h, 1, 4), 16, 10).cast("long")
+         % F.lit(shards)).cast("int").alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("_ok", id_col)
+    return base.select(
+        F.col(id_col),
+        F.lit(int(epoch)).alias("epoch"),
+        "shard",
+        (F.row_number().over(w) - 1).cast("bigint").alias("pos"),
+    )
+
+
+#: loader-contract sentinel budget: one BOS before and one EOS after every
+#: document inside a packed sequence
+SENTINELS_PER_DOC = 2
+
+
+def pack_with_sentinels(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = DEFAULT_BUDGET,
+    shards: int = DEFAULT_SHARDS,
+) -> DataFrame:
+    """Packing with the columns a training loader actually consumes
+    (VERDICT r4 next-step #5): per packed sequence, the ordered document
+    list and each document's BOS offset inside the sequence, with token
+    accounting that RESERVES the sentinels (BOS + EOS per document, so
+    ``seq_offset`` points at the BOS slot and budgets never silently
+    overflow by the sentinel count).
+
+    Output (one row per sequence):
+      ``shard, seq_id, n_docs, total_tokens`` (content tokens),
+      ``total_with_sentinels``, ``doc_ids_csv`` (comma-joined, pack
+      order), ``doc_offsets_csv`` (BOS slot of each doc, same order),
+      ``eos_offsets_csv`` (EOS slot of each doc = next doc boundary - 1).
+
+    CSV-serialized rather than array columns so the driver gate's
+    stringified hash is engine-stable. Same single hash exchange as
+    :func:`pack_sequences` plus the group-by on (shard, seq_id)."""
+    counts = with_token_counts(df.select(id_col, text_col), text_col).select(
+        F.col(id_col),
+        (F.col("bpe_tokens") + F.lit(SENTINELS_PER_DOC)).alias("n_tokens"))
+    assign = pack_sequences_from_counts(
+        counts, id_col=id_col, budget=budget, shards=shards)
+    # seq_offset points at the doc's BOS; EOS sits at the slot before the
+    # next doc's BOS (offset + n_tokens - 1)
+    per_doc = assign.select(
+        id_col, "shard", "seq_id",
+        (F.col("n_tokens") - F.lit(SENTINELS_PER_DOC)).alias("content_tokens"),
+        "n_tokens", "seq_offset",
+        (F.col("seq_offset") + F.col("n_tokens") - 1).alias("eos_offset"),
+    )
+    ordered = F.array_sort(F.collect_list(F.struct(
+        F.col(id_col), F.col("seq_offset"), F.col("eos_offset"))))
+    return per_doc.groupBy("shard", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("content_tokens").alias("total_tokens"),
+        F.sum("n_tokens").alias("total_with_sentinels"),
+        F.array_join(F.transform(
+            ordered, lambda s: s[id_col].cast("string")), ",")
+        .alias("doc_ids_csv"),
+        F.array_join(F.transform(
+            ordered, lambda s: s["seq_offset"].cast("string")), ",")
+        .alias("doc_offsets_csv"),
+        F.array_join(F.transform(
+            ordered, lambda s: s["eos_offset"].cast("string")), ",")
+        .alias("eos_offsets_csv"),
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str = "doc_id",

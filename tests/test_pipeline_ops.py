@@ -445,6 +445,86 @@ class TestIVF:
             .executedPlan().toString()
         assert "Exchange" not in plan
 
+    @staticmethod
+    def _lloyd_numpy(x, init, iters, tol=1e-9):
+        """Independent single-node Lloyd with the engine's update rule
+        (unit inputs, cosine assignment, mean, renormalize)."""
+        import numpy as np
+
+        from resume_ocr_spark.operators.similarity import _unit
+
+        cent = np.asarray(init, dtype=np.float64).copy()
+        u = _unit(np.asarray(x, dtype=np.float64))
+        for _ in range(iters):
+            assign = (u @ cent.T).argmax(axis=1)
+            new = cent.copy()
+            for c in range(len(cent)):
+                members = u[assign == c]
+                if len(members):
+                    new[c] = members.sum(axis=0) / len(members)
+            new = _unit(new)
+            moved = float(np.abs(new - cent).max())
+            cent = new
+            if moved < tol:
+                break
+        return cent
+
+    def test_distributed_lloyd_matches_single_node(self, spark, emb):
+        """VERDICT r4 #4: full-corpus Lloyd refinement agrees with the
+        single-node pass from the same init (up to float-sum reordering)."""
+        import numpy as np
+
+        from resume_ocr_spark.operators import similarity
+
+        rows = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
+        x = np.array([r["embedding"] for r in rows], dtype=np.float64)
+        init = similarity.kmeans_codebook(x[:64], k=8, iters=2)
+        got = similarity.ivf_train_distributed(
+            emb, k=8, iters=4, init=init)
+        want = self._lloyd_numpy(x, init, iters=4)
+        np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-12)
+        # refined codebook must be at least as good on the data it saw:
+        # mean max-cosine (spherical k-means objective) never decreases
+        u = x / np.linalg.norm(x, axis=1, keepdims=True)
+        assert (u @ got.T).max(axis=1).mean() >= \
+               (u @ init.T).max(axis=1).mean() - 1e-12
+
+    def test_distributed_lloyd_pass_count_bounded(self, spark, emb):
+        """Accumulator-proved iteration bound: exactly one corpus pass per
+        iteration, and the tol early-stop cuts the pass count."""
+        from resume_ocr_spark.operators import similarity
+
+        emb4 = emb.repartition(4)
+        init = similarity.ivf_train(emb4, k=8, iters=2)
+
+        c1 = spark.sparkContext.accumulator(0)
+        similarity.ivf_train_distributed(
+            emb4, k=8, iters=1, init=init, tol=0.0, batch_counter=c1)
+        per_pass = c1.value
+        assert per_pass >= 1
+
+        c3 = spark.sparkContext.accumulator(0)
+        similarity.ivf_train_distributed(
+            emb4, k=8, iters=3, init=init, tol=0.0, batch_counter=c3)
+        assert c3.value == 3 * per_pass  # tol=0 never early-stops
+
+        # converged input: after the update stabilizes, movement < tol
+        # stops the loop long before the iters budget
+        c_stop = spark.sparkContext.accumulator(0)
+        similarity.ivf_train_distributed(
+            emb4, k=8, iters=25, init=init, tol=1e-7, batch_counter=c_stop)
+        assert c_stop.value < 25 * per_pass
+
+    def test_distributed_lloyd_feeds_semantic_dedup(self, spark, emb):
+        """The refined codebook drops into SemDeDup's centroids hook."""
+        from resume_ocr_spark.operators import dedup, similarity
+
+        cents = similarity.ivf_train_distributed(emb, k=8, iters=2)
+        out = dedup.semantic_dedup(
+            emb, n_clusters=8, threshold=0.999, centroids=cents).collect()
+        assert len(out) == emb.count()
+        assert {r["cell"] for r in out} <= set(range(8))
+
 
 class TestUtils:
     def test_uuid4_validation(self):
@@ -1809,3 +1889,99 @@ class TestCosineProbeLsh:
                     union, dim=64, threshold=0.5).collect()
                 if r["id_b"] >= 100 and r["id_a"] < 100}
         assert probe == both
+
+
+class TestTrainingOrder:
+    """epoch_shuffle + pack_with_sentinels (VERDICT r4 #5)."""
+
+    def test_epoch_shuffle_is_a_permutation(self, spark, docs):
+        from resume_ocr_spark.operators import packing
+        d = docs.select("doc_id").limit(300)
+        out = packing.epoch_shuffle(d, epoch=0, shards=8).collect()
+        ids = {r["doc_id"] for r in out}
+        assert len(out) == len(ids) == d.count()
+        # positions dense 0..n_s-1 within every shard
+        by_shard = {}
+        for r in out:
+            by_shard.setdefault(r["shard"], []).append(r["pos"])
+        for s, poss in by_shard.items():
+            assert sorted(poss) == list(range(len(poss))), s
+        assert all(r["epoch"] == 0 for r in out)
+
+    def test_epochs_draw_different_orders_deterministically(self, spark, docs):
+        from resume_ocr_spark.operators import packing
+        d = docs.select("doc_id").limit(300)
+
+        def order(epoch, frame):
+            rows = packing.epoch_shuffle(frame, epoch=epoch, shards=4).collect()
+            return [r["doc_id"]
+                    for r in sorted(rows, key=lambda r: (r["shard"], r["pos"]))]
+
+        e0, e1 = order(0, d), order(1, d)
+        assert e0 != e1                      # epoch redraws the permutation
+        assert sorted(e0) == sorted(e1)      # same membership
+        assert e0 == order(0, d.repartition(7))  # partition-layout-invariant
+
+    def test_epoch_shuffle_shards_balanced(self, spark, docs):
+        """md5-hash sharding must stay near-uniform — the property that
+        lets the per-shard windows replace a global sort at scale."""
+        from resume_ocr_spark.operators import packing
+        d = docs.select("doc_id")
+        n = d.count()
+        out = packing.epoch_shuffle(d, epoch=2, shards=8).groupBy("shard").count()
+        sizes = [r["count"] for r in out.collect()]
+        assert len(sizes) == 8
+        assert max(sizes) < 2 * (n / 8)
+
+    def test_pack_with_sentinels_loader_roundtrip(self, spark, docs):
+        """Reconstruct every sequence from the loader columns: offsets
+        strictly increasing, BOS/EOS slots consistent with each doc's
+        content size, sentinel accounting exact, straddle only at the tail."""
+        from resume_ocr_spark.operators import packing
+        d = docs.select("doc_id", "text").limit(200)
+        base = {r["doc_id"]: r for r in packing.pack_sequences(
+            d, budget=256, shards=8).collect()}
+        seqs = packing.pack_with_sentinels(d, budget=256, shards=8).collect()
+        seen = []
+        for r in seqs:
+            ids = [int(x) for x in r["doc_ids_csv"].split(",")]
+            bos = [int(x) for x in r["doc_offsets_csv"].split(",")]
+            eos = [int(x) for x in r["eos_offsets_csv"].split(",")]
+            seen.extend(ids)
+            assert r["n_docs"] == len(ids) == len(bos) == len(eos)
+            assert ids == sorted(ids)            # pack order = id order
+            assert bos[0] == 0 or r["seq_id"] > 0
+            total_c = total_s = 0
+            for i, did in enumerate(ids):
+                content = base[did]["n_tokens"]
+                # EOS slot = BOS + content + 1 (BOS, content..., EOS)
+                assert eos[i] == bos[i] + content + 1, did
+                if i + 1 < len(ids):             # next doc starts after EOS
+                    assert bos[i + 1] == eos[i] + 1
+                total_c += content
+                total_s += content + packing.SENTINELS_PER_DOC
+            assert r["total_tokens"] == total_c
+            assert r["total_with_sentinels"] == total_s
+            # only the LAST doc may straddle the 256 budget
+            for i in range(len(ids) - 1):
+                assert bos[i] < 256
+        assert sorted(seen) == sorted(base)      # every doc packed once
+
+    def test_sentinel_budget_changes_assignment(self, spark, docs):
+        """The +2/doc reservation must actually flow into seq assignment —
+        identical to packing a corpus whose counts are inflated by 2."""
+        from resume_ocr_spark.operators import packing
+        d = docs.select("doc_id", "text").limit(120)
+        counts = (packing.with_token_counts(d, "text")
+                  .select("doc_id",
+                          (F.col("bpe_tokens") + 2).alias("n_tokens")))
+        expect = {(r["doc_id"], r["shard"], r["seq_id"], r["seq_offset"])
+                  for r in packing.pack_sequences_from_counts(
+                      counts, budget=256, shards=8).collect()}
+        got = set()
+        for r in packing.pack_with_sentinels(d, budget=256, shards=8).collect():
+            ids = [int(x) for x in r["doc_ids_csv"].split(",")]
+            bos = [int(x) for x in r["doc_offsets_csv"].split(",")]
+            for did, b in zip(ids, bos):
+                got.add((did, r["shard"], r["seq_id"], b))
+        assert got == expect
