@@ -611,6 +611,25 @@ def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.with_bigram_logprob(docs, uni, big, lam=BIGRAM_LAM)
 
 
+TRIGRAM_LAM3, TRIGRAM_LAM2 = 0.5, 0.3
+
+
+def trigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated-trigram LM scoring (round 5, VERDICT r4 #7): model =
+    word + bigram + trigram counts of the doc_id < 150 slice, broadcast
+    behind max_model_rows; scored over the same slice. The oracle rebuilds
+    the identical model in SQL from the same slice (positional self-joins
+    for the n-gram counts); λ literals emitted as repr() so both engines'
+    floats agree bitwise, hash gated behind round(,4) like bigram_logprob."""
+    docs = (_t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < BIGRAM_SLICE).select("doc_id", "text"))
+    uni = textstats.word_counts(docs)
+    big = textstats.bigram_counts(docs)
+    tri = textstats.trigram_counts(docs)
+    return textstats.with_trigram_logprob(
+        docs, uni, big, tri, lam3=TRIGRAM_LAM3, lam2=TRIGRAM_LAM2)
+
+
 def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The five media-column stages (image meta, 2× min-pool resize meta,
     audio meta, per-frame audio energy, video frame sampling) as ONE gated
@@ -1216,6 +1235,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reencode_jpeg": reencode_jpeg,
         "epoch_order": epoch_order,
         "packing_sentinels": packing_sentinels,
+        # round-5 tail: trigram sibling of the gated bigram_logprob entry
+        # (same slice, same broadcast-cap design, one order higher)
+        "trigram_logprob": trigram_logprob,
     }
     return {**gated, **tail}
 
@@ -1658,6 +1680,69 @@ def oracle_sql() -> dict[str, str]:
       )
       SELECT d.doc_id,
              ROUND(AVG(-ln(s.p)), 4) AS bigram_nll,
+             CAST(COUNT(s.p) AS BIGINT) AS n_scored_words
+      FROM (SELECT doc_id FROM documents WHERE doc_id < {BIGRAM_SLICE}) d
+      LEFT JOIN scored s ON s.doc_id = d.doc_id
+      GROUP BY d.doc_id
+    """
+    # trigram sibling: same model-from-the-slice rebuild one order higher;
+    # second word folds λ3 into λ2 (missing-context mass to the longest
+    # available order), literals repr()-emitted for bitwise float parity
+    _l3, _l2 = TRIGRAM_LAM3, TRIGRAM_LAM2
+    _l1, _l32 = 1.0 - _l3 - _l2, _l3 + _l2
+    sqls["trigram_logprob"] = f"""
+      WITH toks AS (
+        SELECT doc_id, w, i FROM (
+          SELECT doc_id,
+                 unnest(string_split(trim(regexp_replace(lower(text),
+                        '[^a-z0-9]+', ' ', 'g')), ' ')) AS w,
+                 unnest(generate_series(1,
+                        len(string_split(trim(regexp_replace(lower(text),
+                            '[^a-z0-9]+', ' ', 'g')), ' ')))) AS i
+          FROM documents WHERE doc_id < {BIGRAM_SLICE}
+        ) WHERE w <> ''
+      ), uni AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY w
+      ), tot AS (
+        SELECT CAST(SUM(c) AS DOUBLE) AS t, COUNT(*) AS v FROM uni
+      ), big AS (
+        SELECT a.w AS w1, b.w AS w2, CAST(COUNT(*) AS BIGINT) AS c
+        FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+        GROUP BY 1, 2
+      ), tri AS (
+        SELECT a.w AS w1, b.w AS w2, c3.w AS w3, CAST(COUNT(*) AS BIGINT) AS c
+        FROM toks a
+        JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+        JOIN toks c3 ON c3.doc_id = a.doc_id AND c3.i = a.i + 2
+        GROUP BY 1, 2, 3
+      ), scored AS (
+        SELECT t.doc_id,
+               CASE WHEN t.i = 1
+                    THEN (COALESCE(u.c, 0) + 1.0) / (tot.t + tot.v + 1)
+                    WHEN t.i = 2
+                    THEN {_l32!r} * ((COALESCE(bg.c, 0) + 1.0)
+                                     / (COALESCE(up.c, 0) + tot.v + 1))
+                         + {_l1!r} * ((COALESCE(u.c, 0) + 1.0)
+                                      / (tot.t + tot.v + 1))
+                    ELSE {_l3!r} * ((COALESCE(tg.c, 0) + 1.0)
+                                    / (COALESCE(bc.c, 0) + tot.v + 1))
+                         + {_l2!r} * ((COALESCE(bg.c, 0) + 1.0)
+                                      / (COALESCE(up.c, 0) + tot.v + 1))
+                         + {_l1!r} * ((COALESCE(u.c, 0) + 1.0)
+                                      / (tot.t + tot.v + 1))
+               END AS p
+        FROM toks t
+        LEFT JOIN toks pv ON pv.doc_id = t.doc_id AND pv.i = t.i - 1
+        LEFT JOIN toks pv2 ON pv2.doc_id = t.doc_id AND pv2.i = t.i - 2
+        LEFT JOIN uni u ON u.w = t.w
+        LEFT JOIN uni up ON up.w = pv.w
+        LEFT JOIN big bg ON bg.w1 = pv.w AND bg.w2 = t.w
+        LEFT JOIN big bc ON bc.w1 = pv2.w AND bc.w2 = pv.w
+        LEFT JOIN tri tg ON tg.w1 = pv2.w AND tg.w2 = pv.w AND tg.w3 = t.w
+        CROSS JOIN tot
+      )
+      SELECT d.doc_id,
+             ROUND(AVG(-ln(s.p)), 4) AS trigram_nll,
              CAST(COUNT(s.p) AS BIGINT) AS n_scored_words
       FROM (SELECT doc_id FROM documents WHERE doc_id < {BIGRAM_SLICE}) d
       LEFT JOIN scored s ON s.doc_id = d.doc_id

@@ -2,7 +2,7 @@
 pipeline operators into the flow a 100 TB data-curation job actually runs.
 
     quality filter  →  exact dedup  →  [MinHash near-dup]  →
-    benchmark decontamination  →  mixture sampling
+    benchmark decontamination  →  mixture sampling  →  [group quota]
 
 Each document gets a ``drop_reason`` (the FIRST stage that rejects it, in
 the order above — the conventional funnel accounting, so stage counts sum
@@ -40,6 +40,7 @@ REASON_DUPLICATE = "duplicate"
 REASON_NEAR_DUPLICATE = "near_duplicate"
 REASON_CONTAMINATED = "contaminated"
 REASON_SAMPLED_OUT = "sampled_out"
+REASON_OVER_QUOTA = "over_quota"
 
 
 def curate(
@@ -57,6 +58,7 @@ def curate(
     minhash_k: int = 128,
     lsh_bands: int = 16,
     shingle: int | None = 5,
+    group_quota: int | None = None,
 ) -> DataFrame:
     """Annotate every document with its curation outcome.
 
@@ -74,11 +76,20 @@ def curate(
     Filter to ``drop_reason IS NULL`` for the training corpus; group by
     ``drop_reason`` for the funnel audit.
 
-    The staging columns ``keep/reasons/fingerprint/bucket/_contam/_neardup``
-    are reserved: an input already carrying one would be silently
-    clobbered and dropped, so that's an error here."""
+    ``group_quota`` (VERDICT r4 next-step #8, the CommonCrawl-style
+    per-domain cap): keep at most N documents per ``group_col`` value
+    AMONG THE SURVIVORS of every other stage, chosen by the deterministic
+    md5-hash order of :func:`.mixture.stratified_topk` (engine/retry
+    stable); the overflow reports ``over_quota``. Like stratified_topk,
+    the quota window's parallelism is bounded by the number of groups —
+    a per-DOMAIN cap at web scale wants the rate-based ``weights``
+    instead; quotas are for low-cardinality strata.
+
+    The staging columns ``keep/reasons/fingerprint/bucket/_contam/
+    _neardup/_prior_drop`` are reserved: an input already carrying one
+    would be silently clobbered and dropped, so that's an error here."""
     reserved = {"keep", "reasons", "fingerprint", "bucket", "_contam",
-                "_neardup"}
+                "_neardup", "_prior_drop"}
     clash = reserved & set(docs.columns)
     if clash:
         raise ValueError(f"input carries reserved curation columns: "
@@ -161,15 +172,38 @@ def curate(
     else:
         sample_drop = F.lit(False)
 
+    if group_quota is not None:
+        if group_quota <= 0:
+            raise ValueError(f"group_quota must be positive: {group_quota}")
+        if "bucket" not in out.columns:
+            out = _mixture.with_sample_bucket(out, id_col, seed)
+        # materialize the prior-stage verdict first: dup_drop embeds a
+        # window (the fingerprint keeper), and Spark rejects a window
+        # expression inside another window's argument
+        out = out.withColumn(
+            "_prior_drop",
+            quality_drop | dup_drop | near_drop | contam_drop | sample_drop)
+        wq = (Window.partitionBy(group_col)
+              .orderBy("bucket", id_col)
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        survivor_rank = F.sum(
+            (~F.col("_prior_drop")).cast("int")).over(wq)
+        quota_drop = (~F.col("_prior_drop")) & \
+            (survivor_rank > F.lit(group_quota))
+    else:
+        quota_drop = F.lit(False)
+
     reason = (
         F.when(quality_drop, F.lit(REASON_QUALITY))
         .when(dup_drop, F.lit(REASON_DUPLICATE))
         .when(near_drop, F.lit(REASON_NEAR_DUPLICATE))
         .when(contam_drop, F.lit(REASON_CONTAMINATED))
         .when(sample_drop, F.lit(REASON_SAMPLED_OUT))
+        .when(quota_drop, F.lit(REASON_OVER_QUOTA))
     )
     drop_cols = [c for c in ("keep", "reasons", "fingerprint", "_contam",
-                             "_neardup", "bucket") if c in out.columns]
+                             "_neardup", "bucket", "_prior_drop")
+                 if c in out.columns]
     return out.withColumn("drop_reason", reason).drop(*drop_cols)
 
 

@@ -283,6 +283,156 @@ def bigram_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def trigram_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adjacent-word-triple counts ``(w1, w2, w3, n_occurrences)`` — the
+    trigram model input; same zero-shuffle per-row transform as
+    :func:`bigram_counts`, groupBy bounded by DISTINCT trigrams."""
+    from .dedup import _tokens
+
+    triples = F.expr(
+        "CASE WHEN size(_t) >= 3 THEN "
+        "transform(sequence(1, size(_t) - 2),"
+        " i -> struct(_t[i - 1] AS w1, _t[i] AS w2, _t[i + 1] AS w3)) "
+        "ELSE array() END")
+    return (
+        df.select(F.filter(_tokens(text_col),
+                           lambda x: x != "").alias("_t"))
+        .select(F.explode(triples).alias("p"))
+        .select("p.w1", "p.w2", "p.w3")
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+
+
+def with_trigram_logprob(
+    df: DataFrame,
+    unigrams: DataFrame,
+    bigrams: DataFrame,
+    trigrams: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam3: float = 0.5,
+    lam2: float = 0.3,
+    alpha: float = 1.0,
+    min_count: int = 1,
+    max_model_rows: int = 5_000_000,
+) -> DataFrame:
+    """Interpolated-trigram LM document scorer (VERDICT r4 next-step #7 —
+    the next CCNet-fidelity step; bigram models saturate on boilerplate):
+    mean per-word NLL under
+
+      λ₃·P(w|w₋₂,w₋₁) + λ₂·P(w|w₋₁) + λ₁·P(w),   λ₁ = 1 − λ₃ − λ₂
+
+    with the same add-α components as :func:`with_bigram_logprob`
+    (trigram denominator = the CONTEXT bigram count c(w₋₂,w₋₁) + floor).
+    Positions without full context shift the missing-order mass to the
+    longest available one: the second word scores
+    (λ₃+λ₂)·P(w|prev) + λ₁·P(w); the first word scores P(w) alone.
+
+    Same broadcast-cap design: the three model frames collect ONCE under
+    a shared ``max_model_rows`` bound (``min_count`` prunes bigrams and
+    trigrams — the size dial) and ship as broadcast joins; the corpus side
+    stays a zero-shuffle array transform → five broadcast joins → one
+    groupBy(id). Totality matches the bigram scorer (zero-token docs →
+    NULL nll, 0 words)."""
+    from .dedup import _tokens
+
+    if alpha <= 0:
+        raise ValueError("alpha must be > 0")
+    if not (0.0 <= lam3 and 0.0 <= lam2 and lam3 + lam2 <= 1.0):
+        raise ValueError(f"need lam3, lam2 >= 0 and lam3+lam2 <= 1 "
+                         f"(got {lam3}, {lam2})")
+    lam1 = 1.0 - lam3 - lam2
+    lam32 = lam3 + lam2
+    uni_rows = (unigrams.select("word", "n_occurrences")
+                .limit(max_model_rows + 1).collect())
+    big_rows = (
+        bigrams.filter(F.col("n_occurrences") >= min_count)
+        .select("w1", "w2", "n_occurrences")
+        .limit(max_model_rows + 1).collect()
+    )
+    tri_rows = (
+        trigrams.filter(F.col("n_occurrences") >= min_count)
+        .select("w1", "w2", "w3", "n_occurrences")
+        .limit(max_model_rows + 1).collect()
+    )
+    if len(uni_rows) + len(big_rows) + len(tri_rows) > max_model_rows:
+        raise ValueError(
+            f"model too large to broadcast (>{max_model_rows} rows across "
+            "unigrams + bigrams + trigrams); raise min_count or train on "
+            "a smaller sample")
+    total = float(sum(r["n_occurrences"] for r in uni_rows))
+    vsize = len(uni_rows)
+    floor = alpha * (vsize + 1)
+    spark = df.sparkSession
+    uni_local = spark.createDataFrame(
+        [(r["word"], int(r["n_occurrences"])) for r in uni_rows]
+        or [("", 0)],
+        "word string, c bigint",
+    )
+    big_local = spark.createDataFrame(
+        [(r["w1"], r["w2"], int(r["n_occurrences"])) for r in big_rows]
+        or [("", "", 0)],
+        "w1 string, w2 string, c bigint",
+    )
+    tri_local = spark.createDataFrame(
+        [(r["w1"], r["w2"], r["w3"], int(r["n_occurrences"]))
+         for r in tri_rows]
+        or [("", "", "", 0)],
+        "w1 string, w2 string, w3 string, c bigint",
+    )
+    toks = F.filter(_tokens(text_col), lambda x: x != "")
+    pos_structs = F.expr(
+        "transform(sequence(1, greatest(size(_t), 1)),"
+        " i -> struct(get(_t, i - 1) AS word,"
+        " CASE WHEN i > 1 THEN get(_t, i - 2) END AS prev,"
+        " CASE WHEN i > 2 THEN get(_t, i - 3) END AS prev2))")
+    words = (
+        df.select(F.col(id_col), toks.alias("_t"))
+        .select(F.col(id_col), F.explode(pos_structs).alias("s"))
+        .select(id_col, "s.word", "s.prev", "s.prev2")
+    )
+    cw = F.coalesce(F.col("u.c"), F.lit(0))
+    cprev = F.coalesce(F.col("up.c"), F.lit(0))
+    cbig = F.coalesce(F.col("b.c"), F.lit(0))
+    cctx = F.coalesce(F.col("bc.c"), F.lit(0))
+    ctri = F.coalesce(F.col("tr.c"), F.lit(0))
+    p_uni = (cw + F.lit(alpha)) / F.lit(total + floor)
+    p_big = (cbig + F.lit(alpha)) / (cprev + F.lit(floor))
+    p_tri = (ctri + F.lit(alpha)) / (cctx + F.lit(floor))
+    p = (F.when(F.col("w.prev").isNull(), p_uni)
+         .when(F.col("w.prev2").isNull(),
+               F.lit(lam32) * p_big + F.lit(lam1) * p_uni)
+         .otherwise(F.lit(lam3) * p_tri + F.lit(lam2) * p_big
+                    + F.lit(lam1) * p_uni))
+    scored = (
+        words.alias("w")
+        .join(F.broadcast(uni_local).alias("u"),
+              F.col("w.word") == F.col("u.word"), "left")
+        .join(F.broadcast(uni_local.withColumnRenamed("word", "pword")
+                          ).alias("up"),
+              F.col("w.prev") == F.col("up.pword"), "left")
+        .join(F.broadcast(big_local).alias("b"),
+              (F.col("w.prev") == F.col("b.w1"))
+              & (F.col("w.word") == F.col("b.w2")), "left")
+        .join(F.broadcast(big_local.withColumnRenamed("w1", "x1")
+                          .withColumnRenamed("w2", "x2")).alias("bc"),
+              (F.col("w.prev2") == F.col("bc.x1"))
+              & (F.col("w.prev") == F.col("bc.x2")), "left")
+        .join(F.broadcast(tri_local).alias("tr"),
+              (F.col("w.prev2") == F.col("tr.w1"))
+              & (F.col("w.prev") == F.col("tr.w2"))
+              & (F.col("w.word") == F.col("tr.w3")), "left")
+        .select(F.col(f"w.{id_col}").alias(id_col),
+                F.col("w.word").alias("word"),
+                F.when(F.col("w.word").isNotNull(), -F.log(p)).alias("nll"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.round(F.avg("nll"), 4).alias("trigram_nll"),
+        F.count("word").alias("n_scored_words"),
+    )
+
+
 def with_bigram_logprob(
     df: DataFrame,
     unigrams: DataFrame,

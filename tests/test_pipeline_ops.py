@@ -1985,3 +1985,82 @@ class TestTrainingOrder:
             for did, b in zip(ids, bos):
                 got.add((did, r["shard"], r["seq_id"], b))
         assert got == expect
+
+
+class TestGroupQuota:
+    """curate(group_quota=N) — the CommonCrawl-style per-group cap
+    (VERDICT r4 #8)."""
+
+    def test_quota_caps_survivors_per_group(self, spark, docs):
+        from resume_ocr_spark.operators import curate, mixture
+        d = docs.select("doc_id", "text", "lang").limit(120)
+        ann = curate.curate(d, group_quota=5).collect()
+        kept = [r for r in ann if r["drop_reason"] is None]
+        over = [r for r in ann if r["drop_reason"] == "over_quota"]
+        by_lang = {}
+        for r in kept:
+            by_lang[r["lang"]] = by_lang.get(r["lang"], 0) + 1
+        assert by_lang and all(n <= 5 for n in by_lang.values())
+        assert over, "expected overflow at quota=5 on 120 docs"
+        # the keepers are the hash-order head among survivors: recompute
+        base = {r["doc_id"]: r["drop_reason"]
+                for r in curate.curate(d).collect()}
+        surv = mixture.with_sample_bucket(
+            d.filter(F.col("doc_id").isin(
+                [i for i, dr in base.items() if dr is None]))).collect()
+        expect_keep = set()
+        by_group = {}
+        for r in sorted(surv, key=lambda r: (r["bucket"], r["doc_id"])):
+            g = by_group.setdefault(r["lang"], [])
+            if len(g) < 5:
+                g.append(r["doc_id"])
+                expect_keep.add(r["doc_id"])
+        assert {r["doc_id"] for r in kept} == expect_keep
+        # precedence: quota never reclassifies an earlier-stage drop
+        for r in ann:
+            if base[r["doc_id"]] is not None:
+                assert r["drop_reason"] == base[r["doc_id"]]
+
+    def test_quota_composes_with_weights(self, spark, docs):
+        from resume_ocr_spark.operators import curate
+        d = docs.select("doc_id", "text", "lang").limit(120)
+        ann = curate.curate(d, weights={"en": 0.5}, default_weight=0.9,
+                            group_quota=3).collect()
+        kept = {}
+        for r in ann:
+            if r["drop_reason"] is None:
+                kept[r["lang"]] = kept.get(r["lang"], 0) + 1
+        assert kept and all(n <= 3 for n in kept.values())
+        reasons = {r["drop_reason"] for r in ann}
+        assert "sampled_out" in reasons  # both stages active
+
+    def test_quota_guard(self, spark, docs):
+        from resume_ocr_spark.operators import curate
+        with pytest.raises(ValueError, match="group_quota"):
+            curate.curate(docs.select("doc_id", "text", "lang"),
+                          group_quota=0)
+
+    def test_job_end_to_end_with_quota_audit_sums(self, spark, docs,
+                                                  tmp_path):
+        import sys
+
+        from tools import submit_curation
+        src = str(tmp_path / "inq.parquet")
+        docs.select("doc_id", "text", "lang").limit(100).write.parquet(src)
+        out = str(tmp_path / "outq")
+        old = sys.argv
+        sys.argv = ["x", "--input", src, "--output", out,
+                    "--group-quota", "4"]
+        try:
+            rc = submit_curation.main()
+        finally:
+            sys.argv = old
+        assert rc == 0
+        audit = {r["outcome"]: r["n_docs"] for r in
+                 spark.read.parquet(f"{out}/audit").collect()}
+        kept = spark.read.parquet(f"{out}/curated")
+        assert sum(audit.values()) == 100          # funnel accounting exact
+        assert audit.get("over_quota", 0) > 0
+        assert kept.count() == audit["kept"]
+        per_group = kept.groupBy("lang").count().collect()
+        assert all(r["count"] <= 4 for r in per_group)

@@ -46,7 +46,7 @@ EXPECTED_TAIL = [
     "multimodal_resize", "audio_meta", "audio_energy", "video_frames",
     "dedup_jaccard_pairs", "dedup_embedding_pairs", "semantic_decontam",
     "semantic_dedup_det", "substring_removal", "reencode_jpeg",
-    "epoch_order", "packing_sentinels",
+    "epoch_order", "packing_sentinels", "trigram_logprob",
 ]
 
 

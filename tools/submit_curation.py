@@ -4,7 +4,8 @@
         --input <docs.parquet> --output <dir> \
         [--benchmark <bench.parquet>] [--weights '{"en": 1.0, "fr": 0.5}'] \
         [--default-weight 1.0] [--group-col lang] [--ngram 13] [--seed mix] \
-        [--near-dup] [--minhash-k 128] [--lsh-bands 16] [--shingle 5]
+        [--near-dup] [--minhash-k 128] [--lsh-bands 16] [--shingle 5] \
+        [--group-quota N]
 
 Writes three tables under --output:
     curated/      surviving documents (drop_reason IS NULL), input schema
@@ -41,6 +42,10 @@ def main() -> int:
     ap.add_argument("--seed", default="mix")
     ap.add_argument("--near-dup", action="store_true",
                     help="enable the MinHash fuzzy-dedup stage")
+    ap.add_argument("--group-quota", type=int, default=None,
+                    help="keep at most N survivors per --group-col value "
+                         "(CommonCrawl-style per-domain cap; deterministic "
+                         "hash order, overflow reported as over_quota)")
     ap.add_argument("--minhash-k", type=int, default=128)
     ap.add_argument("--lsh-bands", type=int, default=16)
     ap.add_argument("--shingle", type=int, default=5)
@@ -64,6 +69,7 @@ def main() -> int:
         default_weight=args.default_weight, seed=args.seed,
         near_dup=args.near_dup, minhash_k=args.minhash_k,
         lsh_bands=args.lsh_bands, shingle=args.shingle,
+        group_quota=args.group_quota,
     )
     annotated.persist()
     try:
