@@ -1004,6 +1004,66 @@ def html_strip_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.md5("text").alias("text_md5"), "error")
 
 
+def _webpage_docs(n: int = 24) -> list[tuple[int, str]]:
+    """Deterministic synthetic crawl pages for the jusText-mode gate:
+    nav link bars, cookie banners, short headlines, stopword-dense prose
+    paragraphs, related-story link lists, copyright footers — the page
+    anatomy whose TAG semantics are unreliable (plain <div>s) and only
+    the context-sensitive classifier separates."""
+    import random
+
+    rng = random.Random(4242)
+    subjects = ["the team", "a spokesperson", "the committee", "engineers",
+                "the mayor", "researchers", "the company", "officials"]
+    verbs = ["said that they will be moving", "announced that it has opened",
+             "confirmed that there will be", "reported that it was not",
+             "explained that this is one of", "noted that some of the"]
+    tails = [
+        "the new platform in the coming months, and that the change is "
+        "expected to reduce costs for all of the users in the region.",
+        "a public review of the plans, which had been under discussion "
+        "for more than a year before the decision was made.",
+        "the first of several projects that are expected to be completed "
+        "by the end of the decade, according to people familiar with it.",
+        "clear when the work would be finished, but more details will be "
+        "shared with residents as they become available this year.",
+    ]
+    docs = []
+    for i in range(n):
+        paras = "\n".join(
+            f"<p>{rng.choice(subjects).capitalize()} "
+            f"{rng.choice(verbs)} {rng.choice(tails)}</p>"
+            for _ in range(rng.randint(2, 4)))
+        headline = (f"<div>{rng.choice(subjects).capitalize()} plans "
+                    f"project {i}</div>")
+        links = " ".join(f'<a href="/s{k}">Story {k}</a>'
+                         for k in range(rng.randint(3, 6)))
+        page = (
+            f'<div><a href="/">Home</a> <a href="/n">News</a> '
+            f'<a href="/s">Sports</a> <a href="/c">Contact</a></div>'
+            f'{"<div>We use cookies on this site</div>" if i % 3 == 0 else ""}'
+            f"{headline}\n{paras}\n"
+            f"<div>RELATED</div><div>{links}</div>"
+            f"<div>Copyright 2026 Example News Corp</div>"
+        )
+        docs.append((i, page))
+    return docs
+
+
+def html_justext_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-crawl HTML main-content extraction (round 5): the context-
+    sensitive jusText-style classifier over synthetic crawl pages whose
+    tags carry no semantics — nav bars, cookie banners and link lists must
+    drop on stopword/link density + context alone. Oracle = the shared
+    pure function's output as VALUES (html_strip_gate's protocol)."""
+    from resume_ocr_spark.operators import extract
+
+    docs = spark.createDataFrame(_webpage_docs(), "doc_id long, html string")
+    out = extract.strip_html_column(docs, mode="justext")
+    return out.select("doc_id", F.length("text").alias("text_len"),
+                      F.md5("text").alias("text_md5"), "error")
+
+
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image transform op under the gate: 2× min-pool downsample on the
     binary column (ink-preserving), then metadata — dims/pixels/mean must
@@ -1238,6 +1298,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 tail: trigram sibling of the gated bigram_logprob entry
         # (same slice, same broadcast-cap design, one order higher)
         "trigram_logprob": trigram_logprob,
+        # round-5 tail: crawl-page sibling of the gated html_strip_gate
+        # (context-sensitive jusText mode over tag-semantics-free pages)
+        "html_justext_gate": html_justext_gate,
     }
     return {**gated, **tail}
 
@@ -2395,6 +2458,7 @@ def oracle_sql() -> dict[str, str]:
     sqls["streaming_extract_ingest"] = _precomputed("streaming_extract_ingest")
     sqls["embedding_ann_ivf_det"] = _precomputed("embedding_ann_ivf_det")
     sqls["html_strip_gate"] = _precomputed("html_strip_gate")
+    sqls["html_justext_gate"] = _precomputed("html_justext_gate")
     sqls["multimodal_meta"] = _precomputed("multimodal_meta")
     sqls["multimodal_resize"] = _precomputed("multimodal_resize")
     sqls["audio_meta"] = _precomputed("audio_meta")
@@ -2523,6 +2587,20 @@ def _precomputed(name: str) -> str:
                          None))
         sql = _values_sql(rows, [
             ("doc_id", "VARCHAR"), ("text_len", "INTEGER"),
+            ("text_md5", "VARCHAR"), ("error", "VARCHAR")])
+    elif name == "html_justext_gate":
+        import hashlib
+
+        from resume_ocr_spark.formats import htmlcodec
+
+        rows = []
+        for doc_id, page in _webpage_docs():
+            stripped = htmlcodec.strip_boilerplate(page, mode="justext")
+            rows.append((doc_id, len(stripped),
+                         hashlib.md5(stripped.encode("utf-8")).hexdigest(),
+                         None))
+        sql = _values_sql(rows, [
+            ("doc_id", "BIGINT"), ("text_len", "INTEGER"),
             ("text_md5", "VARCHAR"), ("error", "VARCHAR")])
     elif name == "multimodal_resize":
         rows = []

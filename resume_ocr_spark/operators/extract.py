@@ -296,3 +296,45 @@ def skewed_doc_ids(docs_df: DataFrame, threshold: int = SKEW_SPAN_THRESHOLD) -> 
         F.size(F.filter("spans", lambda s: s.kind.isin("pdf", "image")))
         .alias("media_spans"),
     ).filter(F.col("media_spans") > threshold)
+
+
+def strip_html_column(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+    mode: str = "tags",
+) -> DataFrame:
+    """Standalone HTML main-content projection for curation inputs
+    (round 5): ``(id_col, html)`` → ``(id_col, text, error)`` via the
+    shared pure classifier — ``mode='tags'`` for document-class HTML,
+    ``mode='justext'`` for real crawl pages (context-sensitive
+    stopword-density classification; see formats/htmlcodec.py).
+
+    Zero-shuffle Arrow batch projection; empty/None input and classifier
+    exceptions become error rows."""
+    from ..formats import htmlcodec
+
+    if mode not in ("tags", "justext"):
+        raise ValueError(f"unknown strip mode: {mode!r}")
+
+    def strip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            texts, errors = [], []
+            for raw in pdf[html_col]:
+                if not (raw or "").strip():
+                    texts.append("")
+                    errors.append("empty file")
+                    continue
+                try:
+                    texts.append(htmlcodec.strip_boilerplate(raw, mode=mode))
+                    errors.append(None)
+                except Exception as exc:  # error-as-data, never task death
+                    texts.append("")
+                    errors.append(f"unexpected: {exc}")
+            out = pdf[[id_col]].copy()
+            out["text"] = texts
+            out["error"] = errors
+            yield out
+
+    return df.select(id_col, html_col).mapInPandas(
+        strip, schema=f"{id_col} long, text string, error string")

@@ -237,9 +237,13 @@ class TestHtmlCodec:
         """Total function: any input yields a str, never an exception —
         and script content stays stripped no matter what surrounds it."""
         assert isinstance(htmlcodec.strip_boilerplate(doc), str)
+        assert isinstance(htmlcodec.strip_boilerplate(doc, mode="justext"),
+                          str)
         doc = doc.replace("leakcanary", "")
         wrapped = f"<p>keep</p><script>leakcanary {doc}</script>{doc}"
         assert "leakcanary" not in htmlcodec.strip_boilerplate(wrapped)
+        assert "leakcanary" not in htmlcodec.strip_boilerplate(
+            wrapped, mode="justext")
 
     def test_unterminated_script_swallowed_to_eof(self):
         doc = ("<main><p>Visible text</p>"
@@ -414,3 +418,76 @@ class TestGlyphModeProperty:
         want = [ln.rstrip() for ln in lines if ln.strip()]
         got = [ln for ln in out.split("\n") if ln]
         assert got == [w for w in want if w]
+
+
+class TestJustextMode:
+    """Round-5 context-sensitive classifier (htmlcodec mode='justext')."""
+
+    PROSE = ("The team said that they will be moving all of their "
+             "pipelines to the new platform in the coming months and that "
+             "the change is expected to reduce costs for the company.")
+
+    def test_crawl_page_chrome_drops_without_tag_semantics(self):
+        page = (
+            '<div><a href=a>Home</a> <a href=b>News</a> <a href=c>More</a>'
+            f"</div><div>Headline under fifty chars</div><p>{self.PROSE}</p>"
+            f"<p>{self.PROSE}</p><div><a href=d>S1</a> <a href=e>S2</a> "
+            "<a href=f>S3</a></div><div>Copyright 2026 Example Corp</div>"
+        )
+        out = htmlcodec.strip_boilerplate(page, mode="justext")
+        assert self.PROSE in out
+        assert "Headline under fifty chars" in out  # short + good neighbor
+        assert "Home" not in out                    # link bar: density
+        assert "S1" not in out                      # related list: density
+        assert "Copyright" not in out               # short between bads
+        # tag mode keeps the copyright div (no tag semantics to drop it) —
+        # exactly the gap the context pass closes
+        assert "Copyright" in htmlcodec.strip_boilerplate(page)
+
+    def test_short_between_bads_drops_between_goods_keeps(self):
+        short = "<div>Quarterly results</div>"
+        bad = '<div><a href=x>L1</a> <a href=y>L2</a> <a href=z>L3</a></div>'
+        good = f"<p>{self.PROSE}</p>"
+        kept = htmlcodec.strip_boilerplate(good + short + good,
+                                           mode="justext")
+        assert "Quarterly results" in kept
+        dropped = htmlcodec.strip_boilerplate(bad + short + bad,
+                                              mode="justext")
+        assert "Quarterly results" not in dropped
+
+    def test_long_low_stopword_block_is_bad(self):
+        chrome = ("SPORTS POLITICS BUSINESS TECH SCIENCE HEALTH TRAVEL "
+                  "OPINION CULTURE WEATHER MARKETS LIFESTYLE EDUCATION "
+                  "REGIONAL NATIONAL GLOBAL")  # >150 chars, no stopwords
+        page = f"<div>{chrome}</div><p>{self.PROSE}</p>"
+        out = htmlcodec.strip_boilerplate(page, mode="justext")
+        assert "SPORTS POLITICS" not in out and self.PROSE in out
+
+    def test_content_tags_force_good_boilerplate_tags_force_bad(self):
+        page = ("<article><div>short but inside article</div></article>"
+                f"<footer><p>{self.PROSE}</p></footer>")
+        out = htmlcodec.strip_boilerplate(page, mode="justext")
+        assert "short but inside article" in out
+        assert self.PROSE not in out   # footer prior beats density
+
+    def test_boilerplate_only_page_extracts_empty(self):
+        page = ('<div><a href=a>Home</a> <a href=b>News</a> '
+                "<a href=c>More</a></div><div>Copyright 2026</div>")
+        assert htmlcodec.strip_boilerplate(page, mode="justext") == ""
+
+    def test_unknown_mode_rejected(self):
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="mode"):
+            htmlcodec.strip_boilerplate("<p>x</p>", mode="readability")
+
+    def test_tags_mode_output_unchanged_by_round5(self):
+        """The extraction pipeline's default mode must be byte-identical to
+        the pre-round-5 classifier (span-sequence stability)."""
+        import random
+
+        from resume_ocr_spark import corpus
+        rng = random.Random(99)
+        doc = corpus.wrap_html(corpus.make_resume_text(rng))
+        out = htmlcodec.strip_boilerplate(doc)
+        assert out == htmlcodec.strip_boilerplate(doc, mode="tags")
+        assert "Experiência" in out or len(out) > 50

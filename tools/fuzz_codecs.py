@@ -38,9 +38,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np  # noqa: E402
 
 from resume_ocr_spark import textproc  # noqa: E402
-from resume_ocr_spark.formats import (avcodec, imagecodec, jpegcodec,  # noqa: E402
-                                      jpegenc, mp4codec, mpegaudio, pdfcodec,
-                                      pngcodec, realfont)
+from resume_ocr_spark.formats import (avcodec, htmlcodec, imagecodec,  # noqa: E402
+                                      jpegcodec, jpegenc, mp4codec, mpegaudio,
+                                      pdfcodec, pngcodec, realfont)
 
 FIXDIR = "/root/reference/tests/curriculos"
 PAGE_WALL_BUDGET = 30.0  # s; a single garbage page may not cost more
@@ -181,6 +181,9 @@ def campaign_strings(n: int) -> None:
          lambda s: textproc.score_against_query(s, "python dev spark")),
         ("summarize", textproc.summarize),
         ("query_terms", textproc.query_terms),
+        ("html_strip_tags", htmlcodec.strip_boilerplate),
+        ("html_strip_justext",
+         lambda s: htmlcodec.strip_boilerplate(s, mode="justext")),
     ]
     pools = [string.printable, "ÁÉÍÓÚáéíóúçãõâêô\n\t -/",
              "(()))(\\\\[]{}$^.*+?|", "0123456789/-– ", "\x00\x01\x02  "]
