@@ -143,3 +143,60 @@ class TestNewOpPlans:
          .write.option("header", True).csv(path))
         plan = plan_of(sources.read_documents_csv(spark, path))
         assert "Python" not in plan  # from_json is a JVM expression
+
+
+class TestRound5OpPlans:
+    """The plans the round-5 operators were designed to have — one hash
+    exchange where one is inherent, zero where none is, broadcasts never
+    degrading to SortMergeJoin."""
+
+    @staticmethod
+    def _shape(df):
+        import re
+        p = plan_of(df)
+        return (len(re.findall(r"Exchange hashpartitioning", p)),
+                p.count("SortMergeJoin"),
+                p.count("BroadcastHashJoin"))
+
+    @pytest.fixture()
+    def prose_docs(self, spark):
+        return spark.createDataFrame(
+            [(i, "the team said that they will be moving all of the "
+                 "pipelines to the new platform in the coming months")
+             for i in range(60)],
+            "doc_id long, text string")
+
+    def test_epoch_shuffle_single_exchange(self, spark, prose_docs):
+        from resume_ocr_spark.operators import packing
+        assert self._shape(packing.epoch_shuffle(prose_docs)) == (1, 0, 0)
+
+    def test_pack_with_sentinels_reuses_shard_partitioning(self, spark,
+                                                           prose_docs):
+        """The groupBy(shard, seq_id) must ride the shard window's
+        hashpartitioning(shard) — ClusteredDistribution on a superset of
+        the existing keys needs NO second shuffle."""
+        from resume_ocr_spark.operators import packing
+        assert self._shape(
+            packing.pack_with_sentinels(prose_docs)) == (1, 0, 0)
+
+    def test_trigram_scorer_broadcasts_model(self, spark, prose_docs):
+        """Corpus side: one hash exchange (the per-doc agg), five
+        broadcast joins (uni×2, bigram×2, trigram), zero SortMergeJoins —
+        the model must never shuffle the corpus to meet it."""
+        from resume_ocr_spark.operators import textstats
+        uni = textstats.word_counts(prose_docs)
+        big = textstats.bigram_counts(prose_docs)
+        tri = textstats.trigram_counts(prose_docs)
+        scored = textstats.with_trigram_logprob(prose_docs, uni, big, tri)
+        assert self._shape(scored) == (1, 0, 5)
+
+    def test_strip_html_and_reencode_are_zero_shuffle(self, spark):
+        from resume_ocr_spark.operators import extract, multimodal
+        h = spark.createDataFrame(
+            [(0, "<p>hello world</p>")], "doc_id long, html string")
+        assert self._shape(
+            extract.strip_html_column(h, mode="justext")) == (0, 0, 0)
+        docs = spark.createDataFrame(
+            [(0, "text")], "doc_id long, text string")
+        assert self._shape(multimodal.reencode_jpeg(
+            multimodal.render_binary_column(docs))) == (0, 0, 0)
