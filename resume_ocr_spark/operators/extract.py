@@ -316,6 +316,7 @@ def strip_html_column(
 
     if mode not in ("tags", "justext"):
         raise ValueError(f"unknown strip mode: {mode!r}")
+    id_type = dict(df.dtypes)[id_col]  # preserve the caller's id type
 
     def strip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -337,4 +338,4 @@ def strip_html_column(
             yield out
 
     return df.select(id_col, html_col).mapInPandas(
-        strip, schema=f"{id_col} long, text string, error string")
+        strip, schema=f"{id_col} {id_type}, text string, error string")

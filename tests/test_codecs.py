@@ -491,3 +491,21 @@ class TestJustextMode:
         out = htmlcodec.strip_boilerplate(doc)
         assert out == htmlcodec.strip_boilerplate(doc, mode="tags")
         assert "Experiência" in out or len(out) > 50
+
+
+def test_strip_html_column_preserves_id_type(spark):
+    """strip_html_column must carry the caller's id type (string doc ids
+    are the common crawl case), not force long."""
+    from resume_ocr_spark.operators import extract
+    df = spark.createDataFrame(
+        [("urn:doc:1", "<p>the team said that this is one of the plans "
+                       "that will be shared with all of the users in the "
+                       "region over the coming months and that the change "
+                       "is expected to reduce costs for the company</p>"),
+         ("urn:doc:2", None)],
+        "doc_id string, html string")
+    out = extract.strip_html_column(df, mode="justext")
+    assert dict(out.dtypes)["doc_id"] == "string"
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows["urn:doc:1"]["error"] is None and rows["urn:doc:1"]["text"]
+    assert rows["urn:doc:2"]["error"] == "empty file"
