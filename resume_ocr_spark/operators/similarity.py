@@ -345,9 +345,10 @@ def ivf_train_distributed(
                             .alias("dim", "val"))
             .groupBy("cell", "dim")
             .agg(F.sum("val").alias("s"),
-                 # n repeats per dim within a (cell, batch) row group; sum
-                 # over dim==0 only would need a second agg — carry it per
-                 # dim and divide by the dim count instead
+                 # posexplode repeats each partial's n once per dim, so
+                 # n_sum is the same total for every dim of a cell; the
+                 # driver reads it from the dim==0 row only (below) —
+                 # summing across dims would overcount by a factor of dim
                  F.sum("n").alias("n_sum"))
             .collect()
         )

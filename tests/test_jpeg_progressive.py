@@ -255,3 +255,267 @@ def test_resize_half_handles_jpeg_payloads(spark):
     assert out["error"] is None
     assert (out["height"], out["width"]) == small.shape
     assert out["mean_intensity"] == round(float(small.mean()), 4)
+
+
+# ---------------------------------------------------------------------------
+# Independent entropy-layer validation (round-5 review follow-up).
+#
+# Every other progressive bitstream in this suite comes from jpegenc.py,
+# which was written alongside the decoder — a spec misreading shared by
+# both sides would pass all of the equality pins above.  The stream below
+# is assembled BY HAND from ITU-T T.81 §G.1.2: every Huffman code, EOB
+# run, ZRL skip, sign bit and correction bit is derived in comments and
+# emitted through a test-local bit writer, with no package encoder
+# involved.  The decoder must reproduce the exact hand-chosen quantized
+# coefficients (captured before IDCT) and the pixels of a test-local IDCT.
+#
+# Entropy features exercised:
+#   * three-stage successive approximation (Al=2 -> 1 -> 0) per AC band
+#   * cross-block EOBn in a FIRST scan (G.1.2.2: eobrun spans blocks)
+#   * cross-block EOBn in a REFINEMENT scan with correction bits consumed
+#     inside the run (G.1.2.3)
+#   * ZRL inside refinement with a correction bit embedded mid-skip
+#   * a new refinement coefficient whose zero-run passes OVER a nonzero-
+#     history coefficient (correction bit between sign bit and placement)
+#   * scans that end at Se with no EOB symbol (natural termination)
+#   * DC first at Al=1 (arithmetic shift) + DC refinement bit
+# ---------------------------------------------------------------------------
+
+
+class _HandBitWriter:
+    """MSB-first bit emitter with 0xFF byte stuffing and 1-bit padding."""
+
+    def __init__(self):
+        self.bits = []
+
+    def put(self, value: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self.bits.append((value >> i) & 1)
+
+    def bytes(self) -> bytearray:
+        bits = self.bits + [1] * (-len(self.bits) % 8)
+        out = bytearray()
+        for i in range(0, len(bits), 8):
+            b = 0
+            for bit in bits[i : i + 8]:
+                b = (b << 1) | bit
+            out.append(b)
+            if b == 0xFF:
+                out.append(0x00)
+        return out
+
+
+# canonical tables defined in-test:
+#   DC: six symbols 0..5, all code length 3 -> symbol s has code s.
+#   AC: nine symbols, all code length 4 -> list index i has code i.
+_AC_SYMS = [0x00, 0x01, 0x10, 0x11, 0x31, 0x51, 0x81, 0xE1, 0xF0]
+
+
+def _dc_code(w, cat):
+    w.put(cat, 3)
+
+
+def _ac_code(w, sym):
+    w.put(_AC_SYMS.index(sym), 4)
+
+
+def _seg(marker, payload):
+    return bytes([0xFF, marker]) + struct.pack(">H", 2 + len(payload)) + payload
+
+
+def _sos(td_ta, ss, se, ah, al, entropy):
+    return (_seg(0xDA, bytes([1, 1, td_ta, ss, se, (ah << 4) | al]))
+            + bytes(entropy))
+
+
+def _build_hand_progressive():
+    """16x8 grayscale SOF2 stream; returns (bytes, expected zigzag coef).
+
+    Target quantized coefficients (zigzag index -> value, q table all 1s):
+      block0: {0: 10, 1: 3, 5: -2, 20: 5, 40: -3, 45: 1}
+      block1: {0: -5, 2: -3, 30: -6, 63: 1}
+    """
+    head = bytearray(b"\xff\xd8")                       # SOI
+    head += _seg(0xDB, bytes([0x00]) + bytes([1] * 64))  # DQT all-ones
+    head += _seg(0xC2, struct.pack(">BHHB", 8, 8, 16, 1) + bytes([1, 0x11, 0]))
+    dc_counts = [0, 0, 6] + [0] * 13
+    head += _seg(0xC4, bytes([0x00] + dc_counts) + bytes(range(6)))
+    ac_counts = [0, 0, 0, 9] + [0] * 12
+    head += _seg(0xC4, bytes([0x10] + ac_counts) + bytes(_AC_SYMS))
+
+    scans = []
+
+    # scan 1 — DC first, Al=1: sends diff of (DC >> 1) per G.1.2.1.
+    #   B0 DC=10 -> 10>>1=5, diff +5: category 3, value bits 101
+    #   B1 DC=-5 -> -5>>1=-3, diff -8: category 4, bits -8+15=7 = 0111
+    w = _HandBitWriter()
+    _dc_code(w, 3); w.put(5, 3)
+    _dc_code(w, 4); w.put(7, 4)
+    scans.append(_sos(0x00, 0, 0, 0, 1, w.bytes()))
+
+    # scan 2 — AC first, band 1..5, Al=2: every coefficient's v/4 is 0 in
+    # both blocks -> one EOB2 covering BOTH blocks (cross-block EOB run
+    # in a first scan): symbol (1,0)=0x10 + 1 appended run bit (0).
+    w = _HandBitWriter()
+    _ac_code(w, 0x10); w.put(0, 1)
+    scans.append(_sos(0x00, 1, 5, 0, 2, w.bytes()))
+
+    # scan 3 — AC first, band 6..63, Al=2 (v/4 truncated toward zero):
+    #   B0: k20=5 -> 1: 14 zeros then (14,1)=0xE1, value bit 1; EOB1.
+    #   B1: k30=-6 -> -1: 24 zeros = ZRL + (8,1)=0x81, value bit 0; EOB1.
+    w = _HandBitWriter()
+    _ac_code(w, 0xE1); w.put(1, 1)
+    _ac_code(w, 0x00)
+    _ac_code(w, 0xF0)
+    _ac_code(w, 0x81); w.put(0, 1)
+    _ac_code(w, 0x00)
+    scans.append(_sos(0x00, 6, 63, 0, 2, w.bytes()))
+
+    # scan 4 — DC refinement to Al=0: raw bit Al of each DC.
+    #   B0: 10 bit0 = 0;  B1: -5 = ...1011, current -6 = ...1010 -> bit 1.
+    w = _HandBitWriter()
+    w.put(0, 1); w.put(1, 1)
+    scans.append(_sos(0x00, 0, 0, 1, 0, w.bytes()))
+
+    # scan 5 — AC refine band 1..5 to Al=1 (all NEW coefficients):
+    #   B0: k1=3 -> +2: (0,1)=0x01 sign 1; k5=-2: (3,1)=0x31 sign 0;
+    #       band ends at k=5 after placement -> NO EOB (natural end).
+    #   B1: k2=-3 -> -2: (1,1)=0x11 sign 0; then EOB1 (no corrections).
+    w = _HandBitWriter()
+    _ac_code(w, 0x01); w.put(1, 1)
+    _ac_code(w, 0x31); w.put(0, 1)
+    _ac_code(w, 0x11); w.put(0, 1)
+    _ac_code(w, 0x00)
+    scans.append(_sos(0x00, 1, 5, 2, 1, w.bytes()))
+
+    # scan 6 — AC refine band 6..63 to Al=1:
+    #   B0: new k40=-3 -> -2. Runs count ZERO-HISTORY positions only:
+    #     ZRL skips k6..k21 (16 zeros) passing k20 -> correction bit
+    #     (5>>1)&1 = 0 embedded mid-skip; ZRL skips k23..k38; then
+    #     (1,1)=0x11 sign 0 skips k39 and lands on k40; EOB1.
+    #   B1: nothing new -> EOB1, whose run consumes the correction bit
+    #     for k30: (6>>1)&1 = 1.
+    w = _HandBitWriter()
+    _ac_code(w, 0xF0); w.put(0, 1)
+    _ac_code(w, 0xF0)
+    _ac_code(w, 0x11); w.put(0, 1)
+    _ac_code(w, 0x00)
+    _ac_code(w, 0x00); w.put(1, 1)
+    scans.append(_sos(0x00, 6, 63, 2, 1, w.bytes()))
+
+    # scan 7 — AC refine band 1..5 to Al=0: nothing new anywhere -> one
+    # EOB2 spanning both blocks, correction bits consumed inside the run:
+    #   B0 k1: 3&1=1, k5: 2&1=0;  B1 k2: 3&1=1.
+    w = _HandBitWriter()
+    _ac_code(w, 0x10); w.put(0, 1)
+    w.put(1, 1); w.put(0, 1)
+    w.put(1, 1)
+    scans.append(_sos(0x00, 1, 5, 1, 0, w.bytes()))
+
+    # scan 8 — AC refine band 6..63 to Al=0:
+    #   B0: new k45=+1. ZRL (k6..k21, correction bit for k20: 5&1=1),
+    #     ZRL (k23..k38), then (5,1)=0x51 sign 1 whose run passes OVER
+    #     nonzero-history k40 -> correction bit 3&1=1 sits BETWEEN the
+    #     sign bit and the placement; EOB1.
+    #   B1: new k63=+1. ZRL (k6..k21), ZRL (k22..k38 with correction bit
+    #     for k30: 6&1=0 mid-skip), ZRL (k39..k54), (8,1)=0x81 sign 1
+    #     lands exactly on k63 -> scan ends at Se with NO EOB.
+    w = _HandBitWriter()
+    _ac_code(w, 0xF0); w.put(1, 1)
+    _ac_code(w, 0xF0)
+    _ac_code(w, 0x51); w.put(1, 1); w.put(1, 1)
+    _ac_code(w, 0x00)
+    _ac_code(w, 0xF0)
+    _ac_code(w, 0xF0); w.put(0, 1)
+    _ac_code(w, 0xF0)
+    _ac_code(w, 0x81); w.put(1, 1)
+    scans.append(_sos(0x00, 6, 63, 1, 0, w.bytes()))
+
+    expected = np.zeros((1, 2, 64), dtype=np.int32)
+    for k, v in {0: 10, 1: 3, 5: -2, 20: 5, 40: -3, 45: 1}.items():
+        expected[0, 0, k] = v
+    for k, v in {0: -5, 2: -3, 30: -6, 63: 1}.items():
+        expected[0, 1, k] = v
+    return bytes(head) + b"".join(scans) + b"\xff\xd9", expected
+
+
+def _zigzag_order_independent():
+    """The 64-entry zigzag sequence via the classic diagonal walk."""
+    order = []
+    for d in range(15):
+        rng = range(d + 1) if d < 8 else range(d - 7, 8)
+        idx = [(d - j, j) for j in rng]
+        if d % 2 == 1:
+            idx.reverse()
+        order.extend(r * 8 + c for r, c in idx)
+    return np.array(order)
+
+
+def test_hand_assembled_progressive_stream():
+    data, expected = _build_hand_progressive()
+
+    captured = {}
+    orig = jpegcodec._idct_assemble
+
+    def capture(frame, coef, qt):
+        captured["coef"] = {k: v.copy() for k, v in coef.items()}
+        return orig(frame, coef, qt)
+
+    jpegcodec._idct_assemble = capture
+    try:
+        out = jpegcodec.decode_jpeg_gray(data)
+    finally:
+        jpegcodec._idct_assemble = orig
+
+    # exact quantized-coefficient equality — the entropy layer itself
+    np.testing.assert_array_equal(captured["coef"][1], expected)
+
+    # pixels vs a test-local IDCT (float64 basis, +128, round/clip)
+    zz = _zigzag_order_independent()
+    x = np.arange(8)
+    basis = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16)
+    basis *= np.where(x[:, None] == 0, np.sqrt(1 / 8), np.sqrt(2 / 8))
+    ref = np.zeros((8, 16))
+    for bx in range(2):
+        nat = np.zeros(64)
+        nat[zz] = expected[0, bx]
+        blk = basis.T @ nat.reshape(8, 8) @ basis + 128.0
+        ref[:, bx * 8 : bx * 8 + 8] = blk
+    ref = np.clip(np.rint(ref), 0, 255)
+    assert out.shape == (8, 16)
+    assert np.abs(out.astype(float) - ref).max() <= 1.0
+
+
+def test_hand_assembled_preview_prefix():
+    """Decoding only the first-approximation scans (1..3 + EOI) must give
+    the Al-truncated coefficients — pins the point-transform scaling
+    independently of the refinement machinery."""
+    data, _ = _build_hand_progressive()
+    # keep SOI..end-of-scan-3, i.e. cut before the 4th SOS
+    pos, count = 2, 0
+    while pos < len(data) - 1:
+        if data[pos] == 0xFF and data[pos + 1] == 0xDA:
+            count += 1
+            if count == 4:
+                break
+        pos += 1
+    assert count == 4
+    captured = {}
+    orig = jpegcodec._idct_assemble
+
+    def capture(frame, coef, qt):
+        captured["coef"] = {k: v.copy() for k, v in coef.items()}
+        return orig(frame, coef, qt)
+
+    jpegcodec._idct_assemble = capture
+    try:
+        jpegcodec.decode_jpeg_gray(data[:pos] + b"\xff\xd9")
+    finally:
+        jpegcodec._idct_assemble = orig
+
+    coarse = np.zeros((1, 2, 64), dtype=np.int32)
+    coarse[0, 0, 0] = 10          # DC sent at Al=1: (10>>1)<<1
+    coarse[0, 1, 0] = -6          # (-5>>1)<<1 = -6 (arithmetic shift)
+    coarse[0, 0, 20] = 4          # (5>>2)<<2
+    coarse[0, 1, 30] = -4         # trunc(-6/4)<<2
+    np.testing.assert_array_equal(captured["coef"][1], coarse)
