@@ -697,6 +697,34 @@ def substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), "doc_id", "text", k=8)
 
 
+def line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-level line dedup (tail entry, round 5): strip
+    lines repeated across documents — the boilerplate-banner pass every
+    crawl curation runs between extraction and quality filtering.
+
+    The flat test corpus has no newlines, so the entry plants a
+    deterministic line structure first (mirrored in the oracle): two
+    body lines from the document's own words, a footer shared by EVERY
+    document, and a banner shared by the even-id half.  With
+    ``keep_first`` the footer/banner survive only in their minimum-id
+    owner; body lines survive everywhere."""
+    from resume_ocr_spark.operators import dedup
+
+    lined = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.expr("array_join(slice(split(text, ' '), 1, 8), ' ')"),
+            F.lit("all rights reserved - cookie policy"),
+            F.expr("array_join(slice(split(text, ' '), 9, 8), ' ')"),
+            F.when(F.col("doc_id") % 2 == 0,
+                   F.lit("subscribe to our newsletter"))
+            .otherwise(
+                F.expr("array_join(slice(split(text, ' '), 17, 8), ' ')")),
+        ).alias("text"))
+    return dedup.remove_duplicate_lines(lined, "doc_id", "text")
+
+
 def _semantic_dedup_input():
     """Deterministic SemDeDup fixture: 100 base vectors + 20 perturbed
     copies of the first 20 (cosine ≈ 0.999 near-dups)."""
@@ -1301,6 +1329,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 tail: crawl-page sibling of the gated html_strip_gate
         # (context-sensitive jusText mode over tag-semantics-free pages)
         "html_justext_gate": html_justext_gate,
+        # round-5 tail: CCNet paragraph-dedup sibling of the gated
+        # substring family (whole-line exact matching, the boilerplate
+        # unit k-gram spans don't model)
+        "line_dedup": line_dedup,
     }
     return {**gated, **tail}
 
@@ -2416,6 +2448,49 @@ def oracle_sql() -> dict[str, str]:
              CAST(len(ws) - len({_KEPT_IDX}) AS INT) AS n_words_removed,
              CAST(len(COALESCE(cut, [])) AS INT) AS n_spans_removed
       FROM w LEFT JOIN cuts USING (doc_id)
+    """
+
+    # CCNet line dedup: rebuild the planted line structure (Spark
+    # slice(arr, start, len) == DuckDB list_slice(l, start, start+len-1)),
+    # then whole-line hash counting with the min-id keeper rule and an
+    # ORDER-BY-pos string_agg reconstruction.
+    sqls["line_dedup"] = """
+      WITH lined AS (
+        -- COALESCE: DuckDB's array_to_string of an EMPTY slice is NULL
+        -- (concat_ws would then skip the line); Spark's array_join is ''
+        SELECT doc_id, concat_ws(chr(10),
+          COALESCE(array_to_string(
+              list_slice(string_split(text, ' '), 1, 8), ' '), ''),
+          'all rights reserved - cookie policy',
+          COALESCE(array_to_string(
+              list_slice(string_split(text, ' '), 9, 16), ' '), ''),
+          CASE WHEN doc_id % 2 = 0 THEN 'subscribe to our newsletter'
+               ELSE COALESCE(array_to_string(
+                   list_slice(string_split(text, ' '), 17, 24), ' '), '') END
+        ) AS text
+        FROM documents
+      ), lines AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos, parts[i] AS line
+        FROM (SELECT doc_id, string_split(text, chr(10)) AS parts
+              FROM lined),
+             UNNEST(generate_series(1, len(parts))) AS t(i)
+      ), dup AS (
+        SELECT md5(trim(line)) AS h, MIN(doc_id) AS owner
+        FROM lines WHERE len(trim(line)) >= 1
+        GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+      ), marked AS (
+        SELECT l.doc_id, l.pos, l.line,
+               (d.owner IS NULL OR l.doc_id = d.owner) AS keep
+        FROM lines l LEFT JOIN dup d
+          ON len(trim(l.line)) >= 1 AND md5(trim(l.line)) = d.h
+      )
+      SELECT doc_id,
+             COALESCE(string_agg(line, chr(10) ORDER BY pos)
+                      FILTER (WHERE keep), '') AS text_clean,
+             CAST(COUNT(*) FILTER (WHERE NOT keep) AS INT)
+               AS n_lines_removed,
+             CAST(COUNT(*) AS INT) AS n_lines_total
+      FROM marked GROUP BY doc_id
     """
 
     # semantic decontamination: corpus ∪ planted-bench-copy vs the 3-vector

@@ -391,6 +391,85 @@ def remove_duplicate_spans(
     )
 
 
+def remove_duplicate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+    keep_first: bool = True,
+    min_chars: int = 1,
+) -> DataFrame:
+    """CCNet-style corpus-level LINE deduplication (Wenzek et al. 2020 —
+    the paragraph-dedup pass that strips boilerplate cookie banners /
+    navigation / footers repeated across a web crawl; also RefinedWeb's
+    line-dedup stage when ``keep_first=False``).
+
+    A line (``\\n``-separated) is *duplicated* when its trimmed form
+    appears in at least ``min_docs`` distinct documents.  Duplicated
+    lines are removed from every document except — with ``keep_first`` —
+    the minimum-id document containing the line (deterministic keeper,
+    same convention as :func:`remove_duplicate_spans`); with
+    ``keep_first=False`` every copy is dropped (RefinedWeb semantics:
+    a line repeated corpus-wide is boilerplate, no copy is worth
+    keeping).  Lines whose trimmed length is below ``min_chars`` (and
+    blank lines) are never counted or removed — they are structure, not
+    content.
+
+    Unlike the k-gram machinery above, matching is whole-line exact: the
+    unit of duplication web boilerplate actually exhibits.  Document
+    order of surviving lines is preserved.
+
+    100 TB shape (plan-pinned): explode is narrow; the duplicated-hash
+    build side costs two exchanges — partial-distinct on (hash, doc)
+    then the (count-distinct-doc, min-doc) aggregation on hash, both
+    with map-side combine; the line side re-shuffles once on hash into a
+    co-partitioned SortMergeJoin (no broadcast — the dup set scales with
+    the corpus); one final shuffle regroups lines per document for
+    reconstruction.  Four exchanges total, no pairwise joins anywhere.
+
+    Output: one row per input row — ``(id_col, text_clean,
+    n_lines_removed, n_lines_total)``; NULL text is treated as empty
+    (totality convention)."""
+    if min_docs < 2:
+        raise ValueError("min_docs must be >= 2")
+    min_chars = max(min_chars, 1)
+    lines = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")),
+                                 "\n")).alias("pos", "line"))
+        .withColumn(
+            "h",
+            F.when(F.length(F.trim(F.col("line"))) >= min_chars,
+                   F.md5(F.trim(F.col("line")))))
+    )
+    dup = (
+        lines.filter(F.col("h").isNotNull())
+        .groupBy("h")
+        .agg(F.countDistinct(id_col).alias("_nd"),
+             F.min(id_col).alias("_owner"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("h", "_owner")
+    )
+    keep = F.col("_owner").isNull()
+    if keep_first:
+        keep = keep | (F.col("_owner") == F.col(id_col))
+    marked = lines.join(dup, "h", "left").withColumn("_keep", keep)
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.expr("transform(array_sort(collect_list("
+                       "CASE WHEN _keep THEN struct(pos, line) END)), "
+                       "x -> x.line)")).alias("text_clean"),
+            F.sum(F.when(F.col("_keep"), 0).otherwise(1))
+            .cast("int").alias("n_lines_removed"),
+            F.count(F.lit(1)).cast("int").alias("n_lines_total"),
+        )
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -2064,3 +2064,85 @@ class TestGroupQuota:
         assert kept.count() == audit["kept"]
         per_group = kept.groupBy("lang").count().collect()
         assert all(r["count"] <= 4 for r in per_group)
+
+
+class TestLineDedup:
+    """remove_duplicate_lines — CCNet paragraph dedup (round 5)."""
+
+    def _frame(self, spark):
+        return spark.createDataFrame(
+            [
+                (0, "alpha body one\nshared footer line\nunique zero"),
+                (1, "beta body two\nshared footer line\nunique one"),
+                (2, "shared footer line\ngamma body three"),
+                (3, "delta\n\n  \nshared footer line"),
+                (4, None),
+            ],
+            "doc_id long, text string")
+
+    def test_keep_first_keeps_owner_copy_only(self, spark):
+        from resume_ocr_spark.operators import dedup
+        out = {r["doc_id"]: r for r in dedup.remove_duplicate_lines(
+            self._frame(spark), "doc_id", "text").collect()}
+        assert len(out) == 5
+        # owner (min id = 0) keeps the footer, everyone else loses it
+        assert out[0]["text_clean"] == (
+            "alpha body one\nshared footer line\nunique zero")
+        assert out[1]["text_clean"] == "beta body two\nunique one"
+        assert out[2]["text_clean"] == "gamma body three"
+        # blank / whitespace lines are structure: never removed
+        assert out[3]["text_clean"] == "delta\n\n  "
+        assert out[4]["text_clean"] == ""
+        assert [out[i]["n_lines_removed"] for i in range(5)] == [0, 1, 1, 1, 0]
+        assert [out[i]["n_lines_total"] for i in range(5)] == [3, 3, 2, 4, 1]
+
+    def test_remove_all_copies(self, spark):
+        from resume_ocr_spark.operators import dedup
+        out = {r["doc_id"]: r["text_clean"]
+               for r in dedup.remove_duplicate_lines(
+                   self._frame(spark), "doc_id", "text",
+                   keep_first=False).collect()}
+        assert out[0] == "alpha body one\nunique zero"
+        assert out[2] == "gamma body three"
+
+    def test_min_docs_threshold(self, spark):
+        from resume_ocr_spark.operators import dedup
+        # footer appears in 4 docs; with min_docs=5 nothing is duplicated
+        out = dedup.remove_duplicate_lines(
+            self._frame(spark), "doc_id", "text", min_docs=5)
+        assert out.agg(F.sum("n_lines_removed")).collect()[0][0] == 0
+
+    def test_min_chars_shields_short_lines(self, spark):
+        from resume_ocr_spark.operators import dedup
+        d = spark.createDataFrame(
+            [(0, "yes\nlong enough shared paragraph"),
+             (1, "yes\nlong enough shared paragraph"),
+             (2, "yes\nother")],
+            "doc_id long, text string")
+        out = {r["doc_id"]: r["text_clean"]
+               for r in dedup.remove_duplicate_lines(
+                   d, "doc_id", "text", min_chars=4).collect()}
+        # 'yes' (3 chars) is below min_chars: kept everywhere; the long
+        # shared paragraph still dedups to its owner
+        assert out[0] == "yes\nlong enough shared paragraph"
+        assert out[1] == "yes"
+        assert out[2] == "yes\nother"
+
+    def test_order_preserved_with_interleaved_dups(self, spark):
+        from resume_ocr_spark.operators import dedup
+        d = spark.createDataFrame(
+            [(7, "keep a\ndup x\nkeep b\ndup y\nkeep c"),
+             (9, "dup x\ndup y")],
+            "doc_id long, text string")
+        out = {r["doc_id"]: r for r in dedup.remove_duplicate_lines(
+            d, "doc_id", "text").collect()}
+        assert out[7]["text_clean"] == (
+            "keep a\ndup x\nkeep b\ndup y\nkeep c")
+        assert out[9]["text_clean"] == ""
+        assert out[9]["n_lines_removed"] == 2
+
+    def test_min_docs_validation(self, spark):
+        from resume_ocr_spark.operators import dedup
+        with pytest.raises(ValueError):
+            dedup.remove_duplicate_lines(
+                self._frame(spark), "doc_id", "text", min_docs=1)

@@ -200,3 +200,12 @@ class TestRound5OpPlans:
             [(0, "text")], "doc_id long, text string")
         assert self._shape(multimodal.reencode_jpeg(
             multimodal.render_binary_column(docs))) == (0, 0, 0)
+
+    def test_line_dedup_four_exchange_shape(self, spark, prose_docs):
+        """remove_duplicate_lines: (h,doc) partial-distinct + h agg on the
+        build side, one probe-side h exchange into a co-partitioned
+        SortMergeJoin (the dup set scales with the corpus — broadcast
+        would be wrong at 100 TB), one doc regroup. Never a cartesian."""
+        from resume_ocr_spark.operators import dedup
+        assert self._shape(
+            dedup.remove_duplicate_lines(prose_docs)) == (4, 1, 0)
