@@ -725,6 +725,38 @@ def line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.remove_duplicate_lines(lined, "doc_id", "text")
 
 
+def url_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parse + UT1-style domain blocklist + per-domain stats (tail
+    entry, round 5): the crawl-side triage pass ahead of content
+    filtering.  Synthesizes a deterministic URL per document (subdomain /
+    two-level-suffix / port variants all exercised), parses it with pure
+    Column ops, anti-joins a broadcast blocklist, and annotates the
+    survivors with their domain's corpus stats."""
+    from resume_ocr_spark.operators import urltools
+
+    urls = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text",
+        F.concat(
+            F.lit("https://"),
+            F.expr("CASE doc_id % 4 WHEN 0 THEN 'www.' "
+                   "WHEN 1 THEN 'cdn.' ELSE '' END"),
+            F.col("source"),
+            F.expr("CASE doc_id % 3 WHEN 0 THEN '-news.com' "
+                   "WHEN 1 THEN '.co.uk' ELSE '-blog.org' END"),
+            F.expr("CASE WHEN doc_id % 7 = 0 THEN ':8443' ELSE '' END"),
+            F.lit("/"), F.col("lang"), F.lit("/article/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"))
+    parts = urltools.with_url_parts(urls)
+    blocked = spark.createDataFrame(
+        [("src1-news.com",), ("src1.co.uk",), ("src1-blog.org",),
+         ("src7-blog.org",)], "domain string")
+    kept = urltools.filter_blocked_domains(parts, blocked)
+    stats = urltools.domain_stats(parts, "domain", "text")
+    return kept.join(F.broadcast(stats), "domain").select(
+        "doc_id", "scheme", "host", "domain", "path", "n_docs", "n_chars")
+
+
 def _semantic_dedup_input():
     """Deterministic SemDeDup fixture: 100 base vectors + 20 perturbed
     copies of the first 20 (cosine ≈ 0.999 near-dups)."""
@@ -1333,6 +1365,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # substring family (whole-line exact matching, the boilerplate
         # unit k-gram spans don't model)
         "line_dedup": line_dedup,
+        # round-5 tail: crawl-side URL triage (parse, eTLD+1, blocklist
+        # anti-join, per-domain stats) ahead of the content stages
+        "url_domain_filter": url_domain_filter,
     }
     return {**gated, **tail}
 
@@ -2491,6 +2526,61 @@ def oracle_sql() -> dict[str, str]:
                AS n_lines_removed,
              CAST(COUNT(*) AS INT) AS n_lines_total
       FROM marked GROUP BY doc_id
+    """
+
+    # URL triage: mirror of urltools.with_url_parts' regexes (RE2/Java
+    # common subset) + the two-level-suffix eTLD+1 rule + the blocklist
+    # as NOT IN + per-domain stats. DuckDB lateral alias references let
+    # `labels` be reused in the same SELECT. SUM(length()) is HUGEINT →
+    # CAST BIGINT (the repo rule).
+    sqls["url_domain_filter"] = """
+      WITH urls AS (
+        SELECT doc_id, text,
+          'https://' ||
+          CASE doc_id % 4 WHEN 0 THEN 'www.' WHEN 1 THEN 'cdn.'
+               ELSE '' END ||
+          source ||
+          CASE doc_id % 3 WHEN 0 THEN '-news.com' WHEN 1 THEN '.co.uk'
+               ELSE '-blog.org' END ||
+          CASE WHEN doc_id % 7 = 0 THEN ':8443' ELSE '' END ||
+          '/' || lang || '/article/' || CAST(doc_id AS VARCHAR) AS url
+        FROM documents
+      ), parts AS (
+        SELECT doc_id, text,
+          lower(regexp_extract(url, '^([a-z][a-z0-9+.-]*):', 1)) AS scheme,
+          lower(regexp_extract(
+              regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1),
+              '^(?:[^@]*@)?([^:]*)', 1)) AS host,
+          regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+            AS path
+        FROM urls
+      ), dom AS (
+        SELECT *, string_split(host, '.') AS labels,
+          CASE
+            WHEN len(labels) >= 3 THEN
+              CASE WHEN array_to_string(list_slice(
+                       labels, len(labels) - 1, len(labels)), '.') IN
+                     ('ac.uk', 'co.jp', 'co.kr', 'co.nz', 'co.uk',
+                      'co.za', 'com.au', 'com.br', 'com.cn', 'com.mx',
+                      'com.tr', 'gov.uk', 'ne.jp', 'net.au', 'or.jp',
+                      'org.uk')
+                   THEN array_to_string(list_slice(
+                       labels, len(labels) - 2, len(labels)), '.')
+                   ELSE array_to_string(list_slice(
+                       labels, len(labels) - 1, len(labels)), '.') END
+            WHEN len(labels) = 2 THEN host
+            ELSE host END AS domain
+        FROM parts
+      ), stats AS (
+        SELECT domain, COUNT(*) AS n_docs,
+               CAST(SUM(length(COALESCE(text, ''))) AS BIGINT) AS n_chars
+        FROM dom GROUP BY domain
+      )
+      SELECT d.doc_id, d.scheme, d.host, d.domain, d.path,
+             s.n_docs, s.n_chars
+      FROM dom d JOIN stats s USING (domain)
+      WHERE d.domain NOT IN ('src1-news.com', 'src1.co.uk',
+                             'src1-blog.org', 'src7-blog.org')
     """
 
     # semantic decontamination: corpus ∪ planted-bench-copy vs the 3-vector

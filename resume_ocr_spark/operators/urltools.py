@@ -1,0 +1,122 @@
+"""URL / domain operators for crawl curation.
+
+The domain-level pass every web-corpus pipeline runs before content
+filtering (RefinedWeb/FineWeb run UT1-style blocklists, per-domain
+quotas and domain-level stats ahead of the text stages; the reference
+app has no crawl surface — this family extends SURVEY §2.7's curation
+inventory to the URL axis).
+
+Three operators, all designed for the 100 TB shapes:
+
+  with_url_parts          — scheme/host/registered-domain/path as pure
+                            Column regex+array ops: zero shuffles, zero
+                            Python, stays inside whole-stage codegen
+  filter_blocked_domains  — broadcast ANTI join against a blocklist
+                            (blocklists are dimension-sized: UT1 is
+                            ~4M rows — broadcastable; the corpus never
+                            shuffles)
+  domain_stats            — per-domain counts/chars (one hash shuffle,
+                            map-side combine); feeds per-domain quota
+                            decisions (mixture.stratified_topk)
+
+Registered-domain (eTLD+1) uses an explicit two-level-suffix SET rather
+than the full Public Suffix List (not shippable inside an expression;
+callers with the real PSL should pass their own ``two_level_suffixes``).
+Every expression is dialect-neutral so the DuckDB oracle can mirror it
+(RE2/Java regex subset: no backrefs, no lookaround).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# the high-traffic two-level public suffixes; PSL-complete callers
+# override. Kept sorted + lowercase: membership is exact-string.
+DEFAULT_TWO_LEVEL_SUFFIXES = (
+    "ac.uk", "co.jp", "co.kr", "co.nz", "co.uk", "co.za", "com.au",
+    "com.br", "com.cn", "com.mx", "com.tr", "gov.uk", "ne.jp", "net.au",
+    "or.jp", "org.uk",
+)
+
+_SCHEME_RE = "^([a-z][a-z0-9+.-]*):"
+_AUTH_RE = "^[a-z][a-z0-9+.-]*://([^/?#]*)"
+_HOST_RE = "^(?:[^@]*@)?([^:]*)"
+_PATH_RE = "^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)"
+
+
+def with_url_parts(
+    df: DataFrame,
+    url_col: str = "url",
+    two_level_suffixes: tuple[str, ...] = DEFAULT_TWO_LEVEL_SUFFIXES,
+) -> DataFrame:
+    """Add ``scheme``, ``host``, ``domain`` (registered domain /
+    eTLD+1), ``path`` parsed from ``url_col``.
+
+    Pure Column ops (regexp_extract + array slicing) — no shuffle, no
+    Python, whole-stage-codegen-friendly, and expressible 1:1 in the
+    DuckDB oracle (unlike Spark's ``parse_url``, which DuckDB lacks).
+    Hosts are lowercased; userinfo and port are stripped.  A host with a
+    single label (``localhost``) is its own domain; unparseable URLs
+    yield empty strings, never nulls/errors (error-as-data totality)."""
+    url = F.coalesce(F.col(url_col), F.lit(""))
+    host = F.lower(F.regexp_extract(
+        F.regexp_extract(url, _AUTH_RE, 1), _HOST_RE, 1))
+    out = (
+        df.withColumn("scheme", F.lower(F.regexp_extract(url, _SCHEME_RE, 1)))
+        .withColumn("host", host)
+        .withColumn("path", F.regexp_extract(url, _PATH_RE, 1))
+        .withColumn("_labels", F.split(F.col("host"), "[.]"))
+    )
+    n = F.size("_labels")
+    # positive-index slices only: negative element_at/slice out-of-range
+    # throws under ANSI (Spark 4 default)
+    last2 = F.array_join(F.slice(F.col("_labels"), n - 1, 2), ".")
+    last3 = F.array_join(F.slice(F.col("_labels"), n - 2, 3), ".")
+    suffix_set = F.array(*[F.lit(s) for s in two_level_suffixes])
+    domain = (
+        F.when(n >= 3, F.when(F.array_contains(suffix_set, last2), last3)
+               .otherwise(last2))
+        .when(n == 2, last2)
+        .otherwise(F.col("host"))
+    )
+    return out.withColumn("domain", domain).drop("_labels")
+
+
+def filter_blocked_domains(
+    df: DataFrame,
+    blocked: DataFrame,
+    domain_col: str = "domain",
+    keep_blocked: bool = False,
+) -> DataFrame:
+    """Drop rows whose ``domain_col`` appears in ``blocked`` (a
+    one-column DataFrame of domains, e.g. a UT1 category list).
+
+    Broadcast ANTI join: the blocklist is dimension-sized, the corpus
+    side never shuffles.  ``keep_blocked=True`` inverts to a SEMI join
+    (audit mode: what WOULD be dropped)."""
+    bcol = blocked.columns[0]
+    # no .distinct() on the list: SEMI/ANTI joins are set-semantics on
+    # the probe side already, and the dedup would cost the only exchange
+    # in the whole operator
+    right = F.broadcast(
+        blocked.select(F.lower(F.col(bcol)).alias("_blocked_domain")))
+    how = "left_semi" if keep_blocked else "left_anti"
+    return df.join(
+        right, F.col(domain_col) == F.col("_blocked_domain"), how)
+
+
+def domain_stats(
+    df: DataFrame,
+    domain_col: str = "domain",
+    text_col: str | None = "text",
+) -> DataFrame:
+    """Per-domain ``(n_docs, n_chars)`` — the fan-in a per-domain quota
+    or a domain-quality prior consumes.  One hash shuffle with map-side
+    partial aggregation; output cardinality = distinct domains."""
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    if text_col is not None:
+        aggs.append(
+            F.sum(F.length(F.coalesce(F.col(text_col), F.lit(""))))
+            .alias("n_chars"))
+    return df.groupBy(F.col(domain_col).alias("domain")).agg(*aggs)

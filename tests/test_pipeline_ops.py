@@ -2146,3 +2146,81 @@ class TestLineDedup:
         with pytest.raises(ValueError):
             dedup.remove_duplicate_lines(
                 self._frame(spark), "doc_id", "text", min_docs=1)
+
+
+class TestUrlTools:
+    """with_url_parts / filter_blocked_domains / domain_stats (round 5)."""
+
+    def _parse(self, spark, url):
+        from resume_ocr_spark.operators import urltools
+        d = spark.createDataFrame([(url,)], "url string")
+        return urltools.with_url_parts(d).collect()[0]
+
+    def test_parse_basic(self, spark):
+        r = self._parse(spark, "https://www.example.com/a/b?q=1#frag")
+        assert (r["scheme"], r["host"], r["domain"], r["path"]) == (
+            "https", "www.example.com", "example.com", "/a/b")
+
+    def test_parse_two_level_suffix(self, spark):
+        r = self._parse(spark, "http://news.bbc.co.uk/stories")
+        assert r["domain"] == "bbc.co.uk"
+        # a bare two-level-suffix host IS its own registered domain
+        r2 = self._parse(spark, "http://bbc.co.uk/x")
+        assert r2["domain"] == "bbc.co.uk"
+
+    def test_parse_userinfo_port_case(self, spark):
+        r = self._parse(spark, "https://User@CDN.Example.COM:8443/p")
+        assert r["host"] == "cdn.example.com"
+        assert r["domain"] == "example.com"
+        assert r["path"] == "/p"
+
+    def test_parse_single_label_and_garbage(self, spark):
+        r = self._parse(spark, "http://localhost:9000/health")
+        assert (r["host"], r["domain"]) == ("localhost", "localhost")
+        for bad in ("not a url", "", None):
+            r = self._parse(spark, bad)
+            assert (r["scheme"], r["host"], r["domain"], r["path"]) == (
+                "", "", "", "")
+
+    def test_blocklist_anti_and_semi(self, spark):
+        from resume_ocr_spark.operators import urltools
+        d = spark.createDataFrame(
+            [(1, "ads.net"), (2, "good.org"), (3, "ads.net")],
+            "doc_id long, domain string")
+        blocked = spark.createDataFrame([("ADS.net",)], "domain string")
+        kept = urltools.filter_blocked_domains(d, blocked)
+        assert sorted(r["doc_id"] for r in kept.collect()) == [2]
+        audit = urltools.filter_blocked_domains(d, blocked,
+                                                keep_blocked=True)
+        assert sorted(r["doc_id"] for r in audit.collect()) == [1, 3]
+
+    def test_domain_stats(self, spark):
+        from resume_ocr_spark.operators import urltools
+        d = spark.createDataFrame(
+            [("a.com", "xx"), ("a.com", None), ("b.org", "yyyy")],
+            "domain string, text string")
+        out = {r["domain"]: (r["n_docs"], r["n_chars"])
+               for r in urltools.domain_stats(d).collect()}
+        assert out == {"a.com": (2, 2), "b.org": (1, 4)}
+
+    def test_plan_shapes(self, spark):
+        """Parsing stays zero-shuffle; the blocklist is a broadcast anti
+        join (corpus never shuffles); stats is exactly one exchange."""
+        import re
+        from resume_ocr_spark.operators import urltools
+        d = spark.createDataFrame(
+            [(1, "https://a.example.com/x", "t")],
+            "doc_id long, url string, text string")
+        parts = urltools.with_url_parts(d)
+        blocked = spark.createDataFrame([("ads.net",)], "domain string")
+
+        def shape(df):
+            p = df._jdf.queryExecution().executedPlan().toString()
+            return (len(re.findall(r"Exchange hashpartitioning", p)),
+                    p.count("SortMergeJoin"),
+                    p.count("BroadcastHashJoin"))
+
+        assert shape(parts) == (0, 0, 0)
+        assert shape(urltools.filter_blocked_domains(
+            parts, blocked)) == (0, 0, 1)
+        assert shape(urltools.domain_stats(parts)) == (1, 0, 0)

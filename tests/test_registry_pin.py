@@ -47,7 +47,7 @@ EXPECTED_TAIL = [
     "dedup_jaccard_pairs", "dedup_embedding_pairs", "semantic_decontam",
     "semantic_dedup_det", "substring_removal", "reencode_jpeg",
     "epoch_order", "packing_sentinels", "trigram_logprob",
-    "html_justext_gate", "line_dedup",
+    "html_justext_gate", "line_dedup", "url_domain_filter",
 ]
 
 
