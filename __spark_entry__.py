@@ -757,6 +757,23 @@ def url_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "scheme", "host", "domain", "path", "n_docs", "n_chars")
 
 
+#: the fixed retrieval query for the bm25 tail entry — four in-vocabulary
+#: terms plus one absent term ('zeppelin': df=0, contributes nothing)
+BM25_QUERY = "spark query window merge zeppelin"
+
+
+def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring (tail entry, round 5): every document
+    scored against a fixed topic query — the sparse-retrieval pass for
+    targeted corpus construction, complementing the dense ANN family.
+    No top-k cut in the gated output: rounded scores can tie and a cut
+    would make the row SET depend on tiebreak order."""
+    from resume_ocr_spark.operators import retrieval
+
+    return retrieval.bm25_scores(
+        _t(spark, sf_dir, "documents"), BM25_QUERY)
+
+
 def _semantic_dedup_input():
     """Deterministic SemDeDup fixture: 100 base vectors + 20 perturbed
     copies of the first 20 (cosine ≈ 0.999 near-dups)."""
@@ -1368,6 +1385,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 tail: crawl-side URL triage (parse, eTLD+1, blocklist
         # anti-join, per-domain stats) ahead of the content stages
         "url_domain_filter": url_domain_filter,
+        # round-5 tail: sparse lexical retrieval beside the dense ANN
+        # family (one stats reduction + a zero-shuffle scoring scan)
+        "bm25_retrieval": bm25_retrieval,
     }
     return {**gated, **tail}
 
@@ -2581,6 +2601,40 @@ def oracle_sql() -> dict[str, str]:
       FROM dom d JOIN stats s USING (domain)
       WHERE d.domain NOT IN ('src1-news.com', 'src1.co.uk',
                              'src1-blog.org', 'src7-blog.org')
+    """
+
+    # BM25: per-term pieces generated from the same fixed query the
+    # Spark entry uses; ln-based scores hash-gate behind round(,4) (the
+    # bigram_logprob 1-ulp rule). k1=1.2, b=0.75 folded as literals.
+    _terms = list(dict.fromkeys(BM25_QUERY.split()))
+    _tf = ", ".join(
+        f"len(list_filter(t, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(_terms))
+    _df = ", ".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(_terms)))
+    _score = " + ".join(
+        f"ln((n - df{i} + 0.5) / (df{i} + 0.5) + 1) * tf{i} * 2.2"
+        f" / (tf{i} + 1.2 * (0.25 + 0.75 * dl / avgdl))"
+        for i in range(len(_terms)))
+    _matched = " + ".join(
+        f"CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END"
+        for i in range(len(_terms)))
+    sqls["bm25_retrieval"] = f"""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split(trim(regexp_replace(lower(
+            coalesce(text, '')), '[^a-z0-9]+', ' ', 'g')), ' '),
+            x -> x <> '') AS t
+        FROM documents
+      ), tf AS (
+        SELECT doc_id, len(t) AS dl, {_tf} FROM toks
+      ), stats AS (
+        SELECT COUNT(*) AS n, AVG(dl) AS avgdl, {_df} FROM tf
+      )
+      SELECT doc_id,
+             CAST({_matched} AS INT) AS n_terms_matched,
+             ROUND(CASE WHEN dl > 0 THEN {_score} ELSE 0 END, 4) AS bm25
+      FROM tf, stats
     """
 
     # semantic decontamination: corpus ∪ planted-bench-copy vs the 3-vector

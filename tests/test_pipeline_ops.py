@@ -2224,3 +2224,80 @@ class TestUrlTools:
         assert shape(urltools.filter_blocked_domains(
             parts, blocked)) == (0, 0, 1)
         assert shape(urltools.domain_stats(parts)) == (1, 0, 0)
+
+
+class TestBM25:
+    """retrieval.bm25_scores / bm25_topk (round 5)."""
+
+    @pytest.fixture()
+    def corpus(self, spark):
+        return spark.createDataFrame(
+            [(0, "spark shuffle join spark spark"),
+             (1, "spark join"),
+             (2, "pandas numpy"),
+             (3, None),
+             (4, "")],
+            "doc_id long, text string")
+
+    def test_scores_match_reference_formula(self, spark, corpus):
+        import math
+        from resume_ocr_spark.operators import retrieval
+        out = {r["doc_id"]: r for r in retrieval.bm25_scores(
+            corpus, "spark join").collect()}
+        n, avgdl = 5, (5 + 2 + 2 + 0 + 0) / 5.0
+        docs = {0: {"spark": 3, "join": 1}, 1: {"spark": 1, "join": 1},
+                2: {}, 3: {}, 4: {}}
+        dls = {0: 5, 1: 2, 2: 2, 3: 0, 4: 0}
+        dfs = {"spark": 2, "join": 2}
+
+        def ref(d):
+            if dls[d] == 0:
+                return 0.0
+            s = 0.0
+            for t in ("spark", "join"):
+                tf = docs[d].get(t, 0)
+                idf = math.log((n - dfs[t] + 0.5) / (dfs[t] + 0.5) + 1)
+                s += idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dls[d] / avgdl))
+            return round(s, 4)
+
+        for d in range(5):
+            assert out[d]["bm25"] == pytest.approx(ref(d), abs=1e-4), d
+        assert [out[d]["n_terms_matched"] for d in range(5)] == [2, 2, 0, 0, 0]
+
+    def test_rarer_term_outranks_common(self, spark):
+        from resume_ocr_spark.operators import retrieval
+        rows = [(i, "common filler words here") for i in range(20)]
+        rows += [(100, "common rare"), (101, "common words")]
+        d = spark.createDataFrame(rows, "doc_id long, text string")
+        top = retrieval.bm25_topk(d, "rare common", k=1).collect()
+        assert top[0]["doc_id"] == 100
+
+    def test_absent_term_contributes_nothing(self, spark, corpus):
+        from resume_ocr_spark.operators import retrieval
+        a = {r["doc_id"]: r["bm25"] for r in retrieval.bm25_scores(
+            corpus, "spark join").collect()}
+        b = {r["doc_id"]: r["bm25"] for r in retrieval.bm25_scores(
+            corpus, "spark join xyzzy").collect()}
+        assert a == b
+
+    def test_empty_query_rejected(self, spark, corpus):
+        from resume_ocr_spark.operators import retrieval
+        with pytest.raises(ValueError):
+            retrieval.bm25_scores(corpus, "!!! ???")
+
+    def test_topk_plan_is_take_ordered(self, spark, corpus):
+        """Global top-k must compile to TakeOrderedAndProject (heap +
+        k-row merge), never a full Exchange rangepartitioning sort."""
+        from resume_ocr_spark.operators import retrieval
+        p = retrieval.bm25_topk(corpus, "spark", k=2)._jdf \
+            .queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in p
+        assert "rangepartitioning" not in p
+
+    def test_scoring_pass_zero_shuffle(self, spark, corpus):
+        """After the one stats reduction, scoring is a pure projection."""
+        import re
+        from resume_ocr_spark.operators import retrieval
+        p = retrieval.bm25_scores(corpus, "spark")._jdf \
+            .queryExecution().executedPlan().toString()
+        assert len(re.findall(r"Exchange hashpartitioning", p)) == 0
