@@ -630,6 +630,19 @@ def trigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, uni, big, tri, lam3=TRIGRAM_LAM3, lam2=TRIGRAM_LAM2)
 
 
+def kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser–Ney trigram scoring (tail entry, round 5 —
+    the smoothing VERDICT r4 #7 named beside the interpolated scorer):
+    absolute discounting + continuation counts, same doc_id < 150 model
+    slice and broadcast-cap design as trigram_logprob. The oracle
+    rebuilds all five KN model tables in SQL from the same slice."""
+    docs = (_t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < BIGRAM_SLICE).select("doc_id", "text"))
+    big = textstats.bigram_counts(docs)
+    tri = textstats.trigram_counts(docs)
+    return textstats.with_kneser_ney_logprob(docs, big, tri)
+
+
 def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The five media-column stages (image meta, 2× min-pool resize meta,
     audio meta, per-frame audio energy, video frame sampling) as ONE gated
@@ -1388,6 +1401,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 tail: sparse lexical retrieval beside the dense ANN
         # family (one stats reduction + a zero-shuffle scoring scan)
         "bm25_retrieval": bm25_retrieval,
+        # round-5 tail: Kneser-Ney sibling of trigram_logprob (absolute
+        # discounting + continuation counts, same slice and plan shape)
+        "kneser_ney_logprob": kneser_ney_logprob,
     }
     return {**gated, **tail}
 
@@ -1893,6 +1909,87 @@ def oracle_sql() -> dict[str, str]:
       )
       SELECT d.doc_id,
              ROUND(AVG(-ln(s.p)), 4) AS trigram_nll,
+             CAST(COUNT(s.p) AS BIGINT) AS n_scored_words
+      FROM (SELECT doc_id FROM documents WHERE doc_id < {BIGRAM_SLICE}) d
+      LEFT JOIN scored s ON s.doc_id = d.doc_id
+      GROUP BY d.doc_id
+    """
+
+    # Kneser-Ney: the five model tables (trigram counts, trigram
+    # contexts, bigram continuations, middle-word fan, word
+    # continuations) rebuilt from the same slice; p1/p2/p3 chained via
+    # DuckDB lateral aliases with operator order matching the Column
+    # expressions exactly (left-to-right * and /). D3=D2=0.75 exact
+    # binary literals; 1-eps emitted as 0.99, the uniform floor computed
+    # in SQL from the same doubles.
+    sqls["kneser_ney_logprob"] = f"""
+      WITH toks AS (
+        SELECT doc_id, w, i FROM (
+          SELECT doc_id,
+                 unnest(string_split(trim(regexp_replace(lower(text),
+                        '[^a-z0-9]+', ' ', 'g')), ' ')) AS w,
+                 unnest(generate_series(1,
+                        len(string_split(trim(regexp_replace(lower(text),
+                            '[^a-z0-9]+', ' ', 'g')), ' ')))) AS i
+          FROM documents WHERE doc_id < {BIGRAM_SLICE}
+        ) WHERE w <> ''
+      ), big AS (
+        SELECT a.w AS w1, b.w AS w2, CAST(COUNT(*) AS BIGINT) AS c
+        FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+        GROUP BY 1, 2
+      ), tri AS (
+        SELECT a.w AS w1, b.w AS w2, c3.w AS w3, CAST(COUNT(*) AS BIGINT) AS c
+        FROM toks a
+        JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+        JOIN toks c3 ON c3.doc_id = a.doc_id AND c3.i = a.i + 2
+        GROUP BY 1, 2, 3
+      ), ctx3 AS (
+        SELECT w1, w2, CAST(SUM(c) AS BIGINT) AS c_ctx,
+               CAST(COUNT(*) AS BIGINT) AS n1p
+        FROM tri GROUP BY 1, 2
+      ), cont2 AS (
+        SELECT w2, w3, CAST(COUNT(*) AS BIGINT) AS n_cont
+        FROM tri GROUP BY 1, 2
+      ), mid AS (
+        SELECT w2, CAST(COUNT(*) AS BIGINT) AS n_mid,
+               CAST(COUNT(DISTINCT w3) AS BIGINT) AS n_types
+        FROM tri GROUP BY 1
+      ), unic AS (
+        SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1p_w
+        FROM big GROUP BY 1
+      ), tot AS (
+        -- nb = N1+(..) = total bigram TYPES (sum of per-word
+        -- continuation counts), v = vocabulary of continuation words
+        SELECT CAST(SUM(n1p_w) AS DOUBLE) AS nb,
+               CAST(COUNT(*) AS BIGINT) AS v
+        FROM unic
+      ), scored AS (
+        SELECT t.doc_id,
+               0.99 * COALESCE(uc.n1p_w, 0) / tot.nb
+                 + 0.01 / (tot.v + 1.0) AS p1,
+               CASE WHEN COALESCE(m.n_mid, 0) > 0 THEN
+                 GREATEST(COALESCE(c2.n_cont, 0) - 0.75, 0.0) / m.n_mid
+                   + 0.75 * m.n_types / m.n_mid * p1
+               ELSE p1 END AS p2,
+               CASE WHEN COALESCE(x3.c_ctx, 0) > 0 THEN
+                 GREATEST(COALESCE(tg.c, 0) - 0.75, 0.0) / x3.c_ctx
+                   + 0.75 * x3.n1p / x3.c_ctx * p2
+               ELSE p2 END AS p3,
+               CASE WHEN t.i = 1 THEN p1
+                    WHEN t.i = 2 THEN p2
+                    ELSE p3 END AS p
+        FROM toks t
+        LEFT JOIN toks pv ON pv.doc_id = t.doc_id AND pv.i = t.i - 1
+        LEFT JOIN toks pv2 ON pv2.doc_id = t.doc_id AND pv2.i = t.i - 2
+        LEFT JOIN tri tg ON tg.w1 = pv2.w AND tg.w2 = pv.w AND tg.w3 = t.w
+        LEFT JOIN ctx3 x3 ON x3.w1 = pv2.w AND x3.w2 = pv.w
+        LEFT JOIN cont2 c2 ON c2.w2 = pv.w AND c2.w3 = t.w
+        LEFT JOIN mid m ON m.w2 = pv.w
+        LEFT JOIN unic uc ON uc.w2 = t.w
+        CROSS JOIN tot
+      )
+      SELECT d.doc_id,
+             ROUND(AVG(-ln(s.p)), 4) AS kn_nll,
              CAST(COUNT(s.p) AS BIGINT) AS n_scored_words
       FROM (SELECT doc_id FROM documents WHERE doc_id < {BIGRAM_SLICE}) d
       LEFT JOIN scored s ON s.doc_id = d.doc_id

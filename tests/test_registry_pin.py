@@ -48,7 +48,7 @@ EXPECTED_TAIL = [
     "semantic_dedup_det", "substring_removal", "reencode_jpeg",
     "epoch_order", "packing_sentinels", "trigram_logprob",
     "html_justext_gate", "line_dedup", "url_domain_filter",
-    "bm25_retrieval",
+    "bm25_retrieval", "kneser_ney_logprob",
 ]
 
 
