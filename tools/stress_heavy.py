@@ -123,6 +123,17 @@ def run_family(spark, docs_path: str, results: dict) -> None:
         return force(dedup.substring_duplicate_spans(
             docs, "doc_id", "text", k=8))
 
+    def line_dedup():
+        # re-chunk into 8-word lines: replicas share every line except
+        # the one carrying the replica marker, so the duplicated-hash
+        # set is corpus-sized — the worst case for the build-side aggs
+        lined = docs.select("doc_id", F.expr(
+            "array_join(transform("
+            "sequence(1, greatest(1, size(split(text, ' ')) div 8)), "
+            "i -> array_join(slice(split(text, ' '), (i-1)*8+1, 8), ' ')),"
+            " '\\n')").alias("text"))
+        return force(dedup.remove_duplicate_lines(lined, "doc_id", "text"))
+
     def phash_dedup():
         # render → decode → DCT hash → Hamming-LSH pairing; the replica
         # corpus plants 10 identically-rendered twins per doc (the
@@ -138,6 +149,7 @@ def run_family(spark, docs_path: str, results: dict) -> None:
     timed("cluster_star", cluster_star, results)
     timed("curation_pipeline", curation, results)
     timed("substring_dedup", substring, results)
+    timed("line_dedup", line_dedup, results)
     timed("phash_dedup", phash_dedup, results)
 
 
