@@ -643,6 +643,57 @@ def kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.with_kneser_ney_logprob(docs, big, tri)
 
 
+DSIR_TARGET_SLICE = 100  # en docs below this id form the DSIR target set
+NB_LABEL_SLICE = 300     # labeled seed for the NB quality classifier
+DSIR_RESAMPLE_K = 50
+
+
+def dsir_logweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (round 5): target = the en / doc_id < 100
+    slice, raw = the whole corpus; per-doc BIGINT micro-nat weights from
+    hashed-gram bucket distributions (selection.py docstring — two
+    4096-row aggs + one zero-shuffle scoring scan). The oracle rebuilds
+    both distributions and the quantized ratio table in SQL."""
+    from resume_ocr_spark.operators import selection
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    target = (_t(spark, sf_dir, "documents")
+              .filter((F.col("lang") == "en")
+                      & (F.col("doc_id") < DSIR_TARGET_SLICE))
+              .select("text"))
+    return selection.with_dsir_logweight(docs, target)
+
+
+def dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel top-k importance resampling over the dsir_logweight scores —
+    sampling-without-replacement proportional to weight, the DSIR
+    selection step. Integer keys end to end; the only corpus exchange is
+    the global top-k window."""
+    from resume_ocr_spark.operators import selection
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    target = (_t(spark, sf_dir, "documents")
+              .filter((F.col("lang") == "en")
+                      & (F.col("doc_id") < DSIR_TARGET_SLICE))
+              .select("text"))
+    return selection.dsir_resample(docs, target, k=DSIR_RESAMPLE_K)
+
+
+def nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed Naive-Bayes linear quality classifier (round 5): closed-form
+    fastText-shaped filter fit on the doc_id < 300 seed labeled
+    ``lang = 'en'``, scored over the full corpus as one zero-shuffle scan
+    with the model folded as plan literals. Closed-form training keeps
+    the model SQL-replayable — the oracle refits it from the same seed."""
+    from resume_ocr_spark.operators import selection
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    labeled = (_t(spark, sf_dir, "documents")
+               .filter(F.col("doc_id") < NB_LABEL_SLICE)
+               .select("text", (F.col("lang") == "en").alias("label")))
+    return selection.with_nb_quality_score(docs, labeled)
+
+
 def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The five media-column stages (image meta, 2× min-pool resize meta,
     audio meta, per-frame audio energy, video frame sampling) as ONE gated
@@ -1404,6 +1455,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 tail: Kneser-Ney sibling of trigram_logprob (absolute
         # discounting + continuation counts, same slice and plan shape)
         "kneser_ney_logprob": kneser_ney_logprob,
+        # round-5 tail: learned data selection — DSIR importance weights
+        # + Gumbel top-k resampling, and the closed-form hashed-NB
+        # quality classifier (selection.py; integer micro-nat scores so
+        # the gate hash has no float-summation hazard)
+        "dsir_logweight": dsir_logweight,
+        "dsir_resample": dsir_resample,
+        "nb_quality_classifier": nb_quality_classifier,
     }
     return {**gated, **tail}
 
@@ -2766,6 +2824,131 @@ def oracle_sql() -> dict[str, str]:
              ROUND(MAX(cosine), 6) >= 0.8 AS contaminated
       FROM pairs GROUP BY vec_id
     """
+
+    # ---- learned-selection tail (round 5): DSIR + NB classifier.
+    # Shared shape: hashed-gram buckets (12-bit md5, mirroring
+    # selection._bucket digit for digit), distributions rebuilt in SQL,
+    # the ratio table quantized to integer micro-nats with the SAME
+    # CAST-then-divide evaluation order the driver uses (selection.py:
+    # log_ratio_micro), so every per-doc score is an exact BIGINT sum.
+    def _sel_grams_cte(salt: str) -> str:
+        gd = ("(instr('0123456789abcdef', substring(md5(gram || ':"
+              + salt + "'), {p}, 1)) - 1)")
+        bucket12 = (f"({gd.format(p=30)} * 256 + {gd.format(p=31)} * 16"
+                    f" + {gd.format(p=32)})")
+        return f"""
+      WITH ws AS (
+        SELECT doc_id, lang,
+               list_filter(string_split(trim(regexp_replace(
+                 lower(coalesce(text, '')), '[^a-z0-9]+', ' ', 'g')), ' '),
+                 w -> w <> '') AS ws
+        FROM documents
+      ), gb AS (
+        SELECT doc_id, lang, {bucket12} AS bucket
+        FROM (
+          SELECT doc_id, lang,
+                 unnest(list_concat(ws, list_transform(range(1, len(ws)),
+                        i -> ws[i] || ' ' || ws[i + 1]))) AS gram
+          FROM ws
+        )
+      )"""
+
+    _dsir_ratio = """
+      , tot AS (
+        SELECT (SELECT count(*) FROM gb) AS qt,
+               (SELECT count(*) FROM gb
+                 WHERE lang = 'en' AND doc_id < 100) AS tt
+      ), qc AS (SELECT bucket, count(*) AS n FROM gb GROUP BY bucket
+      ), tc AS (SELECT bucket, count(*) AS n FROM gb
+                 WHERE lang = 'en' AND doc_id < 100 GROUP BY bucket
+      ), ratio AS (
+        SELECT r.range AS bucket,
+               CAST(floor(1000000.0 * ln(
+                 CAST((coalesce(tc.n, 0) + 1) * (tot.qt + 4096) AS DOUBLE)
+                 / CAST((coalesce(qc.n, 0) + 1) * (tot.tt + 4096) AS DOUBLE)
+               )) AS BIGINT) AS w
+        FROM range(0, 4096) r
+        CROSS JOIN tot
+        LEFT JOIN qc ON qc.bucket = r.range
+        LEFT JOIN tc ON tc.bucket = r.range
+      ), scored AS (
+        SELECT doc_id, CAST(count(*) AS INT) AS n_grams,
+               CAST(sum(ratio.w) AS BIGINT) AS logweight_micro
+        FROM gb JOIN ratio USING (bucket)
+        GROUP BY doc_id
+      ), full_scored AS (
+        SELECT d.doc_id,
+               coalesce(s.n_grams, 0) AS n_grams,
+               coalesce(s.logweight_micro, 0) AS logweight_micro
+        FROM documents d LEFT JOIN scored s USING (doc_id)
+      )"""
+
+    sqls["dsir_logweight"] = (
+        _sel_grams_cte("dsirb") + _dsir_ratio
+        + "\n      SELECT doc_id, n_grams, logweight_micro FROM full_scored"
+    )
+
+    _gum = ("(instr('0123456789abcdef', substring(md5(CAST(doc_id AS "
+            "VARCHAR) || ':dsir-g'), {p}, 1)) - 1)")
+    _gum16 = (f"({_gum.format(p=29)} * 4096 + {_gum.format(p=30)} * 256"
+              f" + {_gum.format(p=31)} * 16 + {_gum.format(p=32)})")
+    sqls["dsir_resample"] = (
+        _sel_grams_cte("dsirb") + _dsir_ratio + f"""
+      , keyed AS (
+        SELECT doc_id, n_grams, logweight_micro,
+               logweight_micro + CAST(floor(-1000000.0 * ln(-ln(
+                 ({_gum16} + 0.5) / 65536.0))) AS BIGINT)
+                 AS gumbel_key_micro
+        FROM full_scored
+      )
+      SELECT doc_id, n_grams, logweight_micro, gumbel_key_micro,
+             CAST(row_number() OVER (
+               ORDER BY gumbel_key_micro DESC, doc_id ASC) AS INT)
+               AS sample_rank
+      FROM keyed
+      QUALIFY row_number() OVER (
+        ORDER BY gumbel_key_micro DESC, doc_id ASC) <= 50
+    """)
+
+    sqls["nb_quality_classifier"] = (
+        _sel_grams_cte("nbq") + """
+      , tot AS (
+        SELECT (SELECT count(*) FROM gb
+                 WHERE doc_id < 300 AND lang = 'en') AS pt,
+               (SELECT count(*) FROM gb
+                 WHERE doc_id < 300 AND NOT (lang = 'en')) AS nt
+      ), pc AS (SELECT bucket, count(*) AS n FROM gb
+                 WHERE doc_id < 300 AND lang = 'en' GROUP BY bucket
+      ), nc AS (SELECT bucket, count(*) AS n FROM gb
+                 WHERE doc_id < 300 AND NOT (lang = 'en') GROUP BY bucket
+      ), wts AS (
+        SELECT r.range AS bucket,
+               CAST(floor(1000000.0 * ln(
+                 CAST((coalesce(pc.n, 0) + 1) * (tot.nt + 4096) AS DOUBLE)
+                 / CAST((coalesce(nc.n, 0) + 1) * (tot.pt + 4096) AS DOUBLE)
+               )) AS BIGINT) AS w
+        FROM range(0, 4096) r
+        CROSS JOIN tot
+        LEFT JOIN pc ON pc.bucket = r.range
+        LEFT JOIN nc ON nc.bucket = r.range
+      ), bias AS (
+        SELECT CAST(floor(1000000.0 * ln(
+          CAST(pt AS DOUBLE) / CAST(nt AS DOUBLE))) AS BIGINT) AS b
+        FROM tot
+      ), scored AS (
+        SELECT doc_id, CAST(count(*) AS INT) AS n_grams,
+               CAST(sum(wts.w) AS BIGINT) AS s
+        FROM gb JOIN wts USING (bucket)
+        GROUP BY doc_id
+      )
+      SELECT d.doc_id,
+             coalesce(s.n_grams, 0) AS n_grams,
+             coalesce(s.s, 0) + bias.b AS nb_score_micro,
+             (coalesce(s.s, 0) + bias.b) > 0 AS predicted
+      FROM documents d
+      LEFT JOIN scored s USING (doc_id)
+      CROSS JOIN bias
+    """)
 
     # ---- former rows-only entries, upgraded to hard checks (VERDICT #3):
     # the inputs are sf-independent and the codecs/oracle deterministic, so

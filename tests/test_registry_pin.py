@@ -49,6 +49,7 @@ EXPECTED_TAIL = [
     "epoch_order", "packing_sentinels", "trigram_logprob",
     "html_justext_gate", "line_dedup", "url_domain_filter",
     "bm25_retrieval", "kneser_ney_logprob",
+    "dsir_logweight", "dsir_resample", "nb_quality_classifier",
 ]
 
 
