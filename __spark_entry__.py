@@ -694,6 +694,19 @@ def nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return selection.with_nb_quality_score(docs, labeled)
 
 
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-safe train/test split (round 5): the split decision is a
+    function of the duplicate-group key (normalization fingerprint here;
+    near-dup cluster ids via the ``groups`` param, pytest-pinned), so no
+    copy of a document can leak across the eval boundary. Zero-shuffle
+    projection in this default form."""
+    from resume_ocr_spark.operators import mixture
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return mixture.leakage_safe_split(docs, test_frac=0.2).select(
+        "doc_id", "group_key", "split")
+
+
 def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The five media-column stages (image meta, 2× min-pool resize meta,
     audio meta, per-frame audio energy, video frame sampling) as ONE gated
@@ -1462,6 +1475,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_logweight": dsir_logweight,
         "dsir_resample": dsir_resample,
         "nb_quality_classifier": nb_quality_classifier,
+        # round-5 tail: duplicate-safe train/test split (decision keyed on
+        # the dup-group, never the row — eval-leakage-proof by construction)
+        "leakage_safe_split": leakage_safe_split,
     }
     return {**gated, **tail}
 
@@ -2949,6 +2965,25 @@ def oracle_sql() -> dict[str, str]:
       LEFT JOIN scored s USING (doc_id)
       CROSS JOIN bias
     """)
+
+    # duplicate-safe split: fingerprint group key (no coalesce — NULL text
+    # keeps a NULL key and lands 'train' in both engines via NULL CASE),
+    # md5 16-bit bucket under ':split', cut = floor(0.2 * 65536) = 13107
+    _spd = ("(instr('0123456789abcdef', substring(md5(group_key"
+            " || ':split'), {p}, 1)) - 1)")
+    _sp16 = (f"({_spd.format(p=29)} * 4096 + {_spd.format(p=30)} * 256"
+             f" + {_spd.format(p=31)} * 16 + {_spd.format(p=32)})")
+    sqls["leakage_safe_split"] = f"""
+      WITH fp AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text),
+                 '[^a-z0-9]+', ' ', 'g'))) AS group_key
+        FROM documents
+      )
+      SELECT doc_id, group_key,
+             CASE WHEN {_sp16} < 13107 THEN 'test' ELSE 'train' END AS split
+      FROM fp
+    """
 
     # ---- former rows-only entries, upgraded to hard checks (VERDICT #3):
     # the inputs are sf-independent and the codecs/oracle deterministic, so

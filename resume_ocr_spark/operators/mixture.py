@@ -67,6 +67,60 @@ def weighted_mixture(
     return out
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    test_frac: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    groups: DataFrame | None = None,
+    group_col: str = "group_key",
+    seed: str = "split",
+) -> DataFrame:
+    """Deterministic train/test split that can NOT leak duplicates across
+    the boundary: the split decision is a function of a duplicate-GROUP
+    key, never the document id, so every copy of a document lands on the
+    same side (the classic eval-contamination failure of naive
+    per-row splits).
+
+    Group key: the normalization fingerprint by default (byte-identical
+    post-normalization copies stay together, zero extra cost — the whole
+    operator is then a zero-shuffle projection), or join a precomputed
+    near-dup assignment ``groups`` = (id_col, group_col) — e.g.
+    :func:`.dedup.dedup_clusters` output — to also pin fuzzy duplicates
+    to one side; ids absent from ``groups`` fall back to their
+    fingerprint. The decision is the usual md5 16-bit bucket of
+    ``group_key`` under ``seed``: bucket < floor(test_frac·65536) →
+    'test'. NULL-text docs keep with_fingerprint's NULL fingerprint and
+    fall into 'train' (NULL comparison), documented rather than coerced.
+
+    100 TB shape: default form never shuffles; the ``groups`` form costs
+    the one join (broadcast while the assignment is small, AQE-shuffled
+    otherwise — duplicates are a minority so the assignment is far
+    smaller than the corpus)."""
+    from .textstats import with_fingerprint
+
+    if not 0.0 <= test_frac <= 1.0:
+        raise ValueError(f"test_frac out of [0,1]: {test_frac}")
+    out = with_fingerprint(df, text_col)
+    if groups is not None:
+        g = groups.select(
+            F.col(id_col),
+            F.col(group_col).cast("string").alias("_grp"))
+        out = (out.join(g, id_col, "left")
+               .withColumn("group_key",
+                           F.coalesce(F.col("_grp"), F.col("fingerprint")))
+               .drop("_grp"))
+    else:
+        out = out.withColumn("group_key", F.col("fingerprint"))
+    h = F.md5(F.concat(F.col("group_key"), F.lit(f":{seed}")))
+    bucket = F.conv(F.substring(h, 29, 4), 16, 10).cast("long")
+    cut = int(test_frac * BUCKETS)
+    return out.drop("fingerprint").withColumn(
+        "split",
+        F.when(bucket < F.lit(cut), F.lit("test")).otherwise(F.lit("train")),
+    )
+
+
 def stratified_topk(
     df: DataFrame,
     k: int,

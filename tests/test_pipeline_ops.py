@@ -2301,3 +2301,59 @@ class TestBM25:
         p = retrieval.bm25_scores(corpus, "spark")._jdf \
             .queryExecution().executedPlan().toString()
         assert len(re.findall(r"Exchange hashpartitioning", p)) == 0
+
+
+class TestLeakageSafeSplit:
+    def test_duplicates_never_straddle_the_boundary(self, spark, docs):
+        """The operator's whole contract: every post-normalization copy of
+        a document lands on the same split side."""
+        from resume_ocr_spark.operators import mixture
+        d = docs.select("doc_id", "text").limit(40)
+        copies = d.select((F.col("doc_id") + 5000).alias("doc_id"),
+                          F.upper(F.col("text")).alias("text"))
+        out = mixture.leakage_safe_split(d.unionAll(copies), 0.3).collect()
+        side = {r["doc_id"]: r["split"] for r in out}
+        for r in out:
+            if r["doc_id"] < 5000:
+                assert side[r["doc_id"]] == side[r["doc_id"] + 5000]
+        assert {"train", "test"} == {r["split"] for r in out}
+
+    def test_groups_override_pins_near_dups(self, spark):
+        """With a cluster assignment, fuzzy duplicates (different
+        fingerprints) are pinned to one side; unassigned ids fall back to
+        their fingerprint."""
+        from resume_ocr_spark.operators import mixture
+        d = spark.createDataFrame(
+            [(i, f"document number {i} entirely unlike the others {i}")
+             for i in range(200)] + [(500, "near dup A"), (501, "near dup A plus")],
+            "doc_id long, text string")
+        clusters = spark.createDataFrame(
+            [(500, 500), (501, 500)], "doc_id long, cluster long")
+        out = mixture.leakage_safe_split(
+            d, 0.5, groups=clusters, group_col="cluster").collect()
+        side = {r["doc_id"]: r["split"] for r in out}
+        assert side[500] == side[501]
+        keys = {r["doc_id"]: r["group_key"] for r in out}
+        assert keys[500] == keys[501] == "500"
+        assert keys[0] != keys[1]  # fallback keeps per-doc fingerprints
+
+    def test_frac_and_determinism(self, spark, docs):
+        from resume_ocr_spark.operators import mixture
+        d = docs.select("doc_id", "text")
+        out = mixture.leakage_safe_split(d, 0.2)
+        n = d.count()
+        n_test = out.filter("split = 'test'").count()
+        assert 0.05 * n < n_test < 0.45 * n  # md5-uniform around 0.2
+        a = sorted((r["doc_id"], r["split"]) for r in out.collect())
+        b = sorted((r["doc_id"], r["split"]) for r in
+                   mixture.leakage_safe_split(d.repartition(7), 0.2).collect())
+        assert a == b
+        with pytest.raises(ValueError, match="test_frac"):
+            mixture.leakage_safe_split(d, 1.5)
+
+    def test_default_form_zero_shuffle(self, spark, docs):
+        import re
+        from resume_ocr_spark.operators import mixture
+        p = (mixture.leakage_safe_split(docs.select("doc_id", "text"), 0.2)
+             ._jdf.queryExecution().executedPlan().toString())
+        assert len(re.findall(r"Exchange hashpartitioning", p)) == 0
