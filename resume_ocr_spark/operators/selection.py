@@ -225,12 +225,25 @@ def dsir_resample(
     (filter on ``gumbel_key_micro`` ≥ a quantile estimated from a
     sample) instead.
     """
-    if k <= 0:
-        raise ValueError("k must be positive")
     weighted = with_dsir_logweight(
         corpus, target, id_col, text_col, target_text_col)
+    return gumbel_topk(weighted, k, id_col=id_col, seed=seed)
+
+
+def gumbel_topk(
+    weighted: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    logweight_col: str = "logweight_micro",
+    seed: str = "dsir-g",
+) -> DataFrame:
+    """The sampling step alone, over a precomputed weight table — for
+    callers (e.g. tools/submit_selection.py) that materialize the weights
+    once for auditing and then sample from them without re-fitting."""
+    if k <= 0:
+        raise ValueError("k must be positive")
     keyed = weighted.select(
-        "*", gumbel_key_micro(id_col, "logweight_micro", seed))
+        "*", gumbel_key_micro(id_col, logweight_col, seed))
     w = Window.orderBy(F.col("gumbel_key_micro").desc(), F.col(id_col).asc())
     return (
         keyed.withColumn("sample_rank", F.row_number().over(w))

@@ -2357,3 +2357,90 @@ class TestLeakageSafeSplit:
         p = (mixture.leakage_safe_split(docs.select("doc_id", "text"), 0.2)
              ._jdf.queryExecution().executedPlan().toString())
         assert len(re.findall(r"Exchange hashpartitioning", p)) == 0
+
+
+class TestSubmitSelection:
+    def _run(self, argv):
+        import sys
+        from tools import submit_selection
+        old = sys.argv
+        sys.argv = ["submit_selection.py"] + argv
+        try:
+            return submit_selection.main()
+        finally:
+            sys.argv = old
+
+    def test_dsir_mode_selects_k_and_audits(self, spark, docs, tmp_path):
+        src = str(tmp_path / "in.parquet")
+        docs.select("doc_id", "text", "lang").limit(100).write.parquet(src)
+        tgt = str(tmp_path / "target.parquet")
+        docs.filter("lang = 'en'").select("text").limit(20).write.parquet(tgt)
+        out = str(tmp_path / "out")
+        rc = self._run(["--input", src, "--output", out,
+                        "--mode", "dsir", "--target", tgt, "--keep-k", "30"])
+        assert rc == 0
+        sel = spark.read.parquet(f"{out}/selected")
+        sc = spark.read.parquet(f"{out}/scores")
+        assert sel.count() == 30
+        assert sc.count() == 100  # full-corpus audit trail
+        assert set(sel.columns) == {"doc_id", "text", "lang"}
+        # the selected ids are exactly the operator's gumbel top-30
+        from resume_ocr_spark.operators import selection
+        want = {r["doc_id"] for r in selection.gumbel_topk(
+            sc, 30).select("doc_id").collect()}
+        assert {r["doc_id"] for r in sel.select("doc_id").collect()} == want
+
+    def test_dsir_keep_frac_resolves_k(self, spark, docs, tmp_path):
+        src = str(tmp_path / "inf.parquet")
+        docs.select("doc_id", "text").limit(80).write.parquet(src)
+        tgt = str(tmp_path / "tgtf.parquet")
+        docs.select("text").limit(10).write.parquet(tgt)
+        out = str(tmp_path / "outf")
+        rc = self._run(["--input", src, "--output", out,
+                        "--mode", "dsir", "--target", tgt,
+                        "--keep-frac", "0.25"])
+        assert rc == 0
+        assert spark.read.parquet(f"{out}/selected").count() == 20
+
+    def test_nb_mode_thresholds_on_score(self, spark, tmp_path):
+        rows = [(i, "good clean prose document " * 4) for i in range(10)]
+        rows += [(100 + i, "zzspam qqqjunk xxcasino " * 4) for i in range(10)]
+        src = str(tmp_path / "innb.parquet")
+        spark.createDataFrame(rows, "doc_id long, text string") \
+            .write.parquet(src)
+        lab = str(tmp_path / "lab.parquet")
+        spark.createDataFrame(
+            [("good clean prose document " * 4, True),
+             ("zzspam qqqjunk xxcasino " * 4, False)],
+            "text string, label boolean").write.parquet(lab)
+        out = str(tmp_path / "outnb")
+        rc = self._run(["--input", src, "--output", out,
+                        "--mode", "nb", "--labeled", lab])
+        assert rc == 0
+        kept = {r["doc_id"] for r in
+                spark.read.parquet(f"{out}/selected").collect()}
+        assert kept == set(range(10))
+
+    def test_refusal_before_write_and_arg_validation(self, spark, docs,
+                                                     tmp_path):
+        import os
+        src = str(tmp_path / "inr.parquet")
+        docs.select("doc_id", "text").limit(10).write.parquet(src)
+        empty_tgt = str(tmp_path / "empty.parquet")
+        docs.select("text").filter("doc_id < 0").write.parquet(empty_tgt)
+        out = str(tmp_path / "outr")
+        rc = self._run(["--input", src, "--output", out,
+                        "--mode", "dsir", "--target", empty_tgt,
+                        "--keep-k", "5"])
+        assert rc == 4
+        assert not os.path.exists(out)  # refusal BEFORE any write
+        # exactly one of keep-k/keep-frac
+        assert self._run(["--input", src, "--output", out, "--mode", "dsir",
+                          "--target", empty_tgt]) == 2
+        assert self._run(["--input", src, "--output", out, "--mode", "dsir",
+                          "--target", empty_tgt, "--keep-k", "5",
+                          "--keep-frac", "0.5"]) == 2
+        assert self._run(["--input", src, "--output", out,
+                          "--mode", "nb"]) == 2
+        assert self._run(["--input", src, "--output", out, "--mode", "dsir",
+                          "--target", empty_tgt, "--keep-frac", "1.5"]) == 2
