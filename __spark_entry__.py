@@ -787,17 +787,24 @@ def line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     owner; body lines survive everywhere."""
     from resume_ocr_spark.operators import dedup
 
+    # coalesce each body piece: a NULL text must still plant its 4-line
+    # skeleton (the oracle COALESCEs the same way — without this,
+    # concat_ws would silently drop the NULL-derived lines and the two
+    # engines would disagree on n_lines_total for NULL-text docs)
     lined = _t(spark, sf_dir, "documents").select(
         "doc_id",
         F.concat_ws(
             "\n",
-            F.expr("array_join(slice(split(text, ' '), 1, 8), ' ')"),
+            F.expr("coalesce(array_join(slice(split(text, ' '), 1, 8),"
+                   " ' '), '')"),
             F.lit("all rights reserved - cookie policy"),
-            F.expr("array_join(slice(split(text, ' '), 9, 8), ' ')"),
+            F.expr("coalesce(array_join(slice(split(text, ' '), 9, 8),"
+                   " ' '), '')"),
             F.when(F.col("doc_id") % 2 == 0,
                    F.lit("subscribe to our newsletter"))
             .otherwise(
-                F.expr("array_join(slice(split(text, ' '), 17, 8), ' ')")),
+                F.expr("coalesce(array_join(slice(split(text, ' '), 17, 8),"
+                       " ' '), '')")),
         ).alias("text"))
     return dedup.remove_duplicate_lines(lined, "doc_id", "text")
 
@@ -2738,12 +2745,13 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
       ), parts AS (
         SELECT doc_id, text,
-          lower(regexp_extract(url, '^([a-z][a-z0-9+.-]*):', 1)) AS scheme,
-          lower(regexp_extract(
-              regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1),
-              '^(?:[^@]*@)?([^:]*)', 1)) AS host,
-          regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)', 1)
-            AS path
+          lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*):', 1))
+            AS scheme,
+          regexp_replace(lower(regexp_extract(
+              regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1),
+              '^(?:[^@]*@)?([^:]*)', 1)), '[.]+$', '') AS host,
+          regexp_extract(url,
+              '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path
         FROM urls
       ), dom AS (
         SELECT *, string_split(host, '.') AS labels,
@@ -2869,14 +2877,15 @@ def oracle_sql() -> dict[str, str]:
         )
       )"""
 
-    _dsir_ratio = """
+    _dsir_ratio = f"""
       , tot AS (
         SELECT (SELECT count(*) FROM gb) AS qt,
                (SELECT count(*) FROM gb
-                 WHERE lang = 'en' AND doc_id < 100) AS tt
+                 WHERE lang = 'en' AND doc_id < {DSIR_TARGET_SLICE}) AS tt
       ), qc AS (SELECT bucket, count(*) AS n FROM gb GROUP BY bucket
       ), tc AS (SELECT bucket, count(*) AS n FROM gb
-                 WHERE lang = 'en' AND doc_id < 100 GROUP BY bucket
+                 WHERE lang = 'en' AND doc_id < {DSIR_TARGET_SLICE}
+                 GROUP BY bucket
       ), ratio AS (
         SELECT r.range AS bucket,
                CAST(floor(1000000.0 * ln(
@@ -2904,16 +2913,20 @@ def oracle_sql() -> dict[str, str]:
         + "\n      SELECT doc_id, n_grams, logweight_micro FROM full_scored"
     )
 
+    # 12-bit Gumbel grid: the Spark side looks the value up in a
+    # driver-precomputed literal table (selection._GUMBEL_TABLE); DuckDB
+    # recomputes it inline — identical because u=(v+0.5)/4096 is an
+    # exact double and python math.log and DuckDB ln are the same libm
     _gum = ("(instr('0123456789abcdef', substring(md5(CAST(doc_id AS "
             "VARCHAR) || ':dsir-g'), {p}, 1)) - 1)")
-    _gum16 = (f"({_gum.format(p=29)} * 4096 + {_gum.format(p=30)} * 256"
+    _gum12 = (f"({_gum.format(p=30)} * 256"
               f" + {_gum.format(p=31)} * 16 + {_gum.format(p=32)})")
     sqls["dsir_resample"] = (
         _sel_grams_cte("dsirb") + _dsir_ratio + f"""
       , keyed AS (
         SELECT doc_id, n_grams, logweight_micro,
                logweight_micro + CAST(floor(-1000000.0 * ln(-ln(
-                 ({_gum16} + 0.5) / 65536.0))) AS BIGINT)
+                 ({_gum12} + 0.5) / 4096.0))) AS BIGINT)
                  AS gumbel_key_micro
         FROM full_scored
       )
@@ -2923,20 +2936,23 @@ def oracle_sql() -> dict[str, str]:
                AS sample_rank
       FROM keyed
       QUALIFY row_number() OVER (
-        ORDER BY gumbel_key_micro DESC, doc_id ASC) <= 50
+        ORDER BY gumbel_key_micro DESC, doc_id ASC) <= {DSIR_RESAMPLE_K}
     """)
 
     sqls["nb_quality_classifier"] = (
-        _sel_grams_cte("nbq") + """
+        _sel_grams_cte("nbq") + f"""
       , tot AS (
         SELECT (SELECT count(*) FROM gb
-                 WHERE doc_id < 300 AND lang = 'en') AS pt,
+                 WHERE doc_id < {NB_LABEL_SLICE} AND lang = 'en') AS pt,
                (SELECT count(*) FROM gb
-                 WHERE doc_id < 300 AND NOT (lang = 'en')) AS nt
+                 WHERE doc_id < {NB_LABEL_SLICE}
+                   AND NOT (lang = 'en')) AS nt
       ), pc AS (SELECT bucket, count(*) AS n FROM gb
-                 WHERE doc_id < 300 AND lang = 'en' GROUP BY bucket
+                 WHERE doc_id < {NB_LABEL_SLICE} AND lang = 'en'
+                 GROUP BY bucket
       ), nc AS (SELECT bucket, count(*) AS n FROM gb
-                 WHERE doc_id < 300 AND NOT (lang = 'en') GROUP BY bucket
+                 WHERE doc_id < {NB_LABEL_SLICE} AND NOT (lang = 'en')
+                 GROUP BY bucket
       ), wts AS (
         SELECT r.range AS bucket,
                CAST(floor(1000000.0 * ln(

@@ -54,24 +54,42 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 N_BUCKETS = 4096          # 3 hex digits; collision rate is the DSIR design
-GUMBEL_BUCKETS = 1 << 16  # uniform grid for the Gumbel draw (md5 16-bit)
+GUMBEL_BUCKETS = 4096     # uniform grid for the Gumbel draw (md5 12-bit)
 MICRO = 1_000_000         # fixed-point scale: micro-nats
 
+# Gumbel perturbations precomputed DRIVER-side over the whole 12-bit
+# grid and folded as plan literals: Spark never evaluates ln per row, so
+# the module's BIGINT-exact-across-engines guarantee holds for the
+# resampling key too (the JVM's Math.log is not bit-pinned to the libm
+# the oracle uses; a lookup table removes the question entirely).
+_GUMBEL_TABLE = [
+    math.floor(-MICRO * math.log(-math.log((v + 0.5) / GUMBEL_BUCKETS)))
+    for v in range(GUMBEL_BUCKETS)
+]
 
-def _grams(text_col: str):
-    """Per-row array of hashed-feature grams: unigrams ++ space-joined
-    bigrams over the shared normalizer (:func:`.dedup._tokens` semantics,
-    NULL-total via coalesce). The CASE guards the descending
-    ``sequence(1, 0)`` gotcha on sub-2-word docs."""
-    toks = (
-        "filter(split(trim(regexp_replace(lower(coalesce({c}, '')),"
-        " '[^a-z0-9]+', ' ')), ' '), x -> x != '')"
-    ).format(c=text_col)
+
+def _toks(text_col: str):
+    """Normalized word array (:func:`.dedup._tokens` semantics, NULL-total
+    via coalesce). Callers materialize this as a COLUMN before building
+    grams from it — inlining it into the bigram transform lambda would
+    re-run the regex tokenizer once per element (higher-order-function
+    lambdas get no common-subexpression elimination)."""
     return F.expr(
-        f"concat({toks}, "
-        f"CASE WHEN size({toks}) >= 2 THEN "
-        f"transform(sequence(1, size({toks}) - 1),"
-        f" i -> concat({toks}[i - 1], ' ', {toks}[i])) "
+        "filter(split(trim(regexp_replace(lower(coalesce({c}, '')),"
+        " '[^a-z0-9]+', ' ')), ' '), x -> x != '')".format(c=text_col)
+    )
+
+
+def _grams_from_toks(tok_col: str = "_t"):
+    """Unigrams ++ space-joined bigrams from a MATERIALIZED token-array
+    column (array indexing only — linear per-doc work). The CASE guards
+    the descending ``sequence(1, 0)`` gotcha on sub-2-word docs."""
+    t = tok_col
+    return F.expr(
+        f"concat({t}, "
+        f"CASE WHEN size({t}) >= 2 THEN "
+        f"transform(sequence(1, size({t}) - 1),"
+        f" i -> concat({t}[i - 1], ' ', {t}[i])) "
         "ELSE array() END)"
     )
 
@@ -95,7 +113,8 @@ def bucket_counts(
     if n_buckets != N_BUCKETS:
         raise ValueError("bucket space is fixed at 4096 (3 md5 hex digits)")
     return (
-        df.select(F.explode(_grams(text_col)).alias("_g"))
+        df.select(_toks(text_col).alias("_t"))
+        .select(F.explode(_grams_from_toks("_t")).alias("_g"))
         .select(_bucket(F.col("_g"), salt).alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -137,21 +156,29 @@ def log_ratio_micro(
     return ratios, num_total, den_total
 
 
-def _score_expr(weights: list[int], text_col: str, salt: str):
-    """Zero-shuffle scorer: fold the per-bucket weight table into the plan
-    as a literal int array and sum ``weights[bucket(g)]`` over the doc's
-    grams. 4096 literal nodes — far under the measured literal-fold
-    budget (decontam docstring: ~1e5 nodes ≈ a minute of planning)."""
+def _with_grams(df: DataFrame, text_col: str) -> DataFrame:
+    """Materialize the token array then the gram array as columns, so the
+    tokenizer runs once per doc and downstream consumers (size + score
+    fold) index the arrays instead of recomputing them."""
+    return (df.withColumn("_t", _toks(text_col))
+            .withColumn("_g", _grams_from_toks("_t")))
+
+
+def _score_exprs(weights: list[int], salt: str, gram_col: str = "_g"):
+    """Zero-shuffle scorer over a materialized gram column: fold the
+    per-bucket weight table into the plan as a literal int array and sum
+    ``weights[bucket(g)]`` over the doc's grams. 4096 literal nodes —
+    far under the measured literal-fold budget (decontam docstring:
+    ~1e5 nodes ≈ a minute of planning)."""
     lit_arr = F.array(*[F.lit(int(w)) for w in weights])
-    grams = _grams(text_col)
     per_gram = F.transform(
-        grams,
+        F.col(gram_col),
         lambda g: F.element_at(lit_arr, _bucket(g, salt) + 1).cast("long"),
     )
     score = F.aggregate(
         per_gram, F.lit(0).cast("long"), lambda acc, x: acc + x
     )
-    return F.size(grams), score
+    return F.size(F.col(gram_col)), score
 
 
 def with_dsir_logweight(
@@ -183,8 +210,8 @@ def with_dsir_logweight(
     if sum(p_tgt) == 0:
         raise ValueError("target side has no grams — cannot fit p̂")
     ratios, _, _ = log_ratio_micro(p_tgt, q_raw)
-    n_grams, score = _score_expr(ratios, text_col, salt)
-    return corpus.select(
+    n_grams, score = _score_exprs(ratios, salt)
+    return _with_grams(corpus, text_col).select(
         F.col(id_col),
         n_grams.alias("n_grams"),
         score.alias("logweight_micro"),
@@ -194,12 +221,16 @@ def with_dsir_logweight(
 def gumbel_key_micro(id_col: str, logweight_col: str, seed: str = "dsir-g"):
     """Integer Gumbel perturbation for top-k sampling without replacement
     (Vieira 2014 / the DSIR resampling step): ``key = logw + G`` where
-    ``G = -ln(-ln(u))`` and ``u = (md5_16bit(id)+0.5)/65536`` — an exact
-    rational, so both engines feed libm the identical double."""
+    ``G = floor(-1e6·ln(-ln(u)))`` and ``u = (md5_12bit(id)+0.5)/4096``.
+    G comes from the driver-precomputed ``_GUMBEL_TABLE`` literal (see
+    top of module) — Spark does a pure array lookup, no per-row ln, so
+    the key is BIGINT-exact vs any libm-based oracle. Grid collisions
+    (two ids sharing a 12-bit bucket) fall to the deterministic id
+    tie-break in :func:`gumbel_topk`, same as any quantized draw."""
+    garr = F.array(*[F.lit(int(g)) for g in _GUMBEL_TABLE])
     h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}")))
-    u16 = F.conv(F.substring(h, 29, 4), 16, 10).cast("double")
-    u = (u16 + F.lit(0.5)) / F.lit(float(GUMBEL_BUCKETS))
-    g_micro = F.floor(-F.lit(float(MICRO)) * F.log(-F.log(u))).cast("long")
+    u12 = F.conv(F.substring(h, 30, 3), 16, 10).cast("int")
+    g_micro = F.element_at(garr, u12 + 1).cast("long")
     return (F.col(logweight_col) + g_micro).alias("gumbel_key_micro")
 
 
@@ -298,8 +329,8 @@ def with_nb_quality_score(
     """
     weights, bias = nb_train_micro(
         labeled, label_col, labeled_text_col or text_col, salt)
-    n_grams, score = _score_expr(weights, text_col, salt)
-    return corpus.select(
+    n_grams, score = _score_exprs(weights, salt)
+    return _with_grams(corpus, text_col).select(
         F.col(id_col),
         n_grams.alias("n_grams"),
         (score + F.lit(int(bias)).cast("long")).alias("nb_score_micro"),

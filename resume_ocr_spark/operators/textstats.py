@@ -486,17 +486,29 @@ def with_kneser_ney_logprob(
     big = (bigrams.filter(F.col("n_occurrences") >= min_count)
            .select("w1", "w2"))
     tri_rows = tri.limit(max_model_rows + 1).collect()
-    ctx3_rows = (tri.groupBy("w1", "w2")
-                 .agg(F.sum("c").alias("c_ctx"),
-                      F.count(F.lit(1)).alias("n1p"))
-                 .limit(max_model_rows + 1).collect())
-    cont2_rows = (tri.groupBy("w2", "w3")
-                  .agg(F.count(F.lit(1)).alias("n_cont"))
-                  .limit(max_model_rows + 1).collect())
-    mid_rows = (tri.groupBy("w2")
-                .agg(F.count(F.lit(1)).alias("n_mid"),
-                     F.countDistinct("w3").alias("n_types"))
-                .limit(max_model_rows + 1).collect())
+    # ctx3/cont2/mid are pure groupbys of tri_rows, which is already on
+    # the driver (and already capped) — deriving them here instead of
+    # re-aggregating `tri` three more times removes three full scans +
+    # shuffles of the training slice per fit. tri rows are distinct on
+    # (w1,w2,w3), so counts below are row counts / distinct-w3 counts.
+    _ctx3: dict[tuple, list] = {}
+    _cont2: dict[tuple, int] = {}
+    _mid: dict[str, list] = {}  # w2 -> [row count, distinct-w3 set]
+    for r in tri_rows:
+        k = (r["w1"], r["w2"])
+        acc = _ctx3.setdefault(k, [0, 0])
+        acc[0] += int(r["c"])
+        acc[1] += 1
+        _cont2[(r["w2"], r["w3"])] = _cont2.get((r["w2"], r["w3"]), 0) + 1
+        m = _mid.setdefault(r["w2"], [0, set()])
+        m[0] += 1
+        m[1].add(r["w3"])
+    ctx3_rows = [{"w1": k[0], "w2": k[1], "c_ctx": v[0], "n1p": v[1]}
+                 for k, v in _ctx3.items()]
+    cont2_rows = [{"w2": k[0], "w3": k[1], "n_cont": v}
+                  for k, v in _cont2.items()]
+    mid_rows = [{"w2": w2, "n_mid": m[0], "n_types": len(m[1])}
+                for w2, m in _mid.items()]
     unicont_rows = (big.groupBy("w2")
                     .agg(F.count(F.lit(1)).alias("n1p_w"))
                     .limit(max_model_rows + 1).collect())

@@ -39,10 +39,13 @@ DEFAULT_TWO_LEVEL_SUFFIXES = (
     "or.jp", "org.uk",
 )
 
-_SCHEME_RE = "^([a-z][a-z0-9+.-]*):"
-_AUTH_RE = "^[a-z][a-z0-9+.-]*://([^/?#]*)"
+# scheme matching is case-insensitive per RFC 3986 (crawls carry
+# 'HTTP://' URLs); the char class spells both cases out rather than
+# lowercasing the whole URL because PATHS are case-sensitive
+_SCHEME_RE = "^([a-zA-Z][a-zA-Z0-9+.-]*):"
+_AUTH_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)"
 _HOST_RE = "^(?:[^@]*@)?([^:]*)"
-_PATH_RE = "^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)"
+_PATH_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)"
 
 
 def with_url_parts(
@@ -56,12 +59,16 @@ def with_url_parts(
     Pure Column ops (regexp_extract + array slicing) — no shuffle, no
     Python, whole-stage-codegen-friendly, and expressible 1:1 in the
     DuckDB oracle (unlike Spark's ``parse_url``, which DuckDB lacks).
-    Hosts are lowercased; userinfo and port are stripped.  A host with a
+    Hosts are lowercased and a trailing root dot (legal FQDN form
+    ``example.com.``) is stripped so eTLD+1 and blocklist matching see
+    the canonical name; userinfo and port are stripped.  A host with a
     single label (``localhost``) is its own domain; unparseable URLs
     yield empty strings, never nulls/errors (error-as-data totality)."""
     url = F.coalesce(F.col(url_col), F.lit(""))
-    host = F.lower(F.regexp_extract(
-        F.regexp_extract(url, _AUTH_RE, 1), _HOST_RE, 1))
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(
+            F.regexp_extract(url, _AUTH_RE, 1), _HOST_RE, 1)),
+        "[.]+$", "")
     out = (
         df.withColumn("scheme", F.lower(F.regexp_extract(url, _SCHEME_RE, 1)))
         .withColumn("host", host)
@@ -94,7 +101,9 @@ def filter_blocked_domains(
 
     Broadcast ANTI join: the blocklist is dimension-sized, the corpus
     side never shuffles.  ``keep_blocked=True`` inverts to a SEMI join
-    (audit mode: what WOULD be dropped)."""
+    (audit mode: what WOULD be dropped).  BOTH sides are lowercased in
+    the comparison — callers may pass domains that did not come through
+    :func:`with_url_parts`."""
     bcol = blocked.columns[0]
     # no .distinct() on the list: SEMI/ANTI joins are set-semantics on
     # the probe side already, and the dedup would cost the only exchange
@@ -103,7 +112,7 @@ def filter_blocked_domains(
         blocked.select(F.lower(F.col(bcol)).alias("_blocked_domain")))
     how = "left_semi" if keep_blocked else "left_anti"
     return df.join(
-        right, F.col(domain_col) == F.col("_blocked_domain"), how)
+        right, F.lower(F.col(domain_col)) == F.col("_blocked_domain"), how)
 
 
 def domain_stats(

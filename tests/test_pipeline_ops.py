@@ -2182,6 +2182,35 @@ class TestUrlTools:
             assert (r["scheme"], r["host"], r["domain"], r["path"]) == (
                 "", "", "", "")
 
+    def test_parse_uppercase_scheme(self, spark):
+        """RFC 3986 schemes are case-insensitive (review r5 finding):
+        'HTTP://' crawl URLs must parse, not pool under domain ''."""
+        r = self._parse(spark, "HTTP://Example.COM/CaseSensitive/Path")
+        assert (r["scheme"], r["host"], r["domain"]) == (
+            "http", "example.com", "example.com")
+        # paths stay case-SENSITIVE — only scheme/host are canonicalized
+        assert r["path"] == "/CaseSensitive/Path"
+
+    def test_parse_trailing_root_dot(self, spark):
+        """FQDN form 'example.com.' (review r5 finding): the empty final
+        label must not shift the eTLD+1 window to 'com.'."""
+        r = self._parse(spark, "https://example.com./x")
+        assert (r["host"], r["domain"]) == ("example.com", "example.com")
+        r2 = self._parse(spark, "https://news.bbc.co.uk./x")
+        assert r2["domain"] == "bbc.co.uk"
+
+    def test_blocklist_lowercases_probe_side(self, spark):
+        """Callers may pass domains that never went through
+        with_url_parts (review r5 finding): 'Ads.NET' must match a
+        blocklist entry 'ads.net'."""
+        from resume_ocr_spark.operators import urltools
+        d = spark.createDataFrame(
+            [("Ads.NET",), ("fine.org",)], "domain string")
+        blocked = spark.createDataFrame([("ads.net",)], "domain string")
+        kept = [r["domain"] for r in
+                urltools.filter_blocked_domains(d, blocked).collect()]
+        assert kept == ["fine.org"]
+
     def test_blocklist_anti_and_semi(self, spark):
         from resume_ocr_spark.operators import urltools
         d = spark.createDataFrame(

@@ -100,7 +100,7 @@ class TestDsir:
         for did, text, _ in DOCS:
             lw = sum(ratios[_py_bucket(g, "dsirb")] for g in _py_grams(text))
             h = hashlib.md5(f"{did}:dsir-g".encode()).hexdigest()
-            u = (int(h[28:32], 16) + 0.5) / 65536.0
+            u = (int(h[29:32], 16) + 0.5) / 4096.0
             keys[did] = lw + math.floor(-MICRO * math.log(-math.log(u)))
         want = sorted(keys, key=lambda d: (-keys[d], d))[:4]
         assert sorted(r["doc_id"] for r in out) == sorted(want)

@@ -84,6 +84,9 @@ def main() -> int:
 
     if args.mode == "dsir":
         target = spark.read.parquet(args.target)
+        if args.text_col not in target.columns:
+            print(f"--target lacks column {args.text_col}", file=sys.stderr)
+            return 2
         try:
             # fit ONCE; scores/ gets the full weight table for audit, the
             # sample is drawn from the same frame without re-fitting
@@ -100,6 +103,11 @@ def main() -> int:
         audit = {"mode": "dsir", "k": k}
     else:
         labeled = spark.read.parquet(args.labeled)
+        missing = {args.text_col, "label"} - set(labeled.columns)
+        if missing:
+            print(f"--labeled lacks columns {sorted(missing)}",
+                  file=sys.stderr)
+            return 2
         try:
             scores = selection.with_nb_quality_score(
                 docs, labeled, id_col=args.id_col, text_col=args.text_col)
