@@ -91,7 +91,8 @@ def timed(label: str, fn, results: dict) -> None:
 
 
 def run_family(spark, docs_path: str, results: dict) -> None:
-    from resume_ocr_spark.operators import curate, dedup, imagehash, multimodal
+    from resume_ocr_spark.operators import (curate, dedup, imagehash,
+                                            multimodal, selection)
 
     docs = spark.read.parquet(docs_path).select("doc_id", "text", "lang")
 
@@ -144,6 +145,14 @@ def run_family(spark, docs_path: str, results: dict) -> None:
         return force(imagehash.phash_near_dup(
             hashes, max_distance=6, max_bucket_size=MAX_BUCKET))
 
+    def dsir_select():
+        # two 4096-bucket model aggs + one zero-shuffle scoring scan; the
+        # replica corpus multiplies BOTH the raw-distribution fit and the
+        # scoring side by 10 — wall should track the scan, nothing else
+        target = docs.filter(
+            (F.col("lang") == "en") & (F.col("doc_id") < 500)).select("text")
+        return force(selection.with_dsir_logweight(docs, target))
+
     timed("lsh_candidates_k128", lsh_k128, results)
     timed("jaccard_lsh", jaccard_lsh, results)
     timed("cluster_star", cluster_star, results)
@@ -151,6 +160,7 @@ def run_family(spark, docs_path: str, results: dict) -> None:
     timed("substring_dedup", substring, results)
     timed("line_dedup", line_dedup, results)
     timed("phash_dedup", phash_dedup, results)
+    timed("dsir_logweight", dsir_select, results)
 
 
 def main() -> int:
