@@ -694,6 +694,26 @@ def nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return selection.with_nb_quality_score(docs, labeled)
 
 
+def lm_contrast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive LM selection score (round 5): excess NLL of the raw
+    reference bigram model over the en-slice target model — the
+    CCNet/DoReMi-style reference-model form that cancels the
+    short/repetitive-document bias of any single-model perplexity.
+    Fused single scan: six broadcast model joins, one groupBy. The
+    oracle rebuilds BOTH models in SQL from the same slices."""
+    docs = (_t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < BIGRAM_SLICE))
+    target_docs = docs.filter(F.col("lang") == "en").select("doc_id", "text")
+    corpus = docs.select("doc_id", "text")
+    return textstats.with_lm_contrast(
+        corpus,
+        textstats.word_counts(target_docs),
+        textstats.bigram_counts(target_docs),
+        textstats.word_counts(corpus),
+        textstats.bigram_counts(corpus),
+        lam=BIGRAM_LAM)
+
+
 def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-safe train/test split (round 5): the split decision is a
     function of the duplicate-group key (normalization fingerprint here;
@@ -1485,6 +1505,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 tail: duplicate-safe train/test split (decision keyed on
         # the dup-group, never the row — eval-leakage-proof by construction)
         "leakage_safe_split": leakage_safe_split,
+        # round-5 tail: reference-model contrastive LM score (excess NLL),
+        # completing the selection ladder heuristic → classifier →
+        # n-gram LR (DSIR) → LM contrast
+        "lm_contrast": lm_contrast,
     }
     return {**gated, **tail}
 
@@ -2981,6 +3005,81 @@ def oracle_sql() -> dict[str, str]:
       LEFT JOIN scored s USING (doc_id)
       CROSS JOIN bias
     """)
+
+    # contrastive LM score: the bigram-oracle rebuild twice — target model
+    # from the en sub-slice, reference from the whole slice; λ literals
+    # repr()-emitted for bitwise float parity, scores round(,4) with the
+    # contrast defined ON the rounded means (matches with_lm_contrast)
+    _clam, _cunlam = BIGRAM_LAM, 1.0 - BIGRAM_LAM
+    sqls["lm_contrast"] = f"""
+      WITH toks AS (
+        SELECT doc_id, w, i FROM (
+          SELECT doc_id,
+                 unnest(string_split(trim(regexp_replace(lower(text),
+                        '[^a-z0-9]+', ' ', 'g')), ' ')) AS w,
+                 unnest(generate_series(1,
+                        len(string_split(trim(regexp_replace(lower(text),
+                            '[^a-z0-9]+', ' ', 'g')), ' ')))) AS i
+          FROM documents WHERE doc_id < {BIGRAM_SLICE}
+        ) WHERE w <> ''
+      ), ttoks AS (
+        SELECT t.* FROM toks t JOIN documents d USING (doc_id)
+        WHERE d.lang = 'en'
+      ), tuni AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM ttoks GROUP BY w
+      ), ttot AS (
+        SELECT CAST(SUM(c) AS DOUBLE) AS t, COUNT(*) AS v FROM tuni
+      ), tbig AS (
+        SELECT a.w AS w1, b.w AS w2, CAST(COUNT(*) AS BIGINT) AS c
+        FROM ttoks a JOIN ttoks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+        GROUP BY 1, 2
+      ), runi AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY w
+      ), rtot AS (
+        SELECT CAST(SUM(c) AS DOUBLE) AS t, COUNT(*) AS v FROM runi
+      ), rbig AS (
+        SELECT a.w AS w1, b.w AS w2, CAST(COUNT(*) AS BIGINT) AS c
+        FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+        GROUP BY 1, 2
+      ), scored AS (
+        SELECT t.doc_id,
+               CASE WHEN t.i = 1
+                    THEN (COALESCE(tu.c, 0) + 1.0)
+                         / (ttot.t + ttot.v + 1)
+                    ELSE {_clam!r} * ((COALESCE(tbg.c, 0) + 1.0)
+                                      / (COALESCE(tup.c, 0) + ttot.v + 1))
+                         + {_cunlam!r} * ((COALESCE(tu.c, 0) + 1.0)
+                                          / (ttot.t + ttot.v + 1))
+               END AS tp,
+               CASE WHEN t.i = 1
+                    THEN (COALESCE(ru.c, 0) + 1.0)
+                         / (rtot.t + rtot.v + 1)
+                    ELSE {_clam!r} * ((COALESCE(rbg.c, 0) + 1.0)
+                                      / (COALESCE(rup.c, 0) + rtot.v + 1))
+                         + {_cunlam!r} * ((COALESCE(ru.c, 0) + 1.0)
+                                          / (rtot.t + rtot.v + 1))
+               END AS rp
+        FROM toks t
+        LEFT JOIN toks pv ON pv.doc_id = t.doc_id AND pv.i = t.i - 1
+        LEFT JOIN tuni tu ON tu.w = t.w
+        LEFT JOIN tuni tup ON tup.w = pv.w
+        LEFT JOIN tbig tbg ON tbg.w1 = pv.w AND tbg.w2 = t.w
+        LEFT JOIN runi ru ON ru.w = t.w
+        LEFT JOIN runi rup ON rup.w = pv.w
+        LEFT JOIN rbig rbg ON rbg.w1 = pv.w AND rbg.w2 = t.w
+        CROSS JOIN ttot
+        CROSS JOIN rtot
+      )
+      SELECT d.doc_id,
+             ROUND(AVG(-ln(s.tp)), 4) AS target_nll,
+             ROUND(AVG(-ln(s.rp)), 4) AS ref_nll,
+             ROUND(ROUND(AVG(-ln(s.rp)), 4)
+                   - ROUND(AVG(-ln(s.tp)), 4), 4) AS lm_contrast,
+             CAST(COUNT(s.tp) AS BIGINT) AS n_scored_words
+      FROM (SELECT doc_id FROM documents WHERE doc_id < {BIGRAM_SLICE}) d
+      LEFT JOIN scored s ON s.doc_id = d.doc_id
+      GROUP BY d.doc_id
+    """
 
     # duplicate-safe split: fingerprint group key (no coalesce — NULL text
     # keeps a NULL key and lands 'train' in both engines via NULL CASE),

@@ -709,6 +709,134 @@ def with_bigram_logprob(
     )
 
 
+def with_lm_contrast(
+    df: DataFrame,
+    target_unigrams: DataFrame,
+    target_bigrams: DataFrame,
+    ref_unigrams: DataFrame,
+    ref_bigrams: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.7,
+    alpha: float = 1.0,
+    min_count: int = 1,
+    max_model_rows: int = 5_000_000,
+) -> DataFrame:
+    """Contrastive LM document scorer — the reference-model form of data
+    selection (CCNet scores docs by perplexity under a TARGET-domain LM;
+    DoReMi/RHO-style selection uses the EXCESS over a reference model,
+    which cancels the 'this document is just short/repetitive' component
+    that inflates any single-model score):
+
+      lm_contrast = ref_nll − target_nll      (per-word means)
+
+    positive → the target model predicts the document better than the
+    reference model does → the document is target-domain-like. Both
+    models are the interpolated add-α bigram of
+    :func:`with_bigram_logprob` with the same λ; train each on its own
+    slice (target = the wanted domain, reference = the raw corpus) and
+    score everything.
+
+    FUSED single pass: one words-struct scan of the corpus, SIX broadcast
+    joins (word/prev/bigram × two models, each collected under its own
+    ``max_model_rows`` cap), one groupBy(id) — scoring two models costs
+    one corpus scan, not two. Output ``(id_col, target_nll, ref_nll,
+    lm_contrast, n_scored_words)``; all three scores round(,4) (the
+    log-expression hash-gating rule) with the contrast defined ON the
+    rounded means so the oracle replays it exactly. Zero-token docs →
+    NULL scores, 0 words."""
+    from .dedup import _tokens
+
+    if alpha <= 0:
+        raise ValueError("alpha must be > 0")
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1] (got {lam})")
+    spark = df.sparkSession
+
+    def _model(unigrams: DataFrame, bigrams: DataFrame):
+        uni_rows = (unigrams.select("word", "n_occurrences")
+                    .limit(max_model_rows + 1).collect())
+        big_rows = (bigrams.filter(F.col("n_occurrences") >= min_count)
+                    .select("w1", "w2", "n_occurrences")
+                    .limit(max_model_rows + 1).collect())
+        if len(uni_rows) + len(big_rows) > max_model_rows:
+            raise ValueError(
+                f"model too large to broadcast (>{max_model_rows} rows); "
+                "raise min_count or train on a smaller sample")
+        total = float(sum(r["n_occurrences"] for r in uni_rows))
+        floor = alpha * (len(uni_rows) + 1)
+        uni_local = spark.createDataFrame(
+            [(r["word"], int(r["n_occurrences"])) for r in uni_rows]
+            or [("", 0)], "word string, c bigint")
+        big_local = spark.createDataFrame(
+            [(r["w1"], r["w2"], int(r["n_occurrences"])) for r in big_rows]
+            or [("", "", 0)], "w1 string, w2 string, c bigint")
+        return uni_local, big_local, total, floor
+
+    t_uni, t_big, t_total, t_floor = _model(target_unigrams, target_bigrams)
+    r_uni, r_big, r_total, r_floor = _model(ref_unigrams, ref_bigrams)
+    if t_total == 0 or r_total == 0:
+        raise ValueError("both models need at least one training token")
+
+    toks = F.filter(_tokens(text_col), lambda x: x != "")
+    pos_structs = F.expr(
+        "transform(sequence(1, greatest(size(_t), 1)),"
+        " i -> struct(get(_t, i - 1) AS word,"
+        " CASE WHEN i > 1 THEN get(_t, i - 2) END AS prev))")
+    words = (
+        df.select(F.col(id_col), toks.alias("_t"))
+        .select(F.col(id_col), F.explode(pos_structs).alias("s"))
+        .select(id_col, "s.word", "s.prev")
+    )
+
+    def _p(u, up, b, total, floor):
+        p_uni = ((F.coalesce(F.col(f"{u}.c"), F.lit(0)) + F.lit(alpha))
+                 / F.lit(total + floor))
+        p_big = ((F.coalesce(F.col(f"{b}.c"), F.lit(0)) + F.lit(alpha))
+                 / (F.coalesce(F.col(f"{up}.c"), F.lit(0)) + F.lit(floor)))
+        return F.when(F.col("w.prev").isNull(), p_uni).otherwise(
+            F.lit(lam) * p_big + F.lit(1.0 - lam) * p_uni)
+
+    scored = (
+        words.alias("w")
+        .join(F.broadcast(t_uni).alias("tu"),
+              F.col("w.word") == F.col("tu.word"), "left")
+        .join(F.broadcast(t_uni.withColumnRenamed("word", "pword")
+                          ).alias("tp"),
+              F.col("w.prev") == F.col("tp.pword"), "left")
+        .join(F.broadcast(t_big).alias("tb"),
+              (F.col("w.prev") == F.col("tb.w1"))
+              & (F.col("w.word") == F.col("tb.w2")), "left")
+        .join(F.broadcast(r_uni).alias("ru"),
+              F.col("w.word") == F.col("ru.word"), "left")
+        .join(F.broadcast(r_uni.withColumnRenamed("word", "pword")
+                          ).alias("rp"),
+              F.col("w.prev") == F.col("rp.pword"), "left")
+        .join(F.broadcast(r_big).alias("rb"),
+              (F.col("w.prev") == F.col("rb.w1"))
+              & (F.col("w.word") == F.col("rb.w2")), "left")
+        .select(
+            F.col(f"w.{id_col}").alias(id_col),
+            F.col("w.word").alias("word"),
+            F.when(F.col("w.word").isNotNull(),
+                   -F.log(_p("tu", "tp", "tb", t_total, t_floor))
+                   ).alias("t_nll"),
+            F.when(F.col("w.word").isNotNull(),
+                   -F.log(_p("ru", "rp", "rb", r_total, r_floor))
+                   ).alias("r_nll"),
+        )
+    )
+    return (scored.groupBy(id_col)
+            .agg(F.round(F.avg("t_nll"), 4).alias("target_nll"),
+                 F.round(F.avg("r_nll"), 4).alias("ref_nll"),
+                 F.count("word").alias("n_scored_words"))
+            .withColumn(
+                "lm_contrast",
+                F.round(F.col("ref_nll") - F.col("target_nll"), 4))
+            .select(id_col, "target_nll", "ref_nll", "lm_contrast",
+                    "n_scored_words"))
+
+
 def with_unigram_logprob(
     df: DataFrame,
     vocab: DataFrame,

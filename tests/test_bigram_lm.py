@@ -127,3 +127,65 @@ def test_model_guards(spark):
         textstats.with_bigram_logprob(df, uni, big, lam=1.5)
     with pytest.raises(ValueError, match="model too large"):
         textstats.with_bigram_logprob(df, uni, big, max_model_rows=1)
+
+
+@pytest.mark.usefixtures("spark")
+def test_lm_contrast_separates_target_domain(spark):
+    """Reference-model contrast (round 5): target-domain docs must score
+    POSITIVE (target model predicts them better than the raw-mix
+    reference) and out-of-domain docs negative — on disjoint
+    vocabularies the sign is unambiguous."""
+    rows = [(i, "spark shuffle partition executor stage task " * 3, "en")
+            for i in range(10)]
+    rows += [(100 + i, "beurre farine sucre oeufs lait four " * 3, "fr")
+             for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    target = df.filter("lang = 'en'").select("doc_id", "text")
+    corpus = df.select("doc_id", "text")
+    out = textstats.with_lm_contrast(
+        corpus,
+        textstats.word_counts(target), textstats.bigram_counts(target),
+        textstats.word_counts(corpus), textstats.bigram_counts(corpus))
+    got = {r["doc_id"]: r for r in out.collect()}
+    for i in range(10):
+        assert got[i]["lm_contrast"] > 0, i
+        assert got[100 + i]["lm_contrast"] < 0, 100 + i
+    # the identity: contrast = round(ref - target, 4) on the rounded means
+    for r in got.values():
+        assert r["lm_contrast"] == pytest.approx(
+            round(r["ref_nll"] - r["target_nll"], 4), abs=1e-9)
+
+
+@pytest.mark.usefixtures("spark")
+def test_lm_contrast_totality_and_validation(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, ""), (3, None)],
+        "doc_id long, text string")
+    uni, big = textstats.word_counts(df), textstats.bigram_counts(df)
+    out = {r["doc_id"]: r for r in textstats.with_lm_contrast(
+        df, uni, big, uni, big).collect()}
+    assert out[1]["lm_contrast"] == 0.0  # same model both sides
+    for did in (2, 3):
+        r = out[did]
+        assert (r["target_nll"], r["ref_nll"], r["lm_contrast"],
+                r["n_scored_words"]) == (None, None, None, 0)
+    empty = df.filter("doc_id < 0")
+    with pytest.raises(ValueError, match="at least one training token"):
+        textstats.with_lm_contrast(
+            df, textstats.word_counts(empty), textstats.bigram_counts(empty),
+            uni, big)
+    with pytest.raises(ValueError, match="lam"):
+        textstats.with_lm_contrast(df, uni, big, uni, big, lam=2.0)
+
+
+@pytest.mark.usefixtures("spark")
+def test_lm_contrast_fused_plan_single_scan(spark):
+    """The fusion claim: scoring two models = ONE corpus scan, six
+    broadcast joins, no shuffle join."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma")], "doc_id long, text string")
+    uni, big = textstats.word_counts(df), textstats.bigram_counts(df)
+    plan = (textstats.with_lm_contrast(df, uni, big, uni, big)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("BroadcastHashJoin") == 6
+    assert "SortMergeJoin" not in plan
