@@ -103,22 +103,29 @@ def leakage_safe_split(
         raise ValueError(f"test_frac out of [0,1]: {test_frac}")
     out = with_fingerprint(df, text_col)
     if groups is not None:
-        g = groups.select(
-            F.col(id_col),
-            F.col(group_col).cast("string").alias("_grp"))
+        # one row per id, DETERMINISTICALLY: an assignment with two
+        # clusters for one id would otherwise fan the doc out to two
+        # output rows that can land on OPPOSITE sides — the exact leak
+        # this operator exists to prevent (dropDuplicates would fix the
+        # fan-out but picks an arbitrary row; MIN is stable)
+        g = (groups
+             .groupBy(id_col)
+             .agg(F.min(F.col(group_col).cast("string")).alias("_grp")))
         out = (out.join(g, id_col, "left")
                .withColumn("group_key",
                            F.coalesce(F.col("_grp"), F.col("fingerprint")))
                .drop("_grp"))
     else:
         out = out.withColumn("group_key", F.col("fingerprint"))
-    h = F.md5(F.concat(F.col("group_key"), F.lit(f":{seed}")))
-    bucket = F.conv(F.substring(h, 29, 4), 16, 10).cast("long")
     cut = int(test_frac * BUCKETS)
+    # the shared md5 16-bit bucket (single source of truth with the
+    # sampling operators and the oracle's _sp16 fragment)
+    out = with_sample_bucket(out, id_col="group_key", seed=seed)
     return out.drop("fingerprint").withColumn(
         "split",
-        F.when(bucket < F.lit(cut), F.lit("test")).otherwise(F.lit("train")),
-    )
+        F.when(F.col("bucket") < F.lit(cut), F.lit("test"))
+        .otherwise(F.lit("train")),
+    ).drop("bucket")
 
 
 def stratified_topk(

@@ -256,6 +256,8 @@ def dsir_resample(
     (filter on ``gumbel_key_micro`` ≥ a quantile estimated from a
     sample) instead.
     """
+    if k <= 0:  # validate BEFORE the eager model fit, not after it
+        raise ValueError("k must be positive")
     weighted = with_dsir_logweight(
         corpus, target, id_col, text_col, target_text_col)
     return gumbel_topk(weighted, k, id_col=id_col, seed=seed)

@@ -98,8 +98,6 @@ def main() -> int:
             return 4
         k = (args.keep_k if args.keep_k is not None
              else max(1, int(args.keep_frac * n_in)))
-        kept_ids = selection.gumbel_topk(
-            scores, k, id_col=args.id_col).select(args.id_col)
         audit = {"mode": "dsir", "k": k}
     else:
         labeled = spark.read.parquet(args.labeled)
@@ -114,13 +112,21 @@ def main() -> int:
         except ValueError as e:
             print(f"refusing the run: {e}", file=sys.stderr)
             return 4
-        kept_ids = (scores
-                    .filter(F.col("nb_score_micro")
-                            > F.lit(args.min_score_micro))
-                    .select(args.id_col))
         audit = {"mode": "nb", "min_score_micro": args.min_score_micro}
 
     scores.write.mode("overwrite").parquet(f"{args.output}/scores")
+    # derive kept_ids from the parquet just written, NOT the lazy scores
+    # plan — otherwise the semi-join re-runs the whole scoring scan (and
+    # the dsir top-k window) a second time over the full input
+    scores_on_disk = spark.read.parquet(f"{args.output}/scores")
+    if args.mode == "dsir":
+        kept_ids = selection.gumbel_topk(
+            scores_on_disk, k, id_col=args.id_col).select(args.id_col)
+    else:
+        kept_ids = (scores_on_disk
+                    .filter(F.col("nb_score_micro")
+                            > F.lit(args.min_score_micro))
+                    .select(args.id_col))
     # AQE broadcasts the semi-join while kept_ids is small, degrades to a
     # shuffled semi-join when k is corpus-scale — both never replicate docs
     selected = docs.join(kept_ids, args.id_col, "left_semi")
