@@ -1445,6 +1445,32 @@ class TestSubmitCuration:
         assert kept.count() == audit["kept"] > 0
         assert "drop_reason" not in kept.columns
 
+    def test_redact_pii_scrubs_survivors_only(self, spark, tmp_path):
+        """--redact-pii: curated/ text is scrubbed with audit counts;
+        annotated/ keeps the original text as the funnel record."""
+        import sys
+        from tools import submit_curation
+        rows = [(i, f"contact me at user{i}@example.com about the job "
+                    "and more words here to pass quality " * 3)
+                for i in range(30)]
+        src = str(tmp_path / "inp.parquet")
+        spark.createDataFrame(rows, "doc_id long, text string") \
+            .write.parquet(src)
+        out = str(tmp_path / "outp")
+        old = sys.argv
+        sys.argv = ["x", "--input", src, "--output", out,
+                    "--group-col", "doc_id", "--redact-pii"]
+        try:
+            rc = submit_curation.main()
+        finally:
+            sys.argv = old
+        assert rc == 0
+        kept = spark.read.parquet(f"{out}/curated")
+        assert kept.filter(F.col("text").contains("@")).count() == 0
+        assert kept.filter("n_emails_redacted = 3").count() == kept.count()
+        ann = spark.read.parquet(f"{out}/annotated")
+        assert ann.filter(F.col("text").contains("@")).count() == ann.count()
+
     def test_job_refuses_zero_keep(self, spark, docs, tmp_path):
         import sys
         from tools import submit_curation

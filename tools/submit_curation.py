@@ -5,7 +5,7 @@
         [--benchmark <bench.parquet>] [--weights '{"en": 1.0, "fr": 0.5}'] \
         [--default-weight 1.0] [--group-col lang] [--ngram 13] [--seed mix] \
         [--near-dup] [--minhash-k 128] [--lsh-bands 16] [--shingle 5] \
-        [--group-quota N]
+        [--group-quota N] [--redact-pii]
 
 Writes three tables under --output:
     curated/      surviving documents (drop_reason IS NULL), input schema
@@ -49,6 +49,11 @@ def main() -> int:
     ap.add_argument("--minhash-k", type=int, default=128)
     ap.add_argument("--lsh-bands", type=int, default=16)
     ap.add_argument("--shingle", type=int, default=5)
+    ap.add_argument("--redact-pii", action="store_true",
+                    help="scrub emails/phones from the SURVIVORS' text "
+                         "before writing curated/ (annotated/ keeps the "
+                         "original text as the audit record); adds "
+                         "n_emails_redacted/n_phones_redacted columns")
     args = ap.parse_args()
 
     from resume_ocr_spark.operators import curate
@@ -88,6 +93,12 @@ def main() -> int:
             return 4
         kept = annotated.filter(F.col("drop_reason").isNull()).drop(
             "drop_reason")
+        if args.redact_pii:
+            from resume_ocr_spark.operators import textstats
+
+            kept = (textstats.with_pii_redacted(kept, args.text_col)
+                    .drop(args.text_col)
+                    .withColumnRenamed("text_redacted", args.text_col))
         kept.write.mode("overwrite").parquet(f"{args.output}/curated")
     finally:
         annotated.unpersist()
