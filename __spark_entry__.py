@@ -679,6 +679,28 @@ def dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return selection.dsir_resample(docs, target, k=DSIR_RESAMPLE_K)
 
 
+DSIR_KEEP_FRAC = 0.3          # threshold-form resampling: keep ~30%
+DSIR_THR_SAMPLE_RATE = 0.25   # md5 sample used to estimate the quantile
+
+
+def dsir_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-form DSIR resampling (round 5): keep-x% via a Gumbel-key
+    quantile estimated from a bounded deterministic md5 sample — the
+    10^12-doc path the top-k entry's docstring names (zero-shuffle
+    filter; no global window at all). The oracle replays the sample,
+    the exact order statistic, and the filter."""
+    from resume_ocr_spark.operators import selection
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    target = (_t(spark, sf_dir, "documents")
+              .filter((F.col("lang") == "en")
+                      & (F.col("doc_id") < DSIR_TARGET_SLICE))
+              .select("text"))
+    return selection.dsir_threshold_sample(
+        docs, target, keep_frac=DSIR_KEEP_FRAC,
+        sample_rate=DSIR_THR_SAMPLE_RATE)
+
+
 def nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashed Naive-Bayes linear quality classifier (round 5): closed-form
     fastText-shaped filter fit on the doc_id < 300 seed labeled
@@ -1509,6 +1531,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # completing the selection ladder heuristic → classifier →
         # n-gram LR (DSIR) → LM contrast
         "lm_contrast": lm_contrast,
+        # round-5 tail: the keep-x% threshold form of DSIR resampling
+        # (sample-estimated quantile, zero-shuffle filter — the
+        # 10^12-doc path beside the exact top-k entry)
+        "dsir_threshold": dsir_threshold,
     }
     return {**gated, **tail}
 
@@ -2961,6 +2987,38 @@ def oracle_sql() -> dict[str, str]:
       FROM keyed
       QUALIFY row_number() OVER (
         ORDER BY gumbel_key_micro DESC, doc_id ASC) <= {DSIR_RESAMPLE_K}
+    """)
+
+    # threshold-form resampling: replay the md5 sample membership, the
+    # exact ceil(keep_frac·m) order statistic of the sampled keys, and
+    # the >= filter; sample cut = floor(rate·65536), both sides integer
+    _thrd = ("(instr('0123456789abcdef', substring(md5(CAST(doc_id AS "
+             "VARCHAR) || ':dsir-thr'), {p}, 1)) - 1)")
+    _thr16 = (f"({_thrd.format(p=29)} * 4096 + {_thrd.format(p=30)} * 256"
+              f" + {_thrd.format(p=31)} * 16 + {_thrd.format(p=32)})")
+    sqls["dsir_threshold"] = (
+        _sel_grams_cte("dsirb") + _dsir_ratio + f"""
+      , keyed AS (
+        SELECT doc_id, n_grams, logweight_micro,
+               logweight_micro + CAST(floor(-1000000.0 * ln(-ln(
+                 ({_gum12} + 0.5) / 4096.0))) AS BIGINT)
+                 AS gumbel_key_micro
+        FROM full_scored
+      ), samp AS (
+        SELECT gumbel_key_micro FROM keyed
+        WHERE {_thr16} < {int(DSIR_THR_SAMPLE_RATE * 65536)}
+      ), thr AS (
+        SELECT gumbel_key_micro AS t FROM (
+          SELECT gumbel_key_micro,
+                 row_number() OVER (ORDER BY gumbel_key_micro DESC) AS rn,
+                 count(*) OVER () AS m
+          FROM samp
+        ) WHERE rn = CAST(ceil({DSIR_KEEP_FRAC!r} * m) AS BIGINT)
+      )
+      SELECT k.doc_id, k.n_grams, k.logweight_micro, k.gumbel_key_micro,
+             thr.t AS threshold_micro
+      FROM keyed k CROSS JOIN thr
+      WHERE k.gumbel_key_micro >= thr.t
     """)
 
     sqls["nb_quality_classifier"] = (

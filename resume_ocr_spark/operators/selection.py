@@ -284,6 +284,88 @@ def gumbel_topk(
     )
 
 
+def dsir_threshold_sample(
+    corpus: DataFrame,
+    target: DataFrame,
+    keep_frac: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_text_col: str | None = None,
+    seed: str = "dsir-g",
+    sample_rate: float = 0.05,
+    max_sample_rows: int = 2_000_000,
+    sample_seed: str = "dsir-thr",
+) -> DataFrame:
+    """The keep-x% form of DSIR resampling for corpora where exact global
+    top-k is the wrong tool (:func:`dsir_resample`'s ``row_number`` has a
+    single-reducer merge — fine for k ≈ 1e6, not for keeping 25% of
+    10^12 docs). Instead: estimate the ``keep_frac``-quantile of the
+    Gumbel keys from a DETERMINISTIC md5 sample (bounded driver collect),
+    then keep every document whose key clears it — a zero-shuffle filter.
+
+    The threshold is the ceil(keep_frac·m)-th largest key among the m
+    sampled keys (an exact integer order statistic — replayable by the
+    SQL oracle bit for bit); kept fraction ≈ keep_frac within sampling
+    error O(1/√m). Raises if the sample is empty (raise ``sample_rate``)
+    or exceeds ``max_sample_rows`` (lower it) — both misconfigurations,
+    not results. Output: the weight columns plus ``gumbel_key_micro``
+    and the applied ``threshold_micro``.
+    """
+    weighted = with_dsir_logweight(
+        corpus, target, id_col, text_col, target_text_col)
+    return gumbel_threshold_filter(
+        weighted, keep_frac, id_col=id_col, seed=seed,
+        sample_rate=sample_rate, max_sample_rows=max_sample_rows,
+        sample_seed=sample_seed)
+
+
+def gumbel_threshold_filter(
+    weighted: DataFrame,
+    keep_frac: float,
+    id_col: str = "doc_id",
+    logweight_col: str = "logweight_micro",
+    seed: str = "dsir-g",
+    sample_rate: float = 0.05,
+    max_sample_rows: int = 2_000_000,
+    sample_seed: str = "dsir-thr",
+) -> DataFrame:
+    """The threshold step alone, over a precomputed weight table — for
+    callers (tools/submit_selection.py) that materialize the weights once
+    and then select without re-fitting. See
+    :func:`dsir_threshold_sample` for semantics."""
+    if not 0.0 < keep_frac <= 1.0:
+        raise ValueError(f"keep_frac must be in (0, 1]: {keep_frac}")
+    if not 0.0 < sample_rate <= 1.0:
+        raise ValueError(f"sample_rate must be in (0, 1]: {sample_rate}")
+    keyed = weighted.select(
+        "*", gumbel_key_micro(id_col, logweight_col, seed))
+    h = F.md5(F.concat(F.col(id_col).cast("string"),
+                       F.lit(f":{sample_seed}")))
+    in_sample = (F.conv(F.substring(h, 29, 4), 16, 10).cast("long")
+                 < F.lit(int(sample_rate * 65536)))
+    sample_keys = [
+        int(r["gumbel_key_micro"])
+        for r in (keyed.filter(in_sample).select("gumbel_key_micro")
+                  .limit(max_sample_rows + 1).collect())
+    ]
+    if not sample_keys:
+        raise ValueError("threshold sample is empty — raise sample_rate")
+    if len(sample_keys) > max_sample_rows:
+        raise ValueError(
+            f"threshold sample exceeds max_sample_rows={max_sample_rows}; "
+            "lower sample_rate")
+    m = len(sample_keys)
+    rank = math.ceil(keep_frac * m)  # 1-based from the top
+    threshold = sorted(sample_keys, reverse=True)[rank - 1]
+    # cast: F.lit picks int32 vs int64 by VALUE — the schema must not
+    # depend on where the quantile happens to land
+    return (keyed
+            .withColumn("threshold_micro",
+                        F.lit(int(threshold)).cast("long"))
+            .filter(F.col("gumbel_key_micro")
+                    >= F.col("threshold_micro")))
+
+
 def nb_train_micro(
     labeled: DataFrame,
     label_col: str,

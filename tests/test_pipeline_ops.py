@@ -2473,6 +2473,33 @@ class TestSubmitSelection:
         assert rc == 0
         assert spark.read.parquet(f"{out}/selected").count() == 20
 
+    def test_dsir_threshold_mode_filters_without_topk(self, spark, docs,
+                                                      tmp_path):
+        """--threshold: keep-x% via the sample-estimated Gumbel quantile;
+        selected set equals the operator's own filter over the written
+        scores (no global top-k anywhere)."""
+        src = str(tmp_path / "int.parquet")
+        docs.select("doc_id", "text").limit(100).write.parquet(src)
+        tgt = str(tmp_path / "tgtt.parquet")
+        docs.select("text").limit(15).write.parquet(tgt)
+        out = str(tmp_path / "outt")
+        rc = self._run(["--input", src, "--output", out,
+                        "--mode", "dsir", "--target", tgt,
+                        "--keep-frac", "0.4", "--threshold",
+                        "--sample-rate", "0.5"])
+        assert rc == 0
+        from resume_ocr_spark.operators import selection
+        sc = spark.read.parquet(f"{out}/scores")
+        want = {r["doc_id"] for r in selection.gumbel_threshold_filter(
+            sc, 0.4, sample_rate=0.5).select("doc_id").collect()}
+        got = {r["doc_id"] for r in
+               spark.read.parquet(f"{out}/selected").collect()}
+        assert got == want and 0 < len(got) < 100
+        # --threshold without --keep-frac is invalid
+        assert self._run(["--input", src, "--output", out, "--mode", "dsir",
+                          "--target", tgt, "--keep-k", "5",
+                          "--threshold"]) == 2
+
     def test_nb_mode_thresholds_on_score(self, spark, tmp_path):
         rows = [(i, "good clean prose document " * 4) for i in range(10)]
         rows += [(100 + i, "zzspam qqqjunk xxcasino " * 4) for i in range(10)]

@@ -107,6 +107,52 @@ class TestDsir:
         for r in out:
             assert r["gumbel_key_micro"] == keys[r["doc_id"]]
 
+    def test_threshold_sample_matches_python_order_statistic(self, spark):
+        """The keep-x% form: threshold = exact ceil(frac·m)-th largest
+        sampled key; membership replayed in python bit for bit."""
+        rows = [(i, f"word{i % 7} text alpha beta {i}") for i in range(120)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        target = df.filter("doc_id < 30").select("text")
+        out = selection.dsir_threshold_sample(
+            df, target, keep_frac=0.4, sample_rate=0.5)
+        got = {r["doc_id"]: r for r in out.collect()}
+        # python replay of weights, keys, sample, threshold
+        texts = {i: t for i, t, in rows}
+        q = _py_counts(list(texts.values()), "dsirb")
+        p = _py_counts([texts[i] for i in range(30)], "dsirb")
+        ratios, _, _ = selection.log_ratio_micro(p, q)
+        keys = {}
+        for i, t in texts.items():
+            lw = sum(ratios[_py_bucket(g, "dsirb")] for g in _py_grams(t))
+            hg = hashlib.md5(f"{i}:dsir-g".encode()).hexdigest()
+            u = (int(hg[29:32], 16) + 0.5) / 4096.0
+            keys[i] = lw + math.floor(-MICRO * math.log(-math.log(u)))
+        cut = int(0.5 * 65536)
+        samp = [keys[i] for i in texts
+                if int(hashlib.md5(f"{i}:dsir-thr".encode())
+                       .hexdigest()[28:32], 16) < cut]
+        thr = sorted(samp, reverse=True)[math.ceil(0.4 * len(samp)) - 1]
+        want = {i for i in texts if keys[i] >= thr}
+        assert set(got) == want
+        for r in got.values():
+            assert r["threshold_micro"] == thr
+
+    def test_threshold_sample_validation_and_plan(self, spark, docs_df):
+        target = docs_df.filter("lang = 'en'").select("text")
+        with pytest.raises(ValueError, match="keep_frac"):
+            selection.dsir_threshold_sample(docs_df, target, keep_frac=0.0)
+        with pytest.raises(ValueError, match="sample is empty"):
+            # 8 docs at rate ~1/65536: deterministically no sampled ids
+            selection.dsir_threshold_sample(
+                docs_df, target, keep_frac=0.5, sample_rate=1e-5)
+        # the 10^12-doc claim: NO window/global sort anywhere — the kept
+        # set is a pure filter over the scoring projection
+        out = selection.dsir_threshold_sample(
+            docs_df, target, keep_frac=0.5, sample_rate=1.0)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan and "Sort" not in plan
+        assert "Exchange" not in plan
+
     def test_empty_target_raises(self, spark, docs_df):
         empty = docs_df.filter("doc_id < 0").select("text")
         with pytest.raises(ValueError, match="target side has no grams"):

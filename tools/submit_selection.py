@@ -4,7 +4,8 @@ select-what-to-train-on step between curation and tokenization.
     spark-submit --py-files dist/resume_ocr_spark.zip tools/submit_selection.py \
         --input <docs.parquet> --output <dir> \
         --mode dsir --target <target_docs.parquet> \
-            (--keep-k 100000 | --keep-frac 0.25)
+            (--keep-k 100000 | --keep-frac 0.25 [--threshold
+             [--sample-rate 0.05]])
         --mode nb --labeled <labeled.parquet>   # columns (text, label bool)
             [--min-score-micro 0]
         [--id-col doc_id] [--text-col text]
@@ -48,6 +49,12 @@ def main() -> int:
                     help="nb: parquet with (text, label boolean)")
     ap.add_argument("--keep-k", type=int, default=None)
     ap.add_argument("--keep-frac", type=float, default=None)
+    ap.add_argument("--threshold", action="store_true",
+                    help="with --keep-frac: select via a sample-estimated "
+                         "Gumbel-key quantile (zero-shuffle filter, the "
+                         "10^12-doc path) instead of exact global top-k")
+    ap.add_argument("--sample-rate", type=float, default=0.05,
+                    help="md5 sample rate for the --threshold quantile")
     ap.add_argument("--min-score-micro", type=int, default=0)
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--text-col", default="text")
@@ -60,6 +67,9 @@ def main() -> int:
         if (args.keep_k is None) == (args.keep_frac is None):
             print("--mode dsir takes exactly one of --keep-k / --keep-frac",
                   file=sys.stderr)
+            return 2
+        if args.threshold and args.keep_frac is None:
+            print("--threshold requires --keep-frac", file=sys.stderr)
             return 2
         if args.keep_k is not None and args.keep_k <= 0:
             print("--keep-k must be positive", file=sys.stderr)
@@ -96,9 +106,14 @@ def main() -> int:
         except ValueError as e:
             print(f"refusing the run: {e}", file=sys.stderr)
             return 4
-        k = (args.keep_k if args.keep_k is not None
-             else max(1, int(args.keep_frac * n_in)))
-        audit = {"mode": "dsir", "k": k}
+        if args.threshold:
+            k = None
+            audit = {"mode": "dsir", "keep_frac": args.keep_frac,
+                     "threshold": True}
+        else:
+            k = (args.keep_k if args.keep_k is not None
+                 else max(1, int(args.keep_frac * n_in)))
+            audit = {"mode": "dsir", "k": k}
     else:
         labeled = spark.read.parquet(args.labeled)
         missing = {args.text_col, "label"} - set(labeled.columns)
@@ -119,7 +134,18 @@ def main() -> int:
     # plan — otherwise the semi-join re-runs the whole scoring scan (and
     # the dsir top-k window) a second time over the full input
     scores_on_disk = spark.read.parquet(f"{args.output}/scores")
-    if args.mode == "dsir":
+    if args.mode == "dsir" and args.threshold:
+        try:
+            kept_ids = selection.gumbel_threshold_filter(
+                scores_on_disk, args.keep_frac, id_col=args.id_col,
+                sample_rate=args.sample_rate).select(args.id_col)
+        except ValueError as e:
+            # scores/ stays (it is the audit artifact and was valid);
+            # selected/ is never written on a refused selection stage —
+            # same convention as submit_curation's curated/
+            print(f"refusing the run: {e}", file=sys.stderr)
+            return 4
+    elif args.mode == "dsir":
         kept_ids = selection.gumbel_topk(
             scores_on_disk, k, id_col=args.id_col).select(args.id_col)
     else:
