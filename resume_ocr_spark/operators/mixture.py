@@ -23,13 +23,18 @@ BUCKETS = 1 << 16  # md5-derived bucket space; rates quantize to 1/65536
 
 
 def with_sample_bucket(
-    df: DataFrame, id_col: str = "doc_id", seed: str = "mix"
+    df: DataFrame, id_col: str = "doc_id", seed: str = "mix",
+    out_col: str = "bucket",
 ) -> DataFrame:
     """Uniform deterministic bucket in [0, 65536): low 16 bits of
-    md5(id ':' seed). Changing ``seed`` draws an independent sample."""
+    md5(id ':' seed). Changing ``seed`` draws an independent sample.
+    ``out_col`` lets internal callers avoid clobbering a caller's own
+    ``bucket`` column — this function is the single source of truth for
+    the 16-bit hash recipe (the oracles' ``_mixd``/``_sp16`` fragments
+    mirror it)."""
     h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}")))
     return df.withColumn(
-        "bucket", F.conv(F.substring(h, 29, 4), 16, 10).cast("long")
+        out_col, F.conv(F.substring(h, 29, 4), 16, 10).cast("long")
     )
 
 
@@ -103,14 +108,23 @@ def leakage_safe_split(
         raise ValueError(f"test_frac out of [0,1]: {test_frac}")
     out = with_fingerprint(df, text_col)
     if groups is not None:
-        # one row per id, DETERMINISTICALLY: an assignment with two
-        # clusters for one id would otherwise fan the doc out to two
-        # output rows that can land on OPPOSITE sides — the exact leak
-        # this operator exists to prevent (dropDuplicates would fix the
-        # fan-out but picks an arbitrary row; MIN is stable)
-        g = (groups
-             .groupBy(id_col)
-             .agg(F.min(F.col(group_col).cast("string")).alias("_grp")))
+        # the assignment must be a FUNCTION id → cluster: an id in two
+        # clusters either fans the doc out to rows that can straddle the
+        # split, or (collapsed) silently separates it from half its
+        # duplicates — both break the no-leak contract, so a
+        # multi-assignment is refused as a misconfiguration (transitively
+        # close it first: dedup_clusters output is one-row-per-id by
+        # construction). The check costs one agg on the SMALL side.
+        dup = (groups.groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("_n"))
+               .filter(F.col("_n") > 1).limit(1).collect())
+        if dup:
+            raise ValueError(
+                f"groups assigns id {dup[0][id_col]!r} to multiple "
+                "clusters — pass a one-row-per-id assignment (e.g. "
+                "dedup_clusters output), transitively closed")
+        g = groups.select(
+            F.col(id_col), F.col(group_col).cast("string").alias("_grp"))
         out = (out.join(g, id_col, "left")
                .withColumn("group_key",
                            F.coalesce(F.col("_grp"), F.col("fingerprint")))
@@ -118,14 +132,15 @@ def leakage_safe_split(
     else:
         out = out.withColumn("group_key", F.col("fingerprint"))
     cut = int(test_frac * BUCKETS)
-    # the shared md5 16-bit bucket (single source of truth with the
-    # sampling operators and the oracle's _sp16 fragment)
-    out = with_sample_bucket(out, id_col="group_key", seed=seed)
+    # the shared md5 16-bit bucket under a private name — a caller's own
+    # 'bucket' column must survive the round trip
+    out = with_sample_bucket(out, id_col="group_key", seed=seed,
+                             out_col="_split_bucket")
     return out.drop("fingerprint").withColumn(
         "split",
-        F.when(F.col("bucket") < F.lit(cut), F.lit("test"))
+        F.when(F.col("_split_bucket") < F.lit(cut), F.lit("test"))
         .otherwise(F.lit("train")),
-    ).drop("bucket")
+    ).drop("_split_bucket")
 
 
 def stratified_topk(

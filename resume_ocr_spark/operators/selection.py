@@ -333,19 +333,23 @@ def gumbel_threshold_filter(
     callers (tools/submit_selection.py) that materialize the weights once
     and then select without re-fitting. See
     :func:`dsir_threshold_sample` for semantics."""
+    from .mixture import with_sample_bucket
+
     if not 0.0 < keep_frac <= 1.0:
         raise ValueError(f"keep_frac must be in (0, 1]: {keep_frac}")
     if not 0.0 < sample_rate <= 1.0:
         raise ValueError(f"sample_rate must be in (0, 1]: {sample_rate}")
     keyed = weighted.select(
         "*", gumbel_key_micro(id_col, logweight_col, seed))
-    h = F.md5(F.concat(F.col(id_col).cast("string"),
-                       F.lit(f":{sample_seed}")))
-    in_sample = (F.conv(F.substring(h, 29, 4), 16, 10).cast("long")
-                 < F.lit(int(sample_rate * 65536)))
+    # sample membership via the shared 16-bit recipe (mixture owns it)
     sample_keys = [
         int(r["gumbel_key_micro"])
-        for r in (keyed.filter(in_sample).select("gumbel_key_micro")
+        for r in (with_sample_bucket(keyed, id_col=id_col,
+                                     seed=sample_seed,
+                                     out_col="_thr_bucket")
+                  .filter(F.col("_thr_bucket")
+                          < F.lit(int(sample_rate * 65536)))
+                  .select("gumbel_key_micro")
                   .limit(max_sample_rows + 1).collect())
     ]
     if not sample_keys:

@@ -2392,21 +2392,30 @@ class TestLeakageSafeSplit:
         assert keys[500] == keys[501] == "500"
         assert keys[0] != keys[1]  # fallback keeps per-doc fingerprints
 
-    def test_multi_cluster_id_never_fans_out(self, spark):
-        """An id assigned to TWO clusters must yield exactly one output
-        row on one deterministic side (review r5 pass 2: the raw left
-        join fanned it out, and the copies could straddle the split)."""
+    def test_multi_cluster_assignment_refused(self, spark):
+        """An id assigned to TWO clusters is a malformed assignment: the
+        raw join would fan the doc out across the split, and any
+        collapse rule still separates it from half its duplicates
+        (review r5 pass 3) — so the operator refuses it outright."""
         from resume_ocr_spark.operators import mixture
         d = spark.createDataFrame(
             [(1, "some document text"), (2, "another document")],
             "doc_id long, text string")
         messy = spark.createDataFrame(
             [(1, 10), (1, 20), (2, 20)], "doc_id long, cluster long")
-        out = mixture.leakage_safe_split(
-            d, 0.5, groups=messy, group_col="cluster").collect()
-        assert len(out) == 2  # no fan-out
-        keys = {r["doc_id"]: r["group_key"] for r in out}
-        assert keys[1] == "10"  # MIN cluster key, deterministically
+        with pytest.raises(ValueError, match="multiple"):
+            mixture.leakage_safe_split(
+                d, 0.5, groups=messy, group_col="cluster")
+
+    def test_callers_bucket_column_survives(self, spark):
+        """The internal hash bucket uses a private name — a caller's own
+        'bucket' column must round-trip intact (review r5 pass 3)."""
+        from resume_ocr_spark.operators import mixture
+        d = spark.createDataFrame(
+            [(1, "text one", 42), (2, "text two", 43)],
+            "doc_id long, text string, bucket long")
+        out = mixture.leakage_safe_split(d, 0.5).collect()
+        assert {r["bucket"] for r in out} == {42, 43}
 
     def test_frac_and_determinism(self, spark, docs):
         from resume_ocr_spark.operators import mixture

@@ -8,8 +8,11 @@
         [--group-quota N] [--redact-pii]
 
 Writes three tables under --output:
-    curated/      surviving documents (drop_reason IS NULL), input schema
-    annotated/    every document + drop_reason (the full funnel record)
+    curated/      surviving documents (drop_reason IS NULL); input schema,
+                  except --redact-pii scrubs the text column and appends
+                  n_emails_redacted / n_phones_redacted
+    annotated/    every document + drop_reason (the full funnel record,
+                  always the ORIGINAL text)
     audit/        one row per outcome with document counts
 
 Exits nonzero when the funnel keeps zero documents — a curation run that

@@ -19,13 +19,17 @@ Modes (operators/selection.py):
     nb    hashed Naive-Bayes quality classifier fit on --labeled, keep
           docs scoring above --min-score-micro.
 
-Writes under --output (refusal BEFORE any write, like submit_curation):
+Writes under --output:
     selected/   the kept documents (all input columns)
     scores/     per-doc audit scores for the WHOLE corpus
-and prints one JSON audit line {n_in, n_kept, mode, ...}.
+and prints one JSON audit line {n_in, n_kept, mode, ...; threshold runs
+add sample_rate + the applied threshold_micro for reproducibility}.
 
-Exits 2 on invalid arguments, 4 when the model side is empty (a selector
-fit on nothing is a misconfiguration, not a result — nothing is written).
+Exits 2 on statically invalid arguments (nothing written), 4 on a refused
+run. Refusal points: an empty MODEL side refuses before any write; a
+--threshold run whose quantile sample comes up empty refuses after
+scores/ (the model was valid — scores/ stays as the audit artifact,
+selected/ is never written, the submit_curation convention).
 """
 
 from __future__ import annotations
@@ -70,6 +74,10 @@ def main() -> int:
             return 2
         if args.threshold and args.keep_frac is None:
             print("--threshold requires --keep-frac", file=sys.stderr)
+            return 2
+        if args.threshold and not 0.0 < args.sample_rate <= 1.0:
+            print(f"--sample-rate must be in (0, 1]: {args.sample_rate}",
+                  file=sys.stderr)
             return 2
         if args.keep_k is not None and args.keep_k <= 0:
             print("--keep-k must be positive", file=sys.stderr)
@@ -136,15 +144,21 @@ def main() -> int:
     scores_on_disk = spark.read.parquet(f"{args.output}/scores")
     if args.mode == "dsir" and args.threshold:
         try:
-            kept_ids = selection.gumbel_threshold_filter(
+            sel = selection.gumbel_threshold_filter(
                 scores_on_disk, args.keep_frac, id_col=args.id_col,
-                sample_rate=args.sample_rate).select(args.id_col)
+                sample_rate=args.sample_rate)
         except ValueError as e:
             # scores/ stays (it is the audit artifact and was valid);
             # selected/ is never written on a refused selection stage —
             # same convention as submit_curation's curated/
             print(f"refusing the run: {e}", file=sys.stderr)
             return 4
+        kept_ids = sel.select(args.id_col)
+        # record the reproducibility inputs: the applied threshold plus
+        # the sample rate that derived it (the top-k path records k)
+        audit["sample_rate"] = args.sample_rate
+        audit["threshold_micro"] = int(
+            sel.select("threshold_micro").first()["threshold_micro"])
     elif args.mode == "dsir":
         kept_ids = selection.gumbel_topk(
             scores_on_disk, k, id_col=args.id_col).select(args.id_col)
