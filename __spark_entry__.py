@@ -1169,6 +1169,56 @@ def extract_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _warc_blobs() -> list[tuple[int, bytes | None]]:
+    """Deterministic (doc_id, warc_bytes) rows for the WARC ingest entry:
+    12 crawl members (odd ids per-member-gzipped, the Common Crawl
+    layout), each holding a warcinfo + an application/http response + a
+    bare resource record; id 10 is truncated (→ named error row) and
+    id 11 is NULL (→ totality row). Independent of sf_dir so the oracle
+    is precomputed by running the same pure-python codec."""
+    from resume_ocr_spark.formats import warcformat
+
+    out: list[tuple[int, bytes | None]] = []
+    for i in range(12):
+        html = (f"<html><head><title>doc {i}</title></head>"
+                f"<body><p>paragraph {i} alpha beta</p></body></html>")
+        http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                + html.encode("ascii"))
+        recs = [
+            {"warc_type": "warcinfo",
+             "payload": f"software: resume-ocr-spark r5 {i}".encode(),
+             "content_type": "application/warc-fields"},
+            {"warc_type": "response", "payload": http,
+             "target_uri": f"https://src{i % 3}.example.com/page/{i}",
+             "content_type": "application/http; msgtype=response"},
+            {"warc_type": "resource",
+             "payload": f"plain resource body {i} gamma".encode(),
+             "target_uri": f"https://src{i % 3}.example.com/r/{i}.txt",
+             "content_type": "text/plain"},
+        ]
+        blob: bytes | None = warcformat.build_warc(
+            recs, gzip_members=(i % 2 == 1))
+        if i == 10:
+            blob = blob[:-6]
+        if i == 11:
+            blob = None
+        out.append((i, blob))
+    return out
+
+
+def warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC crawl-container ingest (round 5): binary members → one row
+    per record via the from-scratch ISO 28500 codec
+    (formats/warcformat.py) inside a mapInPandas batch UDF — zero
+    shuffle, record explosion inside the scan, malformed members as
+    named error ROWS. Oracle = precomputed VALUES from the same
+    pure-python codec (the codec-entry convention)."""
+    from resume_ocr_spark.operators import warcsource
+
+    df = spark.createDataFrame(_warc_blobs(), "doc_id long, warc binary")
+    return warcsource.warc_records(df)
+
+
 def _media_texts(n: int) -> list[tuple[int, str]]:
     """Deterministic (doc_id, text) rows for the multimodal entries — a
     seeded mix of synthetic resumes and the recipe negative. Independent of
@@ -1535,6 +1585,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (sample-estimated quantile, zero-shuffle filter — the
         # 10^12-doc path beside the exact top-k entry)
         "dsir_threshold": dsir_threshold,
+        # round-5 tail: WARC crawl-container ingest (ISO 28500 codec,
+        # per-member gzip, http split — the 100 TB ingest edge)
+        "warc_ingest": warc_ingest,
     }
     return {**gated, **tail}
 
@@ -3174,6 +3227,7 @@ def oracle_sql() -> dict[str, str]:
     sqls["multimodal_pipeline"] = _precomputed("multimodal_pipeline")
     sqls["reencode_jpeg"] = _precomputed("reencode_jpeg")
     sqls["dedup_phash"] = _precomputed("dedup_phash")
+    sqls["warc_ingest"] = _precomputed("warc_ingest")
     sqls["semantic_dedup_det"] = _precomputed("semantic_dedup_det")
     # embedding_ann_ivf (sample-trained codebook) left the registry in
     # round 3: its codebook trains on a driver-side sample of the sf table,
@@ -3309,6 +3363,36 @@ def _precomputed(name: str) -> str:
         sql = _values_sql(rows, [
             ("doc_id", "BIGINT"), ("text_len", "INTEGER"),
             ("text_md5", "VARCHAR"), ("error", "VARCHAR")])
+    elif name == "warc_ingest":
+        from resume_ocr_spark.formats import warcformat
+        from resume_ocr_spark.operators.warcsource import TEXT_HEAD_CHARS
+
+        rows = []
+        for doc_id, blob in _warc_blobs():
+            if blob is None:
+                rows.append((doc_id, None, None, None, None, None,
+                             None, None, "null payload"))
+                continue
+            try:
+                recs = warcformat.parse_warc(blob)
+            except warcformat.WarcError as exc:
+                rows.append((doc_id, None, None, None, None, None,
+                             None, None, str(exc)))
+                continue
+            for i, rec in enumerate(recs):
+                status, _, body = warcformat.split_http_payload(
+                    rec["payload"])
+                head = body[:4 * TEXT_HEAD_CHARS].decode(
+                    "utf-8", "replace")[:TEXT_HEAD_CHARS]
+                rows.append((doc_id, i, rec["warc_type"],
+                             rec["target_uri"], rec["content_type"],
+                             status, len(rec["payload"]), head, None))
+        sql = _values_sql(rows, [
+            ("doc_id", "BIGINT"), ("rec_idx", "INTEGER"),
+            ("warc_type", "VARCHAR"), ("target_uri", "VARCHAR"),
+            ("content_type", "VARCHAR"), ("http_status", "INTEGER"),
+            ("n_payload_bytes", "INTEGER"), ("text_head", "VARCHAR"),
+            ("error", "VARCHAR")])
     elif name == "multimodal_resize":
         rows = []
         for doc_id, text in _media_texts(20):

@@ -50,7 +50,7 @@ EXPECTED_TAIL = [
     "html_justext_gate", "line_dedup", "url_domain_filter",
     "bm25_retrieval", "kneser_ney_logprob",
     "dsir_logweight", "dsir_resample", "nb_quality_classifier",
-    "leakage_safe_split", "lm_contrast", "dsir_threshold",
+    "leakage_safe_split", "lm_contrast", "dsir_threshold", "warc_ingest",
 ]
 
 

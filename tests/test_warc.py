@@ -1,0 +1,121 @@
+"""WARC codec (formats/warcformat.py) + ingest operator
+(operators/warcsource.py): round-trip, gzip-member layout, HTTP split,
+and the error-as-data contract (malformed crawl members must become
+named error rows, never task failures)."""
+
+import os
+import sys
+import zlib
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from resume_ocr_spark.formats import warcformat as w  # noqa: E402
+
+RECS = [
+    {"warc_type": "warcinfo", "payload": b"software: test",
+     "content_type": "application/warc-fields"},
+    {"warc_type": "response",
+     "payload": (b"HTTP/1.1 404 Not Found\r\nContent-Type: text/html\r\n"
+                 b"\r\n<html>missing</html>"),
+     "target_uri": "https://ex.org/gone",
+     "content_type": "application/http; msgtype=response"},
+    {"warc_type": "resource", "payload": b"bare bytes \xc3\xa9",
+     "target_uri": "https://ex.org/r.txt", "content_type": "text/plain"},
+]
+
+
+class TestCodec:
+    @pytest.mark.parametrize("gz", [False, True])
+    def test_round_trip(self, gz):
+        out = w.parse_warc(w.build_warc(RECS, gzip_members=gz))
+        assert [r["warc_type"] for r in out] == [
+            "warcinfo", "response", "resource"]
+        assert out[1]["target_uri"] == "https://ex.org/gone"
+        assert out[2]["payload"] == b"bare bytes \xc3\xa9"
+        assert out[0]["record_id"] == "rec-00000000"
+
+    def test_gzip_layout_is_member_per_record(self):
+        """Common Crawl seekability: each record its own gzip member —
+        the stream must contain one magic per record and survive a
+        member-boundary split."""
+        blob = w.build_warc(RECS, gzip_members=True)
+        assert blob.count(b"\x1f\x8b\x08") == len(RECS)
+        # parsing only the FIRST member works (that's the seekable read)
+        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        first = d.decompress(blob) + d.flush()
+        assert len(w.parse_warc(first)) == 1
+
+    def test_http_split(self):
+        st, hdr, body = w.split_http_payload(RECS[1]["payload"])
+        assert (st, hdr["content-type"], body) == (
+            404, "text/html", b"<html>missing</html>")
+        # non-HTTP payloads are total, not errors
+        assert w.split_http_payload(b"raw") == (None, {}, b"raw")
+
+    @pytest.mark.parametrize("bad,msg", [
+        (b"not a warc", "version line"),
+        (b"\x1f\x8b\x08junkjunk", "gzip"),
+        (None, "truncated"),  # placeholder, replaced below
+    ])
+    def test_named_errors(self, bad, msg):
+        if bad is None:
+            bad = w.build_warc(RECS)[:-6]
+        with pytest.raises(w.WarcError, match=msg):
+            w.parse_warc(bad)
+
+    def test_fuzz_found_header_and_length_leaks(self):
+        """Pinned from the round-5 fuzz campaign: non-ASCII header NAMES
+        leaked UnicodeDecodeError through the contract, and a flipped
+        sign on Content-Length would alias earlier stream bytes."""
+        raw = (b"WARC/1.0\r\nWARC-Type: resource\r\n"
+               b"Conten\xc3\xa9t-Length: 2\r\n\r\nxx\r\n\r\n")
+        with pytest.raises(w.WarcError, match="non-ascii header name"):
+            w.parse_warc(raw)
+        neg = (b"WARC/1.0\r\nWARC-Type: resource\r\n"
+               b"Content-Length: -5\r\n\r\n\r\n\r\n")
+        with pytest.raises(w.WarcError, match="negative Content-Length"):
+            w.parse_warc(neg)
+        http = b"HTTP/1.1 200 OK\r\nX-\xc3\xa9: v\r\n\r\nbody"
+        with pytest.raises(w.WarcError, match="non-ascii http header"):
+            w.split_http_payload(http)
+
+    def test_missing_length_and_separator(self):
+        raw = (b"WARC/1.0\r\nWARC-Type: resource\r\n\r\nxx\r\n\r\n")
+        with pytest.raises(w.WarcError, match="Content-Length"):
+            w.parse_warc(raw)
+        good = w.build_warc(RECS[:1])
+        with pytest.raises(w.WarcError, match="separator"):
+            w.parse_warc(good[:-4] + b"XXXX")
+
+
+class TestOperator:
+    def test_records_and_error_rows(self, spark):
+        from resume_ocr_spark.operators import warcsource
+        rows = [
+            (1, w.build_warc(RECS)),
+            (2, w.build_warc(RECS, gzip_members=True)),
+            (3, b"definitely not a warc"),
+            (4, None),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, warc binary")
+        got = warcsource.warc_records(df).collect()
+        by_doc = {}
+        for r in got:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        for did in (1, 2):
+            recs = sorted(by_doc[did], key=lambda r: r["rec_idx"])
+            assert [r["warc_type"] for r in recs] == [
+                "warcinfo", "response", "resource"]
+            assert recs[1]["http_status"] == 404
+            assert recs[1]["text_head"].startswith("<html>missing")
+            assert recs[2]["http_status"] is None
+            assert all(r["error"] is None for r in recs)
+        assert by_doc[3][0]["error"].startswith("warc: expected version")
+        assert by_doc[4][0]["error"] == "null payload"
+        # poisoned inputs yielded rows, not task failures — by reaching
+        # here the contract held; also the plan must be a pure scan
+        plan = (warcsource.warc_records(df)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "Exchange" not in plan

@@ -40,7 +40,8 @@ import numpy as np  # noqa: E402
 from resume_ocr_spark import textproc  # noqa: E402
 from resume_ocr_spark.formats import (avcodec, htmlcodec, imagecodec,  # noqa: E402
                                       jpegcodec, jpegenc, mp4codec, mpegaudio,
-                                      pdfcodec, pngcodec, realfont)
+                                      pdfcodec, pngcodec, realfont,
+                                      warcformat)
 
 FIXDIR = "/root/reference/tests/curriculos"
 PAGE_WALL_BUDGET = 30.0  # s; a single garbage page may not cost more
@@ -110,6 +111,18 @@ def campaign_containers(n: int) -> None:
          avcodec.decode_wav, avcodec.AudioDecodeError),
         ("mp4", mp4codec.write_mjpeg_mp4([js] * 2, 64, 64, fps=5),
          mp4codec.extract_frames_gray, mp4codec.Mp4DecodeError),
+        ("warc", warcformat.build_warc([
+            {"warc_type": "response",
+             "payload": b"HTTP/1.1 200 OK\r\n\r\n<html>x</html>",
+             "target_uri": "https://f.example/p",
+             "content_type": "application/http; msgtype=response"},
+            {"warc_type": "resource", "payload": b"abc",
+             "content_type": "text/plain"}]),
+         warcformat.parse_warc, warcformat.WarcError),
+        ("warc_gz", warcformat.build_warc([
+            {"warc_type": "resource", "payload": b"zzz" * 30,
+             "content_type": "text/plain"}], gzip_members=True),
+         warcformat.parse_warc, warcformat.WarcError),
     ]
     if mp3:
         cases.append(("mp3", mp3, avcodec.probe_audio_any,
