@@ -1180,8 +1180,16 @@ def _warc_blobs() -> list[tuple[int, bytes | None]]:
 
     out: list[tuple[int, bytes | None]] = []
     for i in range(12):
-        html = (f"<html><head><title>doc {i}</title></head>"
-                f"<body><p>paragraph {i} alpha beta</p></body></html>")
+        html = (
+            f"<html><head><title>doc {i}</title></head><body>"
+            "<nav><a href='/'>home</a> <a href='/about'>about</a></nav>"
+            f"<p>This is the main body of document {i}. It was written "
+            "as a long paragraph of prose that a crawl extractor will "
+            f"keep, and it talks about topic {i % 5} in several full "
+            "sentences. The text of this paragraph is not a menu and it "
+            "is not a footer, so the classifier should keep it as the "
+            f"content of the page for document {i}.</p>"
+            f"<footer>copyright site {i % 3}</footer></body></html>")
         http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
                 + html.encode("ascii"))
         recs = [
@@ -1217,6 +1225,24 @@ def warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     df = spark.createDataFrame(_warc_blobs(), "doc_id long, warc binary")
     return warcsource.warc_records(df)
+
+
+def warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full crawl ingest→extraction coupling (round 5): WARC members
+    → keepable HTTP 200 text/html responses → jusText main-content
+    documents, in one zero-shuffle batch-UDF scan
+    (warcsource.warc_html_documents). Gate surface hashes the stripped
+    text (md5 + length, the html_strip_gate convention); nav/footer
+    chrome must be gone, the prose paragraph kept."""
+    from resume_ocr_spark.operators import warcsource
+
+    df = spark.createDataFrame(_warc_blobs(), "doc_id long, warc binary")
+    docs = warcsource.warc_html_documents(df)
+    return docs.select(
+        "doc_id", "rec_idx", "url", "http_status",
+        F.length("text").alias("text_len"),
+        F.md5(F.col("text")).alias("text_md5"),
+        "n_html_bytes", "error")
 
 
 def _media_texts(n: int) -> list[tuple[int, str]]:
@@ -1586,8 +1612,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 10^12-doc path beside the exact top-k entry)
         "dsir_threshold": dsir_threshold,
         # round-5 tail: WARC crawl-container ingest (ISO 28500 codec,
-        # per-member gzip, http split — the 100 TB ingest edge)
+        # per-member gzip, http split — the 100 TB ingest edge) and the
+        # coupled ingest→jusText-extraction pass over the same members
         "warc_ingest": warc_ingest,
+        "warc_extract": warc_extract,
     }
     return {**gated, **tail}
 
@@ -3228,6 +3256,7 @@ def oracle_sql() -> dict[str, str]:
     sqls["reencode_jpeg"] = _precomputed("reencode_jpeg")
     sqls["dedup_phash"] = _precomputed("dedup_phash")
     sqls["warc_ingest"] = _precomputed("warc_ingest")
+    sqls["warc_extract"] = _precomputed("warc_extract")
     sqls["semantic_dedup_det"] = _precomputed("semantic_dedup_det")
     # embedding_ann_ivf (sample-trained codebook) left the registry in
     # round 3: its codebook trains on a driver-side sample of the sf table,
@@ -3393,6 +3422,42 @@ def _precomputed(name: str) -> str:
             ("content_type", "VARCHAR"), ("http_status", "INTEGER"),
             ("n_payload_bytes", "INTEGER"), ("text_head", "VARCHAR"),
             ("error", "VARCHAR")])
+    elif name == "warc_extract":
+        import hashlib
+
+        from resume_ocr_spark.formats import htmlcodec, warcformat
+
+        rows = []
+        for doc_id, blob in _warc_blobs():
+            if blob is None:
+                rows.append((doc_id, None, None, None, None, None, None,
+                             "null payload"))
+                continue
+            try:
+                recs = warcformat.parse_warc(blob)
+            except warcformat.WarcError as exc:
+                rows.append((doc_id, None, None, None, None, None, None,
+                             str(exc)))
+                continue
+            for i, rec in enumerate(recs):
+                if rec["warc_type"] != "response":
+                    continue
+                status, hdr, body = warcformat.split_http_payload(
+                    rec["payload"])
+                if status != 200 or "text/html" not in hdr.get(
+                        "content-type", ""):
+                    continue
+                text = htmlcodec.strip_boilerplate(
+                    body.decode("utf-8", "replace"), mode="justext")
+                rows.append((doc_id, i, rec["target_uri"], status,
+                             len(text),
+                             hashlib.md5(text.encode("utf-8")).hexdigest(),
+                             len(body), None))
+        sql = _values_sql(rows, [
+            ("doc_id", "BIGINT"), ("rec_idx", "INTEGER"),
+            ("url", "VARCHAR"), ("http_status", "INTEGER"),
+            ("text_len", "INTEGER"), ("text_md5", "VARCHAR"),
+            ("n_html_bytes", "INTEGER"), ("error", "VARCHAR")])
     elif name == "multimodal_resize":
         rows = []
         for doc_id, text in _media_texts(20):

@@ -78,3 +78,69 @@ def warc_records(
             yield pd.DataFrame(rows, columns=cols)
 
     return df.mapInPandas(parse, schema=RECORD_SCHEMA)
+
+
+DOC_SCHEMA = (
+    "doc_id long, rec_idx int, url string, http_status int, "
+    "text string, n_html_bytes int, error string"
+)
+
+
+def warc_html_documents(
+    df: DataFrame,
+    bin_col: str = "warc",
+    id_col: str = "doc_id",
+    mode: str = "justext",
+) -> DataFrame:
+    """The full ingest→extraction coupling: WARC members → main-content
+    DOCUMENTS. Keeps ``response`` records whose HTTP message is a
+    ``text/html`` 200, decodes the body (UTF-8, replace), strips
+    boilerplate with :func:`..formats.htmlcodec.strip_boilerplate`
+    (``mode='justext'`` — crawl-class pages — by default), and emits
+    ``(doc_id, rec_idx, url, http_status, text, n_html_bytes, error)``
+    rows ready for the curation/dedup/selection stages (one
+    :mod:`.urltools` pass away from domain triage).
+
+    Same zero-shuffle mapInPandas shape as :func:`warc_records`;
+    malformed members and non-keepable records are error rows and
+    silent skips respectively (a crawl is MOSTLY non-HTML records —
+    warcinfo, requests, metadata — and skipping them is the semantics,
+    not an error)."""
+    from ..formats import htmlcodec
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "rec_idx", "url", "http_status", "text",
+                "n_html_bytes", "error"]
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf[id_col], pdf[bin_col]):
+                if blob is None:
+                    rows.append((doc_id, None, None, None, None, None,
+                                 "null payload"))
+                    continue
+                try:
+                    recs = warcformat.parse_warc(bytes(blob))
+                except warcformat.WarcError as exc:
+                    rows.append((doc_id, None, None, None, None, None,
+                                 str(exc)))
+                    continue
+                for i, rec in enumerate(recs):
+                    if rec["warc_type"] != "response":
+                        continue
+                    try:
+                        status, hdr, body = warcformat.split_http_payload(
+                            rec["payload"])
+                    except warcformat.WarcError as exc:
+                        rows.append((doc_id, i, rec["target_uri"], None,
+                                     None, None, str(exc)))
+                        continue
+                    ctype = hdr.get("content-type", "")
+                    if status != 200 or "text/html" not in ctype:
+                        continue
+                    text = htmlcodec.strip_boilerplate(
+                        body.decode("utf-8", "replace"), mode=mode)
+                    rows.append((doc_id, i, rec["target_uri"], status,
+                                 text, len(body), None))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(extract, schema=DOC_SCHEMA)

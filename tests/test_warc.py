@@ -119,3 +119,44 @@ class TestOperator:
         plan = (warcsource.warc_records(df)
                 ._jdf.queryExecution().executedPlan().toString())
         assert "Exchange" not in plan
+
+    def test_html_documents_keep_prose_drop_chrome(self, spark):
+        """Ingest→extraction coupling: only HTTP 200 text/html responses
+        become documents; jusText keeps the prose, drops nav/footer;
+        non-keepable records (warcinfo, 404s, plain resources) are
+        silently skipped, not errors."""
+        from resume_ocr_spark.operators import warcsource
+        prose = ("<p>This is the main body of the page and it was "
+                 "written as a long paragraph of prose with enough "
+                 "common words that the classifier will keep it as the "
+                 "content of this document when it runs.</p>")
+        page = ("<html><body><nav><a href='/'>home</a></nav>"
+                + prose + "<footer>copyright</footer></body></html>")
+        recs = [
+            {"warc_type": "warcinfo", "payload": b"software: t",
+             "content_type": "application/warc-fields"},
+            {"warc_type": "response",
+             "payload": (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                         b"\r\n" + page.encode()),
+             "target_uri": "https://k.example/good",
+             "content_type": "application/http; msgtype=response"},
+            {"warc_type": "response",
+             "payload": (b"HTTP/1.1 404 Not Found\r\nContent-Type: "
+                         b"text/html\r\n\r\n<html>gone</html>"),
+             "target_uri": "https://k.example/404",
+             "content_type": "application/http; msgtype=response"},
+            {"warc_type": "resource", "payload": b"plain",
+             "target_uri": "https://k.example/r", "content_type": "text/plain"},
+        ]
+        df = spark.createDataFrame(
+            [(1, w.build_warc(recs, gzip_members=True)), (2, b"junk")],
+            "doc_id long, warc binary")
+        got = warcsource.warc_html_documents(df).collect()
+        docs = [r for r in got if r["error"] is None]
+        assert len(docs) == 1
+        d = docs[0]
+        assert d["url"] == "https://k.example/good"
+        assert "main body of the page" in d["text"]
+        assert "home" not in d["text"] and "copyright" not in d["text"]
+        errs = [r for r in got if r["error"] is not None]
+        assert len(errs) == 1 and errs[0]["doc_id"] == 2
