@@ -1190,7 +1190,11 @@ def _warc_blobs() -> list[tuple[int, bytes | None]]:
             "is not a footer, so the classifier should keep it as the "
             f"content of the page for document {i}.</p>"
             f"<footer>copyright site {i % 3}</footer></body></html>")
-        http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+        # id 8 sends the media type mixed-case — HTTP media types are
+        # case-insensitive (RFC 9110 §8.3.1) and real crawls do this;
+        # the keep-decision must still fire.
+        ctype = (b"Text/HTML; charset=utf-8" if i == 8 else b"text/html")
+        http = (b"HTTP/1.1 200 OK\r\nContent-Type: " + ctype + b"\r\n\r\n"
                 + html.encode("ascii"))
         recs = [
             {"warc_type": "warcinfo",
@@ -1204,8 +1208,12 @@ def _warc_blobs() -> list[tuple[int, bytes | None]]:
              "target_uri": f"https://src{i % 3}.example.com/r/{i}.txt",
              "content_type": "text/plain"},
         ]
+        # id 7 is written as WARC/1.1 (the 2017 ISO 28500 revision that
+        # current warcio/Internet Archive tooling emits) — the parser
+        # must accept both versions.
         blob: bytes | None = warcformat.build_warc(
-            recs, gzip_members=(i % 2 == 1))
+            recs, gzip_members=(i % 2 == 1),
+            version=("1.1" if i == 7 else "1.0"))
         if i == 10:
             blob = blob[:-6]
         if i == 11:
@@ -3393,29 +3401,21 @@ def _precomputed(name: str) -> str:
             ("doc_id", "BIGINT"), ("text_len", "INTEGER"),
             ("text_md5", "VARCHAR"), ("error", "VARCHAR")])
     elif name == "warc_ingest":
-        from resume_ocr_spark.formats import warcformat
-        from resume_ocr_spark.operators.warcsource import TEXT_HEAD_CHARS
+        from resume_ocr_spark.operators.warcsource import (TEXT_HEAD_CHARS,
+                                                           blob_rows)
 
         rows = []
         for doc_id, blob in _warc_blobs():
-            if blob is None:
-                rows.append((doc_id, None, None, None, None, None,
-                             None, None, "null payload"))
-                continue
-            try:
-                recs = warcformat.parse_warc(blob)
-            except warcformat.WarcError as exc:
-                rows.append((doc_id, None, None, None, None, None,
-                             None, None, str(exc)))
-                continue
-            for i, rec in enumerate(recs):
-                status, _, body = warcformat.split_http_payload(
-                    rec["payload"])
+            for i, rec, status, _hdr, body, err in blob_rows(blob):
+                if rec is None:
+                    rows.append((doc_id, None, None, None, None, None,
+                                 None, None, err))
+                    continue
                 head = body[:4 * TEXT_HEAD_CHARS].decode(
                     "utf-8", "replace")[:TEXT_HEAD_CHARS]
                 rows.append((doc_id, i, rec["warc_type"],
                              rec["target_uri"], rec["content_type"],
-                             status, len(rec["payload"]), head, None))
+                             status, len(rec["payload"]), head, err))
         sql = _values_sql(rows, [
             ("doc_id", "BIGINT"), ("rec_idx", "INTEGER"),
             ("warc_type", "VARCHAR"), ("target_uri", "VARCHAR"),
@@ -3425,27 +3425,24 @@ def _precomputed(name: str) -> str:
     elif name == "warc_extract":
         import hashlib
 
-        from resume_ocr_spark.formats import htmlcodec, warcformat
+        from resume_ocr_spark.formats import htmlcodec
+        from resume_ocr_spark.operators.warcsource import (blob_rows,
+                                                           is_keepable_html)
 
         rows = []
         for doc_id, blob in _warc_blobs():
-            if blob is None:
-                rows.append((doc_id, None, None, None, None, None, None,
-                             "null payload"))
-                continue
-            try:
-                recs = warcformat.parse_warc(blob)
-            except warcformat.WarcError as exc:
-                rows.append((doc_id, None, None, None, None, None, None,
-                             str(exc)))
-                continue
-            for i, rec in enumerate(recs):
+            for i, rec, status, hdr, body, err in blob_rows(blob):
+                if rec is None:
+                    rows.append((doc_id, None, None, None, None, None,
+                                 None, err))
+                    continue
                 if rec["warc_type"] != "response":
                     continue
-                status, hdr, body = warcformat.split_http_payload(
-                    rec["payload"])
-                if status != 200 or "text/html" not in hdr.get(
-                        "content-type", ""):
+                if err is not None:
+                    rows.append((doc_id, i, rec["target_uri"], None,
+                                 None, None, None, err))
+                    continue
+                if not is_keepable_html(rec, status, hdr):
                     continue
                 text = htmlcodec.strip_boilerplate(
                     body.decode("utf-8", "replace"), mode="justext")

@@ -13,6 +13,12 @@ explosion happens inside the scan, and each input blob is independent
 Malformed containers become ERROR ROWS naming the violated invariant
 (the codec contract: poisoned inputs must never fail tasks); individual
 record payloads that fail the HTTP split degrade to a per-record error.
+
+Both operators — and the gate oracles in ``__spark_entry__`` — walk
+blobs through ONE shared skeleton, :func:`blob_rows`, so a parsing /
+keep-decision fix lands in exactly one place (a review pass found the
+earlier four-copy layout had already grown a case-sensitivity
+divergence risk).
 """
 
 from __future__ import annotations
@@ -30,6 +36,53 @@ RECORD_SCHEMA = (
     "text_head string, error string"
 )
 TEXT_HEAD_CHARS = 64
+
+# sentinel rec_idx for blob-level failures (vs per-record errors)
+_BLOB_ERROR = None
+
+
+def blob_rows(blob: bytes | None) -> Iterator[tuple]:
+    """Shared per-blob skeleton: yields
+    ``(rec_idx, rec, status, http_headers, body, error)`` tuples.
+
+    * NULL blob → one ``(None, None, None, {}, b'', 'null payload')``
+      totality row;
+    * malformed container → one ``(None, None, None, {}, b'', <msg>)``
+      blob-level error row (``parse`` is all-or-nothing, validated
+      before the first yield);
+    * otherwise one tuple per record, where a failed
+      ``application/http`` split degrades to a per-record error
+      (``rec`` still present, ``status`` None, ``error`` named).
+
+    Consumers shape these into their own schemas; the ORACLE blocks in
+    ``__spark_entry__`` consume the same generator, so operator and
+    oracle cannot diverge on parse semantics."""
+    if blob is None:
+        yield None, None, None, {}, b"", "null payload"
+        return
+    try:
+        records = warcformat.parse_warc(bytes(blob))
+    except warcformat.WarcError as exc:
+        yield None, None, None, {}, b"", str(exc)
+        return
+    for i, rec in enumerate(records):
+        try:
+            status, hdr, body = warcformat.split_http_payload(
+                rec["payload"])
+            yield i, rec, status, hdr, body, None
+        except warcformat.WarcError as exc:
+            yield i, rec, None, {}, b"", str(exc)
+
+
+def is_keepable_html(rec: dict | None, status: int | None,
+                     http_headers: dict) -> bool:
+    """The crawl keep-decision: a ``response`` record whose HTTP message
+    is a 200 with a ``text/html`` media type. HTTP media types are
+    case-insensitive (RFC 9110 §8.3.1) and real crawls do carry
+    ``Text/HTML; charset=...`` — compare lowercased."""
+    return (rec is not None and rec["warc_type"] == "response"
+            and status == 200
+            and "text/html" in http_headers.get("content-type", "").lower())
 
 
 def warc_records(
@@ -52,23 +105,11 @@ def warc_records(
         for pdf in batches:
             rows = []
             for doc_id, blob in zip(pdf[id_col], pdf[bin_col]):
-                if blob is None:
-                    rows.append((doc_id, None, None, None, None, None,
-                                 None, None, "null payload"))
-                    continue
-                try:
-                    recs = warcformat.parse_warc(bytes(blob))
-                except warcformat.WarcError as exc:
-                    rows.append((doc_id, None, None, None, None, None,
-                                 None, None, str(exc)))
-                    continue
-                for i, rec in enumerate(recs):
-                    try:
-                        status, _, body = warcformat.split_http_payload(
-                            rec["payload"])
-                        err = None
-                    except warcformat.WarcError as exc:
-                        status, body, err = None, b"", str(exc)
+                for i, rec, status, _hdr, body, err in blob_rows(blob):
+                    if rec is None:  # null / blob-level error row
+                        rows.append((doc_id, None, None, None, None,
+                                     None, None, None, err))
+                        continue
                     head = body[:4 * TEXT_HEAD_CHARS].decode(
                         "utf-8", "replace")[:TEXT_HEAD_CHARS]
                     rows.append((
@@ -94,8 +135,9 @@ def warc_html_documents(
 ) -> DataFrame:
     """The full ingest→extraction coupling: WARC members → main-content
     DOCUMENTS. Keeps ``response`` records whose HTTP message is a
-    ``text/html`` 200, decodes the body (UTF-8, replace), strips
-    boilerplate with :func:`..formats.htmlcodec.strip_boilerplate`
+    ``text/html`` 200 (case-insensitive media type —
+    :func:`is_keepable_html`), decodes the body (UTF-8, replace),
+    strips boilerplate with :func:`..formats.htmlcodec.strip_boilerplate`
     (``mode='justext'`` — crawl-class pages — by default), and emits
     ``(doc_id, rec_idx, url, http_status, text, n_html_bytes, error)``
     rows ready for the curation/dedup/selection stages (one
@@ -114,28 +156,18 @@ def warc_html_documents(
         for pdf in batches:
             rows = []
             for doc_id, blob in zip(pdf[id_col], pdf[bin_col]):
-                if blob is None:
-                    rows.append((doc_id, None, None, None, None, None,
-                                 "null payload"))
-                    continue
-                try:
-                    recs = warcformat.parse_warc(bytes(blob))
-                except warcformat.WarcError as exc:
-                    rows.append((doc_id, None, None, None, None, None,
-                                 str(exc)))
-                    continue
-                for i, rec in enumerate(recs):
+                for i, rec, status, hdr, body, err in blob_rows(blob):
+                    if rec is None:  # null / blob-level error row
+                        rows.append((doc_id, None, None, None, None,
+                                     None, err))
+                        continue
                     if rec["warc_type"] != "response":
                         continue
-                    try:
-                        status, hdr, body = warcformat.split_http_payload(
-                            rec["payload"])
-                    except warcformat.WarcError as exc:
+                    if err is not None:  # response whose HTTP split failed
                         rows.append((doc_id, i, rec["target_uri"], None,
-                                     None, None, str(exc)))
+                                     None, None, err))
                         continue
-                    ctype = hdr.get("content-type", "")
-                    if status != 200 or "text/html" not in ctype:
+                    if not is_keepable_html(rec, status, hdr):
                         continue
                     text = htmlcodec.strip_boilerplate(
                         body.decode("utf-8", "replace"), mode=mode)

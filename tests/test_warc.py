@@ -90,6 +90,120 @@ class TestCodec:
             w.parse_warc(good[:-4] + b"XXXX")
 
 
+class TestReviewHardening:
+    """Pins for the round-5 review pass over the WARC commits: linear
+    gunzip, WARC/1.1, folded headers, duplicate-header strictness,
+    3-digit HTTP status bound, case-insensitive media types, and the
+    shared blob skeleton."""
+
+    def test_warc_11_and_mixed_versions(self):
+        out = w.parse_warc(w.build_warc(RECS, version="1.1"))
+        assert [r["warc_type"] for r in out] == [
+            "warcinfo", "response", "resource"]
+        mixed = (w.build_warc(RECS[:1], version="1.0")
+                 + w.build_warc(RECS[1:], version="1.1"))
+        assert len(w.parse_warc(mixed)) == 3
+        with pytest.raises(ValueError, match="unsupported WARC version"):
+            w.build_warc(RECS, version="2.0")
+
+    def test_folded_header_continuation(self):
+        """ISO 28500-legal folded header values (continuation lines
+        starting with SP/HT) must parse, joined by a single space."""
+        raw = (b"WARC/1.0\r\nWARC-Type: resource\r\n"
+               b"WARC-Target-URI: https://ex.org/very\r\n"
+               b"\t/long/path\r\n"
+               b"Content-Length: 2\r\n\r\nxx\r\n\r\n")
+        (rec,) = w.parse_warc(raw)
+        assert rec["target_uri"] == "https://ex.org/very /long/path"
+        orphan = (b"WARC/1.0\r\n  dangling\r\nWARC-Type: resource\r\n"
+                  b"Content-Length: 0\r\n\r\n\r\n\r\n")
+        with pytest.raises(w.WarcError, match="continuation line"):
+            w.parse_warc(orphan)
+
+    def test_duplicate_header_rejected(self):
+        """Two Content-Lengths desync record boundaries between
+        first-wins and last-wins consumers — strict codec raises."""
+        raw = (b"WARC/1.0\r\nWARC-Type: resource\r\n"
+               b"Content-Length: 5\r\nContent-Length: 500\r\n"
+               b"\r\nabcde\r\n\r\n")
+        with pytest.raises(w.WarcError, match="duplicate header"):
+            w.parse_warc(raw)
+
+    def test_oversized_http_status_is_error_not_overflow(self):
+        """Status must be the spec's 3DIGIT — 99999999999 would overflow
+        the operators' int32 http_status column, so it is a named
+        per-record error, never a task-breaking value."""
+        bad = b"HTTP/1.1 99999999999 OK\r\n\r\nbody"
+        with pytest.raises(w.WarcError, match="malformed http status"):
+            w.split_http_payload(bad)
+        from resume_ocr_spark.operators.warcsource import blob_rows
+        blob = w.build_warc([{
+            "warc_type": "response", "payload": bad,
+            "content_type": "application/http; msgtype=response"}])
+        (row,) = list(blob_rows(blob))
+        i, rec, status, hdr, body, err = row
+        assert rec is not None and status is None
+        assert "malformed http status" in err
+
+    def test_media_type_case_insensitive_keep(self):
+        from resume_ocr_spark.operators.warcsource import (blob_rows,
+                                                           is_keepable_html)
+        payload = (b"HTTP/1.1 200 OK\r\n"
+                   b"Content-Type: Text/HTML; charset=utf-8\r\n\r\n"
+                   b"<html><p>hello</p></html>")
+        blob = w.build_warc([{
+            "warc_type": "response", "payload": payload,
+            "target_uri": "https://ex.org/mixed",
+            "content_type": "application/http; msgtype=response"}])
+        (row,) = list(blob_rows(blob))
+        i, rec, status, hdr, body, err = row
+        assert err is None and is_keepable_html(rec, status, hdr)
+
+    def test_blob_rows_totality(self):
+        from resume_ocr_spark.operators.warcsource import blob_rows
+        (null_row,) = list(blob_rows(None))
+        assert null_row[1] is None and null_row[5] == "null payload"
+        (bad_row,) = list(blob_rows(b"junk"))
+        assert bad_row[1] is None and "version line" in bad_row[5]
+
+    def test_gunzip_many_members_linear(self):
+        """50k tiny gzip members (the Common Crawl layout at its
+        pathological extreme). The pre-review whole-tail unused_data
+        loop was O(members x stream) — measured ~25 s here; the chunked
+        feed is linear with a per-boundary copy bounded by _GZIP_CHUNK.
+        Generous wall bound still discriminates 50x on a noisy host."""
+        import time
+        n = 50_000
+        recs = [{"warc_type": "resource", "payload": b"x" * 8}] * n
+        blob = w.build_warc(recs, gzip_members=True)
+        t0 = time.monotonic()
+        out = w.parse_warc(blob)
+        wall = time.monotonic() - t0
+        assert len(out) == n and out[-1]["payload"] == b"x" * 8
+        assert wall < 8.0, f"gunzip path no longer linear: {wall:.1f}s"
+
+    def test_gunzip_truncated_and_boundary_chunks(self):
+        """Truncation mid-member still raises; members straddling the
+        64 KiB chunk boundary reassemble exactly."""
+        big = [{"warc_type": "resource",
+                "payload": bytes(range(256)) * 600}] * 3  # ~150 KB each
+        blob = w.build_warc(big, gzip_members=True)
+        out = w.parse_warc(blob)
+        assert [len(r["payload"]) for r in out] == [153600] * 3
+        with pytest.raises(w.WarcError, match="gzip"):
+            w.parse_warc(blob[:-20])
+
+    def test_iter_warc_validates_before_first_yield(self):
+        """All-or-nothing: a truncated container raises at iterator
+        construction time (well, first next()), before ANY record is
+        yielded — so operators emit one blob-level error row, never a
+        partial record stream."""
+        good = w.build_warc(RECS)
+        it = w.iter_warc(good[:-6])
+        with pytest.raises(w.WarcError, match="truncated"):
+            next(it)
+
+
 class TestOperator:
     def test_records_and_error_rows(self, spark):
         from resume_ocr_spark.operators import warcsource
