@@ -3401,8 +3401,8 @@ def _precomputed(name: str) -> str:
             ("doc_id", "BIGINT"), ("text_len", "INTEGER"),
             ("text_md5", "VARCHAR"), ("error", "VARCHAR")])
     elif name == "warc_ingest":
-        from resume_ocr_spark.operators.warcsource import (TEXT_HEAD_CHARS,
-                                                           blob_rows)
+        from resume_ocr_spark.operators.warcsource import (blob_rows,
+                                                           text_head)
 
         rows = []
         for doc_id, blob in _warc_blobs():
@@ -3411,11 +3411,10 @@ def _precomputed(name: str) -> str:
                     rows.append((doc_id, None, None, None, None, None,
                                  None, None, err))
                     continue
-                head = body[:4 * TEXT_HEAD_CHARS].decode(
-                    "utf-8", "replace")[:TEXT_HEAD_CHARS]
                 rows.append((doc_id, i, rec["warc_type"],
                              rec["target_uri"], rec["content_type"],
-                             status, len(rec["payload"]), head, err))
+                             status, len(rec["payload"]),
+                             text_head(body), err))
         sql = _values_sql(rows, [
             ("doc_id", "BIGINT"), ("rec_idx", "INTEGER"),
             ("warc_type", "VARCHAR"), ("target_uri", "VARCHAR"),

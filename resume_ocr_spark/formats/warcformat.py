@@ -57,6 +57,17 @@ class WarcError(ValueError):
     """Malformed WARC data; message names the violated invariant."""
 
 
+def _hval(value: str, field: str) -> str:
+    """Writer-side guard: a CR/LF inside a header value would smuggle an
+    extra header line into the container (header injection) and silently
+    truncate the value on re-parse — the same boundary-desync class the
+    parser's duplicate-header strictness exists to prevent. API misuse,
+    so ValueError (not WarcError, which is reserved for parse failures)."""
+    if "\r" in value or "\n" in value:
+        raise ValueError(f"{field} contains CR/LF: {value[:60]!r}")
+    return value
+
+
 def build_warc(
     records: list[dict],
     gzip_members: bool = False,
@@ -77,18 +88,25 @@ def build_warc(
         if not isinstance(payload, (bytes, bytearray)):
             raise TypeError(f"record {i}: payload must be bytes")
         headers = [
-            b"WARC-Type: " + rec["warc_type"].encode("ascii"),
+            b"WARC-Type: "
+            + _hval(rec["warc_type"], f"record {i}: warc_type")
+            .encode("ascii"),
             b"WARC-Record-ID: <urn:uuid:"
-            + rec.get("record_id", f"rec-{i:08d}").encode("ascii") + b">",
-            b"WARC-Date: " + date.encode("ascii"),
+            + _hval(rec.get("record_id", f"rec-{i:08d}"),
+                    f"record {i}: record_id").encode("ascii") + b">",
+            b"WARC-Date: " + _hval(date, "date").encode("ascii"),
             b"Content-Length: " + str(len(payload)).encode("ascii"),
         ]
         if rec.get("target_uri"):
             headers.append(
-                b"WARC-Target-URI: " + rec["target_uri"].encode("utf-8"))
+                b"WARC-Target-URI: "
+                + _hval(rec["target_uri"],
+                        f"record {i}: target_uri").encode("utf-8"))
         if rec.get("content_type"):
             headers.append(
-                b"Content-Type: " + rec["content_type"].encode("ascii"))
+                b"Content-Type: "
+                + _hval(rec["content_type"],
+                        f"record {i}: content_type").encode("ascii"))
         member = (vline + _CRLF + _CRLF.join(headers)
                   + _CRLF + _CRLF + bytes(payload) + _CRLF + _CRLF)
         if gzip_members:
@@ -144,9 +162,17 @@ def _scan(data: bytes) -> list[tuple[dict[str, str], int, int]]:
     all-or-nothing semantics before any record is materialized."""
     metas: list[tuple[dict[str, str], int, int]] = []
     pos, n = 0, len(data)
+    if n == 0:
+        # ISO 28500 §6.1: a WARC file SHALL contain one or more records.
+        # A zero-byte member is a real object-store corruption shape; a
+        # silent [] would make the document vanish with no accounting.
+        raise WarcError("warc: empty container")
     while pos < n:
         for v in _VERSIONS:
-            if data.startswith(v, pos):
+            # the version TOKEN must be followed by CRLF — matching the
+            # prefix alone would silently read "WARC/1.09" or a
+            # corrupted "WARC/1.0 junk" line as 1.0
+            if data.startswith(v + _CRLF, pos):
                 vlen = len(v)
                 break
         else:
@@ -174,6 +200,9 @@ def _scan(data: bytes) -> list[tuple[dict[str, str], int, int]]:
             except UnicodeDecodeError:
                 raise WarcError(
                     f"warc: non-ascii header name {name[:40]!r}") from None
+            if not key:  # ": value" would become a reachable '' dict key
+                raise WarcError(
+                    f"warc: empty header name in line {line[:40]!r}")
             if key in headers:  # duplicate lengths would desync boundaries
                 raise WarcError(f"warc: duplicate header {key!r}")
             headers[key] = value.strip().decode("utf-8", "replace")
@@ -239,8 +268,9 @@ def split_http_payload(payload: bytes) -> tuple[int | None, dict, bytes]:
     ``(status, headers, body)``. Non-HTTP payloads (no status line)
     return ``(None, {}, payload)`` — totality, not an error: ``resource``
     records carry bare content. The status must be the spec's 3-digit
-    code (§ RFC 9112: status-code = 3DIGIT); anything longer is
-    malformed — and would overflow the operators' int32 column."""
+    code (§ RFC 9112: status-code = 3DIGIT); anything else — longer
+    (would overflow the operators' int32 column) or shorter — is
+    malformed."""
     if not payload.startswith(b"HTTP/"):
         return None, {}, payload
     head_end = payload.find(_CRLF + _CRLF)
@@ -248,8 +278,7 @@ def split_http_payload(payload: bytes) -> tuple[int | None, dict, bytes]:
         raise WarcError("warc: unterminated http header block")
     lines = payload[:head_end].split(_CRLF)
     parts = lines[0].split(None, 2)
-    if (len(parts) < 2 or not parts[1].isdigit()
-            or not 1 <= len(parts[1]) <= 3):
+    if len(parts) < 2 or not parts[1].isdigit() or len(parts[1]) != 3:
         raise WarcError("warc: malformed http status line")
     headers = {}
     for line in lines[1:]:

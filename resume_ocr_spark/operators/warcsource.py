@@ -56,22 +56,43 @@ def blob_rows(blob: bytes | None) -> Iterator[tuple]:
 
     Consumers shape these into their own schemas; the ORACLE blocks in
     ``__spark_entry__`` consume the same generator, so operator and
-    oracle cannot diverge on parse semantics."""
+    oracle cannot diverge on parse semantics.
+
+    Iterates :func:`~..formats.warcformat.iter_warc` (lazy payload
+    slices), so peak residency is the inflated blob plus ONE payload —
+    not blob + all slices, which would be ~2× per member group. The
+    codec validates the whole container before its first yield, so the
+    blob-level error case still produces exactly one row."""
     if blob is None:
         yield None, None, None, {}, b"", "null payload"
         return
-    try:
-        records = warcformat.parse_warc(bytes(blob))
-    except warcformat.WarcError as exc:
-        yield None, None, None, {}, b"", str(exc)
-        return
-    for i, rec in enumerate(records):
+    it = warcformat.iter_warc(bytes(blob))
+    i = 0
+    while True:
+        try:
+            rec = next(it)
+        except StopIteration:
+            return
+        except warcformat.WarcError as exc:
+            # all-or-nothing scan: only reachable before the first record
+            yield None, None, None, {}, b"", str(exc)
+            return
         try:
             status, hdr, body = warcformat.split_http_payload(
                 rec["payload"])
             yield i, rec, status, hdr, body, None
         except warcformat.WarcError as exc:
             yield i, rec, None, {}, b"", str(exc)
+        i += 1
+
+
+def text_head(body: bytes, chars: int = TEXT_HEAD_CHARS) -> str:
+    """First ``chars`` characters of the (UTF-8, replace) body. The byte
+    window is 4× chars — a UTF-8 code point is ≤ 4 bytes, so the slice
+    always covers ``chars`` characters without decoding the whole body.
+    Shared by the operator AND the ``warc_ingest`` gate oracle so the
+    head-derivation rule cannot diverge between them."""
+    return body[:4 * chars].decode("utf-8", "replace")[:chars]
 
 
 def is_keepable_html(rec: dict | None, status: int | None,
@@ -110,12 +131,10 @@ def warc_records(
                         rows.append((doc_id, None, None, None, None,
                                      None, None, None, err))
                         continue
-                    head = body[:4 * TEXT_HEAD_CHARS].decode(
-                        "utf-8", "replace")[:TEXT_HEAD_CHARS]
                     rows.append((
                         doc_id, i, rec["warc_type"], rec["target_uri"],
                         rec["content_type"], status,
-                        len(rec["payload"]), head, err))
+                        len(rec["payload"]), text_head(body), err))
             yield pd.DataFrame(rows, columns=cols)
 
     return df.mapInPandas(parse, schema=RECORD_SCHEMA)

@@ -167,20 +167,32 @@ class TestReviewHardening:
         assert bad_row[1] is None and "version line" in bad_row[5]
 
     def test_gunzip_many_members_linear(self):
-        """50k tiny gzip members (the Common Crawl layout at its
-        pathological extreme). The pre-review whole-tail unused_data
-        loop was O(members x stream) — measured ~25 s here; the chunked
-        feed is linear with a per-boundary copy bounded by _GZIP_CHUNK.
-        Generous wall bound still discriminates 50x on a noisy host."""
+        """Tiny gzip members at Common Crawl's pathological extreme. The
+        pre-review whole-tail unused_data loop was O(members x stream) —
+        ~25 s at 50k members where 10k took ~1 s (ratio ~25x, tracking
+        the member count); the chunked feed is linear (ratio ~5x).
+        Discriminate on the 50k/10k RATIO with best-of-2 timings per
+        size — an absolute wall bound flakes on this co-tenant host —
+        plus a generous absolute backstop."""
         import time
-        n = 50_000
-        recs = [{"warc_type": "resource", "payload": b"x" * 8}] * n
-        blob = w.build_warc(recs, gzip_members=True)
-        t0 = time.monotonic()
-        out = w.parse_warc(blob)
-        wall = time.monotonic() - t0
-        assert len(out) == n and out[-1]["payload"] == b"x" * 8
-        assert wall < 8.0, f"gunzip path no longer linear: {wall:.1f}s"
+
+        def best_wall(n: int) -> float:
+            recs = [{"warc_type": "resource", "payload": b"x" * 8}] * n
+            blob = w.build_warc(recs, gzip_members=True)
+            walls = []
+            for _ in range(2):
+                t0 = time.monotonic()
+                out = w.parse_warc(blob)
+                walls.append(time.monotonic() - t0)
+            assert len(out) == n and out[-1]["payload"] == b"x" * 8
+            return min(walls)
+
+        t10, t50 = best_wall(10_000), best_wall(50_000)
+        assert t50 < 60.0, f"gunzip catastrophically slow: {t50:.1f}s"
+        ratio = t50 / max(t10, 1e-9)
+        assert ratio < 15.0, (
+            f"gunzip path no longer linear: 50k/10k ratio {ratio:.1f} "
+            f"({t10:.2f}s -> {t50:.2f}s)")
 
     def test_gunzip_truncated_and_boundary_chunks(self):
         """Truncation mid-member still raises; members straddling the
@@ -192,6 +204,58 @@ class TestReviewHardening:
         assert [len(r["payload"]) for r in out] == [153600] * 3
         with pytest.raises(w.WarcError, match="gzip"):
             w.parse_warc(blob[:-20])
+
+    def test_empty_container_is_error_row_not_vanishing(self):
+        """ISO 28500 §6.1: one or more records. A zero-byte object-store
+        member must surface as an error ROW, not silently contribute no
+        rows (a vanished document)."""
+        with pytest.raises(w.WarcError, match="empty container"):
+            w.parse_warc(b"")
+        from resume_ocr_spark.operators.warcsource import blob_rows
+        (row,) = list(blob_rows(b""))
+        assert row[1] is None and "empty container" in row[5]
+
+    def test_version_token_requires_crlf(self):
+        """'WARC/1.09' or 'WARC/1.0 junk' must not silently parse as
+        1.0 — the version token must be the whole line."""
+        for vline in (b"WARC/1.09", b"WARC/1.0 ", b"WARC/1.0\tx"):
+            raw = (vline + b"\r\nWARC-Type: resource\r\n"
+                   b"Content-Length: 2\r\n\r\nxx\r\n\r\n")
+            with pytest.raises(w.WarcError, match="version line"):
+                w.parse_warc(raw)
+
+    def test_writer_rejects_crlf_injection(self):
+        """A CR/LF inside target_uri would smuggle an extra header into
+        the container and silently truncate the value on re-parse."""
+        with pytest.raises(ValueError, match="CR/LF"):
+            w.build_warc([{"warc_type": "resource", "payload": b"x",
+                           "target_uri": "https://x/\r\nWARC-Evil: 1"}])
+        with pytest.raises(ValueError, match="CR/LF"):
+            w.build_warc([{"warc_type": "res\nource", "payload": b"x"}])
+
+    def test_empty_header_name_rejected(self):
+        raw = (b"WARC/1.0\r\n: junk\r\nWARC-Type: resource\r\n"
+               b"Content-Length: 0\r\n\r\n\r\n\r\n")
+        with pytest.raises(w.WarcError, match="empty header name"):
+            w.parse_warc(raw)
+
+    def test_status_must_be_exactly_three_digits(self):
+        """RFC 9112: status-code = 3DIGIT — '7' is as malformed as
+        '99999999999'."""
+        with pytest.raises(w.WarcError, match="malformed http status"):
+            w.split_http_payload(b"HTTP/1.1 7 OK\r\n\r\nb")
+        status, _, body = w.split_http_payload(
+            b"HTTP/1.1 200 OK\r\n\r\nb")
+        assert status == 200 and body == b"b"
+
+    def test_text_head_shared_helper(self):
+        """Operator and gate oracle derive text_head through ONE helper;
+        multibyte code points never split mid-sequence."""
+        from resume_ocr_spark.operators.warcsource import text_head
+        assert text_head(b"a" * 100) == "a" * 64
+        s = ("é" * 70).encode("utf-8")  # 2-byte cp; 140 bytes
+        assert text_head(s) == "é" * 64
+        assert text_head(b"\xff\xfeab") == "��ab"
 
     def test_iter_warc_validates_before_first_yield(self):
         """All-or-nothing: a truncated container raises at iterator
