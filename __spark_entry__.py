@@ -1253,6 +1253,77 @@ def warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_html_bytes", "error")
 
 
+def _linkgraph_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic crawl pages for the link-graph entries: url + html
+    with a per-doc outlink mix exercising every resolution branch —
+    double-quoted absolute https (with fragment), single-quoted absolute
+    http to a two-level-suffix domain, protocol-relative CDN link,
+    root-relative self-link, mailto (dropped), fragment-only (dropped).
+    Pure Column string builds over documents so the DuckDB oracle
+    rebuilds the IDENTICAL pages and mirrors the extraction regexes
+    cross-dialect (the url_domain_filter pattern)."""
+    from resume_ocr_spark.operators import urltools
+
+    d = (_t(spark, sf_dir, "documents")
+         .filter(F.col("doc_id") < 300)
+         .select("doc_id", "lang", "source"))
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(did % 4 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.col("source"), F.lit("-news.com/p/"), did.cast("string"))
+    html = F.concat(
+        F.lit('<p>story</p><a href="https://'), F.col("lang"),
+        F.lit("-wiki.org/a/"), (did % 7).cast("string"),
+        F.lit('#ref">wiki</a>'),
+        F.when(did % 2 == 0, F.concat(
+            F.lit("<a href='http://ref"), (did % 5).cast("string"),
+            F.lit(".co.uk/x'>r</a>"))).otherwise(F.lit("")),
+        F.when(did % 3 == 0, F.concat(
+            F.lit('<a href="//cdn.'), F.col("source"),
+            F.lit('-static.net/lib.js">c</a>'))).otherwise(F.lit("")),
+        F.when(did % 5 == 0,
+               F.lit('<a href="/about">a</a>')).otherwise(F.lit("")),
+        F.when(did % 6 == 0,
+               F.lit('<a href="mailto:ed@ex.org">m</a>'))
+        .otherwise(F.lit("")),
+        F.lit('<a href="#top">t</a>'))
+    pages = d.withColumn("url", url).withColumn("html", html)
+    return pages.withColumn(
+        "domain",
+        urltools.registered_domain_expr(urltools.host_expr(F.col("url"))))
+
+
+def outlink_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink extraction → weighted domain edge list (tail entry,
+    round 5): the link axis of crawl triage (CommonCrawl publishes
+    domain-rank tables built from exactly this pass). `<a href>` targets
+    explode via two regexp_extract_all passes, resolve against the page
+    origin, eTLD+1-fold, and aggregate into (src_domain, dst_domain,
+    weight) — one hash shuffle total; relative self-links are dropped by
+    the graph's drop_self rule, non-http schemes by the resolver."""
+    from resume_ocr_spark.operators import linkgraph
+
+    pages = _linkgraph_pages(spark, sf_dir)
+    links = linkgraph.extract_outlinks(pages)
+    return linkgraph.host_link_graph(links)
+
+
+def pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration weighted PageRank over the outlink_graph edge
+    list (tail entry, round 5): 3 power iterations with dangling-mass
+    redistribution, oracle = the same 3 iterations UNROLLED as chained
+    SQL CTEs — a genuinely independent derivation of the same linear
+    recurrence. Ranks hash-gate behind round(,6) (the bigram_logprob
+    float rule; doubles agree to ~1e-13, rounding absorbs summation
+    order)."""
+    from resume_ocr_spark.operators import linkgraph
+
+    edges = outlink_graph(spark, sf_dir)
+    ranks = linkgraph.pagerank(edges, n_iter=3)
+    return ranks.select("domain", F.round("rank", 6).alias("rank"))
+
+
 def _media_texts(n: int) -> list[tuple[int, str]]:
     """Deterministic (doc_id, text) rows for the multimodal entries — a
     seeded mix of synthetic resumes and the recipe negative. Independent of
@@ -1624,6 +1695,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # coupled ingest→jusText-extraction pass over the same members
         "warc_ingest": warc_ingest,
         "warc_extract": warc_extract,
+        # round-5 tail: the link axis of crawl triage — outlink
+        # extraction → eTLD+1 edge list, and fixed-iteration PageRank
+        # with an unrolled-CTE SQL oracle (linkgraph.py)
+        "outlink_graph": outlink_graph,
+        "pagerank_hosts": pagerank_hosts,
     }
     return {**gated, **tail}
 
@@ -2893,21 +2969,20 @@ def oracle_sql() -> dict[str, str]:
               '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path
         FROM urls
       ), dom AS (
-        SELECT *, string_split(host, '.') AS labels,
+        -- mirrors urltools.registered_domain_expr (round-5 regex form:
+        -- last-2 / last-3 labels by anchored extract, two-level public
+        -- suffixes promote to three labels)
+        SELECT *,
+          regexp_extract(host, '([^.]+[.][^.]+)$', 1) AS last2,
+          regexp_extract(host, '([^.]+[.][^.]+[.][^.]+)$', 1) AS last3,
           CASE
-            WHEN len(labels) >= 3 THEN
-              CASE WHEN array_to_string(list_slice(
-                       labels, len(labels) - 1, len(labels)), '.') IN
-                     ('ac.uk', 'co.jp', 'co.kr', 'co.nz', 'co.uk',
-                      'co.za', 'com.au', 'com.br', 'com.cn', 'com.mx',
-                      'com.tr', 'gov.uk', 'ne.jp', 'net.au', 'or.jp',
-                      'org.uk')
-                   THEN array_to_string(list_slice(
-                       labels, len(labels) - 2, len(labels)), '.')
-                   ELSE array_to_string(list_slice(
-                       labels, len(labels) - 1, len(labels)), '.') END
-            WHEN len(labels) = 2 THEN host
-            ELSE host END AS domain
+            WHEN last2 = '' THEN host
+            WHEN last2 IN ('ac.uk', 'co.jp', 'co.kr', 'co.nz', 'co.uk',
+                           'co.za', 'com.au', 'com.br', 'com.cn',
+                           'com.mx', 'com.tr', 'gov.uk', 'ne.jp',
+                           'net.au', 'or.jp', 'org.uk')
+                 AND last3 <> '' THEN last3
+            ELSE last2 END AS domain
         FROM parts
       ), stats AS (
         SELECT domain, COUNT(*) AS n_docs,
@@ -3265,6 +3340,135 @@ def oracle_sql() -> dict[str, str]:
     sqls["dedup_phash"] = _precomputed("dedup_phash")
     sqls["warc_ingest"] = _precomputed("warc_ingest")
     sqls["warc_extract"] = _precomputed("warc_extract")
+
+    # ---- link-graph family: a true cross-dialect mirror (page synth,
+    # href extraction regexes, resolution CASE, eTLD+1 fold), then for
+    # pagerank the 3 power iterations UNROLLED as chained CTEs ----
+    def _dom_sql(host: str) -> str:
+        """The SQL mirror of urltools.registered_domain_expr (regex
+        form) applied to a host expression string."""
+        suf = ("'ac.uk','co.jp','co.kr','co.nz','co.uk','co.za','com.au',"
+               "'com.br','com.cn','com.mx','com.tr','gov.uk','ne.jp',"
+               "'net.au','or.jp','org.uk'")
+        l2 = f"regexp_extract({host}, '([^.]+[.][^.]+)$', 1)"
+        l3 = f"regexp_extract({host}, '([^.]+[.][^.]+[.][^.]+)$', 1)"
+        return (f"CASE WHEN {l2} = '' THEN {host} "
+                f"WHEN {l2} IN ({suf}) AND {l3} <> '' THEN {l3} "
+                f"ELSE {l2} END")
+
+    _host_of = (
+        "regexp_replace(lower(regexp_extract(regexp_extract({u}, "
+        "'^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1), "
+        "'^(?:[^@]*@)?([^:]*)', 1)), '[.]+$', '')")
+    _linkgraph_edges_cte = f"""
+      WITH pages AS (
+        SELECT doc_id, lang, source,
+          'https://' || CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END
+            || source || '-news.com/p/' || CAST(doc_id AS VARCHAR) AS url,
+          '<p>story</p><a href="https://' || lang || '-wiki.org/a/'
+            || CAST(doc_id % 7 AS VARCHAR) || '#ref">wiki</a>'
+          || CASE WHEN doc_id % 2 = 0 THEN '<a href=''http://ref'
+               || CAST(doc_id % 5 AS VARCHAR) || '.co.uk/x''>r</a>'
+             ELSE '' END
+          || CASE WHEN doc_id % 3 = 0 THEN '<a href="//cdn.' || source
+               || '-static.net/lib.js">c</a>' ELSE '' END
+          || CASE WHEN doc_id % 5 = 0 THEN '<a href="/about">a</a>'
+             ELSE '' END
+          || CASE WHEN doc_id % 6 = 0
+               THEN '<a href="mailto:ed@ex.org">m</a>' ELSE '' END
+          || '<a href="#top">t</a>' AS html
+        FROM documents WHERE doc_id < 300
+      ), base AS (
+        SELECT *,
+          lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*):', 1))
+            AS b_scheme,
+          {_host_of.format(u='url')} AS b_host
+        FROM pages
+      ), hrefs AS (
+        SELECT doc_id, b_scheme, b_host,
+          unnest(list_concat(
+            regexp_extract_all(html,
+              '(?i)<a\\s[^>]*?href\\s*=\\s*"([^"]*)"', 1),
+            regexp_extract_all(html,
+              '(?i)<a\\s[^>]*?href\\s*=\\s*''([^'']*)''', 1))) AS href0
+        FROM base
+      ), resolved AS (
+        SELECT doc_id, b_scheme, b_host,
+               regexp_replace(href0, '#.*$', '') AS h
+        FROM hrefs
+      ), linked AS (
+        SELECT doc_id, b_host,
+          CASE WHEN h = '' THEN ''
+               WHEN regexp_matches(h, '^(?i)https?://') THEN h
+               WHEN regexp_matches(h, '^[a-zA-Z][a-zA-Z0-9+.-]*:') THEN ''
+               WHEN h LIKE '//%' THEN b_scheme || ':' || h
+               WHEN h LIKE '/%' THEN b_scheme || '://' || b_host || h
+               ELSE b_scheme || '://' || b_host || '/' || h END AS link,
+          CASE WHEN regexp_matches(h, '^(?i)https?://')
+                 THEN {_host_of.format(u='h')}
+               WHEN regexp_matches(h, '^[a-zA-Z][a-zA-Z0-9+.-]*:') THEN ''
+               WHEN h LIKE '//%' THEN regexp_replace(lower(
+                 regexp_extract(h, '^//(?:[^@/?#]*@)?([^:/?#]*)', 1)),
+                 '[.]+$', '')
+               ELSE b_host END AS link_host
+        FROM resolved
+      ), doms AS (
+        SELECT {_dom_sql('b_host')} AS src_domain,
+               {_dom_sql('link_host')} AS dst_domain
+        FROM linked WHERE link <> ''
+      ), edges AS (
+        SELECT src_domain, dst_domain, COUNT(*) AS weight
+        FROM doms
+        WHERE src_domain <> '' AND dst_domain <> ''
+          AND src_domain <> dst_domain
+        GROUP BY 1, 2
+      )
+    """
+    sqls["outlink_graph"] = (
+        _linkgraph_edges_cte
+        + "SELECT src_domain, dst_domain, weight FROM edges")
+
+    # 3 unrolled power iterations; every scalar CTE is a CROSS JOIN of a
+    # 1-row aggregate (the engine's 1-row broadcast-probe shape in SQL)
+    _pr_iters = ""
+    for k in range(1, 4):
+        p = f"r{k - 1}"
+        _pr_iters += f"""
+      , dm{k} AS (
+        SELECT COALESCE(SUM(r.rank), 0) AS dm
+        FROM {p} r JOIN dang d USING (domain)
+      ), c{k} AS (
+        SELECT f.dst AS domain, SUM(f.frac * r.rank) AS in_rank
+        FROM frac f JOIN {p} r ON r.domain = f.src GROUP BY 1
+      ), r{k} AS (
+        SELECT nd.domain,
+               0.15 / nn.n
+               + 0.85 * (COALESCE(c.in_rank, 0) + dm{k}.dm / nn.n) AS rank
+        FROM nodes nd CROSS JOIN nn CROSS JOIN dm{k}
+        LEFT JOIN c{k} c ON c.domain = nd.domain
+      )"""
+    sqls["pagerank_hosts"] = (
+        _linkgraph_edges_cte
+        + f"""
+      , outw AS (
+        SELECT src_domain AS src, CAST(SUM(weight) AS DOUBLE) AS out_w
+        FROM edges GROUP BY 1
+      ), frac AS (
+        SELECT e.src_domain AS src, e.dst_domain AS dst,
+               CAST(e.weight AS DOUBLE) / o.out_w AS frac
+        FROM edges e JOIN outw o ON o.src = e.src_domain
+      ), nodes AS (
+        SELECT src_domain AS domain FROM edges
+        UNION SELECT dst_domain FROM edges
+      ), nn AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes
+      ), dang AS (
+        SELECT domain FROM nodes
+        WHERE domain NOT IN (SELECT src FROM outw)
+      ), r0 AS (
+        SELECT domain, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn
+      ){_pr_iters}
+      SELECT domain, ROUND(rank, 6) AS rank FROM r3""")
     sqls["semantic_dedup_det"] = _precomputed("semantic_dedup_det")
     # embedding_ann_ivf (sample-trained codebook) left the registry in
     # round 3: its codebook trains on a driver-side sample of the sf table,

@@ -48,6 +48,44 @@ _HOST_RE = "^(?:[^@]*@)?([^:]*)"
 _PATH_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)"
 
 
+def host_expr(url) -> "F.Column":
+    """Host of a URL as a pure Column expression: lowercased, userinfo
+    and port stripped, trailing root dot removed (``example.com.`` →
+    ``example.com``). Unparseable input yields empty string."""
+    u = F.coalesce(url, F.lit(""))
+    return F.regexp_replace(
+        F.lower(F.regexp_extract(
+            F.regexp_extract(u, _AUTH_RE, 1), _HOST_RE, 1)),
+        "[.]+$", "")
+
+
+def registered_domain_expr(
+    host,
+    two_level_suffixes: tuple[str, ...] = DEFAULT_TWO_LEVEL_SUFFIXES,
+) -> "F.Column":
+    """Registered domain (eTLD+1) of a host Column — the last two labels,
+    or three when the last two are a known two-level public suffix; a
+    single-label host (``localhost``) is its own domain. Pure Column
+    ops; shared by :func:`with_url_parts` and `linkgraph`.
+
+    Implemented as two anchored regexp_extracts (last-2 / last-3 labels)
+    rather than split/slice/array_join: the array form inlined ~6 copies
+    of split() per use and pushed the whole-stage-codegen method past
+    janino's 64 KB limit when composed with `linkgraph`'s resolution CASE
+    (measured: ERROR CodeGenerator → interpreter fallback). The regex
+    form keeps the stage inside codegen; hosts with empty labels
+    (``a..b``) have no well-formed last-2 match and degrade to the full
+    host, which is also what the blocklist/graph consumer wants."""
+    last2 = F.regexp_extract(host, "([^.]+[.][^.]+)$", 1)
+    last3 = F.regexp_extract(host, "([^.]+[.][^.]+[.][^.]+)$", 1)
+    suffix_set = F.array(*[F.lit(s) for s in two_level_suffixes])
+    return (
+        F.when(last2 == "", host)  # 0/1-label host is its own domain
+        .when(F.array_contains(suffix_set, last2) & (last3 != ""), last3)
+        .otherwise(last2)
+    )
+
+
 def with_url_parts(
     df: DataFrame,
     url_col: str = "url",
@@ -65,29 +103,13 @@ def with_url_parts(
     single label (``localhost``) is its own domain; unparseable URLs
     yield empty strings, never nulls/errors (error-as-data totality)."""
     url = F.coalesce(F.col(url_col), F.lit(""))
-    host = F.regexp_replace(
-        F.lower(F.regexp_extract(
-            F.regexp_extract(url, _AUTH_RE, 1), _HOST_RE, 1)),
-        "[.]+$", "")
     out = (
         df.withColumn("scheme", F.lower(F.regexp_extract(url, _SCHEME_RE, 1)))
-        .withColumn("host", host)
+        .withColumn("host", host_expr(F.col(url_col)))
         .withColumn("path", F.regexp_extract(url, _PATH_RE, 1))
-        .withColumn("_labels", F.split(F.col("host"), "[.]"))
     )
-    n = F.size("_labels")
-    # positive-index slices only: negative element_at/slice out-of-range
-    # throws under ANSI (Spark 4 default)
-    last2 = F.array_join(F.slice(F.col("_labels"), n - 1, 2), ".")
-    last3 = F.array_join(F.slice(F.col("_labels"), n - 2, 3), ".")
-    suffix_set = F.array(*[F.lit(s) for s in two_level_suffixes])
-    domain = (
-        F.when(n >= 3, F.when(F.array_contains(suffix_set, last2), last3)
-               .otherwise(last2))
-        .when(n == 2, last2)
-        .otherwise(F.col("host"))
-    )
-    return out.withColumn("domain", domain).drop("_labels")
+    return out.withColumn(
+        "domain", registered_domain_expr(F.col("host"), two_level_suffixes))
 
 
 def filter_blocked_domains(
