@@ -1324,6 +1324,58 @@ def pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("domain", F.round("rank", 6).alias("rank"))
 
 
+def _encoding_fixture_rows() -> list[tuple[int, str | None]]:
+    """Deterministic encoding-damage fixtures: clean multilingual text
+    (ids 0+), the same strings through one UTF-8-as-cp1252 decode (100+),
+    through two (200+), plus control bytes, U+FFFD debris, NFD form, and
+    a NULL. Independent of sf_dir so the oracle is the shared pure
+    functions' output as VALUES (the html_strip_gate pattern)."""
+    import unicodedata
+
+    from resume_ocr_spark.operators import encoding as enc
+
+    base = [
+        "Plain ASCII resume text, nothing to fix.",
+        "Résumé — “naïve” café…",
+        "señor João übermäßig çalışkan",
+        "東京のレストラン ratings",
+        "party 🎉 emoji line",
+    ]
+    rows: list[tuple[int, str | None]] = [
+        (i, s) for i, s in enumerate(base)]
+    for i, s in enumerate(base):
+        rows.append((100 + i, enc.sloppy_cp1252_decode(s.encode("utf-8"))))
+    for i, s in enumerate(base):
+        once = enc.sloppy_cp1252_decode(s.encode("utf-8"))
+        rows.append((200 + i,
+                     enc.sloppy_cp1252_decode(once.encode("utf-8"))))
+    rows.append((300, "ctrl\x00byte\x07line\twith\ntabs kept"))
+    rows.append((301, "lossy � decode � debris"))
+    rows.append((302, unicodedata.normalize("NFD", "Crème brûlée")))
+    rows.append((303, None))
+    return rows
+
+
+def encoding_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding triage (tail entry, round 5): mojibake detection counters
+    as JVM-side regex Columns (the full-corpus routing scan) + the
+    cp1252-round-trip repair / NFC / control-strip pandas UDF, over
+    fixtures covering single- and double-encoded UTF-8, CJK, emoji,
+    control bytes, replacement-char debris, NFD text, and NULL.  The
+    Java-vs-Python regex dialects are part of what the hash pins: the
+    oracle's counters come from the PY_ mirror of the same pattern."""
+    from resume_ocr_spark.operators import encoding as enc
+
+    df = spark.createDataFrame(_encoding_fixture_rows(),
+                               "doc_id long, text string")
+    out = enc.fix_text(enc.with_encoding_flags(df))
+    return out.select(
+        "doc_id", "mojibake_hits", "n_replacement_chars", "n_ctrl_chars",
+        "n_repair_passes",
+        F.length("text_fixed").alias("fixed_len"),
+        F.md5(F.col("text_fixed")).alias("fixed_md5"))
+
+
 def _media_texts(n: int) -> list[tuple[int, str]]:
     """Deterministic (doc_id, text) rows for the multimodal entries — a
     seeded mix of synthetic resumes and the recipe negative. Independent of
@@ -1700,6 +1752,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # with an unrolled-CTE SQL oracle (linkgraph.py)
         "outlink_graph": outlink_graph,
         "pagerank_hosts": pagerank_hosts,
+        # round-5 tail: byte-axis curation — mojibake detect/repair,
+        # NFC, control-strip (encoding.py); oracle = the shared pure
+        # functions as VALUES + the Python mirror of the flag regexes
+        "encoding_triage": encoding_triage,
     }
     return {**gated, **tail}
 
@@ -3469,6 +3525,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT domain, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn
       ){_pr_iters}
       SELECT domain, ROUND(rank, 6) AS rank FROM r3""")
+    sqls["encoding_triage"] = _precomputed("encoding_triage")
     sqls["semantic_dedup_det"] = _precomputed("semantic_dedup_det")
     # embedding_ann_ivf (sample-trained codebook) left the registry in
     # round 3: its codebook trains on a driver-side sample of the sf table,
@@ -3658,6 +3715,24 @@ def _precomputed(name: str) -> str:
             ("url", "VARCHAR"), ("http_status", "INTEGER"),
             ("text_len", "INTEGER"), ("text_md5", "VARCHAR"),
             ("n_html_bytes", "INTEGER"), ("error", "VARCHAR")])
+    elif name == "encoding_triage":
+        import hashlib
+
+        from resume_ocr_spark.operators import encoding as enc
+
+        rows = []
+        for doc_id, s in _encoding_fixture_rows():
+            t = s or ""
+            fixed, passes = enc.repair_encoding(s)
+            rows.append((
+                doc_id, enc.mojibake_count(t), t.count("�"),
+                len(enc._CTRL_PY.findall(t)), passes, len(fixed),
+                hashlib.md5(fixed.encode("utf-8")).hexdigest()))
+        sql = _values_sql(rows, [
+            ("doc_id", "BIGINT"), ("mojibake_hits", "INTEGER"),
+            ("n_replacement_chars", "INTEGER"),
+            ("n_ctrl_chars", "INTEGER"), ("n_repair_passes", "INTEGER"),
+            ("fixed_len", "INTEGER"), ("fixed_md5", "VARCHAR")])
     elif name == "multimodal_resize":
         rows = []
         for doc_id, text in _media_texts(20):

@@ -51,7 +51,7 @@ EXPECTED_TAIL = [
     "bm25_retrieval", "kneser_ney_logprob",
     "dsir_logweight", "dsir_resample", "nb_quality_classifier",
     "leakage_safe_split", "lm_contrast", "dsir_threshold", "warc_ingest",
-    "warc_extract", "outlink_graph", "pagerank_hosts",
+    "warc_extract", "outlink_graph", "pagerank_hosts", "encoding_triage",
 ]
 
 
