@@ -235,24 +235,39 @@ def pagerank(
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     for _ in range(n_iter):
-        contrib = (
-            frac.join(ranks.withColumnRenamed("domain", "src"), "src")
-            .groupBy(F.col("dst").alias("domain"))
-            .agg(F.sum(F.col("frac") * F.col("rank")).alias("in_rank"))
-        )
-        dangling = (
-            ranks.join(danglers, "domain", "left_semi")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dangling"))
-        )
-        ranks = _snap(
-            nodes.join(contrib, "domain", "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "domain",
-                (F.lit((1.0 - damping) / n_nodes)
-                 + F.lit(damping)
-                 * (F.coalesce(F.col("in_rank"), F.lit(0.0))
-                    + F.col("_dangling") / F.lit(float(n_nodes)))
-                 ).alias("rank"))
-        )
+        ranks = _snap(_pagerank_step(
+            nodes, frac, danglers, ranks, n_nodes, damping))
     return ranks
+
+
+def _pagerank_step(
+    nodes: DataFrame,
+    frac: DataFrame,
+    danglers: DataFrame,
+    ranks: DataFrame,
+    n_nodes: int,
+    damping: float,
+) -> DataFrame:
+    """One un-snapped power iteration — factored out so the executed-plan
+    test can pin ITS shuffle shape (the returned frame of :func:`pagerank`
+    is a checkpoint scan, which hides the iteration plan)."""
+    contrib = (
+        frac.join(ranks.withColumnRenamed("domain", "src"), "src")
+        .groupBy(F.col("dst").alias("domain"))
+        .agg(F.sum(F.col("frac") * F.col("rank")).alias("in_rank"))
+    )
+    dangling = (
+        ranks.join(danglers, "domain", "left_semi")
+        .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dangling"))
+    )
+    return (
+        nodes.join(contrib, "domain", "left")
+        .crossJoin(F.broadcast(dangling))
+        .select(
+            "domain",
+            (F.lit((1.0 - damping) / n_nodes)
+             + F.lit(damping)
+             * (F.coalesce(F.col("in_rank"), F.lit(0.0))
+                + F.col("_dangling") / F.lit(float(n_nodes)))
+             ).alias("rank"))
+    )

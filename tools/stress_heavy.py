@@ -153,7 +153,32 @@ def run_family(spark, docs_path: str, results: dict) -> None:
             (F.col("lang") == "en") & (F.col("doc_id") < 500)).select("text")
         return force(selection.with_dsir_logweight(docs, target))
 
+    def pagerank5():
+        # synthetic host graph scaling WITH the corpus: one node per doc,
+        # 3 pseudo-random out-edges each (multiplicative-hash dst) plus a
+        # hub every 97th node collecting extra in-links — 5 power
+        # iterations, the per-iteration node-shuffle + edge-agg shape at
+        # 10x nodes AND 10x edges (both scale linearly in corpus size)
+        from resume_ocr_spark.operators import linkgraph
+
+        n = docs.count()
+        e = docs.select(
+            F.concat(F.lit("h"), F.col("doc_id").cast("string")
+                     ).alias("src_domain"),
+            F.explode(F.array(*[
+                F.concat(F.lit("h"), ((F.col("doc_id") * 31 + k) % n)
+                         .cast("string"))
+                for k in (1, 7, 13)])).alias("dst_domain"),
+        ).withColumn("weight", F.lit(1) + (F.col("src_domain") ==
+                                           F.lit("h0")).cast("int"))
+        hub = docs.filter(F.col("doc_id") % 97 == 0).select(
+            F.concat(F.lit("h"), F.col("doc_id").cast("string")
+                     ).alias("src_domain"),
+            F.lit("hub.example").alias("dst_domain"), F.lit(3).alias("weight"))
+        return force(linkgraph.pagerank(e.unionByName(hub), n_iter=5))
+
     timed("lsh_candidates_k128", lsh_k128, results)
+    timed("pagerank5", pagerank5, results)
     timed("jaccard_lsh", jaccard_lsh, results)
     timed("cluster_star", cluster_star, results)
     timed("curation_pipeline", curation, results)
