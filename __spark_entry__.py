@@ -1376,6 +1376,85 @@ def encoding_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("text_fixed")).alias("fixed_md5"))
 
 
+def _anchor_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`_linkgraph_pages` plus one anchor per page that only the
+    ELEMENT-paired extractor can handle: nested inline markup, runs of
+    whitespace with a newline, a multi-word text varying by doc — aimed
+    at the same wiki domain as the existing bare "wiki" anchor so the
+    modal-anchor window has real competition.  Column-built so the
+    DuckDB oracle rebuilds the identical pages."""
+    pages = _linkgraph_pages(spark, sf_dir)
+    did = F.col("doc_id")
+    extra = F.concat(
+        F.lit('<a class="x" href="https://'), F.col("lang"),
+        F.lit("-wiki.org/a/"), (did % 7).cast("string"),
+        F.lit('#s"> <b>Deep</b>  dive\n'), (did % 3).cast("string"),
+        F.lit(" </a>"))
+    return pages.withColumn("html", F.concat(F.col("html"), extra))
+
+
+def anchor_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text aggregation (tail entry, round 5): paired
+    (href, inner text) extraction per <a> element — the off-page
+    relevance signal the original Brin/Page architecture indexes against
+    the TARGET page — folded to per-target-domain stats (total anchors,
+    exact distinct linking domains, modal anchor text).  The corpus side
+    is consumed by exactly ONE (domain, anchor, src)-keyed map-side-
+    combined shuffle; everything downstream is dimension-sized
+    (linkgraph.extract_anchors / anchor_text_stats docstrings)."""
+    from resume_ocr_spark.operators import linkgraph
+
+    pages = _anchor_pages(spark, sf_dir)
+    anchors = linkgraph.extract_anchors(pages)
+    return linkgraph.anchor_text_stats(anchors)
+
+
+def benchmark_decontam_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The oversized-benchmark twin of `benchmark_decontam` (tail entry,
+    round 5): identical semantics and oracle, but the gram match runs as
+    a SHUFFLED hash join (`broadcast_bench=False`, shuffle_hash-hinted) —
+    the shape for a held-out side too big for one executor (a full
+    validation split, crawl-vs-previous-crawl decontamination).  The
+    hint, not AQE, pins the strategy: at test scale AQE would happily
+    re-broadcast the tiny bench and the plan under test would not be the
+    100 TB plan (tests/test_linkgraph_anchors.py pins ShuffledHashJoin
+    present / BroadcastHashJoin absent on the gram join)."""
+    from resume_ocr_spark.operators import decontam
+
+    docs = (_t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 80).select("doc_id", "text"))
+    bench = (_t(spark, sf_dir, "documents")
+             .filter(F.col("doc_id") < 3)
+             .select(F.col("text").alias("question")))
+    return decontam.contamination_counts(
+        docs, bench, bench_text_col="question", n=3, broadcast_bench=False)
+
+
+def latest_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX-style capture dedup (tail entry, round 5): a crawl archive
+    holds every historical fetch of a URL; training wants one.  Keeper =
+    lexicographic max of (fetch_ts, doc_id) per URL via max_by over a
+    struct ordering key — ONE map-side-combined hash shuffle, at most
+    one candidate row per URL per input partition, which beats the
+    textbook row_number window (a 10^5-capture hot URL ships ALL its
+    rows to one task under a window; one per upstream partition here).
+    Fixture: documents folded onto 97 URL slots per source with a
+    decimated timestamp so slots carry many captures."""
+    from resume_ocr_spark.operators import urltools
+
+    caps = (_t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 2000)
+            .select(
+                F.concat(F.lit("https://"), F.col("source"),
+                         F.lit(".com/p/"),
+                         (F.col("doc_id") % 97).cast("string")).alias("url"),
+                ((F.col("doc_id") * 37) % 1000).cast("int")
+                .alias("fetch_ts"),
+                "doc_id",
+                F.length("text").alias("text_len")))
+    return urltools.keep_latest_capture(caps)
+
+
 def _media_texts(n: int) -> list[tuple[int, str]]:
     """Deterministic (doc_id, text) rows for the multimodal entries — a
     seeded mix of synthetic resumes and the recipe negative. Independent of
@@ -1756,6 +1835,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NFC, control-strip (encoding.py); oracle = the shared pure
         # functions as VALUES + the Python mirror of the flag regexes
         "encoding_triage": encoding_triage,
+        # round-5 tail: paired (href, anchor-text) extraction folded to
+        # per-target-domain stats — the off-page relevance signal; one
+        # corpus-side shuffle (linkgraph.anchor_text_stats)
+        "anchor_text_stats": anchor_text_stats,
+        # round-5 tail: the oversized-benchmark decontam twin — same
+        # semantics/oracle as benchmark_decontam, gram match pinned to a
+        # SHUFFLED hash join (the bench-side-too-big-to-broadcast shape)
+        "benchmark_decontam_join": benchmark_decontam_join,
+        # round-5 tail: CDX-style keep-newest-capture-per-URL via
+        # map-side-combined max_by (one candidate row per URL per
+        # partition, vs a window shipping every capture of a hot URL)
+        "latest_capture": latest_capture,
     }
     return {**gated, **tail}
 
@@ -3525,6 +3616,123 @@ def oracle_sql() -> dict[str, str]:
         SELECT domain, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn
       ){_pr_iters}
       SELECT domain, ROUND(rank, 6) AS rank FROM r3""")
+
+    # ---- anchor_text_stats: the same page synth PLUS the element-paired
+    # extra anchor (nested <b>, double spaces, a newline), then whole
+    # <a ...>...</a> elements, per-element (href, text) extraction, the
+    # shared resolution CASE, and the triple-grouped stats.  COUNT-only
+    # aggregates (BIGINT in DuckDB) — no SUM, no HUGEINT exposure. ----
+    sqls["anchor_text_stats"] = f"""
+      WITH pages AS (
+        SELECT doc_id, lang, source,
+          'https://' || CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END
+            || source || '-news.com/p/' || CAST(doc_id AS VARCHAR) AS url,
+          '<p>story</p><a href="https://' || lang || '-wiki.org/a/'
+            || CAST(doc_id % 7 AS VARCHAR) || '#ref">wiki</a>'
+          || CASE WHEN doc_id % 2 = 0 THEN '<a href=''http://ref'
+               || CAST(doc_id % 5 AS VARCHAR) || '.co.uk/x''>r</a>'
+             ELSE '' END
+          || CASE WHEN doc_id % 3 = 0 THEN '<a href="//cdn.' || source
+               || '-static.net/lib.js">c</a>' ELSE '' END
+          || CASE WHEN doc_id % 5 = 0 THEN '<a href="/about">a</a>'
+             ELSE '' END
+          || CASE WHEN doc_id % 6 = 0
+               THEN '<a href="mailto:ed@ex.org">m</a>' ELSE '' END
+          || '<a href="#top">t</a>'
+          || '<a class="x" href="https://' || lang || '-wiki.org/a/'
+            || CAST(doc_id % 7 AS VARCHAR) || '#s"> <b>Deep</b>  dive'
+            || chr(10) || CAST(doc_id % 3 AS VARCHAR) || ' </a>' AS html
+        FROM documents WHERE doc_id < 300
+      ), base AS (
+        SELECT *,
+          lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*):', 1))
+            AS b_scheme,
+          {_host_of.format(u='url')} AS b_host
+        FROM pages
+      ), elems AS (
+        SELECT doc_id, b_scheme, b_host,
+          unnest(regexp_extract_all(html,
+            '(?is)<a\\s[^>]*>.*?</a\\s*>', 0)) AS elem
+        FROM base
+      ), pairs AS (
+        SELECT doc_id, b_scheme, b_host,
+          regexp_replace(
+            CASE WHEN regexp_extract(elem,
+                   '(?i)<a\\s[^>]*?href\\s*=\\s*"([^"]*)"', 1) <> ''
+                 THEN regexp_extract(elem,
+                   '(?i)<a\\s[^>]*?href\\s*=\\s*"([^"]*)"', 1)
+                 ELSE regexp_extract(elem,
+                   '(?i)<a\\s[^>]*?href\\s*=\\s*''([^'']*)''', 1)
+            END, '#.*$', '') AS h,
+          trim(regexp_replace(regexp_replace(elem,
+            '(?is)<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')) AS anchor
+        FROM elems
+      ), linked AS (
+        SELECT doc_id, b_host, anchor,
+          CASE WHEN h = '' THEN ''
+               WHEN regexp_matches(h, '^(?i)https?://') THEN h
+               WHEN regexp_matches(h, '^[a-zA-Z][a-zA-Z0-9+.-]*:') THEN ''
+               WHEN h LIKE '//%' THEN b_scheme || ':' || h
+               WHEN h LIKE '/%' THEN b_scheme || '://' || b_host || h
+               ELSE b_scheme || '://' || b_host || '/' || h END AS link,
+          CASE WHEN regexp_matches(h, '^(?i)https?://')
+                 THEN {_host_of.format(u='h')}
+               WHEN regexp_matches(h, '^[a-zA-Z][a-zA-Z0-9+.-]*:') THEN ''
+               WHEN h LIKE '//%' THEN regexp_replace(lower(
+                 regexp_extract(h, '^//(?:[^@/?#]*@)?([^:/?#]*)', 1)),
+                 '[.]+$', '')
+               ELSE b_host END AS link_host
+        FROM pairs
+      ), anch AS (
+        SELECT {_dom_sql('b_host')} AS src_domain,
+               {_dom_sql('link_host')} AS dst_domain,
+               anchor
+        FROM linked WHERE link <> '' AND anchor <> ''
+      ), kept AS (
+        SELECT * FROM anch
+        WHERE src_domain <> '' AND dst_domain <> ''
+          AND src_domain <> dst_domain
+      ), totals AS (
+        SELECT dst_domain AS link_domain,
+               COUNT(*) AS total_anchors,
+               COUNT(DISTINCT src_domain) AS n_src_domains
+        FROM kept GROUP BY 1
+      ), per AS (
+        SELECT dst_domain, anchor, COUNT(*) AS n
+        FROM kept GROUP BY 1, 2
+      ), top AS (
+        SELECT dst_domain, anchor, n,
+               ROW_NUMBER() OVER (PARTITION BY dst_domain
+                                  ORDER BY n DESC, anchor ASC) AS rk
+        FROM per
+      )
+      SELECT t.link_domain, t.total_anchors, t.n_src_domains,
+             p.anchor AS top_anchor, p.n AS top_anchor_n
+      FROM totals t JOIN top p
+        ON p.dst_domain = t.link_domain AND p.rk = 1
+    """
+    # identical semantics, identical oracle — only the join strategy
+    # differs (shuffled hash vs broadcast), which SQL cannot see
+    sqls["benchmark_decontam_join"] = sqls["benchmark_decontam"]
+    # latest_capture: the window formulation IS the oracle — an
+    # independent derivation of the same keeper rule (the engine runs
+    # map-side-combined max_by instead)
+    sqls["latest_capture"] = """
+      WITH caps AS (
+        SELECT 'https://' || source || '.com/p/'
+                 || CAST(doc_id % 97 AS VARCHAR) AS url,
+               CAST((doc_id * 37) % 1000 AS INT) AS fetch_ts,
+               doc_id,
+               CAST(length(text) AS INT) AS text_len
+        FROM documents WHERE doc_id < 2000
+      ), rk AS (
+        SELECT *, ROW_NUMBER() OVER (
+                 PARTITION BY url
+                 ORDER BY fetch_ts DESC, doc_id DESC) AS _rk
+        FROM caps
+      )
+      SELECT url, fetch_ts, doc_id, text_len FROM rk WHERE _rk = 1
+    """
     sqls["encoding_triage"] = _precomputed("encoding_triage")
     sqls["semantic_dedup_det"] = _precomputed("semantic_dedup_det")
     # embedding_ann_ivf (sample-trained codebook) left the registry in

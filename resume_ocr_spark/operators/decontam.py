@@ -56,6 +56,7 @@ def contamination_counts(
     bench_text_col: str = "text",
     n: int = DECONTAM_NGRAM,
     threshold: int = 1,
+    broadcast_bench: bool = True,
 ) -> DataFrame:
     """Per-document benchmark-overlap counts.
 
@@ -65,13 +66,35 @@ def contamination_counts(
     ``coalesce`` the count to 0). ``id_col`` must be unique per row: gram
     distinctness is per-row, so a duplicated id would double-count its
     matched grams.
+
+    ``broadcast_bench`` picks the join strategy for the gram match.
+    ``True`` (default) is the eval-suite shape — the bench side is at
+    most ~10^6 grams and ships to every executor, the corpus never
+    shuffles.  ``False`` is the oversized-"benchmark" shape: when the
+    held-out side is itself corpus-scale (a full validation split, the
+    union of thousands of eval sets, or decontaminating crawl N against
+    crawl N-1), its distinct gram hashes no longer fit an executor and
+    the match must be a SHUFFLED hash join on ``_gram_hash`` — both
+    sides exchange once on an 8-byte key (the corpus side as (id, hash)
+    pairs, already distinct per doc), which is the standard
+    scale-out; the per-doc count shuffle after it is unchanged.  Same
+    semantics, same oracle — only the physical strategy moves.  The
+    shuffle path is pinned with a ``shuffle_hash`` hint rather than the
+    mere absence of a broadcast hint: otherwise AQE re-broadcasts any
+    bench that happens to fit the threshold (correct at test scale,
+    but then the plan under test is not the plan that runs at 100 TB),
+    and shuffled-hash beats sort-merge here — an 8-byte equi-key whose
+    bench-side partitions fit executor memory by construction of the
+    shuffle, no sort needed on the corpus side.
     """
     bench = _benchmark_gram_hashes(benchmark, bench_text_col, n)
+    bench = F.broadcast(bench) if broadcast_bench else bench.hint(
+        "shuffle_hash")
     doc_grams = _shingles(docs, id_col, text_col, n).select(
         F.col(id_col), F.xxhash64("word").alias("_gram_hash")
     )
     return (
-        doc_grams.join(F.broadcast(bench), "_gram_hash", "inner")
+        doc_grams.join(bench, "_gram_hash", "inner")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("contaminated_ngrams"))
         .withColumn(
@@ -232,12 +255,16 @@ def decontaminate(
     bench_text_col: str = "text",
     n: int = DECONTAM_NGRAM,
     threshold: int = 1,
+    broadcast_bench: bool = True,
 ) -> DataFrame:
     """Drop documents sharing ≥ ``threshold`` word n-grams with the
-    benchmark; the surviving frame keeps the input schema unchanged."""
+    benchmark; the surviving frame keeps the input schema unchanged.
+    ``broadcast_bench`` as in :func:`contamination_counts` (False = the
+    oversized-benchmark shuffled-join shape)."""
     flagged = (
         contamination_counts(
-            docs, benchmark, id_col, text_col, bench_text_col, n, threshold
+            docs, benchmark, id_col, text_col, bench_text_col, n, threshold,
+            broadcast_bench=broadcast_bench,
         )
         .filter(F.col("contaminated"))
         .select(id_col)

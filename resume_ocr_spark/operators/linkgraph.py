@@ -58,6 +58,48 @@ HREF_SQ_RE = "(?i)<a\\s[^>]*?href\\s*=\\s*'([^']*)'"
 # data: are dropped later by the http(s) gate)
 _ABS_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*:"
 
+# whole <a ...>...</a> elements (dotall: anchor text may span newlines;
+# lazy close: stop at the FIRST </a>, nested anchors are invalid HTML and
+# browsers auto-close them the same way). Group 0 extraction keeps href
+# and inner text paired per element — two independent per-attribute
+# passes (the extract_outlinks shape) cannot pair them once any tag lacks
+# one of the two. RE2/Java common subset, so DuckDB mirrors it verbatim.
+ANCHOR_ELEM_RE = "(?is)<a\\s[^>]*>.*?</a\\s*>"
+
+# markup → text: strip every remaining tag (the <a ...> wrapper and any
+# nested inline markup), then collapse runs of whitespace
+_TAG_RE = "(?is)<[^>]*>"
+_WS_RE = "\\s+"
+
+
+def _link_and_host(h, base_scheme, base_origin, base_host):
+    """The shared href-resolution CASEs over a NAMED stripped-href column.
+
+    Both consumers (`extract_outlinks`, `extract_anchors`) keep ``link``
+    and ``link_host`` as PARALLEL CASEs over the named column — neither
+    nests the other (codegen cannot CSE subexpressions inside when()
+    branches; nesting inlined the base-origin regexes per branch and
+    pushed doConsume past janino's 64 KB method limit — measured, see
+    extract_outlinks)."""
+    is_http = h.rlike("^(?i)https?://")
+    link = (
+        F.when(h == "", F.lit(""))  # empty / fragment-only: drop
+        .when(is_http, h)
+        .when(h.rlike(_ABS_RE), F.lit(""))  # non-http scheme: drop
+        .when(h.startswith("//"), F.concat(base_scheme, F.lit(":"), h))
+        .when(h.startswith("/"), F.concat(base_origin, h))
+        .otherwise(F.concat(base_origin, F.lit("/"), h))
+    )
+    link_host = (
+        F.when(is_http, urltools.host_expr(h))
+        .when(h.rlike(_ABS_RE), F.lit(""))
+        .when(h.startswith("//"),
+              F.regexp_replace(F.lower(F.regexp_extract(
+                  h, "^//(?:[^@/?#]*@)?([^:/?#]*)", 1)), "[.]+$", ""))
+        .otherwise(base_host)
+    )
+    return link, link_host
+
 
 def extract_outlinks(
     df: DataFrame,
@@ -108,24 +150,8 @@ def extract_outlinks(
         df.withColumn("_href", F.explode(hrefs))
         .withColumn("_h", F.regexp_replace(F.col("_href"), "#.*$", ""))
     )
-    h = F.col("_h")
-    is_http = h.rlike("^(?i)https?://")
-    link = (
-        F.when(h == "", F.lit(""))  # empty / fragment-only: drop
-        .when(is_http, h)
-        .when(h.rlike(_ABS_RE), F.lit(""))  # non-http scheme: drop
-        .when(h.startswith("//"), F.concat(base_scheme, F.lit(":"), h))
-        .when(h.startswith("/"), F.concat(base_origin, h))
-        .otherwise(F.concat(base_origin, F.lit("/"), h))
-    )
-    link_host = (
-        F.when(is_http, urltools.host_expr(h))
-        .when(h.rlike(_ABS_RE), F.lit(""))
-        .when(h.startswith("//"),
-              F.regexp_replace(F.lower(F.regexp_extract(
-                  h, "^//(?:[^@/?#]*@)?([^:/?#]*)", 1)), "[.]+$", ""))
-        .otherwise(base_host)
-    )
+    link, link_host = _link_and_host(
+        F.col("_h"), base_scheme, base_origin, base_host)
     out = (
         out.withColumn("link", link)
         .withColumn("link_host", link_host)
@@ -138,6 +164,140 @@ def extract_outlinks(
     # link_* so the caller's page-side host/domain columns are untouched
     return out.withColumn("link_domain", urltools.registered_domain_expr(
         F.col("link_host"), two_level_suffixes))
+
+
+def extract_anchors(
+    df: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    two_level_suffixes: tuple[str, ...] = urltools.DEFAULT_TWO_LEVEL_SUFFIXES,
+) -> DataFrame:
+    """Explode each page's anchors into ``(link, link_host, link_domain,
+    anchor)`` rows — the href AND the human-visible anchor text, paired.
+
+    Anchor text is the classic off-page relevance/quality signal (the
+    original Brin/Page architecture indexes it against the TARGET page;
+    CommonCrawl-lineage curation uses aggregated anchor text as a prior
+    beside the link graph itself).  `extract_outlinks` cannot produce it:
+    its two per-quote-style href passes lose the pairing between an href
+    and the inner text of the SAME tag.  Here one ``regexp_extract_all``
+    pulls whole ``<a ...>...</a>`` elements (group 0), the explode is the
+    same bounded links-per-page fan-out, and href / anchor text are then
+    per-element extractions — still pure Column ops, zero shuffles, zero
+    Python, whole-stage codegen, and every regex in the RE2/Java common
+    subset so the DuckDB oracle mirrors it 1:1.
+
+    Resolution of the href reuses :func:`_link_and_host` (identical
+    semantics to `extract_outlinks`).  Anchor text = the element with all
+    markup stripped (nested ``<b>``/``<span>`` inline tags included),
+    whitespace collapsed, trimmed.  Rows with an empty resolved link OR
+    empty anchor text are dropped (an image-only or whitespace-only
+    anchor carries no text signal).
+    """
+    html = F.coalesce(F.col(html_col), F.lit(""))
+    url = F.coalesce(F.col(url_col), F.lit(""))
+    base_scheme = F.lower(F.regexp_extract(url, urltools._SCHEME_RE, 1))
+    base_host = urltools.host_expr(F.col(url_col))
+    base_origin = F.concat(base_scheme, F.lit("://"), base_host)
+
+    # per-element regex work happens INSIDE a transform lambda, so the
+    # explode emits already-computed (h, anchor) structs and every
+    # downstream reference is a CHEAP struct-field access.  Exploding
+    # raw elements and re-extracting after was measured to overflow:
+    # `_h` became a 3-regex CASE tree that the href-resolution CASEs and
+    # registered_domain_expr multiply ~20×, pushing the Generate stage's
+    # doConsume past janino's 64 KB limit (ERROR CodeGenerator →
+    # interpreter fallback).  The lambda also evaluates each regex ONCE
+    # per element instead of once per inlined copy — the dsir lesson
+    # (no CSE across copies) applied in the profitable direction.
+    def _pair(e):
+        dq = F.regexp_extract(e, HREF_DQ_RE, 1)
+        sq = F.regexp_extract(e, HREF_SQ_RE, 1)
+        h = F.regexp_replace(
+            F.when(dq != "", dq).otherwise(sq), "#.*$", "")
+        anchor = F.trim(F.regexp_replace(
+            F.regexp_replace(e, _TAG_RE, " "), _WS_RE, " "))
+        return F.struct(h.alias("h"), anchor.alias("anchor"))
+
+    out = df.withColumn(
+        "_p",
+        F.explode(F.transform(
+            F.regexp_extract_all(html, F.lit(ANCHOR_ELEM_RE), F.lit(0)),
+            _pair)),
+    )
+    link, link_host = _link_and_host(
+        F.col("_p.h"), base_scheme, base_origin, base_host)
+    out = (
+        out.withColumn("link", link)
+        .withColumn("link_host", link_host)
+        .withColumn("anchor", F.col("_p.anchor"))
+        .filter((F.col("link") != "") & (F.col("anchor") != ""))
+        .drop("_p")
+    )
+    return out.withColumn("link_domain", urltools.registered_domain_expr(
+        F.col("link_host"), two_level_suffixes))
+
+
+def anchor_text_stats(
+    anchors: DataFrame,
+    src_col: str = "domain",
+    dst_col: str = "link_domain",
+    anchor_col: str = "anchor",
+    drop_self: bool = True,
+) -> DataFrame:
+    """Aggregate anchor rows into per-target-domain anchor-text stats:
+    ``(link_domain, total_anchors, n_src_domains, top_anchor,
+    top_anchor_n)``.
+
+    ``top_anchor`` is the modal anchor text pointing at the domain
+    (ties broken by lexicographically smallest text — deterministic
+    across engines/retries), ``n_src_domains`` the EXACT count of
+    distinct linking domains (the authority-breadth signal — 1,000
+    anchors from one domain is spam, from 900 domains it is standing).
+
+    Distributed shape: the corpus-sized anchor rows are consumed EXACTLY
+    ONCE, by a single (dst, anchor, src)-keyed count — one hash shuffle
+    with map-side partial aggregation, output bounded by distinct
+    triples (dimension-sized, like `host_link_graph`'s edge list).
+    Everything else — per-(dst, anchor) sums, per-dst totals, the exact
+    distinct-source count (src appears once per triple, so a plain
+    ``countDistinct`` over the triples is exact), the modal-anchor
+    window, and the final dst-keyed join — runs over that small frame
+    (AQE broadcasts the smaller join side).  A two-branch formulation
+    (separate per-anchor and per-domain aggregations over the raw
+    anchors) was measured and rejected: it scans the regex-explode
+    child twice AND re-inlines the href-resolution trees once per
+    branch, which pushed the Generate stage's generated doConsume past
+    janino's 64 KB method limit (ERROR CodeGenerator → interpreter
+    fallback for the whole stage).  ``drop_self`` mirrors
+    `host_link_graph`: intra-domain navigation anchors ("home", "next")
+    dominate raw counts and carry no cross-site signal.
+    """
+    from pyspark.sql import Window
+
+    a = anchors.select(
+        F.col(src_col).alias("_src"),
+        F.col(dst_col).alias("link_domain"),
+        F.col(anchor_col).alias("_anchor"),
+    ).filter((F.col("_src") != "") & (F.col("link_domain") != ""))
+    if drop_self:
+        a = a.filter(F.col("_src") != F.col("link_domain"))
+    triples = a.groupBy("link_domain", "_anchor", "_src").agg(
+        F.count(F.lit(1)).alias("_n"))
+    per_anchor = triples.groupBy("link_domain", "_anchor").agg(
+        F.sum("_n").alias("_n"))
+    w = Window.partitionBy("link_domain").orderBy(
+        F.desc("_n"), F.asc("_anchor"))
+    top = (
+        per_anchor.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("link_domain", F.col("_anchor").alias("top_anchor"),
+                F.col("_n").alias("top_anchor_n"))
+    )
+    totals = triples.groupBy("link_domain").agg(
+        F.sum("_n").alias("total_anchors"),
+        F.countDistinct("_src").alias("n_src_domains"))
+    return totals.join(top, "link_domain")
 
 
 def host_link_graph(

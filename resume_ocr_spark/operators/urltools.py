@@ -151,3 +151,37 @@ def domain_stats(
             F.sum(F.length(F.coalesce(F.col(text_col), F.lit(""))))
             .alias("n_chars"))
     return df.groupBy(F.col(domain_col).alias("domain")).agg(*aggs)
+
+
+def keep_latest_capture(
+    df: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "fetch_ts",
+    tie_col: str = "doc_id",
+) -> DataFrame:
+    """CDX-style capture dedup: keep ONE row per URL — the newest capture.
+
+    A crawl archive holds every historical fetch of a URL (CommonCrawl's
+    CDX index exists to answer exactly this "which capture is current?"
+    question); a training corpus wants one.  The keeper is the row with
+    the lexicographically largest ``(ts_col, tie_col)`` pair — newest
+    fetch, ties (same-second refetches, mirrored records) broken by the
+    larger ``tie_col`` so the result is deterministic across engines,
+    task retries, and cluster sizes.
+
+    Distributed shape: ``max_by`` over a struct ordering key — ONE hash
+    shuffle on ``url`` with MAP-SIDE partial aggregation, so at most one
+    candidate row per URL per input partition crosses the wire.  This
+    deliberately beats the textbook ``row_number() OVER (PARTITION BY
+    url)`` window, which must shuffle EVERY capture row (a hot URL with
+    10^5 captures ships all of them to one task); with ``max_by`` the
+    same hot URL contributes one row per upstream partition.  Input
+    schema is preserved (column order included).
+    """
+    cols = df.columns
+    packed = df.groupBy(F.col(url_col).alias("_url")).agg(
+        F.max_by(
+            F.struct(*[F.col(c) for c in cols]),
+            F.struct(F.col(ts_col), F.col(tie_col)),
+        ).alias("_keep"))
+    return packed.select(*[F.col(f"_keep.{c}").alias(c) for c in cols])

@@ -52,6 +52,7 @@ EXPECTED_TAIL = [
     "dsir_logweight", "dsir_resample", "nb_quality_classifier",
     "leakage_safe_split", "lm_contrast", "dsir_threshold", "warc_ingest",
     "warc_extract", "outlink_graph", "pagerank_hosts", "encoding_triage",
+    "anchor_text_stats", "benchmark_decontam_join", "latest_capture",
 ]
 
 
