@@ -1455,6 +1455,78 @@ def latest_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return urltools.keep_latest_capture(caps)
 
 
+def noindex_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Meta-robots exclusion gate (tail entry, round 5): pages that say
+    ``noindex`` may not enter a training corpus — the REP meta extension
+    is the publisher's opt-out, and every CommonCrawl-derived pipeline
+    gates on it. Fixture covers the attribute zoo: canonical quoted tag,
+    REVERSED-attribute uppercase single-quoted tag, ``none`` (= noindex
+    + nofollow), a ``name="description"`` decoy, a ``robots-extra``
+    boundary decoy, an UNQUOTED-attribute tag, and an X-Robots-Tag
+    header column. Zero-shuffle whole-stage-codegen projection
+    (urltools.with_robots_directives); oracle mirrors the regexes in
+    DuckDB's RE2."""
+    from resume_ocr_spark.operators import urltools
+
+    d = (_t(spark, sf_dir, "documents")
+         .filter(F.col("doc_id") < 400).select("doc_id"))
+    did = F.col("doc_id")
+    m5 = did % 5
+    meta = (
+        F.when(m5 == 0,
+               F.lit('<meta name="robots" content="noindex, follow">'))
+        .when(m5 == 1, F.lit("<META CONTENT='nofollow' NAME='ROBOTS'>"))
+        .when(m5 == 2, F.lit('<meta name="robots" content="none">'))
+        .when(m5 == 3, F.lit('<meta name="description" content="noindex">'))
+        .otherwise(F.lit("")))
+    html = F.concat(
+        F.lit("<html><head>"), meta,
+        F.when(did % 7 == 0,
+               F.lit("<meta name=robots content=noarchive,noindex>"))
+        .otherwise(F.lit("")),
+        F.when(did % 13 == 0,
+               F.lit('<meta name="robots-extra" content="noindex">'))
+        .otherwise(F.lit("")),
+        F.lit("</head><body>p"), did.cast("string"), F.lit("</body></html>"))
+    hdr = (F.when(did % 11 == 0, F.lit("noindex, nosnippet"))
+           .otherwise(F.lit("")))
+    pages = d.withColumn("html", html).withColumn("xrobots", hdr)
+    flagged = urltools.with_robots_directives(
+        pages, html_col="html", header_col="xrobots")
+    return flagged.select("doc_id", "robots_noindex", "robots_nofollow")
+
+
+def snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-snapshot delta (tail entry, round 5): two crawls of the
+    same sites, classify each URL added/removed/changed/unchanged by
+    content digest so the refresh reprocesses only the delta — the
+    incremental-corpus operator that makes a monthly 100 TB re-crawl
+    affordable. Fixture: old = docs < 400, new = docs 100..479 with
+    every 7th text revised, so all four statuses are populated at
+    sf0.01. The join is a merge-hinted co-partitioned SMJ on url (both
+    snapshots corpus-sized; plan pinned by tests/test_urltools_robots)
+    and only the old side's (url, digest) MANIFEST crosses the wire
+    (urltools.snapshot_delta)."""
+    from resume_ocr_spark.operators import urltools
+
+    base = (_t(spark, sf_dir, "documents")
+            .select("doc_id", "source", "text")
+            .withColumn("url", F.concat(
+                F.lit("https://"), F.col("source"), F.lit(".com/p/"),
+                F.col("doc_id").cast("string"))))
+    old = (base.filter(F.col("doc_id") < 400)
+           .select("url", F.md5(F.col("text")).alias("digest")))
+    new = (base.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 480))
+           .select(
+               "url",
+               F.when(F.col("doc_id") % 7 == 0,
+                      F.md5(F.concat(F.col("text"), F.lit("v2"))))
+               .otherwise(F.md5(F.col("text"))).alias("digest"),
+               F.length("text").cast("int").alias("text_len")))
+    return urltools.snapshot_delta(old, new, key_col="url",
+                                   digest_col="digest")
+
+
 def _media_texts(n: int) -> list[tuple[int, str]]:
     """Deterministic (doc_id, text) rows for the multimodal entries — a
     seeded mix of synthetic resumes and the recipe negative. Independent of
@@ -1847,6 +1919,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # map-side-combined max_by (one candidate row per URL per
         # partition, vs a window shipping every capture of a hot URL)
         "latest_capture": latest_capture,
+        # round-5 tail: the publisher opt-out gate — <meta name=robots>
+        # noindex/nofollow parsing (attribute-order/quote/case zoo), a
+        # zero-shuffle codegen projection (urltools.with_robots_directives)
+        "noindex_gate": noindex_gate,
+        # round-5 tail: incremental crawl refresh — full-outer manifest
+        # SMJ classifying urls added/removed/changed/unchanged by digest
+        # so only the delta reprocesses (urltools.snapshot_delta)
+        "snapshot_delta": snapshot_delta,
     }
     return {**gated, **tail}
 
@@ -3732,6 +3812,81 @@ def oracle_sql() -> dict[str, str]:
         FROM caps
       )
       SELECT url, fetch_ts, doc_id, text_len FROM rk WHERE _rk = 1
+    """
+    # noindex_gate: the oracle REBUILDS the identical pages from literals
+    # and mirrors the three robots regexes in DuckDB's RE2 (list_filter /
+    # list_transform lambdas stand in for Spark's filter/transform)
+    sqls["noindex_gate"] = r"""
+      WITH pages AS (
+        SELECT doc_id,
+               '<html><head>'
+               || CASE CAST(doc_id % 5 AS INT)
+                    WHEN 0 THEN '<meta name="robots" content="noindex, follow">'
+                    WHEN 1 THEN '<META CONTENT=''nofollow'' NAME=''ROBOTS''>'
+                    WHEN 2 THEN '<meta name="robots" content="none">'
+                    WHEN 3 THEN '<meta name="description" content="noindex">'
+                    ELSE '' END
+               || CASE WHEN doc_id % 7 = 0
+                       THEN '<meta name=robots content=noarchive,noindex>'
+                       ELSE '' END
+               || CASE WHEN doc_id % 13 = 0
+                       THEN '<meta name="robots-extra" content="noindex">'
+                       ELSE '' END
+               || '</head><body>p' || CAST(doc_id AS VARCHAR)
+               || '</body></html>' AS html,
+               CASE WHEN doc_id % 11 = 0 THEN 'noindex, nosnippet'
+                    ELSE '' END AS xrobots
+        FROM documents WHERE doc_id < 400
+      ), tok AS (
+        SELECT doc_id,
+               flatten(list_transform(
+                 list_filter(
+                   regexp_extract_all(html, '(?i)<meta\b[^>]*>'),
+                   t -> regexp_matches(t,
+                          '(?i)name\s*=\s*["'']?robots["''\s/>]')),
+                 t -> string_split_regex(lower(
+                        CASE WHEN regexp_extract(t,
+                               '(?i)content\s*=\s*["'']([^"'']*)["'']', 1)
+                               <> ''
+                             THEN regexp_extract(t,
+                               '(?i)content\s*=\s*["'']([^"'']*)["'']', 1)
+                             ELSE regexp_extract(t,
+                               '(?i)content\s*=\s*([^\s"''>]+)', 1)
+                        END), '[,\s]+')))
+               || string_split_regex(lower(xrobots), '[,\s]+') AS toks
+        FROM pages
+      )
+      SELECT doc_id,
+             list_has_any(toks, ['noindex', 'none']) AS robots_noindex,
+             list_has_any(toks, ['nofollow', 'none']) AS robots_nofollow
+      FROM tok
+    """
+    # snapshot_delta: independent FULL OUTER derivation of the same
+    # classification (the engine runs a merge-hinted manifest SMJ)
+    sqls["snapshot_delta"] = """
+      WITH base AS (
+        SELECT doc_id,
+               'https://' || source || '.com/p/'
+                 || CAST(doc_id AS VARCHAR) AS url,
+               text
+        FROM documents
+      ), old AS (
+        SELECT url, md5(text) AS old_digest
+        FROM base WHERE doc_id < 400
+      ), nw AS (
+        SELECT url,
+               CASE WHEN doc_id % 7 = 0 THEN md5(text || 'v2')
+                    ELSE md5(text) END AS new_digest,
+               CAST(length(text) AS INT) AS text_len
+        FROM base WHERE doc_id >= 100 AND doc_id < 480
+      )
+      SELECT COALESCE(n.url, o.url) AS url,
+             CASE WHEN o.url IS NULL THEN 'added'
+                  WHEN n.url IS NULL THEN 'removed'
+                  WHEN o.old_digest <> n.new_digest THEN 'changed'
+                  ELSE 'unchanged' END AS status,
+             o.old_digest, n.new_digest, n.text_len
+      FROM nw n FULL OUTER JOIN old o ON n.url = o.url
     """
     sqls["encoding_triage"] = _precomputed("encoding_triage")
     sqls["semantic_dedup_det"] = _precomputed("semantic_dedup_det")

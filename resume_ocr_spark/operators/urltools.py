@@ -153,6 +153,131 @@ def domain_stats(
     return df.groupBy(F.col(domain_col).alias("domain")).agg(*aggs)
 
 
+# robots-meta parsing: tag scan is case-insensitive ((?i) — crawls carry
+# <META NAME=ROBOTS>), attribute ORDER-FREE (name= and content= are
+# matched independently within the tag, so content-before-name parses),
+# and quote-tolerant (double, single, or unquoted attribute values).
+_META_TAG_RE = "(?i)<meta\\b[^>]*>"
+# the name value must END at robots: closing quote, whitespace, '/'
+# (self-closing tag) or '>' — a character class, not \b, because \b
+# treats '-' as a boundary and would false-match name="robots-extra",
+# and RE2 (the DuckDB oracle dialect) has no lookahead to express it
+_ROBOTS_NAME_RE = "(?i)name\\s*=\\s*[\"']?robots[\"'\\s/>]"
+_CONTENT_QUOTED_RE = "(?i)content\\s*=\\s*[\"']([^\"']*)[\"']"
+_CONTENT_BARE_RE = "(?i)content\\s*=\\s*([^\\s\"'>]+)"
+# directive token split: robots content is comma-separated per the de
+# facto standard, but real pages carry space-only separators too
+_DIRECTIVE_SPLIT_RE = "[,\\s]+"
+
+
+def _robots_content_expr(tag) -> "F.Column":
+    """content= attribute value of one <meta> tag Column: quoted form
+    first, bare-token fallback (``content=noindex``). Missing → ''."""
+    quoted = F.regexp_extract(tag, _CONTENT_QUOTED_RE, 1)
+    bare = F.regexp_extract(tag, _CONTENT_BARE_RE, 1)
+    return F.lower(F.when(quoted != "", quoted).otherwise(bare))
+
+
+def with_robots_directives(
+    df: DataFrame,
+    html_col: str = "html",
+    header_col: str | None = None,
+) -> DataFrame:
+    """Add ``robots_noindex`` / ``robots_nofollow`` booleans parsed from
+    ``<meta name=robots>`` tags (and optionally an X-Robots-Tag HTTP
+    header column) — the exclusion signal a crawl corpus is OBLIGATED to
+    honor before training inclusion (REP meta extension; C4 and the
+    CommonCrawl-derived corpora all gate on it).
+
+    Semantics: a page is noindex when ANY robots meta tag (or the
+    header) carries the token ``noindex`` or ``none`` in its content
+    list; nofollow likewise via ``nofollow``/``none``. Most-restrictive
+    wins across conflicting tags (the Google-documented rule), which
+    falls out of the any-tag disjunction. Tags whose ``name`` is not
+    ``robots`` (``description``, ``googlebot-news``) never match — the
+    name check is its own regex, so attribute order in the tag is free.
+
+    Distributed shape: pure Column ops (regexp_extract_all → filter →
+    transform → flatten → arrays_overlap) — ZERO shuffles, zero Python,
+    one whole-stage-codegen projection over the page scan, and every
+    regex is in the RE2∩Java subset so the DuckDB oracle mirrors it
+    1:1. At 100 TB this fuses into the same scan as the HTML main-
+    content extraction; the gate is free.
+    """
+    html = F.coalesce(F.col(html_col), F.lit(""))
+    tags = F.regexp_extract_all(html, F.lit(_META_TAG_RE), 0)
+    robots = F.filter(tags, lambda t: t.rlike(_ROBOTS_NAME_RE))
+    tokens = F.flatten(F.transform(
+        robots,
+        lambda t: F.split(_robots_content_expr(t), _DIRECTIVE_SPLIT_RE)))
+    if header_col is not None:
+        hdr = F.lower(F.coalesce(F.col(header_col), F.lit("")))
+        tokens = F.concat(tokens, F.split(hdr, _DIRECTIVE_SPLIT_RE))
+    noindex = F.arrays_overlap(tokens, F.array(F.lit("noindex"), F.lit("none")))
+    nofollow = F.arrays_overlap(tokens, F.array(F.lit("nofollow"), F.lit("none")))
+    return (df.withColumn("robots_noindex", noindex)
+              .withColumn("robots_nofollow", nofollow))
+
+
+def snapshot_delta(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str = "url",
+    digest_col: str = "digest",
+    changed_only: bool = False,
+) -> DataFrame:
+    """Crawl-snapshot delta: classify every URL across two snapshots as
+    ``added`` / ``removed`` / ``changed`` / ``unchanged`` by content
+    digest, so an incremental refresh reprocesses ONLY the delta.
+
+    A monthly crawl re-fetches the whole web but most pages are
+    byte-identical to last month; re-running extraction + curation over
+    the unchanged 95% is the single largest avoidable cost in a
+    continuously-refreshed corpus. This operator joins the previous
+    snapshot's (key, digest) manifest — two columns, NOT the payload —
+    against the new snapshot and emits the new-side rows tagged with
+    status; ``changed_only=True`` keeps just ``added``+``changed`` (the
+    refresh input set).
+
+    Distributed shape: BOTH snapshots are corpus-sized, so the join is a
+    co-partitioned sort-merge join on the key — ``hint("merge")`` on
+    both sides pins it (at test scale AQE would broadcast the small side
+    and the plan under test would not be the 100 TB plan; same rationale
+    as the decontam shuffled-join twin). The old side is projected to
+    (key, digest) BEFORE the exchange — the manifest, not the payload,
+    crosses the wire. Presence is tracked by explicit marker columns,
+    not digest nullability, so null digests classify correctly.
+
+    Output schema: ``key_col``, ``status``, ``old_digest``,
+    ``new_digest``, then every remaining new-side column (null for
+    ``removed`` rows, which have no new-side payload)."""
+    passthrough = [c for c in new.columns if c not in (key_col, digest_col)]
+    oside = old.select(
+        F.col(key_col).alias(key_col),
+        F.col(digest_col).alias("old_digest"),
+        F.lit(True).alias("_in_old"))
+    nside = new.select(
+        F.col(key_col).alias(key_col),
+        F.col(digest_col).alias("new_digest"),
+        F.lit(True).alias("_in_new"),
+        *[F.col(c) for c in passthrough])
+    j = nside.hint("merge").join(
+        oside.hint("merge"), on=key_col, how="full_outer")
+    status = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(~F.col("old_digest").eqNullSafe(F.col("new_digest")),
+              F.lit("changed"))
+        .otherwise(F.lit("unchanged")))
+    out = j.select(
+        F.col(key_col), status.alias("status"),
+        F.col("old_digest"), F.col("new_digest"),
+        *[F.col(c) for c in passthrough])
+    if changed_only:
+        out = out.filter(F.col("status").isin("added", "changed"))
+    return out
+
+
 def keep_latest_capture(
     df: DataFrame,
     url_col: str = "url",

@@ -1,0 +1,126 @@
+"""Meta-robots gate + crawl-snapshot delta (urltools round-5 tail).
+
+The gate replica hash-checks both entries against DuckDB every CI pass
+(test_contract_tail); these tests pin what the SQL oracle cannot see —
+the robots parser's edge semantics on adversarial tags the fixture
+doesn't enumerate, snapshot_delta's schema/option contract, and the
+join STRATEGY (the 100 TB plan is a merge SMJ; at test scale AQE would
+happily broadcast the small side, so the hint must hold it).
+"""
+
+import pytest
+
+from resume_ocr_spark.operators import urltools
+
+
+def _flags(spark, html, header=None):
+    df = spark.createDataFrame(
+        [(0, html, header)], "id int, html string, hdr string")
+    out = urltools.with_robots_directives(
+        df, html_col="html", header_col="hdr" if header is not None else None)
+    row = out.collect()[0]
+    return row.robots_noindex, row.robots_nofollow
+
+
+@pytest.mark.parametrize(
+    "html,want",
+    [
+        # canonical
+        ('<meta name="robots" content="noindex">', (True, False)),
+        ('<meta name="robots" content="nofollow">', (False, True)),
+        ('<meta name="robots" content="noindex, nofollow">', (True, True)),
+        # none = noindex + nofollow
+        ('<meta name="robots" content="none">', (True, True)),
+        # all / index are no-ops
+        ('<meta name="robots" content="all">', (False, False)),
+        # case / attribute order / quote style
+        ("<META CONTENT='NOINDEX' NAME='ROBOTS'>", (True, False)),
+        ("<meta name=robots content=noindex>", (True, False)),
+        ('<meta content=nofollow name=robots />', (False, True)),
+        # whitespace-separated directives (seen in the wild)
+        ('<meta name="robots" content="noindex nofollow">', (True, True)),
+        # decoys: wrong name, name-prefix, directive in other attrs
+        ('<meta name="description" content="noindex">', (False, False)),
+        ('<meta name="robots-extra" content="noindex">', (False, False)),
+        ('<meta property="robots" content="">noindex', (False, False)),
+        # most-restrictive-wins across conflicting tags
+        ('<meta name="robots" content="index"><meta name=robots '
+         'content="noindex">', (True, False)),
+        # directive embedded in a LONGER token must not match
+        ('<meta name="robots" content="noindexing">', (False, False)),
+        # no metas at all
+        ("<html><body>plain</body></html>", (False, False)),
+    ],
+)
+def test_robots_meta_edge_cases(spark, html, want):
+    assert _flags(spark, html) == want
+
+
+def test_robots_header_column(spark):
+    # header alone flips the flags; empty header is inert
+    assert _flags(spark, "<p>x</p>", header="noindex") == (True, False)
+    assert _flags(spark, "<p>x</p>", header="NONE") == (True, True)
+    assert _flags(spark, "<p>x</p>", header="") == (False, False)
+    # header and meta combine disjunctively
+    assert _flags(
+        spark, '<meta name="robots" content="nofollow">',
+        header="noindex") == (True, True)
+
+
+def test_robots_null_html_is_total(spark):
+    df = spark.createDataFrame([(0, None)], "id int, html string")
+    row = urltools.with_robots_directives(df).collect()[0]
+    assert (row.robots_noindex, row.robots_nofollow) == (False, False)
+
+
+def _snapshots(spark):
+    old = spark.createDataFrame(
+        [("u1", "d1"), ("u2", "d2"), ("u3", None)],
+        "url string, digest string")
+    new = spark.createDataFrame(
+        [("u1", "d1", 10), ("u2", "d2x", 20), ("u4", "d4", 40),
+         ("u5", None, 50)],
+        "url string, digest string, text_len int")
+    return old, new
+
+
+def test_snapshot_delta_statuses(spark):
+    old, new = _snapshots(spark)
+    out = urltools.snapshot_delta(old, new)
+    assert out.columns == [
+        "url", "status", "old_digest", "new_digest", "text_len"]
+    got = {r.url: r.status for r in out.collect()}
+    assert got == {"u1": "unchanged", "u2": "changed", "u3": "removed",
+                   "u4": "added", "u5": "added"}
+    # removed rows carry no new-side payload
+    removed = out.filter("status = 'removed'").collect()[0]
+    assert removed.new_digest is None and removed.text_len is None
+
+
+def test_snapshot_delta_null_digest_semantics(spark):
+    # null == null digests are UNCHANGED (eqNullSafe), not spuriously
+    # changed; presence is tracked by markers, not digest nullability
+    old = spark.createDataFrame([("u", None)], "url string, digest string")
+    new = spark.createDataFrame(
+        [("u", None, 1)], "url string, digest string, text_len int")
+    row = urltools.snapshot_delta(old, new).collect()[0]
+    assert row.status == "unchanged"
+
+
+def test_snapshot_delta_changed_only(spark):
+    old, new = _snapshots(spark)
+    out = urltools.snapshot_delta(old, new, changed_only=True)
+    got = {r.url for r in out.collect()}
+    assert got == {"u2", "u4", "u5"}
+
+
+def test_snapshot_delta_plan_is_merge_join(spark):
+    # both snapshots are corpus-sized at 100 TB: the hint must pin the
+    # co-partitioned SMJ even where AQE would broadcast the test-sized
+    # side, and no exchange may carry the old-side payload columns
+    old, new = _snapshots(spark)
+    out = urltools.snapshot_delta(old, new)
+    out.collect()  # executedPlan below reflects AQE's final choice
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
