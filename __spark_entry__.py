@@ -1527,6 +1527,92 @@ def snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    digest_col="digest")
 
 
+# robots_gate fixture constants — shared by the Spark entry and the
+# oracle's independent pure-Python interpreter (constants shared, LOGIC
+# independent: the _media_texts/_phash_docs precedent). Five host
+# classes: wildcard+$ rules, an exact-agent group shadowing a
+# Disallow-/ star group, star-only with a $-anchored carve-out, a host
+# with NO robots.txt, and an empty-Disallow star group beside an exact
+# group with a no-trailing-slash prefix rule.
+_ROBOTS_FIXTURE_TXT: dict[str, str] = {
+    "h0.example.com": (
+        "# class 0: wildcard + anchor zoo\n"
+        "User-agent: *\n"
+        "Disallow: /private/\n"
+        "Allow: /private/p1*\n"
+        "Disallow: /*.pdf$\n"),
+    "h1.example.com": (
+        "User-agent: trainbot\n"
+        "Disallow: /files/\n"
+        "\n"
+        "User-agent: *\n"
+        "Disallow: /\n"),
+    "h2.example.com": (
+        "User-agent: gptbot\n"
+        "User-agent: ccbot\n"
+        "Disallow: /\n"
+        "\n"
+        "User-agent: *\n"
+        "Allow: /docs/\n"
+        "Disallow: /docs/x2$\n"
+        "Disallow: /public/\n"),
+    # h3.example.com: deliberately absent — no robots.txt, default allow
+    "h4.example.com": (
+        "User-agent: *\n"
+        "Disallow:\n"
+        "\n"
+        "User-agent: trainbot\n"
+        "Disallow: /public\n"),
+}
+_ROBOTS_FIXTURE_AGENT = "trainbot"
+
+
+def _robots_fixture_path(doc_id: int) -> str:
+    m4 = doc_id % 4
+    if m4 == 0:
+        return f"/private/p{doc_id}"
+    if m4 == 1:
+        return f"/files/r{doc_id}.pdf"
+    if m4 == 2:
+        return f"/public/a{doc_id}"
+    return f"/docs/x{doc_id % 3}"
+
+
+def robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt interpreter gate (tail entry, round 5): the crawl
+    pipeline's PRIMARY opt-out surface — RFC 9309 group parsing
+    (consecutive User-agent headers, exact-agent groups shadowing *,
+    comments, empty Disallow), Google-REP wildcards (* and trailing $),
+    longest-match-wins with allow-on-tie. Parsing is per-host windowed
+    DataFrame ops folded to one rule-array row per host; the corpus
+    joins on host ONCE and resolves the winner inside an array
+    expression (urltools.parse_robots / filter_robots_allowed). Oracle:
+    an INDEPENDENT pure-Python interpreter over the same fixture →
+    VALUES literals (the encoding_triage pattern)."""
+    from resume_ocr_spark.operators import urltools
+
+    d = (_t(spark, sf_dir, "documents")
+         .filter(F.col("doc_id") < 400).select("doc_id"))
+    did = F.col("doc_id")
+    host = F.concat(F.lit("h"), (did % 5).cast("string"),
+                    F.lit(".example.com"))
+    m4 = did % 4
+    path = (
+        F.when(m4 == 0, F.concat(F.lit("/private/p"), did.cast("string")))
+        .when(m4 == 1, F.concat(F.lit("/files/r"), did.cast("string"),
+                                F.lit(".pdf")))
+        .when(m4 == 2, F.concat(F.lit("/public/a"), did.cast("string")))
+        .otherwise(F.concat(F.lit("/docs/x"), (did % 3).cast("string"))))
+    urls = d.withColumn("host", host).withColumn("path", path)
+    robots = spark.createDataFrame(
+        sorted(_ROBOTS_FIXTURE_TXT.items()),
+        "host string, robots_txt string")
+    rules = urltools.parse_robots(robots, agent=_ROBOTS_FIXTURE_AGENT)
+    out = urltools.filter_robots_allowed(
+        urls, rules, broadcast_rules=True, annotate_only=True)
+    return out.select("doc_id", "host", "path", "robots_allowed")
+
+
 def _media_texts(n: int) -> list[tuple[int, str]]:
     """Deterministic (doc_id, text) rows for the multimodal entries — a
     seeded mix of synthetic resumes and the recipe negative. Independent of
@@ -1927,6 +2013,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # SMJ classifying urls added/removed/changed/unchanged by digest
         # so only the delta reprocesses (urltools.snapshot_delta)
         "snapshot_delta": snapshot_delta,
+        # round-5 tail: the RFC 9309 robots.txt interpreter — windowed
+        # group parsing → per-host rule arrays, corpus joined on host
+        # once, longest-match resolved inside an array expression
+        # (urltools.parse_robots / filter_robots_allowed)
+        "robots_gate": robots_gate,
     }
     return {**gated, **tail}
 
@@ -3888,6 +3979,7 @@ def oracle_sql() -> dict[str, str]:
              o.old_digest, n.new_digest, n.text_len
       FROM nw n FULL OUTER JOIN old o ON n.url = o.url
     """
+    sqls["robots_gate"] = _precomputed("robots_gate")
     sqls["encoding_triage"] = _precomputed("encoding_triage")
     sqls["semantic_dedup_det"] = _precomputed("semantic_dedup_det")
     # embedding_ann_ivf (sample-trained codebook) left the registry in
@@ -4299,6 +4391,67 @@ def _precomputed(name: str) -> str:
                  CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
           FROM cand WHERE bit_count(xor(ha, hb)) <= 6
         """
+    elif name == "robots_gate":
+        # INDEPENDENT pure-Python RFC 9309 interpreter (sequential
+        # parse, re-based matching) — shares only the fixture constants
+        # with the Spark side, never its parsing/resolution code
+        import re as _re
+
+        def _parse(txt: str) -> list[tuple[list[str], list[tuple[str, bool]]]]:
+            groups: list = []
+            agents: list[str] = []
+            rules: list[tuple[str, bool]] = []
+            header_open = False
+            for raw in txt.split("\n"):
+                stripped = raw.split("#", 1)[0].strip()
+                m = _re.match(r"^([A-Za-z-]+)\s*:\s*(\S*)", stripped)
+                if not m:
+                    continue
+                k, v = m.group(1).lower(), m.group(2)
+                if k == "user-agent":
+                    if not header_open:
+                        if agents:
+                            groups.append((agents, rules))
+                        agents, rules = [], []
+                        header_open = True
+                    agents.append(v.lower())
+                elif k in ("allow", "disallow"):
+                    header_open = False
+                    if agents and v:
+                        rules.append((v, k == "allow"))
+                # unknown directives neither split groups nor end headers
+            if agents:
+                groups.append((agents, rules))
+            return groups
+
+        def _allowed(groups, agent: str, path: str) -> bool:
+            agent = agent.lower()
+            exact = [g for g in groups if agent in g[0]]
+            sel = exact if exact else [g for g in groups if "*" in g[0]]
+            best = None
+            for _, rl in sel:
+                for v, allow in rl:
+                    anchored = v.endswith("$")
+                    body = v[:-1] if anchored else v
+                    pat = ("^" + _re.escape(body).replace(r"\*", ".*")
+                           + ("$" if anchored else ""))
+                    if _re.search(pat, path):
+                        key = (len(v), allow)
+                        if best is None or key > best:
+                            best = key
+            return True if best is None else best[1]
+
+        rows = []
+        for did in range(400):
+            host = f"h{did % 5}.example.com"
+            path = _robots_fixture_path(did)
+            txt = _ROBOTS_FIXTURE_TXT.get(host)
+            ok = (True if txt is None
+                  else _allowed(_parse(txt), _ROBOTS_FIXTURE_AGENT, path))
+            rows.append((did, host, path, ok))
+        sql = _values_sql(rows, [
+            ("doc_id", "BIGINT"), ("host", "VARCHAR"),
+            ("path", "VARCHAR"), ("robots_allowed", "BOOLEAN")])
     else:  # pragma: no cover
         raise KeyError(name)
     _PRECOMPUTED[name] = sql

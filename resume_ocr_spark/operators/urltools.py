@@ -219,6 +219,153 @@ def with_robots_directives(
               .withColumn("robots_nofollow", nofollow))
 
 
+# robots.txt line shapes (RFC 9309 §2.1): "directive: value" with
+# optional comment tail; directives are case-insensitive
+_ROBOTS_DIRECTIVE_RE = "^([A-Za-z-]+)\\s*:"
+_ROBOTS_VALUE_RE = "^[A-Za-z-]+\\s*:\\s*([^\\s#]*)"
+# regex metacharacters to escape when translating a rule path to a
+# match pattern — '*' deliberately EXCLUDED (it translates to '.*')
+_RULE_ESCAPE_RE = "([.+?^$(){}\\[\\]|\\\\])"
+
+
+def _rule_pattern_expr(value) -> "F.Column":
+    """Translate a robots.txt rule path Column to an anchored regex:
+    '*' → '.*', a TRAILING '$' → end anchor (a '$' elsewhere is
+    literal, per the Google REP spec), everything else escaped."""
+    ends_dollar = value.endswith("$")
+    body = F.when(ends_dollar,
+                  F.substring(value, 1, F.length(value) - 1)
+                  ).otherwise(value)
+    esc = F.regexp_replace(body, _RULE_ESCAPE_RE, "\\\\$1")
+    wild = F.replace(esc, F.lit("*"), F.lit(".*"))
+    return F.concat(F.lit("^"), wild,
+                    F.when(ends_dollar, F.lit("$")).otherwise(F.lit("")))
+
+
+def parse_robots(
+    robots: DataFrame,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+    agent: str = "*",
+) -> DataFrame:
+    """Parse per-host robots.txt bodies into the rule set that applies
+    to ``agent`` — one output row per host: ``host``, ``rules`` (array
+    of ``(pattern, spec, allow)`` structs ready for
+    :func:`filter_robots_allowed`).
+
+    RFC 9309 semantics: lines split per host, comments stripped,
+    directives case-insensitive; CONSECUTIVE ``User-agent`` lines share
+    one group and the group's rules run until the next group header; a
+    host that has any group naming ``agent`` exactly (case-insensitive)
+    uses ONLY those groups, else the ``*`` groups (the spec's
+    most-specific-group rule); empty ``Disallow:`` means unrestricted
+    and emits no rule. Rule paths carry Google-REP wildcards: ``*``
+    matches any run, a trailing ``$`` anchors the end; ``spec`` is the
+    raw rule-path length (the longest-match key).
+
+    Distributed shape: the stateful group structure (a rule belongs to
+    the preceding User-agent block) is a per-host window — lag() marks
+    group starts, a running sum numbers them — then one groupBy folds
+    each host's applicable rules into a single array row. ALL shuffles
+    here are on the robots side, which is #hosts-sized (dimension-like
+    next to the page corpus); the corpus side never appears. Window and
+    fold partition on the same host key, so the exchange is reused."""
+    from pyspark.sql import Window
+
+    agent_lc = agent.lower()
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n"))
+        .alias("ln", "raw"))
+    line = F.trim(F.regexp_replace(F.col("raw"), "#.*$", ""))
+    parsed = lines.select(
+        "host", "ln",
+        F.lower(F.regexp_extract(line, _ROBOTS_DIRECTIVE_RE, 1))
+        .alias("kind"),
+        F.regexp_extract(line, _ROBOTS_VALUE_RE, 1).alias("value"),
+    ).filter(F.col("kind").isin("user-agent", "allow", "disallow"))
+    w = Window.partitionBy("host").orderBy("ln")
+    is_ua = F.col("kind") == "user-agent"
+    new_group = is_ua & (
+        F.coalesce(F.lag("kind").over(w) != "user-agent", F.lit(True)))
+    grouped = parsed.withColumn(
+        "gid",
+        F.sum(new_group.cast("int")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    wg = Window.partitionBy("host", "gid")
+    wh = Window.partitionBy("host")
+    ua_val = F.when(is_ua, F.lower(F.col("value")))
+    flagged = (grouped
+               .withColumn("g_agent",
+                           F.max(ua_val == agent_lc).over(wg))
+               .withColumn("g_star", F.max(ua_val == "*").over(wg)))
+    flagged = flagged.withColumn(
+        "h_agent", F.max(F.col("g_agent")).over(wh))
+    applicable = flagged.filter(
+        (~is_ua) & (F.col("value") != "")
+        & F.when(F.col("h_agent"), F.col("g_agent"))
+        .otherwise(F.coalesce(F.col("g_star"), F.lit(False))))
+    rules = applicable.select(
+        "host",
+        F.struct(
+            _rule_pattern_expr(F.col("value")).alias("pattern"),
+            F.length("value").alias("spec"),
+            (F.col("kind") == "allow").alias("allow"),
+        ).alias("rule"))
+    return rules.groupBy("host").agg(
+        F.collect_list("rule").alias("rules"))
+
+
+def filter_robots_allowed(
+    df: DataFrame,
+    host_rules: DataFrame,
+    host_col: str = "host",
+    path_col: str = "path",
+    default_allow: bool = True,
+    keep_denied: bool = False,
+    broadcast_rules: bool = False,
+    annotate_only: bool = False,
+) -> DataFrame:
+    """Keep the rows robots.txt permits: join ``df`` to
+    :func:`parse_robots` output on host and resolve each path against
+    the host's rule array — longest-match wins, ties go to ``allow``
+    (the Google-documented tiebreak), no matching rule (or no robots.txt
+    at all) → ``default_allow``.
+
+    Distributed shape: ONE corpus-side shuffle (the host join; pass
+    ``broadcast_rules=True`` for a small rules table and it becomes
+    zero) — the winner is resolved INSIDE an array expression
+    (filter → array_max over (spec, allow) structs, whose lexicographic
+    struct ordering IS the spec's precedence), so there is no
+    per-(url, rule) explode and no second aggregation shuffle. A hot
+    host with 10^6 pages costs exactly its page count; rule arrays are
+    tens of entries. ``keep_denied=True`` inverts for audit runs;
+    ``annotate_only=True`` skips the filter and keeps every row with
+    its ``robots_allowed`` flag."""
+    right = host_rules.select(
+        F.col("host").alias("_rhost"), F.col("rules").alias("_rules"))
+    if broadcast_rules:
+        right = F.broadcast(right)
+    j = df.join(right, F.col(host_col) == F.col("_rhost"), "left")
+    path = F.coalesce(F.col(path_col), F.lit(""))
+    matched = F.filter(
+        F.col("_rules"), lambda r: F.regexp_like(path, r["pattern"]))
+    best = F.array_max(F.transform(
+        matched, lambda r: F.struct(r["spec"].alias("spec"),
+                                    r["allow"].alias("allow"))))
+    # _rules null (no robots.txt for the host) → null-propagating size
+    # comparison → the isNull disjunct catches it first
+    allowed = F.when(
+        F.col("_rules").isNull() | (F.size(matched) == 0),
+        F.lit(default_allow)).otherwise(best["allow"])
+    out = j.withColumn("robots_allowed", allowed).drop("_rhost", "_rules")
+    if annotate_only:
+        return out
+    keep = F.col("robots_allowed") if not keep_denied \
+        else ~F.col("robots_allowed")
+    return out.filter(keep)
+
+
 def snapshot_delta(
     old: DataFrame,
     new: DataFrame,

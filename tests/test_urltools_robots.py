@@ -124,3 +124,93 @@ def test_snapshot_delta_plan_is_merge_join(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" in plan
     assert "BroadcastHashJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# robots.txt interpreter (RFC 9309 + Google REP wildcard extension)
+# ---------------------------------------------------------------------------
+
+def _robots_check(spark, txt, agent, cases):
+    """cases: list of (path, expected_allowed)."""
+    robots = spark.createDataFrame(
+        [("h.com", txt)], "host string, robots_txt string")
+    rules = urltools.parse_robots(robots, agent=agent)
+    urls = spark.createDataFrame(
+        [("h.com", p) for p, _ in cases], "host string, path string")
+    out = urltools.filter_robots_allowed(
+        urls, rules, broadcast_rules=True, annotate_only=True)
+    got = {r.path: r.robots_allowed for r in out.collect()}
+    assert got == dict(cases), got
+
+
+def test_robots_google_spec_precedence_vectors(spark):
+    # the Google REP documentation's own precedence examples:
+    # longest-match wins; on a tie the least restrictive (allow) wins
+    txt = ("User-agent: *\n"
+           "Allow: /p\n"
+           "Disallow: /\n")
+    _robots_check(spark, txt, "anybot",
+                  [("/page", True), ("/", False), ("/other", False)])
+    txt = ("User-agent: *\n"
+           "Allow: /folder\n"
+           "Disallow: /folder\n")
+    _robots_check(spark, txt, "anybot", [("/folder/page", True)])
+    txt = ("User-agent: *\n"
+           "Allow: /page\n"
+           "Disallow: /*.htm\n")
+    _robots_check(spark, txt, "anybot", [("/page.htm", False)])
+
+
+def test_robots_wildcard_and_anchor(spark):
+    txt = ("User-agent: *\n"
+           "Disallow: /*.php$\n"
+           "Disallow: /fish*bowl\n")
+    _robots_check(spark, txt, "anybot", [
+        ("/index.php", False), ("/index.php?x=1", True),
+        ("/a/deep/file.php", False),
+        ("/fishbowl", False), ("/fish/tank/bowl", False),
+        ("/fish", True),
+    ])
+    # '$' in the middle of a rule is literal, not an anchor
+    txt = "User-agent: *\nDisallow: /a$b\n"
+    _robots_check(spark, txt, "anybot", [("/a$b/c", False), ("/ab", True)])
+
+
+def test_robots_group_semantics(spark):
+    # consecutive UA lines share a group; an exact-agent group shadows
+    # the * group entirely (RFC 9309 most-specific-group rule)
+    txt = ("User-agent: abot\n"
+           "User-agent: bbot\n"
+           "Disallow: /x\n"
+           "\n"
+           "User-agent: *\n"
+           "Disallow: /\n")
+    _robots_check(spark, txt, "BBot",  # agent match is case-insensitive
+                  [("/x/1", False), ("/y", True)])
+    _robots_check(spark, txt, "cbot", [("/x/1", False), ("/y", False)])
+
+
+def test_robots_empty_disallow_and_orphans(spark):
+    # empty Disallow = unrestricted; rules before any UA line are
+    # ignored; comments stripped; unknown directives don't split groups
+    txt = ("Disallow: /orphan\n"
+           "User-agent: *  # trailing comment\n"
+           "Crawl-delay: 5\n"
+           "Disallow:\n"
+           "Allow: /a\n")
+    _robots_check(spark, txt, "anybot",
+                  [("/orphan/x", True), ("/a/b", True), ("/z", True)])
+
+
+def test_robots_no_rules_host_defaults(spark):
+    rules = urltools.parse_robots(
+        spark.createDataFrame([("other.com", "User-agent: *\nDisallow: /\n")],
+                              "host string, robots_txt string"))
+    urls = spark.createDataFrame(
+        [("bare.com", "/x")], "host string, path string")
+    out = urltools.filter_robots_allowed(
+        urls, rules, annotate_only=True).collect()
+    assert out[0].robots_allowed is True
+    denied = urltools.filter_robots_allowed(
+        urls, rules, default_allow=False).collect()
+    assert denied == []
