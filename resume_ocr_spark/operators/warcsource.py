@@ -195,3 +195,78 @@ def warc_html_documents(
             yield pd.DataFrame(rows, columns=cols)
 
     return df.mapInPandas(extract, schema=DOC_SCHEMA)
+
+
+ROBOTS_SCHEMA = (
+    "doc_id long, rec_idx int, url string, robots_txt string, error string"
+)
+
+# the REP well-known path, anchored: scheme://authority/robots.txt with
+# nothing after but an optional query/fragment (RFC 9309 §2.3; the path
+# is case-sensitive and lowercase by definition)
+_ROBOTS_URI_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*/robots\.txt(?:[?#].*)?$"
+
+
+def warc_robots_txt(
+    df: DataFrame,
+    bin_col: str = "warc",
+    id_col: str = "doc_id",
+    one_per_host: bool = True,
+) -> DataFrame:
+    """robots.txt bodies out of crawl WARCs — the ingest edge of the
+    :mod:`.urltools` robots gate. Keeps ``response`` records whose
+    target URI is exactly the well-known ``/robots.txt`` path with HTTP
+    200, decodes the body (UTF-8, replace), and (by default) folds to
+    ONE row per host — the newest capture by ``(doc_id, rec_idx)`` via
+    the same map-side-combined ``max_by`` shape as
+    ``urltools.keep_latest_capture`` — producing the ``(host,
+    robots_txt)`` table :func:`urltools.parse_robots` and
+    ``tools/submit_refresh.py --robots`` consume.
+
+    Distributed shape: zero-shuffle mapInPandas scan (robots fetches
+    are a tiny sliver of a crawl, so the emitted side is #hosts-sized),
+    then with ``one_per_host`` exactly one hash shuffle on host with
+    map-side combine. Malformed blobs stay error rows
+    (``one_per_host=False`` keeps them for audit; the folded form
+    drops them — a rules table has no use for an unparseable member)."""
+    import re as _re
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "rec_idx", "url", "robots_txt", "error"]
+        pat = _re.compile(_ROBOTS_URI_RE)
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf[id_col], pdf[bin_col]):
+                for i, rec, status, _hdr, body, err in blob_rows(blob):
+                    if rec is None:  # null / blob-level error row
+                        rows.append((doc_id, None, None, None, err))
+                        continue
+                    if rec["warc_type"] != "response":
+                        continue
+                    uri = rec["target_uri"] or ""
+                    if not pat.match(uri):
+                        continue
+                    if err is not None:  # failed HTTP split, kept for audit
+                        rows.append((doc_id, i, uri, None, err))
+                        continue
+                    if status != 200:
+                        continue
+                    rows.append((doc_id, i, uri,
+                                 body.decode("utf-8", "replace"), None))
+            yield pd.DataFrame(rows, columns=cols)
+
+    recs = df.mapInPandas(extract, schema=ROBOTS_SCHEMA)
+    if not one_per_host:
+        return recs
+    from pyspark.sql import functions as F
+
+    from . import urltools
+
+    ok = recs.filter(F.col("error").isNull()
+                     & F.col("robots_txt").isNotNull())
+    hosted = ok.withColumn("host", urltools.host_expr(F.col("url")))
+    packed = hosted.groupBy("host").agg(
+        F.max_by(F.col("robots_txt"),
+                 F.struct(F.col("doc_id"), F.col("rec_idx")))
+        .alias("robots_txt"))
+    return packed

@@ -338,3 +338,71 @@ class TestOperator:
         assert "home" not in d["text"] and "copyright" not in d["text"]
         errs = [r for r in got if r["error"] is not None]
         assert len(errs) == 1 and errs[0]["doc_id"] == 2
+
+
+class TestRobotsTxt:
+    def _blob(self, w_=None):
+        robots1 = b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n" \
+                  b"User-agent: *\nDisallow: /old/\n"
+        robots2 = b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n" \
+                  b"User-agent: *\nDisallow: /new/\n"
+        recs = [
+            {"warc_type": "response", "payload": robots1,
+             "target_uri": "https://A.example.com/robots.txt",
+             "content_type": "application/http; msgtype=response"},
+            # later capture of the SAME host (different case) must win
+            {"warc_type": "response", "payload": robots2,
+             "target_uri": "https://a.example.com/robots.txt?x=1",
+             "content_type": "application/http; msgtype=response"},
+            # decoys: deeper path, non-200, request record, html page
+            {"warc_type": "response", "payload": robots1,
+             "target_uri": "https://b.example.com/dir/robots.txt",
+             "content_type": "application/http; msgtype=response"},
+            {"warc_type": "response",
+             "payload": b"HTTP/1.1 404 Not Found\r\n\r\nnope",
+             "target_uri": "https://c.example.com/robots.txt",
+             "content_type": "application/http; msgtype=response"},
+            {"warc_type": "request", "payload": b"GET /robots.txt",
+             "target_uri": "https://d.example.com/robots.txt",
+             "content_type": "application/http; msgtype=request"},
+            {"warc_type": "response",
+             "payload": (b"HTTP/1.1 200 OK\r\nContent-Type: text/html"
+                         b"\r\n\r\n<html>x</html>"),
+             "target_uri": "https://e.example.com/page",
+             "content_type": "application/http; msgtype=response"},
+        ]
+        return w.build_warc(recs, gzip_members=True)
+
+    def test_one_per_host_latest_wins(self, spark):
+        from resume_ocr_spark.operators import warcsource
+
+        df = spark.createDataFrame(
+            [(1, self._blob())], "doc_id long, warc binary")
+        out = {r.host: r.robots_txt
+               for r in warcsource.warc_robots_txt(df).collect()}
+        assert set(out) == {"a.example.com"}
+        assert "Disallow: /new/" in out["a.example.com"]
+
+    def test_raw_rows_keep_audit_errors(self, spark):
+        from resume_ocr_spark.operators import warcsource
+
+        df = spark.createDataFrame(
+            [(1, self._blob()), (2, None)], "doc_id long, warc binary")
+        rows = warcsource.warc_robots_txt(df, one_per_host=False).collect()
+        # two keepable robots captures + one null-blob error row
+        assert sum(1 for r in rows if r.robots_txt is not None) == 2
+        assert sum(1 for r in rows if r.error is not None) == 1
+
+    def test_feeds_parse_robots(self, spark):
+        from resume_ocr_spark.operators import urltools, warcsource
+
+        df = spark.createDataFrame(
+            [(1, self._blob())], "doc_id long, warc binary")
+        rules = urltools.parse_robots(warcsource.warc_robots_txt(df))
+        urls = spark.createDataFrame(
+            [("a.example.com", "/new/x"), ("a.example.com", "/old/x")],
+            "host string, path string")
+        got = {r.path: r.robots_allowed
+               for r in urltools.filter_robots_allowed(
+                   urls, rules, annotate_only=True).collect()}
+        assert got == {"/new/x": False, "/old/x": True}

@@ -177,7 +177,33 @@ def run_family(spark, docs_path: str, results: dict) -> None:
             F.lit("hub.example").alias("dst_domain"), F.lit(3).alias("weight"))
         return force(linkgraph.pagerank(e.unionByName(hub), n_iter=5))
 
+    def snapshot_delta_stress():
+        # two full-corpus snapshots (old = corpus, new = corpus with
+        # every 7th text revised and the last replica's ids shifted to
+        # fabricate adds/removes) — the merge-hinted full-outer SMJ at
+        # 2× corpus input; the manifest projection keeps the exchanged
+        # payload at (url, digest) regardless of document width
+        from resume_ocr_spark.operators import urltools
+
+        url = F.concat(F.lit("https://s"), (F.col("doc_id") % 1000)
+                       .cast("string"), F.lit(".com/p/"),
+                       F.col("doc_id").cast("string"))
+        old = docs.select(url.alias("url"), F.md5("text").alias("digest"))
+        new = docs.select(
+            (F.col("doc_id") + F.when(F.col("doc_id") >= 9_000_000,
+                                      F.lit(500)).otherwise(F.lit(0))
+             ).alias("doc_id"), "text")
+        new = new.select(
+            F.concat(F.lit("https://s"), (F.col("doc_id") % 1000)
+                     .cast("string"), F.lit(".com/p/"),
+                     F.col("doc_id").cast("string")).alias("url"),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.md5(F.concat(F.col("text"), F.lit("v2"))))
+            .otherwise(F.md5("text")).alias("digest"))
+        return force(urltools.snapshot_delta(old, new))
+
     timed("lsh_candidates_k128", lsh_k128, results)
+    timed("snapshot_delta", snapshot_delta_stress, results)
     timed("pagerank5", pagerank5, results)
     timed("jaccard_lsh", jaccard_lsh, results)
     timed("cluster_star", cluster_star, results)
