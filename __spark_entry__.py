@@ -3974,7 +3974,10 @@ def oracle_sql() -> dict[str, str]:
       SELECT COALESCE(n.url, o.url) AS url,
              CASE WHEN o.url IS NULL THEN 'added'
                   WHEN n.url IS NULL THEN 'removed'
-                  WHEN o.old_digest <> n.new_digest THEN 'changed'
+                  -- IS DISTINCT FROM mirrors the engine's eqNullSafe:
+                  -- one-sided NULL digests classify as changed
+                  WHEN o.old_digest IS DISTINCT FROM n.new_digest
+                       THEN 'changed'
                   ELSE 'unchanged' END AS status,
              o.old_digest, n.new_digest, n.text_len
       FROM nw n FULL OUTER JOIN old o ON n.url = o.url
@@ -4403,7 +4406,7 @@ def _precomputed(name: str) -> str:
             rules: list[tuple[str, bool]] = []
             header_open = False
             for raw in txt.split("\n"):
-                stripped = raw.split("#", 1)[0].strip()
+                stripped = raw.lstrip("\ufeff").split("#", 1)[0].strip()
                 m = _re.match(r"^([A-Za-z-]+)\s*:\s*(\S*)", stripped)
                 if not m:
                     continue

@@ -263,6 +263,18 @@ def parse_robots(
     matches any run, a trailing ``$`` anchors the end; ``spec`` is the
     raw rule-path length (the longest-match key).
 
+    A host whose applicable groups survive but carry zero rules (the
+    RFC's explicit allow-all, ``Disallow:``) still emits a row with an
+    EMPTY rules array — :func:`filter_robots_allowed` distinguishes
+    "robots.txt grants everything" from "no robots.txt at all", which
+    matters under ``default_allow=False``. A UTF-8 BOM on the first
+    line (ubiquitous in real crawls) is stripped before directive
+    matching. Duplicate rows for one host are collapsed FIRST (to the
+    lexicographically greatest body — deterministic; run
+    :func:`keep_latest_capture` upstream if recency should decide)
+    because per-row line numbers would otherwise interleave two files'
+    groups nondeterministically.
+
     Distributed shape: the stateful group structure (a rule belongs to
     the preceding User-agent block) is a per-host window — lag() marks
     group starts, a running sum numbers them — then one groupBy folds
@@ -273,11 +285,13 @@ def parse_robots(
     from pyspark.sql import Window
 
     agent_lc = agent.lower()
-    lines = robots.select(
-        F.col(host_col).alias("host"),
-        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n"))
-        .alias("ln", "raw"))
-    line = F.trim(F.regexp_replace(F.col("raw"), "#.*$", ""))
+    one = robots.groupBy(F.col(host_col).alias("host")).agg(
+        F.max(F.coalesce(F.col(text_col), F.lit(""))).alias("_txt"))
+    lines = one.select(
+        "host",
+        F.posexplode(F.split(F.col("_txt"), "\n")).alias("ln", "raw"))
+    line = F.trim(F.regexp_replace(
+        F.regexp_replace(F.col("raw"), "^\\uFEFF", ""), "#.*$", ""))
     parsed = lines.select(
         "host", "ln",
         F.lower(F.regexp_extract(line, _ROBOTS_DIRECTIVE_RE, 1))
@@ -301,10 +315,10 @@ def parse_robots(
                .withColumn("g_star", F.max(ua_val == "*").over(wg)))
     flagged = flagged.withColumn(
         "h_agent", F.max(F.col("g_agent")).over(wh))
+    group_applies = (F.when(F.col("h_agent"), F.col("g_agent"))
+                     .otherwise(F.coalesce(F.col("g_star"), F.lit(False))))
     applicable = flagged.filter(
-        (~is_ua) & (F.col("value") != "")
-        & F.when(F.col("h_agent"), F.col("g_agent"))
-        .otherwise(F.coalesce(F.col("g_star"), F.lit(False))))
+        (~is_ua) & (F.col("value") != "") & group_applies)
     rules = applicable.select(
         "host",
         F.struct(
@@ -312,8 +326,20 @@ def parse_robots(
             F.length("value").alias("spec"),
             (F.col("kind") == "allow").alias("allow"),
         ).alias("rule"))
-    return rules.groupBy("host").agg(
+    folded = rules.groupBy("host").agg(
         F.collect_list("rule").alias("rules"))
+    # a host whose applicable groups carry ZERO rules (explicit
+    # allow-all, 'Disallow:') must still emit a row — an EMPTY array —
+    # so filter_robots_allowed can tell "robots grants everything"
+    # apart from "no robots.txt" (which default_allow governs)
+    covered = (flagged.filter(is_ua & group_applies)
+               .select("host").distinct())
+    empty = F.expr(
+        "CAST(array() AS array<struct<pattern:string,spec:int,"
+        "allow:boolean>>)")
+    return (covered.join(folded, "host", "left")
+            .select("host", F.coalesce(F.col("rules"), empty)
+                    .alias("rules")))
 
 
 def filter_robots_allowed(
@@ -329,8 +355,12 @@ def filter_robots_allowed(
     """Keep the rows robots.txt permits: join ``df`` to
     :func:`parse_robots` output on host and resolve each path against
     the host's rule array — longest-match wins, ties go to ``allow``
-    (the Google-documented tiebreak), no matching rule (or no robots.txt
-    at all) → ``default_allow``.
+    (the Google-documented tiebreak). A path no rule matches on a host
+    that HAS parsed robots data is ALLOWED (the RFC 9309 default);
+    ``default_allow`` governs only hosts absent from ``host_rules``
+    (no robots.txt seen), so ``default_allow=False`` runs a
+    deny-unless-robots-observed policy without denying hosts whose
+    robots.txt explicitly grants access.
 
     Distributed shape: ONE corpus-side shuffle (the host join; pass
     ``broadcast_rules=True`` for a small rules table and it becomes
@@ -353,11 +383,12 @@ def filter_robots_allowed(
     best = F.array_max(F.transform(
         matched, lambda r: F.struct(r["spec"].alias("spec"),
                                     r["allow"].alias("allow"))))
-    # _rules null (no robots.txt for the host) → null-propagating size
-    # comparison → the isNull disjunct catches it first
-    allowed = F.when(
-        F.col("_rules").isNull() | (F.size(matched) == 0),
-        F.lit(default_allow)).otherwise(best["allow"])
+    # _rules null = host absent from the rules table (no robots.txt) →
+    # policy default; _rules present but nothing matched → RFC allow
+    allowed = (
+        F.when(F.col("_rules").isNull(), F.lit(default_allow))
+        .when(F.size(matched) == 0, F.lit(True))
+        .otherwise(best["allow"]))
     out = j.withColumn("robots_allowed", allowed).drop("_rhost", "_rules")
     if annotate_only:
         return out

@@ -265,8 +265,6 @@ def warc_robots_txt(
     ok = recs.filter(F.col("error").isNull()
                      & F.col("robots_txt").isNotNull())
     hosted = ok.withColumn("host", urltools.host_expr(F.col("url")))
-    packed = hosted.groupBy("host").agg(
-        F.max_by(F.col("robots_txt"),
-                 F.struct(F.col("doc_id"), F.col("rec_idx")))
-        .alias("robots_txt"))
-    return packed
+    latest = urltools.keep_latest_capture(
+        hosted, url_col="host", ts_col="doc_id", tie_col="rec_idx")
+    return latest.select("host", "robots_txt")

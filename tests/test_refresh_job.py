@@ -128,3 +128,25 @@ def test_refresh_json_line_matches_audit(spark, tmp_path, capsys):
              for r in spark.read.parquet(f"{out}/audit").collect()}
     assert payload["outcomes"] == audit
     assert "noindex_dropped" not in audit
+
+
+@pytest.mark.usefixtures("spark")
+def test_refresh_chains_with_custom_url_col(spark, tmp_path):
+    # manifest/ is written with (url, digest) regardless of --url-col;
+    # run 2 must read it back under that contract (review r5: the old
+    # code selected args.url_col from the manifest and crashed)
+    rows = [(f"https://c.io/{i}", f"<html><body>b{i}</body></html>")
+            for i in range(8)]
+    df = spark.createDataFrame(rows, "page_url string, html string")
+    p = str(tmp_path / "c1")
+    df.write.parquet(p)
+    out1 = str(tmp_path / "o1")
+    assert _run(["--new", p, "--output", out1, "--url-col", "page_url",
+                 "--no-noindex-gate"]) == 0
+    out2 = str(tmp_path / "o2")
+    assert _run(["--new", p, "--output", out2, "--url-col", "page_url",
+                 "--manifest", f"{out1}/manifest",
+                 "--no-noindex-gate"]) == 0
+    audit = {r.outcome: r.n_pages
+             for r in spark.read.parquet(f"{out2}/audit").collect()}
+    assert audit == {"unchanged": 8, "emitted": 0}

@@ -214,3 +214,61 @@ def test_robots_no_rules_host_defaults(spark):
     denied = urltools.filter_robots_allowed(
         urls, rules, default_allow=False).collect()
     assert denied == []
+
+
+def test_robots_bom_prefixed_file(spark):
+    # UTF-8 BOM survives a utf-8/replace decode as ﻿; it must not
+    # orphan the first User-agent line (review r5: silent compliance
+    # failure — every Disallow was dropped)
+    txt = "\ufeffUser-agent: *\nDisallow: /\n"
+    _robots_check(spark, txt, "anybot", [("/x", False)])
+
+
+def test_robots_explicit_allow_all_vs_absent(spark):
+    # 'Disallow:' (explicit allow-all) must be distinguishable from no
+    # robots.txt: default_allow=False denies only the ABSENT host
+    rules = urltools.parse_robots(
+        spark.createDataFrame(
+            [("open.com", "User-agent: *\nDisallow:\n")],
+            "host string, robots_txt string"))
+    urls = spark.createDataFrame(
+        [("open.com", "/x"), ("silent.com", "/x")],
+        "host string, path string")
+    got = {r.host: r.robots_allowed
+           for r in urltools.filter_robots_allowed(
+               urls, rules, default_allow=False,
+               annotate_only=True).collect()}
+    assert got == {"open.com": True, "silent.com": False}
+
+
+def test_robots_unmatched_path_is_rfc_allowed_under_default_deny(spark):
+    # a host WITH robots data allows unmatched paths per RFC 9309 even
+    # under the deny-unless-robots-observed policy
+    rules = urltools.parse_robots(
+        spark.createDataFrame(
+            [("h.com", "User-agent: *\nDisallow: /private/\n")],
+            "host string, robots_txt string"))
+    urls = spark.createDataFrame(
+        [("h.com", "/public/x"), ("h.com", "/private/x")],
+        "host string, path string")
+    got = {r.path: r.robots_allowed
+           for r in urltools.filter_robots_allowed(
+               urls, rules, default_allow=False,
+               annotate_only=True).collect()}
+    assert got == {"/public/x": True, "/private/x": False}
+
+
+def test_robots_duplicate_host_rows_deterministic(spark):
+    # two captures of one host must not interleave their line numbers
+    # (review r5); the parser collapses to ONE body deterministically
+    a = "User-agent: *\nDisallow: /a/\n"
+    b = "User-agent: *\nDisallow: /b/\n"
+    for order in ([a, b], [b, a]):
+        rules = urltools.parse_robots(
+            spark.createDataFrame([("h.com", t) for t in order],
+                                  "host string, robots_txt string"))
+        rows = rules.collect()
+        assert len(rows) == 1
+        pats = sorted(r["pattern"] for r in rows[0].rules)
+        # lexicographic max of the two bodies is the 'b' file
+        assert pats == ["^/b/"], pats

@@ -86,9 +86,11 @@ def main() -> int:
     manifest_out = digested.select(F.col(args.url_col).alias("url"), "digest")
 
     if args.manifest:
+        # manifest/ is always written with columns (url, digest),
+        # whatever --url-col the crawl side uses
         prev = spark.read.parquet(args.manifest)
         delta = urltools.snapshot_delta(
-            prev.select(F.col(args.url_col).alias("url"), "digest"),
+            prev.select("url", "digest"),
             digested.withColumnRenamed(args.url_col, "url"),
             key_col="url", digest_col="digest")
     else:
@@ -103,37 +105,52 @@ def main() -> int:
             F.lit(None).cast("string").alias("old_digest"),
             "new_digest", *passthrough)
     delta.persist()
+    work = None
     try:
         status_counts = {
             r["status"]: r["n"] for r in
             delta.groupBy("status").agg(F.count("*").alias("n")).collect()}
-        work = delta.filter(F.col("status").isin("added", "changed"))
-
         audit_rows = [(k, int(v)) for k, v in sorted(status_counts.items())]
-        n_work = status_counts.get("added", 0) + status_counts.get(
-            "changed", 0)
 
-        work = urltools.with_url_parts(work, url_col="url")
+        # annotate the FULL gate pipeline lazily, persist once, and take
+        # every counter from one aggregation — the earlier per-gate
+        # count() formulation re-ran the host join + regex extraction
+        # three times over (review r5)
+        work = urltools.with_url_parts(
+            delta.filter(F.col("status").isin("added", "changed")),
+            url_col="url")
+        keep_cond = F.lit(True)
+        aggs = [F.count(F.lit(1)).alias("n_work")]
         if args.robots:
             robots = spark.read.parquet(args.robots)
             rules = urltools.parse_robots(robots, agent=args.agent)
             work = urltools.filter_robots_allowed(
                 work, rules, default_allow=not args.default_deny,
                 annotate_only=True)
-            n_allowed = work.filter("robots_allowed").count()
-            audit_rows.append(("robots_denied", int(n_work - n_allowed)))
-            work = work.filter("robots_allowed")
-            n_work = n_allowed
+            aggs.append(F.sum((~F.col("robots_allowed")).cast("long"))
+                        .alias("robots_denied"))
+            keep_cond = keep_cond & F.col("robots_allowed")
         if not args.no_noindex_gate:
             work = urltools.with_robots_directives(
                 work, html_col=args.content_col)
-            n_indexable = work.filter("NOT robots_noindex").count()
-            audit_rows.append(("noindex_dropped", int(n_work - n_indexable)))
-            work = work.filter("NOT robots_noindex")
-            n_work = n_indexable
+            # dropped = indexing forbidden among pages the robots gate
+            # (if any) let through — the same ledger as the sequential
+            # formulation, so emitted + denied + dropped = n_work
+            aggs.append(F.sum((keep_cond & F.col("robots_noindex"))
+                              .cast("long")).alias("noindex_dropped"))
+            keep_cond = keep_cond & ~F.col("robots_noindex")
+        work = work.persist()
+        counters = work.agg(*aggs).collect()[0].asDict()
+        n_work = counters.pop("n_work")
+        for k in ("robots_denied", "noindex_dropped"):
+            if k in counters:
+                v = int(counters[k] or 0)
+                audit_rows.append((k, v))
+                n_work -= v
         audit_rows.append(("emitted", int(n_work)))
 
-        work.write.mode("overwrite").parquet(f"{args.output}/delta")
+        work.filter(keep_cond).write.mode("overwrite").parquet(
+            f"{args.output}/delta")
         manifest_out.write.mode("overwrite").parquet(
             f"{args.output}/manifest")
         spark.createDataFrame(
@@ -141,6 +158,8 @@ def main() -> int:
         ).coalesce(1).write.mode("overwrite").parquet(f"{args.output}/audit")
     finally:
         delta.unpersist()
+        if work is not None:
+            work.unpersist()
     print(json.dumps({"outcomes": dict(audit_rows)}))
     return 0
 
