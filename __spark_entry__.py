@@ -1613,6 +1613,42 @@ def robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "host", "path", "robots_allowed")
 
 
+def sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap parsing (tail entry, round 5): the URL-discovery surface
+    beside robots.txt — <urlset> page entries and <sitemapindex>
+    children exploded to one row each, XML entities decoded, metadata
+    kept as published. Fixture covers entity-escaped query strings,
+    whitespace-padded <loc>, uppercase tags, metadata-free entries,
+    index blocks, and a stray <loc> OUTSIDE any block (must not emit).
+    Zero-shuffle codegen pass (urltools.sitemap_entries); oracle
+    mirrors the block/child regexes in DuckDB RE2 with parallel-list
+    unnest."""
+    from resume_ocr_spark.operators import urltools
+
+    d = (_t(spark, sf_dir, "documents")
+         .filter(F.col("doc_id") < 300).select("doc_id", "source"))
+    did = F.col("doc_id")
+    e1 = F.concat(
+        F.lit("<url><loc>https://"), F.col("source"), F.lit(".com/page/"),
+        did.cast("string"), F.lit("?a=1&amp;b=2</loc><lastmod>2026-0"),
+        (did % 9 + 1).cast("string"), F.lit("-01</lastmod><priority>0."),
+        (did % 10).cast("string"), F.lit("</priority></url>"))
+    e2 = F.when(did % 3 == 0, F.concat(
+        F.lit("<URL>\n  <LOC>\n    https://"), F.col("source"),
+        F.lit(".com/extra/"), (did % 7).cast("string"),
+        F.lit("\n  </LOC>\n</URL>"))).otherwise(F.lit(""))
+    idx = F.when(did % 4 == 0, F.concat(
+        F.lit("<sitemap><loc>https://"), F.col("source"),
+        F.lit(".com/sitemaps/s"), (did % 5).cast("string"),
+        F.lit(".xml</loc></sitemap>"))).otherwise(F.lit(""))
+    xml = F.concat(
+        F.lit('<?xml version="1.0"?><urlset>'), e1, e2, F.lit("</urlset>"),
+        idx, F.lit("<loc>https://stray.example/x</loc>"))
+    pages = d.withColumn("sitemap_xml", xml)
+    out = urltools.sitemap_entries(pages, xml_col="sitemap_xml")
+    return out.select("doc_id", "loc", "lastmod", "priority", "kind")
+
+
 def _media_texts(n: int) -> list[tuple[int, str]]:
     """Deterministic (doc_id, text) rows for the multimodal entries — a
     seeded mix of synthetic resumes and the recipe negative. Independent of
@@ -2018,6 +2054,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # once, longest-match resolved inside an array expression
         # (urltools.parse_robots / filter_robots_allowed)
         "robots_gate": robots_gate,
+        # round-5 tail: sitemap URL discovery — <urlset>/<sitemapindex>
+        # entries exploded in one zero-shuffle codegen pass
+        # (urltools.sitemap_entries)
+        "sitemap_urls": sitemap_urls,
     }
     return {**gated, **tail}
 
@@ -3981,6 +4021,63 @@ def oracle_sql() -> dict[str, str]:
                   ELSE 'unchanged' END AS status,
              o.old_digest, n.new_digest, n.text_len
       FROM nw n FULL OUTER JOIN old o ON n.url = o.url
+    """
+    # sitemap_urls: the oracle rebuilds the identical XML from literals
+    # and mirrors the block/child regexes in DuckDB RE2; parallel-list
+    # unnest zips the per-block child extractions
+    sqls["sitemap_urls"] = r"""
+      WITH pages AS (
+        SELECT doc_id,
+               '<?xml version="1.0"?><urlset>'
+               || '<url><loc>https://' || source || '.com/page/'
+               || CAST(doc_id AS VARCHAR)
+               || '?a=1&amp;b=2</loc><lastmod>2026-0'
+               || CAST(doc_id % 9 + 1 AS VARCHAR)
+               || '-01</lastmod><priority>0.'
+               || CAST(doc_id % 10 AS VARCHAR) || '</priority></url>'
+               || CASE WHEN doc_id % 3 = 0
+                       THEN '<URL>' || chr(10) || '  <LOC>' || chr(10)
+                            || '    https://' || source || '.com/extra/'
+                            || CAST(doc_id % 7 AS VARCHAR) || chr(10)
+                            || '  </LOC>' || chr(10) || '</URL>'
+                       ELSE '' END
+               || '</urlset>'
+               || CASE WHEN doc_id % 4 = 0
+                       THEN '<sitemap><loc>https://' || source
+                            || '.com/sitemaps/s'
+                            || CAST(doc_id % 5 AS VARCHAR)
+                            || '.xml</loc></sitemap>'
+                       ELSE '' END
+               || '<loc>https://stray.example/x</loc>' AS xml
+        FROM documents WHERE doc_id < 300
+      ), blocks AS (
+        SELECT doc_id, b, 'url' AS kind
+        FROM pages,
+             unnest(regexp_extract_all(xml,
+                    '(?is)<url\s*>.*?</url\s*>')) AS t(b)
+        UNION ALL
+        SELECT doc_id, b, 'sitemap' AS kind
+        FROM pages,
+             unnest(regexp_extract_all(xml,
+                    '(?is)<sitemap\s*>.*?</sitemap\s*>')) AS t(b)
+      ), fields AS (
+        SELECT doc_id,
+               regexp_extract(b, '(?is)<loc\s*>\s*(.*?)\s*</loc\s*>', 1)
+                 AS rawloc,
+               regexp_extract(b,
+                 '(?is)<lastmod\s*>\s*(.*?)\s*</lastmod\s*>', 1) AS lastmod,
+               regexp_extract(b,
+                 '(?is)<priority\s*>\s*(.*?)\s*</priority\s*>', 1)
+                 AS priority,
+               kind
+        FROM blocks
+      )
+      SELECT doc_id,
+             replace(replace(replace(replace(replace(rawloc,
+               '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+               '&apos;', ''''), '&amp;', '&') AS loc,
+             lastmod, priority, kind
+      FROM fields WHERE rawloc <> ''
     """
     sqls["robots_gate"] = _precomputed("robots_gate")
     sqls["encoding_triage"] = _precomputed("encoding_triage")

@@ -53,7 +53,7 @@ EXPECTED_TAIL = [
     "leakage_safe_split", "lm_contrast", "dsir_threshold", "warc_ingest",
     "warc_extract", "outlink_graph", "pagerank_hosts", "encoding_triage",
     "anchor_text_stats", "benchmark_decontam_join", "latest_capture",
-    "noindex_gate", "snapshot_delta", "robots_gate",
+    "noindex_gate", "snapshot_delta", "robots_gate", "sitemap_urls",
 ]
 
 

@@ -272,3 +272,44 @@ def test_robots_duplicate_host_rows_deterministic(spark):
         pats = sorted(r["pattern"] for r in rows[0].rules)
         # lexicographic max of the two bodies is the 'b' file
         assert pats == ["^/b/"], pats
+
+
+# ---------------------------------------------------------------------------
+# sitemap parsing
+# ---------------------------------------------------------------------------
+
+def test_sitemap_entries_kinds_and_entities(spark):
+    xml = (
+        '<?xml version="1.0"?><urlset>'
+        "<url><loc>https://a.com/p?x=1&amp;y=2</loc>"
+        "<lastmod>2026-01-02</lastmod><priority>0.8</priority></url>"
+        "<url><loc> https://a.com/padded </loc></url>"
+        "<url><lastmod>2026-01-01</lastmod></url>"  # no loc → dropped
+        "</urlset>"
+        "<sitemap><loc>https://a.com/maps/1.xml</loc></sitemap>"
+        "<loc>https://stray.example/x</loc>")  # outside any block
+    df = spark.createDataFrame([(1, xml)], "id int, sitemap_xml string")
+    rows = {(r.loc, r.kind): (r.lastmod, r.priority)
+            for r in urltools.sitemap_entries(df).collect()}
+    assert rows == {
+        ("https://a.com/p?x=1&y=2", "url"): ("2026-01-02", "0.8"),
+        ("https://a.com/padded", "url"): ("", ""),
+        ("https://a.com/maps/1.xml", "sitemap"): ("", ""),
+    }
+
+
+def test_sitemap_entity_decode_order(spark):
+    # &amp;lt; is a literal '&lt;' — the ampersand decode must run LAST
+    xml = "<url><loc>https://a.com/p?q=&amp;lt;tag&amp;gt;</loc></url>"
+    df = spark.createDataFrame([(1, xml)], "id int, sitemap_xml string")
+    row = urltools.sitemap_entries(df).collect()[0]
+    assert row.loc == "https://a.com/p?q=&lt;tag&gt;"
+
+
+def test_sitemap_null_and_caseless(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, "<URLSET><URL><LOC>https://b.io/x</LOC></URL>"
+                        "</URLSET>")],
+        "id int, sitemap_xml string")
+    rows = urltools.sitemap_entries(df).collect()
+    assert [(r.id, r.loc) for r in rows] == [(2, "https://b.io/x")]
