@@ -1649,6 +1649,79 @@ def sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "loc", "lastmod", "priority", "kind")
 
 
+def html_table_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML ``<table>`` → structured cell rows (tail entry, round 5):
+    three nested regex+posexplode levels, zero shuffles
+    (structured.html_tables). Fixture covers uppercase tags,
+    thead/tbody wrappers (transparent), th/td mixing, inner markup
+    stripped before entity decode, attribute-bearing cells, multiple
+    tables per page, and a table-free page subset (no rows). Oracle =
+    the same cascade in DuckDB RE2 with parallel-list unnest."""
+    from resume_ocr_spark.operators import structured
+
+    d = (_t(spark, sf_dir, "documents")
+         .filter(F.col("doc_id") < 300).select("doc_id", "source"))
+    did = F.col("doc_id")
+    row2 = F.when(did % 3 == 0, F.concat(
+        F.lit("<TR><TD><b>bold</b> "), (did % 7).cast("string"),
+        F.lit("</TD><TD>  padded  text </TD></TR>"))).otherwise(F.lit(""))
+    t2 = F.when(did % 4 == 0, F.concat(
+        F.lit('<table id="x"><tr><td>solo'), (did % 5).cast("string"),
+        F.lit("</td></tr></table>"))).otherwise(F.lit(""))
+    tbl = F.concat(
+        F.lit('<TABLE class="t"><thead><tr><th>Key</th><th> Val '
+              "</th></tr></thead><tbody><tr><td>name &amp; co</td>"
+              '<td align="r">'),
+        F.col("source"), F.lit("/"), did.cast("string"),
+        F.lit("</td></tr>"), row2, F.lit("</tbody></TABLE>"))
+    html = (F.when(did % 5 == 4, F.lit("<p>tableless page</p>"))
+            .otherwise(F.concat(F.lit("<div>pre &amp; amble</div>"),
+                                tbl, t2)))
+    pages = d.select("doc_id", html.alias("html"))
+    return structured.html_tables(pages)
+
+
+def feed_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSS/Atom feed-entry extraction (tail entry, round 5): the
+    freshness-discovery surface beside sitemap_urls — <item> and
+    <entry> blocks exploded with document-order pos in one zero-shuffle
+    codegen pass (urltools.feed_entries). Fixture covers CDATA titles,
+    entity-escaped links, attribute-bearing guids, Atom href= links
+    (attr-order robust), uppercase/whitespace-padded blocks, and an
+    orphan block with neither title nor link (must drop)."""
+    from resume_ocr_spark.operators import urltools
+
+    d = (_t(spark, sf_dir, "documents")
+         .filter(F.col("doc_id") < 300).select("doc_id", "source"))
+    did = F.col("doc_id")
+    item1 = F.concat(
+        F.lit("<item><title><![CDATA[Breaking &amp; <b>item]]></title>"
+              "<link> https://"), F.col("source"), F.lit(".com/news/"),
+        did.cast("string"),
+        F.lit("?a=1&amp;b=2 </link><pubDate>Mon, 0"),
+        (did % 9 + 1).cast("string"),
+        F.lit(' Jan 2026 00:00:00 GMT</pubDate><guid isPermaLink="true">'
+              "https://"), F.col("source"), F.lit(".com/news/"),
+        did.cast("string"), F.lit("</guid></item>"))
+    item2 = F.when(did % 3 == 0, F.concat(
+        F.lit("<ITEM>\n  <title>  Plain   title "), (did % 7).cast("string"),
+        F.lit("  </title>\n</ITEM>"))).otherwise(F.lit(""))
+    orphan = F.lit("<item><guid>orphan-drops</guid></item>")
+    entry1 = F.when(did % 2 == 0, F.concat(
+        F.lit('<entry><title>Atom entry</title><link rel="alternate" '
+              'href="https://'), F.col("source"), F.lit(".org/e/"),
+        (did % 5).cast("string"),
+        F.lit('"/><updated>2026-01-02T03:04:0'), (did % 10).cast("string"),
+        F.lit("Z</updated><id>tag:"), F.col("source"),
+        F.lit(".org,2026:"), did.cast("string"),
+        F.lit("</id></entry>"))).otherwise(F.lit(""))
+    xml = F.concat(
+        F.lit('<?xml version="1.0"?><rss><channel><title>Chan</title>'),
+        item1, item2, orphan, F.lit("</channel></rss>"), entry1)
+    pages = d.select("doc_id", xml.alias("feed_xml"))
+    return urltools.feed_entries(pages)
+
+
 def _media_texts(n: int) -> list[tuple[int, str]]:
     """Deterministic (doc_id, text) rows for the multimodal entries — a
     seeded mix of synthetic resumes and the recipe negative. Independent of
@@ -2058,6 +2131,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # entries exploded in one zero-shuffle codegen pass
         # (urltools.sitemap_entries)
         "sitemap_urls": sitemap_urls,
+        # round-5 tail: HTML <table> → structured cell rows, three
+        # nested regex+posexplode levels, zero shuffles
+        # (structured.html_tables)
+        "html_table_cells": html_table_cells,
+        # round-5 tail: RSS/Atom feed-entry extraction with document-
+        # order pos — the freshness surface beside sitemap_urls
+        # (urltools.feed_entries)
+        "feed_discovery": feed_discovery,
     }
     return {**gated, **tail}
 
@@ -4078,6 +4159,155 @@ def oracle_sql() -> dict[str, str]:
                '&apos;', ''''), '&amp;', '&') AS loc,
              lastmod, priority, kind
       FROM fields WHERE rawloc <> ''
+    """
+    sqls["html_table_cells"] = r"""
+      WITH pages AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 4 THEN '<p>tableless page</p>'
+               ELSE '<div>pre &amp; amble</div>'
+                 || '<TABLE class="t"><thead><tr><th>Key</th><th> Val '
+                 || '</th></tr></thead><tbody><tr><td>name &amp; co</td>'
+                 || '<td align="r">' || source || '/'
+                 || CAST(doc_id AS VARCHAR) || '</td></tr>'
+                 || CASE WHEN doc_id % 3 = 0
+                         THEN '<TR><TD><b>bold</b> '
+                              || CAST(doc_id % 7 AS VARCHAR)
+                              || '</TD><TD>  padded  text </TD></TR>'
+                         ELSE '' END
+                 || '</tbody></TABLE>'
+                 || CASE WHEN doc_id % 4 = 0
+                         THEN '<table id="x"><tr><td>solo'
+                              || CAST(doc_id % 5 AS VARCHAR)
+                              || '</td></tr></table>'
+                         ELSE '' END
+               END AS html
+        FROM documents WHERE doc_id < 300
+      ), tabs AS (
+        SELECT doc_id,
+          unnest(regexp_extract_all(html,
+            '(?is)<table(?:\s[^>]*)?>(.*?)</table\s*>', 1)) AS tbl,
+          unnest(range(len(regexp_extract_all(html,
+            '(?is)<table(?:\s[^>]*)?>(.*?)</table\s*>', 1)))) AS table_idx
+        FROM pages
+      ), rws AS (
+        SELECT doc_id, table_idx,
+          unnest(regexp_extract_all(tbl,
+            '(?is)<tr(?:\s[^>]*)?>(.*?)</tr\s*>', 1)) AS rw,
+          unnest(range(len(regexp_extract_all(tbl,
+            '(?is)<tr(?:\s[^>]*)?>(.*?)</tr\s*>', 1)))) AS row_idx
+        FROM tabs
+      ), cls AS (
+        SELECT doc_id, table_idx, row_idx,
+          unnest(regexp_extract_all(rw,
+            '(?is)<(t[dh])(?:\s[^>]*)?>(.*?)</t[dh]\s*>', 1)) AS tag,
+          unnest(regexp_extract_all(rw,
+            '(?is)<(t[dh])(?:\s[^>]*)?>(.*?)</t[dh]\s*>', 2)) AS raw,
+          unnest(range(len(regexp_extract_all(rw,
+            '(?is)<(t[dh])(?:\s[^>]*)?>(.*?)</t[dh]\s*>', 1)))) AS col_idx
+        FROM rws
+      )
+      SELECT doc_id, table_idx, row_idx, col_idx,
+             lower(tag) = 'th' AS is_header,
+             trim(regexp_replace(
+               replace(replace(replace(replace(replace(
+                 regexp_replace(raw, '(?is)<[^>]*>', ' ', 'g'),
+                 '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                 '&apos;', ''''), '&amp;', '&'),
+               '\s+', ' ', 'g')) AS cell
+      FROM cls
+    """
+    sqls["feed_discovery"] = r"""
+      WITH pages AS (
+        SELECT doc_id,
+          '<?xml version="1.0"?><rss><channel><title>Chan</title>'
+          || '<item><title><![CDATA[Breaking &amp; <b>item]]></title>'
+          || '<link> https://' || source || '.com/news/'
+          || CAST(doc_id AS VARCHAR) || '?a=1&amp;b=2 </link><pubDate>Mon, 0'
+          || CAST(doc_id % 9 + 1 AS VARCHAR)
+          || ' Jan 2026 00:00:00 GMT</pubDate><guid isPermaLink="true">'
+          || 'https://' || source || '.com/news/'
+          || CAST(doc_id AS VARCHAR) || '</guid></item>'
+          || CASE WHEN doc_id % 3 = 0
+                  THEN '<ITEM>' || chr(10) || '  <title>  Plain   title '
+                       || CAST(doc_id % 7 AS VARCHAR) || '  </title>'
+                       || chr(10) || '</ITEM>'
+                  ELSE '' END
+          || '<item><guid>orphan-drops</guid></item>'
+          || '</channel></rss>'
+          || CASE WHEN doc_id % 2 = 0
+                  THEN '<entry><title>Atom entry</title>'
+                       || '<link rel="alternate" href="https://' || source
+                       || '.org/e/' || CAST(doc_id % 5 AS VARCHAR)
+                       || '"/><updated>2026-01-02T03:04:0'
+                       || CAST(doc_id % 10 AS VARCHAR)
+                       || 'Z</updated><id>tag:' || source || '.org,2026:'
+                       || CAST(doc_id AS VARCHAR) || '</id></entry>'
+                  ELSE '' END AS xml
+        FROM documents WHERE doc_id < 300
+      ), blocks AS (
+        SELECT doc_id, 'rss' AS kind,
+          unnest(regexp_extract_all(xml,
+            '(?is)<item(?:\s[^>]*)?>.*?</item\s*>')) AS b,
+          unnest(range(len(regexp_extract_all(xml,
+            '(?is)<item(?:\s[^>]*)?>.*?</item\s*>')))) AS i,
+          0 AS off
+        FROM pages
+        UNION ALL
+        SELECT doc_id, 'atom',
+          unnest(regexp_extract_all(xml,
+            '(?is)<entry(?:\s[^>]*)?>.*?</entry\s*>')),
+          unnest(range(len(regexp_extract_all(xml,
+            '(?is)<entry(?:\s[^>]*)?>.*?</entry\s*>')))),
+          len(regexp_extract_all(xml,
+            '(?is)<item(?:\s[^>]*)?>.*?</item\s*>'))
+        FROM pages
+      ), fields AS (
+        SELECT doc_id, kind, i + off AS pos,
+          regexp_extract(b,
+            '(?is)<title(?:\s[^>]*)?>\s*(.*?)\s*</title\s*>', 1)
+            AS rawtitle,
+          regexp_extract(b,
+            '(?is)<link(?:\s[^>]*)?>\s*(.*?)\s*</link\s*>', 1) AS textlink,
+          regexp_extract(b,
+            '(?is)<link[^>]*\shref\s*=\s*"([^"]*)"', 1) AS hreflink,
+          CASE WHEN kind = 'rss'
+               THEN regexp_extract(b,
+                 '(?is)<pubdate(?:\s[^>]*)?>\s*(.*?)\s*</pubdate\s*>', 1)
+               ELSE regexp_extract(b,
+                 '(?is)<updated(?:\s[^>]*)?>\s*(.*?)\s*</updated\s*>', 1)
+          END AS published,
+          CASE WHEN kind = 'rss'
+               THEN regexp_extract(b,
+                 '(?is)<guid(?:\s[^>]*)?>\s*(.*?)\s*</guid\s*>', 1)
+               ELSE regexp_extract(b,
+                 '(?is)<id(?:\s[^>]*)?>\s*(.*?)\s*</id\s*>', 1)
+          END AS rawguid
+        FROM blocks
+      ), cleaned AS (
+        SELECT doc_id, pos, kind,
+          trim(regexp_replace(
+            replace(replace(replace(replace(replace(
+              regexp_replace(rawtitle,
+                '(?s)^<!\[CDATA\[(.*)\]\]>$', '\1'),
+              '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+              '&apos;', ''''), '&amp;', '&'),
+            '\s+', ' ', 'g')) AS title,
+          replace(replace(replace(replace(replace(
+            CASE WHEN kind = 'atom'
+                 THEN CASE WHEN hreflink <> '' THEN hreflink
+                           ELSE textlink END
+                 ELSE CASE WHEN textlink <> '' THEN textlink
+                           ELSE hreflink END END,
+            '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+            '&apos;', ''''), '&amp;', '&') AS link,
+          published,
+          replace(replace(replace(replace(replace(rawguid,
+            '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+            '&apos;', ''''), '&amp;', '&') AS guid
+        FROM fields
+      )
+      SELECT doc_id, pos, kind, title, link, published, guid
+      FROM cleaned WHERE title <> '' OR link <> ''
     """
     sqls["robots_gate"] = _precomputed("robots_gate")
     sqls["encoding_triage"] = _precomputed("encoding_triage")

@@ -1,0 +1,179 @@
+"""HTML <table> extraction + RSS/Atom feed discovery (round-5 tail).
+
+The gate replica hash-checks html_table_cells / feed_discovery against
+DuckDB every CI pass (test_contract_tail); these tests pin the edge
+semantics the SQL fixtures don't enumerate — tag-boundary traps
+(<thead>/<track> must not read as cells/rows), the strip-before-decode
+ordering, nested-table truncation (a DOCUMENTED limit, pinned so a
+regression is loud), CDATA/entity handling in feeds, the link
+preference per feed kind, and the pos-gap left by dropped orphan
+blocks.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from resume_ocr_spark.operators import structured, urltools
+
+
+def _cells(spark, html):
+    df = spark.createDataFrame([(0, html)], "doc_id int, html string")
+    rows = (structured.html_tables(df)
+            .orderBy("table_idx", "row_idx", "col_idx").collect())
+    return [(r.table_idx, r.row_idx, r.col_idx, r.is_header, r.cell)
+            for r in rows]
+
+
+class TestHtmlTables:
+    def test_basic_grid_with_headers(self, spark):
+        got = _cells(
+            spark,
+            "<table><tr><th>A</th><th>B</th></tr>"
+            "<tr><td>1</td><td>2</td></tr></table>")
+        assert got == [(0, 0, 0, True, "A"), (0, 0, 1, True, "B"),
+                       (0, 1, 0, False, "1"), (0, 1, 1, False, "2")]
+
+    def test_thead_tbody_transparent_and_case(self, spark):
+        got = _cells(
+            spark,
+            '<TABLE class="x"><THEAD><TR><TH>h</TH></TR></THEAD>'
+            "<TBODY><TR><TD>b</TD></TR></TBODY></TABLE>")
+        assert got == [(0, 0, 0, True, "h"), (0, 1, 0, False, "b")]
+
+    def test_thead_is_not_a_th_cell(self, spark):
+        # '<th' must not swallow '<thead>': a thead wrapper containing
+        # one td row yields exactly one NON-header cell
+        got = _cells(spark, "<table><thead><tr><td>x</td></tr></thead>"
+                            "</table>")
+        assert got == [(0, 0, 0, False, "x")]
+
+    def test_strip_before_decode(self, spark):
+        # &lt;b&gt; decodes AFTER tag-strip, so it survives as text
+        got = _cells(spark, "<table><tr><td>&lt;b&gt; <i>it</i></td></tr>"
+                            "</table>")
+        assert got == [(0, 0, 0, False, "<b> it")]
+
+    def test_entities_and_whitespace_collapse(self, spark):
+        got = _cells(
+            spark,
+            "<table><tr><td>  A &amp;&#32; B\n\tC </td></tr></table>")
+        # numeric refs are NOT decoded (five named entities only)
+        assert got == [(0, 0, 0, False, "A &&#32; B C")]
+
+    def test_multiple_tables_and_row_header_mix(self, spark):
+        got = _cells(
+            spark,
+            "<table><tr><th>k</th><td>v</td></tr></table>"
+            "<p>x</p><table><tr><td>solo</td></tr></table>")
+        assert got == [(0, 0, 0, True, "k"), (0, 0, 1, False, "v"),
+                       (1, 0, 0, False, "solo")]
+
+    def test_no_table_no_rows_and_null_html(self, spark):
+        df = spark.createDataFrame(
+            [(0, "<p>none</p>"), (1, None)], "doc_id int, html string")
+        assert structured.html_tables(df).count() == 0
+
+    def test_nested_table_truncates_at_inner_close(self, spark):
+        # documented regex-grade limit: outer block stops at the FIRST
+        # </table>, so only the inner cell's row is seen
+        got = _cells(
+            spark,
+            "<table><tr><td><table><tr><td>in</td></tr></table>"
+            "</td></tr><tr><td>after</td></tr></table>")
+        assert [c[4] for c in got] == ["in"]
+
+    def test_attrs_on_every_level(self, spark):
+        got = _cells(
+            spark,
+            '<table border="1"><tr class="r"><td colspan="2">a</td>'
+            "<th scope=col>b</th></tr></table>")
+        assert got == [(0, 0, 0, False, "a"), (0, 0, 1, True, "b")]
+
+    def test_linearize_round_trip(self, spark):
+        df = spark.createDataFrame(
+            [(7, "<table><tr><th>k</th><th>v</th></tr>"
+                 "<tr><td>x</td><td>1</td></tr></table>")],
+            "doc_id int, html string")
+        lin = (structured.linearize_tables(structured.html_tables(df))
+               .orderBy("row_idx").collect())
+        assert [(r.row_text, r.n_cells, r.has_header_cell) for r in lin] \
+            == [("k | v", 2, True), ("x | 1", 2, False)]
+
+    def test_zero_exchanges_in_plan(self, spark):
+        df = spark.createDataFrame([(0, "<table></table>")],
+                                   "doc_id int, html string")
+        plan = (structured.html_tables(df)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "Exchange" not in plan
+
+
+def _feed(spark, xml):
+    df = spark.createDataFrame([(0, xml)], "doc_id int, feed_xml string")
+    rows = urltools.feed_entries(df).orderBy("pos").collect()
+    return [(r.pos, r.kind, r.title, r.link, r.published, r.guid)
+            for r in rows]
+
+
+class TestFeedEntries:
+    def test_rss_full_item(self, spark):
+        got = _feed(
+            spark,
+            "<rss><channel><title>Chan</title>"
+            "<item><title><![CDATA[T &amp; <b>]]></title>"
+            "<link> https://e.com/a?x=1&amp;y=2 </link>"
+            "<pubDate>Mon, 01 Jan 2026 00:00:00 GMT</pubDate>"
+            '<guid isPermaLink="true">g1</guid></item></channel></rss>')
+        assert got == [(0, "rss", "T & <b>", "https://e.com/a?x=1&y=2",
+                        "Mon, 01 Jan 2026 00:00:00 GMT", "g1")]
+
+    def test_channel_title_not_an_entry(self, spark):
+        assert _feed(spark, "<rss><channel><title>only chan</title>"
+                            "</channel></rss>") == []
+
+    def test_orphan_drops_but_keeps_pos_gap(self, spark):
+        got = _feed(
+            spark,
+            "<rss><item><title>a</title></item>"
+            "<item><guid>orphan</guid></item>"
+            "<item><title>b</title></item></rss>")
+        assert [(p, t) for p, _, t, _, _, _ in got] == [(0, "a"), (2, "b")]
+
+    def test_atom_href_preferred_and_id(self, spark):
+        got = _feed(
+            spark,
+            '<feed><entry><title>E</title><link rel="alternate" '
+            'href="https://e.org/1"/><updated>2026-01-02T00:00:00Z'
+            "</updated><id>tag:1</id></entry></feed>")
+        assert got == [(0, "atom", "E", "https://e.org/1",
+                        "2026-01-02T00:00:00Z", "tag:1")]
+
+    def test_rss_falls_back_to_href(self, spark):
+        got = _feed(spark, '<rss><item><link href="https://h.co/x"/>'
+                           "<title>t</title></item></rss>")
+        assert got[0][3] == "https://h.co/x"
+
+    def test_mixed_kinds_pos_offsets(self, spark):
+        got = _feed(
+            spark,
+            "<rss><item><title>r0</title></item>"
+            "<ITEM>\n<title>r1</title>\n</ITEM></rss>"
+            "<entry><title>a0</title></entry>")
+        assert [(p, k, t) for p, k, t, _, _, _ in got] \
+            == [(0, "rss", "r0"), (1, "rss", "r1"), (2, "atom", "a0")]
+
+    def test_null_and_empty_xml(self, spark):
+        df = spark.createDataFrame(
+            [(0, None), (1, "")], "doc_id int, feed_xml string")
+        assert urltools.feed_entries(df).count() == 0
+
+    def test_whitespace_title_collapses(self, spark):
+        got = _feed(spark, "<rss><item><title>  a \n\t b  </title>"
+                           "</item></rss>")
+        assert got[0][2] == "a b"
+
+    def test_zero_exchanges_in_plan(self, spark):
+        df = spark.createDataFrame([(0, "<rss></rss>")],
+                                   "doc_id int, feed_xml string")
+        plan = (urltools.feed_entries(df)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "Exchange" not in plan
