@@ -1708,7 +1708,9 @@ def feed_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("  </title>\n</ITEM>"))).otherwise(F.lit(""))
     orphan = F.lit("<item><guid>orphan-drops</guid></item>")
     entry1 = F.when(did % 2 == 0, F.concat(
-        F.lit('<entry><title>Atom entry</title><link rel="alternate" '
+        F.lit('<entry><title>Atom entry</title>'
+              '<link rel="self" href="https://wrong.example/feed.xml"/>'
+              '<link rel="alternate" '
               'href="https://'), F.col("source"), F.lit(".org/e/"),
         (did % 5).cast("string"),
         F.lit('"/><updated>2026-01-02T03:04:0'), (did % 10).cast("string"),
@@ -4213,7 +4215,7 @@ def oracle_sql() -> dict[str, str]:
                  regexp_replace(raw, '(?is)<[^>]*>', ' ', 'g'),
                  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
                  '&apos;', ''''), '&amp;', '&'),
-               '\s+', ' ', 'g')) AS cell
+               '[ \t\n\x0B\f\r]+', ' ', 'g')) AS cell
       FROM cls
     """
     sqls["feed_discovery"] = r"""
@@ -4236,6 +4238,8 @@ def oracle_sql() -> dict[str, str]:
           || '</channel></rss>'
           || CASE WHEN doc_id % 2 = 0
                   THEN '<entry><title>Atom entry</title>'
+                       || '<link rel="self" '
+                       || 'href="https://wrong.example/feed.xml"/>'
                        || '<link rel="alternate" href="https://' || source
                        || '.org/e/' || CAST(doc_id % 5 AS VARCHAR)
                        || '"/><updated>2026-01-02T03:04:0'
@@ -4267,9 +4271,18 @@ def oracle_sql() -> dict[str, str]:
             '(?is)<title(?:\s[^>]*)?>\s*(.*?)\s*</title\s*>', 1)
             AS rawtitle,
           regexp_extract(b,
-            '(?is)<link(?:\s[^>]*)?>\s*(.*?)\s*</link\s*>', 1) AS textlink,
+            '(?is)<link(?:\s[^>]*[^/>])?\s*>\s*(.*?)\s*</link\s*>', 1)
+            AS textlink,
+          coalesce(regexp_extract(
+            list_filter(regexp_extract_all(b, '(?is)<link\s[^>]*>'),
+              t -> regexp_matches(t, '(?is)\srel\s*=\s*"alternate"'))[1],
+            '(?is)\shref\s*=\s*"([^"]*)"', 1), '') AS althref,
+          coalesce(regexp_extract(
+            list_filter(regexp_extract_all(b, '(?is)<link\s[^>]*>'),
+              t -> NOT regexp_matches(t, '(?is)\srel\s*='))[1],
+            '(?is)\shref\s*=\s*"([^"]*)"', 1), '') AS norelhref,
           regexp_extract(b,
-            '(?is)<link[^>]*\shref\s*=\s*"([^"]*)"', 1) AS hreflink,
+            '(?is)<link[^>]*\shref\s*=\s*"([^"]*)"', 1) AS anyhref,
           CASE WHEN kind = 'rss'
                THEN regexp_extract(b,
                  '(?is)<pubdate(?:\s[^>]*)?>\s*(.*?)\s*</pubdate\s*>', 1)
@@ -4283,6 +4296,11 @@ def oracle_sql() -> dict[str, str]:
                  '(?is)<id(?:\s[^>]*)?>\s*(.*?)\s*</id\s*>', 1)
           END AS rawguid
         FROM blocks
+      ), pref AS (
+        SELECT *, CASE WHEN althref <> '' THEN althref
+                       WHEN norelhref <> '' THEN norelhref
+                       ELSE anyhref END AS hreflink
+        FROM fields
       ), cleaned AS (
         SELECT doc_id, pos, kind,
           trim(regexp_replace(
@@ -4291,7 +4309,7 @@ def oracle_sql() -> dict[str, str]:
                 '(?s)^<!\[CDATA\[(.*)\]\]>$', '\1'),
               '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
               '&apos;', ''''), '&amp;', '&'),
-            '\s+', ' ', 'g')) AS title,
+            '[ \t\n\x0B\f\r]+', ' ', 'g')) AS title,
           replace(replace(replace(replace(replace(
             CASE WHEN kind = 'atom'
                  THEN CASE WHEN hreflink <> '' THEN hreflink
@@ -4304,7 +4322,7 @@ def oracle_sql() -> dict[str, str]:
           replace(replace(replace(replace(replace(rawguid,
             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
             '&apos;', ''''), '&amp;', '&') AS guid
-        FROM fields
+        FROM pref
       )
       SELECT doc_id, pos, kind, title, link, published, guid
       FROM cleaned WHERE title <> '' OR link <> ''

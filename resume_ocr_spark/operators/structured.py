@@ -17,7 +17,10 @@ three nested ``regexp_extract_all`` + ``posexplode`` levels
 whole-stage codegen except the Generate nodes. Explodes are narrow:
 a 100 TB scan fans out in place, no exchange. Every regex is in the
 RE2 ∩ Java subset (no backrefs/lookaround) so the DuckDB oracle
-mirrors 1:1.
+mirrors 1:1; content whitespace uses an explicit class because Java's
+``\\s`` includes vertical tab while RE2's does not (structural
+``\\s`` between TAGS keeps the shorthand — a ``\\x0B`` inside markup
+is not a realistic page).
 
 Semantics (documented limits of regex-grade extraction, shared with
 every production boilerplate pipeline that predates a full DOM):
@@ -51,12 +54,14 @@ _TAG_STRIP_RE = r"(?is)<[^>]*>"
 
 def _cell_text_expr(raw) -> "F.Column":
     """Tag-strip → entity-decode → whitespace-collapse, in that order
-    (decoding first would let '&lt;b&gt;' become a strippable tag)."""
-    out = F.regexp_replace(raw, _TAG_STRIP_RE, " ")
-    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
-                    ("&apos;", "'"), ("&amp;", "&")):
-        out = F.replace(out, F.lit(ent), F.lit(ch))
-    return F.trim(F.regexp_replace(out, r"\s+", " "))
+    (decoding first would let '&lt;b&gt;' become a strippable tag).
+    Decode and whitespace-class are the shared urltools exprs so the
+    amp-last ordering and the RE2∩Java class stay single-sourced."""
+    from resume_ocr_spark.operators.urltools import (_WS_RUN_RE,
+                                                     _xml_unescape_expr)
+
+    out = _xml_unescape_expr(F.regexp_replace(raw, _TAG_STRIP_RE, " "))
+    return F.trim(F.regexp_replace(out, _WS_RUN_RE, " "))
 
 
 def html_tables(df: DataFrame, html_col: str = "html") -> DataFrame:

@@ -566,14 +566,48 @@ def keep_latest_capture(
 _RSS_ITEM_RE = r"(?is)<item(?:\s[^>]*)?>.*?</item\s*>"
 _ATOM_ENTRY_RE = r"(?is)<entry(?:\s[^>]*)?>.*?</entry\s*>"
 _FEED_TITLE_RE = r"(?is)<title(?:\s[^>]*)?>\s*(.*?)\s*</title\s*>"
-_RSS_LINK_RE = r"(?is)<link(?:\s[^>]*)?>\s*(.*?)\s*</link\s*>"
+# opening tag must NOT be self-closing (no '/' before '>'), otherwise a
+# lazy body capture starting at '<link .../>' would run across sibling
+# elements to an unrelated '</link>' and emit markup garbage as a link
+_RSS_LINK_RE = r"(?is)<link(?:\s[^>]*[^/>])?\s*>\s*(.*?)\s*</link\s*>"
 _ATOM_HREF_RE = r"(?is)<link[^>]*\shref\s*=\s*\"([^\"]*)\""
+# all <link ...> tags, for rel-aware preference (Atom entries carry
+# rel=self/replies/edit links BESIDE the article's rel=alternate)
+_LINK_TAG_RE = r"(?is)<link\s[^>]*>"
+_HREF_IN_TAG_RE = r"(?is)\shref\s*=\s*\"([^\"]*)\""
+_REL_ALTERNATE_RE = r"(?is)\srel\s*=\s*\"alternate\""
+_REL_ANY_RE = r"(?is)\srel\s*="
 _RSS_PUBDATE_RE = r"(?is)<pubdate(?:\s[^>]*)?>\s*(.*?)\s*</pubdate\s*>"
 _ATOM_UPDATED_RE = r"(?is)<updated(?:\s[^>]*)?>\s*(.*?)\s*</updated\s*>"
 _RSS_GUID_RE = r"(?is)<guid(?:\s[^>]*)?>\s*(.*?)\s*</guid\s*>"
 _ATOM_ID_RE = r"(?is)<id(?:\s[^>]*)?>\s*(.*?)\s*</id\s*>"
 # CDATA unwrap: feeds escape markup-bearing titles as <![CDATA[...]]>
 _CDATA_RE = r"(?s)^<!\[CDATA\[(.*)\]\]>$"
+# explicit whitespace class for CONTENT cleanup: Java's \s includes
+# vertical tab (\x0B), RE2's does not — spelling the class out keeps
+# the Spark expression and the DuckDB oracle byte-identical on it
+_WS_RUN_RE = "[ \\t\\n\\x0B\\f\\r]+"
+
+
+def _href_pref_expr(b) -> "F.Column":
+    """Best href among a block's ``<link …>`` tags: rel="alternate"
+    first (the article URL), then a rel-LESS tag (Atom defaults absent
+    rel to alternate), then any href at all. Pure array ops — filter/
+    element_at over the extracted tag list — so the DuckDB oracle can
+    mirror with list_filter; no lookaround (RE2-compatible)."""
+    tags = F.regexp_extract_all(b, F.lit(_LINK_TAG_RE), 0)
+
+    def first_href(arr):
+        first = F.get(arr, 0)  # NULL when empty, no guard needed
+        return F.coalesce(
+            F.regexp_extract(first, _HREF_IN_TAG_RE, 1), F.lit(""))
+
+    alt = first_href(F.filter(tags, lambda t: t.rlike(_REL_ALTERNATE_RE)))
+    norel = first_href(F.filter(tags, lambda t: ~t.rlike(_REL_ANY_RE)))
+    anyh = F.regexp_extract(b, _ATOM_HREF_RE, 1)
+    return (F.when(alt != "", alt)
+            .when(norel != "", norel)
+            .otherwise(anyh))
 
 
 def _feed_text_expr(raw) -> "F.Column":
@@ -584,7 +618,7 @@ def _feed_text_expr(raw) -> "F.Column":
     literally discuss entities."""
     return F.trim(F.regexp_replace(
         _xml_unescape_expr(F.regexp_replace(raw, _CDATA_RE, "$1")),
-        r"\s+", " "))
+        _WS_RUN_RE, " "))
 
 
 def feed_entries(df: DataFrame, xml_col: str = "feed_xml") -> DataFrame:
@@ -595,9 +629,14 @@ def feed_entries(df: DataFrame, xml_col: str = "feed_xml") -> DataFrame:
     - ``kind``: 'rss' | 'atom' per block shape.
     - ``pos``: document order (items first, then entries — a real feed
       carries one kind; order is the feed's recency contract).
-    - ``link``: RSS prefers the ``<link>text</link>`` child, falling
-      back to an ``href=`` attribute; Atom prefers ``href=`` (its
-      ``<link>`` is an empty element), falling back to element text.
+    - ``link``: RSS prefers the ``<link>text</link>`` child (self-
+      closing ``<link …/>`` tags are NOT text links), falling back to
+      an ``href=`` attribute; Atom prefers ``href=`` (its ``<link>``
+      is an empty element), falling back to element text. href
+      selection is rel-aware: ``rel="alternate"`` first (the article
+      URL), then a rel-less tag (Atom's default-alternate), then any
+      href — so multi-link entries (rel=self/replies/edit beside
+      alternate, the common blog layout) resolve to the article.
     - ``published``: ``<pubDate>`` (RSS) / ``<updated>`` (Atom) as
       published — RFC822/3339 parsing is the caller's policy, same as
       sitemap ``lastmod``.
@@ -612,14 +651,14 @@ def feed_entries(df: DataFrame, xml_col: str = "feed_xml") -> DataFrame:
 
     def block_structs(block_re: str, kind: str):
         is_atom = kind == "atom"
-        text_link, href = _RSS_LINK_RE, _ATOM_HREF_RE
-        first, second = (href, text_link) if is_atom else (text_link, href)
         pub = _ATOM_UPDATED_RE if is_atom else _RSS_PUBDATE_RE
         gid = _ATOM_ID_RE if is_atom else _RSS_GUID_RE
 
         def fields(b):
-            link1 = F.regexp_extract(b, first, 1)
-            link2 = F.regexp_extract(b, second, 1)
+            text_link = F.regexp_extract(b, _RSS_LINK_RE, 1)
+            href = _href_pref_expr(b)
+            link1, link2 = (href, text_link) if is_atom \
+                else (text_link, href)
             return F.struct(
                 F.lit(kind).alias("kind"),
                 _feed_text_expr(

@@ -152,6 +152,49 @@ class TestFeedEntries:
                            "<title>t</title></item></rss>")
         assert got[0][3] == "https://h.co/x"
 
+    def test_atom_rel_alternate_beats_self(self, spark):
+        # the common Blogger/GitHub layout: rel=self/replies/edit
+        # BEFORE rel=alternate — the article URL must win
+        got = _feed(
+            spark,
+            '<feed><entry><title>T</title>'
+            '<link rel="self" href="https://h.co/feeds/1"/>'
+            '<link rel="replies" href="https://h.co/c/1"/>'
+            '<link rel="alternate" href="https://h.co/post/1"/>'
+            "</entry></feed>")
+        assert got[0][3] == "https://h.co/post/1"
+
+    def test_atom_relless_link_is_default_alternate(self, spark):
+        got = _feed(
+            spark,
+            '<feed><entry><title>T</title>'
+            '<link rel="self" href="https://h.co/feeds/1"/>'
+            '<link href="https://h.co/post/2"/>'
+            "</entry></feed>")
+        assert got[0][3] == "https://h.co/post/2"
+
+    def test_self_closing_link_is_not_a_text_link(self, spark):
+        # a lazy body capture starting at '<link .../>' must not run
+        # across siblings to an unrelated '</link>'
+        got = _feed(
+            spark,
+            '<rss><item><link rel="x" href="https://h.co/u"/>'
+            "<title>T</title><link>https://h.co/art</link></item></rss>")
+        assert got[0][3] == "https://h.co/art"
+
+    def test_vertical_tab_collapse_matches_oracle(self, spark):
+        # Java's \s includes \x0B, RE2's does not — both sides use the
+        # EXPLICIT class [ \t\n\x0B\f\r] so a vertical tab collapses
+        # identically (with RE2 \s it would survive only in DuckDB)
+        import duckdb
+
+        xml = "<rss><item><title>a \x0b b</title></item></rss>"
+        got = _feed(spark, xml)
+        ora = duckdb.sql(
+            r"SELECT trim(regexp_replace(?, '[ \t\n\x0B\f\r]+', ' ', 'g'))",
+            params=["a \x0b b"]).fetchone()[0]
+        assert got[0][2] == ora == "a b"
+
     def test_mixed_kinds_pos_offsets(self, spark):
         got = _feed(
             spark,
