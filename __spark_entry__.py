@@ -1724,6 +1724,80 @@ def feed_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return urltools.feed_entries(pages)
 
 
+def url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (tail entry, round 5): the crawl-frontier
+    dedup key — RFC 3986 §6 normalization (scheme/host case, default
+    ports, userinfo, trailing root dot, empty path) plus tracking-param
+    strip and bytewise query-param sort, one zero-shuffle projection
+    (urltools.with_canonical_url). Fixture covers every branch: mixed
+    case + userinfo + :80, https:443, a non-default port, utm/gclid/
+    fbclid strips, pathless authority, an unparseable string
+    (passes through trimmed+defragmented), and fragments."""
+    from resume_ocr_spark.operators import urltools
+
+    d = (_t(spark, sf_dir, "documents")
+         .filter(F.col("doc_id") < 300).select("doc_id", "source"))
+    did, src = F.col("doc_id"), F.col("source")
+    m6 = did % 6
+    url = (
+        F.when(m6 == 0, F.concat(
+            F.lit("HTTP://User@"), src, F.lit(".COM.:80/A/"),
+            did.cast("string"), F.lit("?b=2&utm_source=x&a=1#f")))
+        .when(m6 == 1, F.concat(
+            F.lit("https://"), src, F.lit(".com:443/p"),
+            (did % 7).cast("string")))
+        .when(m6 == 2, F.concat(
+            F.lit("https://"), src, F.lit(".io:8443/x?z=1&y="),
+            (did % 5).cast("string"), F.lit("&gclid=g")))
+        .when(m6 == 3, F.concat(F.lit("http://"), src, F.lit(".net")))
+        .when(m6 == 4, F.concat(F.lit("not a url "),
+                                (did % 3).cast("string")))
+        .otherwise(F.concat(
+            F.lit("https://www."), src, F.lit(".org/q?"),
+            F.when(did % 2 == 0, F.lit("fbclid=f&")).otherwise(F.lit("")),
+            F.lit("k="), (did % 9).cast("string"), F.lit("#frag"))))
+    urls = d.select("doc_id", url.alias("url"))
+    return urltools.with_canonical_url(urls)
+
+
+def page_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-metadata extraction (tail entry, round 5): title / meta
+    description / rel=canonical / og:title / html lang in one
+    zero-shuffle codegen projection (structured.page_metadata),
+    attribute-order-free and quote-tolerant. Fixture covers entity
+    titles, reversed attribute order, single-quoted and bare values,
+    self-closing tags, a name="description-x" decoy (char-class
+    boundary, not \\b), absent-field subsets, and lang case-folding."""
+    from resume_ocr_spark.operators import structured
+
+    d = (_t(spark, sf_dir, "documents")
+         .filter(F.col("doc_id") < 300).select("doc_id", "source"))
+    did, src = F.col("doc_id"), F.col("source")
+    lang_part = (
+        F.when(did % 3 == 0, F.lit('<html lang="EN-us">'))
+        .when(did % 3 == 1, F.lit("<HTML lang=fr>"))
+        .otherwise(F.lit("<html>")))
+    title = F.concat(F.lit("<TITLE> T &amp;  "), did.cast("string"),
+                     F.lit(" </TITLE>"))
+    desc = F.when(did % 2 == 0, F.concat(
+        F.lit('<meta name=description content="D &quot;'),
+        (did % 7).cast("string"), F.lit('&quot;">'))).otherwise(F.concat(
+            F.lit("<meta content='d"), (did % 7).cast("string"),
+            F.lit("' name=\"description\"/>")))
+    og = F.when(did % 4 == 0, F.concat(
+        F.lit("<meta property='og:title' content='OG "),
+        (did % 5).cast("string"), F.lit("'>"))).otherwise(F.lit(""))
+    canon = F.when(did % 5 != 4, F.concat(
+        F.lit("<link rel=canonical href=https://"), src, F.lit(".com/c"),
+        (did % 8).cast("string"), F.lit(">"))).otherwise(F.lit(""))
+    html = F.concat(
+        lang_part, F.lit("<head>"), title,
+        F.lit('<meta name="description-x" content="nope">'),
+        desc, og, canon, F.lit("</head><body>x</body></html>"))
+    pages = d.select("doc_id", html.alias("html"))
+    return structured.page_metadata(pages).drop("html")
+
+
 def _media_texts(n: int) -> list[tuple[int, str]]:
     """Deterministic (doc_id, text) rows for the multimodal entries — a
     seeded mix of synthetic resumes and the recipe negative. Independent of
@@ -2141,6 +2215,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # order pos — the freshness surface beside sitemap_urls
         # (urltools.feed_entries)
         "feed_discovery": feed_discovery,
+        # round-5 tail: RFC 3986 URL canonicalization + tracking-param
+        # strip + query sort — the crawl-frontier dedup key
+        # (urltools.with_canonical_url)
+        "url_canonical": url_canonical,
+        # round-5 tail: head-metadata extraction (title/description/
+        # canonical/og:title/lang), attr-order-free, quote-tolerant
+        # (structured.page_metadata)
+        "page_meta": page_meta,
     }
     return {**gated, **tail}
 
@@ -4326,6 +4408,145 @@ def oracle_sql() -> dict[str, str]:
       )
       SELECT doc_id, pos, kind, title, link, published, guid
       FROM cleaned WHERE title <> '' OR link <> ''
+    """
+    sqls["url_canonical"] = r"""
+      WITH urls AS (
+        SELECT doc_id,
+          CASE doc_id % 6
+            WHEN 0 THEN 'HTTP://User@' || source || '.COM.:80/A/'
+                        || CAST(doc_id AS VARCHAR)
+                        || '?b=2&utm_source=x&a=1#f'
+            WHEN 1 THEN 'https://' || source || '.com:443/p'
+                        || CAST(doc_id % 7 AS VARCHAR)
+            WHEN 2 THEN 'https://' || source || '.io:8443/x?z=1&y='
+                        || CAST(doc_id % 5 AS VARCHAR) || '&gclid=g'
+            WHEN 3 THEN 'http://' || source || '.net'
+            WHEN 4 THEN 'not a url ' || CAST(doc_id % 3 AS VARCHAR)
+            ELSE 'https://www.' || source || '.org/q?'
+                 || CASE WHEN doc_id % 2 = 0 THEN 'fbclid=f&' ELSE '' END
+                 || 'k=' || CAST(doc_id % 9 AS VARCHAR) || '#frag'
+          END AS url
+        FROM documents WHERE doc_id < 300
+      ), parts AS (
+        SELECT doc_id, url,
+          regexp_replace(trim(coalesce(url, '')), '(?s)#.*$', '') AS u
+        FROM urls
+      ), ex AS (
+        SELECT doc_id, url, u,
+          lower(regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*):', 1))
+            AS scheme,
+          regexp_extract(
+            regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1),
+            '^(?:[^@]*@)?(.*)$', 1) AS hostport,
+          regexp_extract(u,
+            '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
+          regexp_extract(u, '\?(.*)$', 1) AS query
+        FROM parts
+      ), hp AS (
+        SELECT *,
+          regexp_replace(lower(regexp_extract(hostport, '^([^:]*)', 1)),
+                         '[.]+$', '') AS host,
+          regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+          coalesce(array_to_string(list_sort(list_filter(
+            string_split(query, '&'),
+            p -> p <> '' AND NOT regexp_matches(p,
+              '^(utm_[a-z0-9_]+|gclid|dclid|fbclid|msclkid|mc_cid|mc_eid|igshid|yclid|_ga)(=|$)')
+          )), '&'), '') AS q2
+        FROM ex
+      )
+      SELECT doc_id, url,
+        CASE WHEN scheme = '' OR host = '' THEN u
+        ELSE scheme || '://' || host
+          || CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                       OR (scheme = 'https' AND port = '443')
+                  THEN '' ELSE ':' || port END
+          || CASE WHEN path0 = '' THEN '/' ELSE path0 END
+          || CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END
+        END AS canonical_url
+      FROM hp
+    """
+    sqls["page_meta"] = r"""
+      WITH pages AS (
+        SELECT doc_id,
+          CASE doc_id % 3 WHEN 0 THEN '<html lang="EN-us">'
+                          WHEN 1 THEN '<HTML lang=fr>'
+                          ELSE '<html>' END
+          || '<head><TITLE> T &amp;  ' || CAST(doc_id AS VARCHAR)
+          || ' </TITLE>'
+          || '<meta name="description-x" content="nope">'
+          || CASE WHEN doc_id % 2 = 0
+                  THEN '<meta name=description content="D &quot;'
+                       || CAST(doc_id % 7 AS VARCHAR) || '&quot;">'
+                  ELSE '<meta content=''d' || CAST(doc_id % 7 AS VARCHAR)
+                       || ''' name="description"/>' END
+          || CASE WHEN doc_id % 4 = 0
+                  THEN '<meta property=''og:title'' content=''OG '
+                       || CAST(doc_id % 5 AS VARCHAR) || '''>'
+                  ELSE '' END
+          || CASE WHEN doc_id % 5 <> 4
+                  THEN '<link rel=canonical href=https://' || source
+                       || '.com/c' || CAST(doc_id % 8 AS VARCHAR) || '>'
+                  ELSE '' END
+          || '</head><body>x</body></html>' AS html
+        FROM documents WHERE doc_id < 300
+      ), tags AS (
+        SELECT doc_id, html,
+          regexp_extract(html,
+            '(?is)<title(?:\s[^>]*)?>\s*(.*?)\s*</title\s*>', 1)
+            AS rawtitle,
+          list_filter(regexp_extract_all(html, '(?i)<meta\b[^>]*>'),
+            t -> regexp_matches(t,
+              '(?i)name\s*=\s*["'']?description["''\s/>]'))[1] AS dtag,
+          list_filter(regexp_extract_all(html, '(?i)<meta\b[^>]*>'),
+            t -> regexp_matches(t,
+              '(?i)property\s*=\s*["'']?og:title["''\s/>]'))[1] AS otag,
+          list_filter(regexp_extract_all(html, '(?i)<link\b[^>]*>'),
+            t -> regexp_matches(t,
+              '(?i)rel\s*=\s*["'']?canonical["''\s/>]'))[1] AS ctag,
+          lower(regexp_extract(html,
+            '(?i)<html\b[^>]*\slang\s*=\s*["'']?([A-Za-z0-9-]+)', 1))
+            AS lang
+        FROM pages
+      ), vals AS (
+        SELECT doc_id, rawtitle, lang,
+          coalesce(regexp_extract(dtag,
+            '(?i)content\s*=\s*["'']([^"'']*)["'']', 1), '') AS dq,
+          coalesce(regexp_extract(dtag,
+            '(?i)content\s*=\s*([^\s"''>]+)', 1), '') AS db,
+          coalesce(regexp_extract(otag,
+            '(?i)content\s*=\s*["'']([^"'']*)["'']', 1), '') AS oq,
+          coalesce(regexp_extract(otag,
+            '(?i)content\s*=\s*([^\s"''>]+)', 1), '') AS ob,
+          coalesce(regexp_extract(ctag,
+            '(?i)href\s*=\s*["'']([^"'']*)["'']', 1), '') AS cq,
+          coalesce(regexp_extract(ctag,
+            '(?i)href\s*=\s*([^\s"''>]+)', 1), '') AS cb
+        FROM tags
+      )
+      SELECT doc_id,
+        trim(regexp_replace(
+          replace(replace(replace(replace(replace(rawtitle,
+            '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+            '&apos;', ''''), '&amp;', '&'),
+          '[ \t\n\x0B\f\r]+', ' ', 'g')) AS title,
+        trim(regexp_replace(
+          replace(replace(replace(replace(replace(
+            CASE WHEN dq <> '' THEN dq ELSE db END,
+            '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+            '&apos;', ''''), '&amp;', '&'),
+          '[ \t\n\x0B\f\r]+', ' ', 'g')) AS meta_description,
+        replace(replace(replace(replace(replace(
+          CASE WHEN cq <> '' THEN cq ELSE cb END,
+          '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+          '&apos;', ''''), '&amp;', '&') AS canonical_url,
+        trim(regexp_replace(
+          replace(replace(replace(replace(replace(
+            CASE WHEN oq <> '' THEN oq ELSE ob END,
+            '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+            '&apos;', ''''), '&amp;', '&'),
+          '[ \t\n\x0B\f\r]+', ' ', 'g')) AS og_title,
+        lang
+      FROM vals
     """
     sqls["robots_gate"] = _precomputed("robots_gate")
     sqls["encoding_triage"] = _precomputed("encoding_triage")

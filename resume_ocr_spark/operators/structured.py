@@ -127,3 +127,79 @@ def linearize_tables(
                  F.count(F.lit(1)).alias("n_cells"),
                  F.max(F.col("is_header").cast("int")).cast("boolean")
                  .alias("has_header_cell")))
+
+
+# page-metadata tag shapes — same conventions as urltools' robots-meta
+# parser (tag scan case-insensitive, attributes matched independently
+# within the tag so order never matters, quote-tolerant). The name/rel
+# values end at a closing quote, whitespace, '/' or '>' (char class,
+# not \b: '-' is a \b boundary and would false-match "description-x").
+_META_TAG_RE = "(?i)<meta\\b[^>]*>"
+_LINK_TAG_RE = "(?i)<link\\b[^>]*>"
+_NAME_DESC_RE = "(?i)name\\s*=\\s*[\"']?description[\"'\\s/>]"
+_PROP_OGTITLE_RE = "(?i)property\\s*=\\s*[\"']?og:title[\"'\\s/>]"
+_REL_CANON_RE = "(?i)rel\\s*=\\s*[\"']?canonical[\"'\\s/>]"
+_CONTENT_QUOTED_RE = "(?i)content\\s*=\\s*[\"']([^\"']*)[\"']"
+_CONTENT_BARE_RE = "(?i)content\\s*=\\s*([^\\s\"'>]+)"
+_HREF_QUOTED_RE = "(?i)href\\s*=\\s*[\"']([^\"']*)[\"']"
+_HREF_BARE_RE = "(?i)href\\s*=\\s*([^\\s\"'>]+)"
+_TITLE_TEXT_RE = r"(?is)<title(?:\s[^>]*)?>\s*(.*?)\s*</title\s*>"
+_HTML_LANG_RE = "(?i)<html\\b[^>]*\\slang\\s*=\\s*[\"']?([A-Za-z0-9-]+)"
+
+
+def _first_tag_attr(html, tag_re: str, marker_re: str,
+                    quoted_re: str, bare_re: str) -> "F.Column":
+    """Value of ``quoted_re``/``bare_re`` from the FIRST tag matching
+    ``tag_re`` that carries ``marker_re`` — attribute-order-free tag
+    selection via array filter, RE2-safe (mirrors as list_filter)."""
+    tags = F.regexp_extract_all(html, F.lit(tag_re), 0)
+    tag = F.get(F.filter(tags, lambda t: t.rlike(marker_re)), 0)
+    quoted = F.coalesce(F.regexp_extract(tag, quoted_re, 1), F.lit(""))
+    bare = F.coalesce(F.regexp_extract(tag, bare_re, 1), F.lit(""))
+    return F.when(quoted != "", quoted).otherwise(bare)
+
+
+def page_metadata(df: DataFrame, html_col: str = "html") -> DataFrame:
+    """Add the head-metadata columns a web-corpus curator keys on:
+
+    - ``title`` — ``<title>`` text, entities decoded, whitespace
+      collapsed (the snippet/dedup signal),
+    - ``meta_description`` — ``<meta name=description content=…>``
+      (same cleanup),
+    - ``canonical_url`` — ``<link rel=canonical href=…>``, entities
+      decoded (pair with urltools.canonical_url_expr for the frontier
+      key: the PUBLISHER's dedup hint vs the crawler's),
+    - ``og_title`` — ``<meta property=og:title …>`` (often cleaner
+      than <title>, which carries site-name suffixes),
+    - ``lang`` — ``<html lang=…>`` attribute, lowercased (cheap
+      publisher label; textstats.lang_id is the content-based check).
+
+    First matching tag wins per field; absent fields are empty
+    strings, never null (error-as-data totality). Zero shuffle, zero
+    Python — one codegen projection; at 100 TB this runs inside the
+    scan like the other triage columns.
+    """
+    from resume_ocr_spark.operators.urltools import (_WS_RUN_RE,
+                                                     _xml_unescape_expr)
+
+    html = F.coalesce(F.col(html_col), F.lit(""))
+
+    def clean(col):
+        return F.trim(F.regexp_replace(
+            _xml_unescape_expr(col), _WS_RUN_RE, " "))
+
+    title = clean(F.regexp_extract(html, _TITLE_TEXT_RE, 1))
+    desc = clean(_first_tag_attr(html, _META_TAG_RE, _NAME_DESC_RE,
+                                 _CONTENT_QUOTED_RE, _CONTENT_BARE_RE))
+    og = clean(_first_tag_attr(html, _META_TAG_RE, _PROP_OGTITLE_RE,
+                               _CONTENT_QUOTED_RE, _CONTENT_BARE_RE))
+    canon = _xml_unescape_expr(
+        _first_tag_attr(html, _LINK_TAG_RE, _REL_CANON_RE,
+                        _HREF_QUOTED_RE, _HREF_BARE_RE))
+    lang = F.lower(F.regexp_extract(html, _HTML_LANG_RE, 1))
+    return (df
+            .withColumn("title", title)
+            .withColumn("meta_description", desc)
+            .withColumn("canonical_url", canon)
+            .withColumn("og_title", og)
+            .withColumn("lang", lang))

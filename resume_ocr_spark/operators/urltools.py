@@ -685,3 +685,77 @@ def feed_entries(df: DataFrame, xml_col: str = "feed_xml") -> DataFrame:
         F.col("_e.published").alias("published"),
         F.col("_e.guid").alias("guid"))
     return out.filter((F.col("title") != "") | (F.col("link") != ""))
+
+
+# tracking parameters every crawl canonicalizer strips (public lists:
+# utm_* is Google Analytics' own documented set; gclid/dclid Google
+# Ads, fbclid Meta, msclkid Bing, mc_* Mailchimp, yclid Yandex,
+# igshid Instagram, _ga GA cross-domain). Lowercase-exact by design:
+# the trackers emit lowercase, and case-folding PARAM NAMES would
+# conflate app params like 'REF' that are not trackers.
+DEFAULT_TRACKING_PARAM_RE = (
+    "^(utm_[a-z0-9_]+|gclid|dclid|fbclid|msclkid|mc_cid|mc_eid|"
+    "igshid|yclid|_ga)(=|$)")
+
+
+def canonical_url_expr(
+    url,
+    tracking_param_re: str = DEFAULT_TRACKING_PARAM_RE,
+) -> "F.Column":
+    """RFC 3986 §6-style canonical form of a URL as a pure Column
+    expression — the crawl-frontier/dedup key:
+
+    - fragment dropped (never sent to the server),
+    - scheme and host lowercased, trailing root dot and userinfo
+      stripped,
+    - default port removed (``:80`` for http, ``:443`` for https;
+      other ports kept),
+    - empty path → ``/`` (``http://a.com`` ≡ ``http://a.com/``),
+    - query params: tracking params dropped, empties dropped, the
+      REST SORTED bytewise and rejoined (param order is almost never
+      semantic; sorting makes ``?a=1&b=2`` ≡ ``?b=2&a=1``) — a
+      documented trade: the rare order-sensitive endpoint conflates,
+    - a URL with no parseable scheme+host passes through trimmed and
+      fragment-stripped, never nulled (error-as-data totality).
+
+    Zero shuffle, zero Python; split/filter/sort happen inside one
+    projection. Mirrors 1:1 in DuckDB (string_split + list_filter +
+    list_sort + array_to_string)."""
+    u = F.regexp_replace(F.trim(F.coalesce(url, F.lit(""))),
+                         "(?s)#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
+    auth = F.regexp_extract(u, _AUTH_RE, 1)
+    hostport = F.regexp_extract(auth, "^(?:[^@]*@)?(.*)$", 1)
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(hostport, "^([^:]*)", 1)), "[.]+$", "")
+    port = F.regexp_extract(hostport, ":([0-9]+)$", 1)
+    port_part = F.when(
+        (port == "")
+        | ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443")),
+        F.lit("")).otherwise(F.concat(F.lit(":"), port))
+    path = F.regexp_extract(u, _PATH_RE, 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(u, "\\?(.*)$", 1)
+    params = F.array_sort(F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(tracking_param_re)))
+    q2 = F.array_join(params, "&")
+    rebuilt = F.concat(
+        scheme, F.lit("://"), host, port_part, path,
+        F.when(q2 == "", F.lit("")).otherwise(F.concat(F.lit("?"), q2)))
+    return F.when((scheme == "") | (host == ""), u).otherwise(rebuilt)
+
+
+def with_canonical_url(
+    df: DataFrame,
+    url_col: str = "url",
+    out_col: str = "canonical_url",
+    tracking_param_re: str = DEFAULT_TRACKING_PARAM_RE,
+) -> DataFrame:
+    """Add ``out_col`` = canonical form of ``url_col`` (see
+    canonical_url_expr). The standard pre-pass before
+    keep_latest_capture / exact URL dedup: mirror-published tracking
+    variants of one page collapse to a single frontier key."""
+    return df.withColumn(
+        out_col, canonical_url_expr(F.col(url_col), tracking_param_re))

@@ -54,7 +54,7 @@ EXPECTED_TAIL = [
     "warc_extract", "outlink_graph", "pagerank_hosts", "encoding_triage",
     "anchor_text_stats", "benchmark_decontam_join", "latest_capture",
     "noindex_gate", "snapshot_delta", "robots_gate", "sitemap_urls",
-    "html_table_cells", "feed_discovery",
+    "html_table_cells", "feed_discovery", "url_canonical", "page_meta",
 ]
 
 

@@ -220,3 +220,87 @@ class TestFeedEntries:
         plan = (urltools.feed_entries(df)
                 ._jdf.queryExecution().executedPlan().toString())
         assert "Exchange" not in plan
+
+
+class TestCanonicalUrl:
+    def _canon(self, spark, url):
+        from resume_ocr_spark.operators.urltools import with_canonical_url
+        df = spark.createDataFrame([(0, url)], "id int, url string")
+        return with_canonical_url(df).collect()[0].canonical_url
+
+    def test_full_normalization(self, spark):
+        got = self._canon(
+            spark, "HTTP://User@Example.COM.:80/Path/A?b=2&utm_source=x&a=1#f")
+        assert got == "http://example.com/Path/A?a=1&b=2"
+
+    def test_default_ports_stripped_others_kept(self, spark):
+        assert self._canon(spark, "https://a.co:443/") == "https://a.co/"
+        assert self._canon(spark, "http://a.co:8080/") == "http://a.co:8080/"
+        # :443 is only default for httpS
+        assert self._canon(spark, "http://a.co:443/") == "http://a.co:443/"
+
+    def test_empty_path_becomes_slash(self, spark):
+        assert self._canon(spark, "http://a.co") == "http://a.co/"
+
+    def test_tracking_params_only_query_drops_question_mark(self, spark):
+        got = self._canon(spark, "https://b.io/p?utm_campaign=c&gclid=g")
+        assert got == "https://b.io/p"
+
+    def test_path_case_preserved(self, spark):
+        assert self._canon(spark, "https://a.co/CaseSensitive") \
+            == "https://a.co/CaseSensitive"
+
+    def test_non_tracker_named_like_value_kept(self, spark):
+        # tracking match is on the PARAM NAME prefix, not anywhere
+        got = self._canon(spark, "https://a.co/?q=utm_source")
+        assert got == "https://a.co/?q=utm_source"
+
+    def test_unparseable_passthrough_defragmented(self, spark):
+        assert self._canon(spark, "  not a url #x ") == "not a url "
+        assert self._canon(spark, None) == ""
+
+    def test_param_sort_is_bytewise(self, spark):
+        got = self._canon(spark, "https://a.co/?z=1&Z=2&a=3")
+        assert got == "https://a.co/?Z=2&a=3&z=1"  # uppercase < lowercase
+
+
+class TestPageMetadata:
+    def _meta(self, spark, html):
+        from resume_ocr_spark.operators.structured import page_metadata
+        df = spark.createDataFrame([(0, html)], "id int, html string")
+        r = page_metadata(df).collect()[0]
+        return (r.title, r.meta_description, r.canonical_url,
+                r.og_title, r.lang)
+
+    def test_all_fields(self, spark):
+        got = self._meta(
+            spark,
+            '<html lang="EN-us"><head><TITLE> A &amp; B </TITLE>'
+            '<meta name=description content="D &quot;x&quot;">'
+            "<meta property='og:title' content='OG'/>"
+            "<link rel=canonical href=https://e.com/c></head>")
+        assert got == ("A & B", 'D "x"', "https://e.com/c", "OG", "en-us")
+
+    def test_reversed_attr_order_and_decoy(self, spark):
+        got = self._meta(
+            spark,
+            '<meta name="description-x" content="nope">'
+            '<meta content="real" name="description">')
+        assert got[1] == "real"
+
+    def test_missing_fields_empty_not_null(self, spark):
+        assert self._meta(spark, "<p>bare</p>") == ("", "", "", "", "")
+
+    def test_first_tag_wins(self, spark):
+        got = self._meta(
+            spark,
+            '<meta name=description content="one">'
+            '<meta name=description content="two">')
+        assert got[1] == "one"
+
+    def test_zero_exchanges_in_plan(self, spark):
+        from resume_ocr_spark.operators.structured import page_metadata
+        df = spark.createDataFrame([(0, "<p></p>")], "id int, html string")
+        plan = (page_metadata(df)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "Exchange" not in plan
