@@ -1724,6 +1724,39 @@ def feed_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return urltools.feed_entries(pages)
 
 
+def robots_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt ``Sitemap:`` record extraction (tail entry, round 5):
+    the link from the robots surface to sitemap_entries — global
+    records per RFC 9309 §2.3, case-insensitive directive, BOM and
+    comment handling, multiline scan + posexplode, zero shuffles
+    (urltools.robots_sitemaps). Fixture covers mixed case, tab/space
+    around the colon, same-line comment tails, a commented-out decoy
+    line, a BOM first line, and record-free hosts (no rows)."""
+    from resume_ocr_spark.operators import urltools
+
+    d = (_t(spark, sf_dir, "documents")
+         .filter(F.col("doc_id") < 300).select("doc_id", "source"))
+    did, src = F.col("doc_id"), F.col("source")
+    txt = (
+        F.when(did % 4 == 0, F.concat(
+            F.lit("User-agent: *\nDisallow: /x\nSitemap: https://"),
+            src, F.lit(".com/s1.xml\nsitemap:https://"), src,
+            F.lit(".com/s"), (did % 5).cast("string"),
+            F.lit(".xml # tail comment")))
+        .when(did % 4 == 1, F.concat(
+            F.lit("﻿SITEMAP:\thttps://"), src, F.lit(".org/map"),
+            (did % 7).cast("string"),
+            F.lit(".xml\nUser-agent: a\nDisallow:")))
+        .when(did % 4 == 2, F.lit("User-agent: *\nAllow: /"))
+        .otherwise(F.concat(
+            F.lit("# sitemap: https://decoy.example/x.xml\n"
+                  "  Sitemap : https://"), src, F.lit(".net/m.xml"))))
+    robots = d.select(
+        "doc_id", F.concat(src, F.lit(".host")).alias("host"),
+        txt.alias("robots_txt"))
+    return urltools.robots_sitemaps(robots)
+
+
 def url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization (tail entry, round 5): the crawl-frontier
     dedup key — RFC 3986 §6 normalization (scheme/host case, default
@@ -2223,6 +2256,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # canonical/og:title/lang), attr-order-free, quote-tolerant
         # (structured.page_metadata)
         "page_meta": page_meta,
+        # round-5 tail: robots.txt Sitemap: records — the robots→
+        # sitemap discovery link, multiline scan + posexplode
+        # (urltools.robots_sitemaps)
+        "robots_sitemap_urls": robots_sitemap_urls,
     }
     return {**gated, **tail}
 
@@ -4408,6 +4445,37 @@ def oracle_sql() -> dict[str, str]:
       )
       SELECT doc_id, pos, kind, title, link, published, guid
       FROM cleaned WHERE title <> '' OR link <> ''
+    """
+    sqls["robots_sitemap_urls"] = r"""
+      WITH robots AS (
+        SELECT doc_id, source || '.host' AS host,
+          CASE doc_id % 4
+            WHEN 0 THEN 'User-agent: *' || chr(10) || 'Disallow: /x'
+                 || chr(10) || 'Sitemap: https://' || source
+                 || '.com/s1.xml' || chr(10) || 'sitemap:https://'
+                 || source || '.com/s' || CAST(doc_id % 5 AS VARCHAR)
+                 || '.xml # tail comment'
+            WHEN 1 THEN chr(65279) || 'SITEMAP:' || chr(9)
+                 || 'https://' || source || '.org/map'
+                 || CAST(doc_id % 7 AS VARCHAR) || '.xml' || chr(10)
+                 || 'User-agent: a' || chr(10) || 'Disallow:'
+            WHEN 2 THEN 'User-agent: *' || chr(10) || 'Allow: /'
+            ELSE '# sitemap: https://decoy.example/x.xml' || chr(10)
+                 || '  Sitemap : https://' || source || '.net/m.xml'
+          END AS robots_txt
+        FROM documents WHERE doc_id < 300
+      ), stripped AS (
+        SELECT doc_id, host,
+               regexp_replace(robots_txt, '^\x{FEFF}', '') AS t
+        FROM robots
+      )
+      SELECT doc_id, host,
+        unnest(range(len(regexp_extract_all(t,
+          '(?im)^[ \t]*sitemap[ \t]*:[ \t]*([^ \t\r\n#]+)', 1)))) AS pos,
+        unnest(regexp_extract_all(t,
+          '(?im)^[ \t]*sitemap[ \t]*:[ \t]*([^ \t\r\n#]+)', 1))
+          AS sitemap_url
+      FROM stripped
     """
     sqls["url_canonical"] = r"""
       WITH urls AS (

@@ -6,11 +6,13 @@ quotas and domain-level stats ahead of the text stages; the reference
 app has no crawl surface — this family extends SURVEY §2.7's curation
 inventory to the URL axis).
 
-Three operators, all designed for the 100 TB shapes:
+The family, all designed for the 100 TB shapes:
 
   with_url_parts          — scheme/host/registered-domain/path as pure
                             Column regex+array ops: zero shuffles, zero
                             Python, stays inside whole-stage codegen
+  with_canonical_url      — RFC 3986 canonical form + tracking-param
+                            strip + query sort (the frontier dedup key)
   filter_blocked_domains  — broadcast ANTI join against a blocklist
                             (blocklists are dimension-sized: UT1 is
                             ~4M rows — broadcastable; the corpus never
@@ -18,6 +20,13 @@ Three operators, all designed for the 100 TB shapes:
   domain_stats            — per-domain counts/chars (one hash shuffle,
                             map-side combine); feeds per-domain quota
                             decisions (mixture.stratified_topk)
+  with_robots_directives  — <meta name=robots> noindex/nofollow gate
+  parse_robots /          — RFC 9309 robots.txt interpreter + corpus
+  filter_robots_allowed     gate (rules broadcast or SMJ by host)
+  sitemap_entries         — <urlset>/<sitemapindex> URL discovery
+  feed_entries            — RSS/Atom feed-entry discovery (rel-aware)
+  snapshot_delta          — incremental-crawl manifest diff (SMJ)
+  keep_latest_capture     — CDX-style newest-capture dedup (max_by)
 
 Registered-domain (eTLD+1) uses an explicit two-level-suffix SET rather
 than the full Public Suffix List (not shippable inside an expression;
@@ -759,3 +768,31 @@ def with_canonical_url(
     variants of one page collapse to a single frontier key."""
     return df.withColumn(
         out_col, canonical_url_expr(F.col(url_col), tracking_param_re))
+
+
+# RFC 9309 §2.3 / sitemaps.org: "Sitemap:" lines are GLOBAL records
+# (outside any user-agent group), one absolute URL each
+_SITEMAP_LINE_RE = "(?im)^[ \\t]*sitemap[ \\t]*:[ \\t]*([^ \\t\\r\\n#]+)"
+
+
+def robots_sitemaps(
+    robots: DataFrame,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """Explode each host's robots.txt ``Sitemap:`` records into one
+    ``(…, pos, sitemap_url)`` row — the link from the robots surface
+    (parse_robots) to URL discovery (sitemap_entries): a refresh
+    crawler reads these URLs, fetches them, and feeds the XML to
+    sitemap_entries. Case-insensitive directive, group-position
+    independent (the records are global per the RFC), comment tails
+    and a leading UTF-8 BOM stripped, hosts without records emit
+    nothing. One multiline regex scan + posexplode — ZERO shuffles
+    (parse_robots shuffles because GROUP structure is stateful;
+    sitemap records have no state)."""
+    txt = F.regexp_replace(
+        F.coalesce(F.col(text_col), F.lit("")), "^\\uFEFF", "")
+    urls = F.regexp_extract_all(txt, F.lit(_SITEMAP_LINE_RE), 1)
+    keep = [c for c in robots.columns if c != text_col]
+    return robots.select(
+        *keep, F.posexplode(urls).alias("pos", "sitemap_url"))

@@ -304,3 +304,46 @@ class TestPageMetadata:
         plan = (page_metadata(df)
                 ._jdf.queryExecution().executedPlan().toString())
         assert "Exchange" not in plan
+
+
+class TestRobotsSitemaps:
+    def _urls(self, spark, txt):
+        from resume_ocr_spark.operators.urltools import robots_sitemaps
+        df = spark.createDataFrame([("h", txt)],
+                                   "host string, robots_txt string")
+        rows = robots_sitemaps(df).orderBy("pos").collect()
+        return [(r.pos, r.sitemap_url) for r in rows]
+
+    def test_case_spacing_and_comment_tail(self, spark):
+        got = self._urls(
+            spark,
+            "User-agent: *\nDisallow: /\n"
+            "Sitemap: https://a.co/s1.xml\n"
+            "SITEMAP:\thttps://a.co/s2.xml\n"
+            "  sitemap : https://a.co/s3.xml # comment")
+        assert got == [(0, "https://a.co/s1.xml"),
+                       (1, "https://a.co/s2.xml"),
+                       (2, "https://a.co/s3.xml")]
+
+    def test_commented_line_is_not_a_record(self, spark):
+        assert self._urls(
+            spark, "# Sitemap: https://a.co/no.xml\nAllow: /") == []
+
+    def test_bom_first_line(self, spark):
+        assert self._urls(spark, "﻿Sitemap: https://a.co/s.xml") \
+            == [(0, "https://a.co/s.xml")]
+
+    def test_no_records_no_rows_and_null(self, spark):
+        from resume_ocr_spark.operators.urltools import robots_sitemaps
+        df = spark.createDataFrame(
+            [("h", "User-agent: *\nAllow: /"), ("i", None)],
+            "host string, robots_txt string")
+        assert robots_sitemaps(df).count() == 0
+
+    def test_zero_exchanges_in_plan(self, spark):
+        from resume_ocr_spark.operators.urltools import robots_sitemaps
+        df = spark.createDataFrame([("h", "x")],
+                                   "host string, robots_txt string")
+        plan = (robots_sitemaps(df)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "Exchange" not in plan
