@@ -1757,6 +1757,36 @@ def robots_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     return urltools.robots_sitemaps(robots)
 
 
+def line_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning (tail entry, round 5): within-document
+    line filter — ≥3 words + terminal punctuation + no 'javascript'
+    marker — rebuilt text plus kept/total line counts, one zero-shuffle
+    projection (textstats.with_clean_lines). Fixture mixes proper
+    sentences, nav bars, short punctuated lines, marker lines and
+    blank lines; oracle mirrors the per-line lambda with list_filter."""
+    from resume_ocr_spark.operators import textstats
+
+    d = (_t(spark, sf_dir, "documents")
+         .filter(F.col("doc_id") < 300).select("doc_id", "source"))
+    did, src = F.col("doc_id"), F.col("source")
+    nl = F.lit("\n")
+    text = F.concat(
+        F.lit("This is sentence number "), did.cast("string"),
+        F.lit(" with plenty of words."), nl,
+        F.lit("Home | News | Page "), (did % 7).cast("string"), nl,
+        F.when(did % 3 == 0,
+               F.concat(F.lit("Enable JavaScript to continue please "
+                              "now."), nl)).otherwise(F.lit("")),
+        F.when(did % 4 == 0,
+               F.concat(F.lit("Short "), (did % 5).cast("string"),
+                        F.lit("."), nl)).otherwise(F.lit("")),
+        F.lit("   "), nl,
+        F.lit("A second good sentence mentions "), src, F.lit(" here?"))
+    docs = d.select("doc_id", text.alias("text"))
+    out = textstats.with_clean_lines(docs)
+    return out.select("doc_id", "text_clean", "n_lines", "n_lines_kept")
+
+
 def url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization (tail entry, round 5): the crawl-frontier
     dedup key — RFC 3986 §6 normalization (scheme/host case, default
@@ -2260,6 +2290,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sitemap discovery link, multiline scan + posexplode
         # (urltools.robots_sitemaps)
         "robots_sitemap_urls": robots_sitemap_urls,
+        # round-5 tail: C4 line-level cleaning — within-doc line filter
+        # (terminal punct, min words, marker lines), zero-shuffle
+        # (textstats.with_clean_lines)
+        "line_clean": line_clean,
     }
     return {**gated, **tail}
 
@@ -4445,6 +4479,44 @@ def oracle_sql() -> dict[str, str]:
       )
       SELECT doc_id, pos, kind, title, link, published, guid
       FROM cleaned WHERE title <> '' OR link <> ''
+    """
+    sqls["line_clean"] = r"""
+      WITH docs AS (
+        SELECT doc_id,
+          'This is sentence number ' || CAST(doc_id AS VARCHAR)
+          || ' with plenty of words.' || chr(10)
+          || 'Home | News | Page ' || CAST(doc_id % 7 AS VARCHAR)
+          || chr(10)
+          || CASE WHEN doc_id % 3 = 0
+                  THEN 'Enable JavaScript to continue please now.'
+                       || chr(10) ELSE '' END
+          || CASE WHEN doc_id % 4 = 0
+                  THEN 'Short ' || CAST(doc_id % 5 AS VARCHAR) || '.'
+                       || chr(10) ELSE '' END
+          || '   ' || chr(10)
+          || 'A second good sentence mentions ' || source || ' here?'
+          AS text
+        FROM documents WHERE doc_id < 300
+      ), arr AS (
+        SELECT doc_id,
+          list_filter(string_split(text, chr(10)),
+                      l -> trim(l) <> '') AS lines
+        FROM docs
+      ), kept AS (
+        SELECT doc_id, lines,
+          list_filter(lines, l ->
+            len(list_filter(string_split(regexp_replace(trim(l),
+                  '[ \t\n\x0B\f\r]+', ' ', 'g'), ' '),
+                w -> w <> '')) >= 3
+            AND regexp_matches(trim(l), '[.!?](["'')\]]|”)?$')
+            AND NOT contains(lower(trim(l)), 'javascript')) AS keptl
+        FROM arr
+      )
+      SELECT doc_id,
+             coalesce(array_to_string(keptl, chr(10)), '') AS text_clean,
+             len(lines) AS n_lines,
+             len(keptl) AS n_lines_kept
+      FROM kept
     """
     sqls["robots_sitemap_urls"] = r"""
       WITH robots AS (
