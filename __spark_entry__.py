@@ -1757,6 +1757,90 @@ def robots_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     return urltools.robots_sitemaps(robots)
 
 
+def html_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML→Markdown rendering (tail entry, round 5): the LM-ready
+    extraction format — headings/links/emphasis/lists/paragraphs via a
+    chained-regexp_replace projection, scripts/styles/comments removed
+    first, entities decoded last (structured.html_to_markdown). The
+    DuckDB oracle is GENERATED from the same _MD_RULES table ($N→\\N,
+    'g' flag), so the two sides cannot drift rule-by-rule."""
+    from resume_ocr_spark.operators import structured
+
+    d = (_t(spark, sf_dir, "documents")
+         .filter(F.col("doc_id") < 300).select("doc_id", "source"))
+    did, src = F.col("doc_id"), F.col("source")
+    html = F.concat(
+        F.lit('<html><head><style>p{color:red}</style>'
+              '<script>var x = "</p>";</script></head><body>'
+              '<h1 class="t">Doc &amp; '), did.cast("string"),
+        F.lit("</h1><p>Para with <b>bold "), (did % 7).cast("string"),
+        F.lit("</b> and <em>italic</em>.</p>"),
+        F.when(did % 3 == 0, F.concat(
+            F.lit('<h2>Links</h2><p>See <a href="https://'), src,
+            F.lit(".com/x?a=1&amp;b="), (did % 5).cast("string"),
+            F.lit('">the docs</a> now.</p>'))).otherwise(F.lit("")),
+        F.when(did % 4 == 0, F.concat(
+            F.lit("<ul><li>One "), (did % 9).cast("string"),
+            F.lit("</li><li>Two &lt;b&gt;</li></ul>"))).otherwise(
+                F.lit("")),
+        F.lit("<!-- hidden --><div>Tail<br>line</div></body></html>"))
+    pages = d.select("doc_id", html.alias("html"))
+    out = structured.html_to_markdown(pages)
+    return out.select("doc_id", "markdown",
+                      F.length("markdown").alias("md_len"))
+
+
+def _html_markdown_oracle_sql() -> str:
+    """Generate the DuckDB twin of html_to_markdown's replace chain
+    from the SAME rule table — $N→\\N, global flag, entity decode and
+    whitespace normalization appended in the identical order."""
+    from resume_ocr_spark.operators.structured import (_MD_INVISIBLE_RES,
+                                                       _MD_RULES,
+                                                       _MD_STRIP_RE)
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    expr = "coalesce(html, '')"
+    for pat in _MD_INVISIBLE_RES:
+        expr = f"regexp_replace({expr}, '{esc(pat)}', '', 'g')"
+    for pat, rep in _MD_RULES:
+        duck_rep = rep.replace("$1", r"\1").replace("$2", r"\2")
+        expr = f"regexp_replace({expr}, '{esc(pat)}', '{esc(duck_rep)}', 'g')"
+    expr = f"regexp_replace({expr}, '{esc(_MD_STRIP_RE)}', ' ', 'g')"
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                    ("&apos;", "''"), ("&amp;", "&")):
+        expr = f"replace({expr}, '{ent}', '{ch}')"
+    for pat, rep in (("[ \\t\\x0B\\f\\r]+", " "),
+                     (" ?\\n ?", "\n"),
+                     ("\\n{3,}", "\n\n"),
+                     ("^[\\n ]+|[\\n ]+$", "")):
+        expr = f"regexp_replace({expr}, '{esc(pat)}', '{esc(rep)}', 'g')"
+    return f"""
+      WITH pages AS (
+        SELECT doc_id,
+          '<html><head><style>p{{color:red}}</style>'
+          || '<script>var x = "</p>";</script></head><body>'
+          || '<h1 class="t">Doc &amp; ' || CAST(doc_id AS VARCHAR)
+          || '</h1><p>Para with <b>bold ' || CAST(doc_id % 7 AS VARCHAR)
+          || '</b> and <em>italic</em>.</p>'
+          || CASE WHEN doc_id % 3 = 0
+                  THEN '<h2>Links</h2><p>See <a href="https://' || source
+                       || '.com/x?a=1&amp;b=' || CAST(doc_id % 5 AS VARCHAR)
+                       || '">the docs</a> now.</p>' ELSE '' END
+          || CASE WHEN doc_id % 4 = 0
+                  THEN '<ul><li>One ' || CAST(doc_id % 9 AS VARCHAR)
+                       || '</li><li>Two &lt;b&gt;</li></ul>' ELSE '' END
+          || '<!-- hidden --><div>Tail<br>line</div></body></html>'
+          AS html
+        FROM documents WHERE doc_id < 300
+      )
+      SELECT doc_id, {expr} AS markdown,
+             length({expr}) AS md_len
+      FROM pages
+    """
+
+
 def line_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 line-level cleaning (tail entry, round 5): within-document
     line filter — ≥3 words + terminal punctuation + no 'javascript'
@@ -2294,6 +2378,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (terminal punct, min words, marker lines), zero-shuffle
         # (textstats.with_clean_lines)
         "line_clean": line_clean,
+        # round-5 tail: HTML→Markdown rendering — chained-replace
+        # projection whose DuckDB oracle is GENERATED from the same
+        # rule table (structured.html_to_markdown)
+        "html_markdown": html_markdown,
     }
     return {**gated, **tail}
 
@@ -4480,6 +4568,7 @@ def oracle_sql() -> dict[str, str]:
       SELECT doc_id, pos, kind, title, link, published, guid
       FROM cleaned WHERE title <> '' OR link <> ''
     """
+    sqls["html_markdown"] = _html_markdown_oracle_sql()
     sqls["line_clean"] = r"""
       WITH docs AS (
         SELECT doc_id,

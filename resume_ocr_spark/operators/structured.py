@@ -203,3 +203,80 @@ def page_metadata(df: DataFrame, html_col: str = "html") -> DataFrame:
             .withColumn("canonical_url", canon)
             .withColumn("og_title", og)
             .withColumn("lang", lang))
+
+
+# html→markdown rewrite rules. Each is a (pattern, spark_replacement)
+# pair applied IN ORDER by a chain of regexp_replace calls — order is
+# semantic: invisible content first (nothing inside a script may be
+# rewritten as markdown), then structural tags, then inline marks,
+# then the generic tag strip, then entities, then whitespace.
+# RE2 ∩ Java regexes; replacements use $N (Spark) / \N (DuckDB) —
+# the one dialect split, kept in _md_oracle_replacement().
+_MD_INVISIBLE_RES = (
+    r"(?is)<script(?:\s[^>]*)?>.*?</script\s*>",
+    r"(?is)<style(?:\s[^>]*)?>.*?</style\s*>",
+    r"(?is)<!--.*?-->",
+)
+_MD_RULES: tuple[tuple[str, str], ...] = (
+    # headings: one rule per level (the repeat count can't come from a
+    # backreference), innermost tags inside the heading already handled
+    # by rule order below — so headings go FIRST among structure
+    *((rf"(?is)<h{n}(?:\s[^>]*)?>\s*(.*?)\s*</h{n}\s*>",
+       "\n\n" + "#" * n + " $1\n\n") for n in range(1, 7)),
+    # links before the generic strip (need href + text together);
+    # block-level <a> is rare enough to treat inline
+    (r"(?is)<a\s[^>]*href\s*=\s*\"([^\"]*)\"[^>]*>(.*?)</a\s*>",
+     "[$2]($1)"),
+    # inline emphasis
+    (r"(?is)<(?:b|strong)(?:\s[^>]*)?>(.*?)</(?:b|strong)\s*>", "**$1**"),
+    (r"(?is)<(?:i|em)(?:\s[^>]*)?>(.*?)</(?:i|em)\s*>", "*$1*"),
+    # list items and breaks/paragraph starts → line structure
+    (r"(?is)<li(?:\s[^>]*)?>", "\n- "),
+    (r"(?is)<br\s*/?\s*>", "\n"),
+    (r"(?is)<(?:p|div|tr)(?:\s[^>]*)?>", "\n\n"),
+)
+_MD_STRIP_RE = r"(?is)<[^>]*>"
+
+
+def html_to_markdown(
+    df: DataFrame,
+    html_col: str = "html",
+    out_col: str = "markdown",
+) -> DataFrame:
+    """Add ``out_col`` = a markdown rendering of ``html_col`` — the
+    LM-ready extraction format (headings ``#``–``######``, links
+    ``[text](href)``, ``**bold**``/``*italic*``, ``- `` list items,
+    paragraph breaks), scripts/styles/comments removed, every other
+    tag stripped, the five XML entities decoded LAST (so ``&lt;b&gt;``
+    can never become a rewritable tag), blank-line runs collapsed to
+    one empty line and the result trimmed.
+
+    Regex-grade fidelity, same documented trade as html_tables:
+    nested same-tag structures resolve non-greedily to the first
+    close; markdown that needs a DOM (nested lists' indentation,
+    blockquote levels) degrades to flat items. This covers the
+    boilerplate-stripped main-content pages a curation funnel feeds
+    it — route full-fidelity needs to a DOM parser.
+
+    Distributed shape: ONE projection of chained regexp_replace — zero
+    shuffles, zero Python, whole-stage codegen; each rule mirrors 1:1
+    in the DuckDB oracle ($N vs \\N replacement syntax aside).
+    """
+    from resume_ocr_spark.operators.urltools import (_WS_RUN_RE,
+                                                     _xml_unescape_expr)
+
+    out = F.coalesce(F.col(html_col), F.lit(""))
+    for pat in _MD_INVISIBLE_RES:
+        out = F.regexp_replace(out, pat, "")
+    for pat, rep in _MD_RULES:
+        out = F.regexp_replace(out, pat, rep)
+    out = F.regexp_replace(out, _MD_STRIP_RE, " ")
+    out = _xml_unescape_expr(out)
+    # normalize: spaces/tabs runs → one space, spaces around newlines
+    # dropped, 3+ newlines → exactly one blank line, then trim
+    out = F.regexp_replace(out, "[ \\t\\x0B\\f\\r]+", " ")
+    out = F.regexp_replace(out, " ?\\n ?", "\n")
+    out = F.regexp_replace(out, "\\n{3,}", "\n\n")
+    # trim() strips spaces only — newlines at the edges need the regex
+    out = F.regexp_replace(out, "^[\\n ]+|[\\n ]+$", "")
+    return df.withColumn(out_col, out)

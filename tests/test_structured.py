@@ -347,3 +347,56 @@ class TestRobotsSitemaps:
         plan = (robots_sitemaps(df)
                 ._jdf.queryExecution().executedPlan().toString())
         assert "Exchange" not in plan
+
+
+class TestHtmlToMarkdown:
+    def _md(self, spark, html):
+        from resume_ocr_spark.operators.structured import html_to_markdown
+        df = spark.createDataFrame([(0, html)], "id int, html string")
+        return html_to_markdown(df).collect()[0].markdown
+
+    def test_full_page(self, spark):
+        got = self._md(
+            spark,
+            '<html><head><style>p{x}</style><script>var a="</p>";'
+            "</script></head><body>"
+            '<h1 class="t">Main &amp; Title</h1>'
+            "<p>Para with <b>bold</b> and <em>it</em>.</p>"
+            '<p>See <a href="https://e.com/x?a=1&amp;b=2">docs</a>.</p>'
+            "<!-- gone --><h2>Items</h2><ul><li>One</li>"
+            "<li>Two &lt;b&gt;</li></ul>"
+            "<div>Tail<br>line</div></body></html>")
+        assert got == (
+            "# Main & Title\n\n"
+            "Para with **bold** and *it*.\n\n"
+            "See [docs](https://e.com/x?a=1&b=2).\n\n"
+            "## Items\n\n- One\n- Two <b>\n\n"
+            "Tail\nline")
+
+    def test_script_content_never_rewritten(self, spark):
+        # a '</p>' INSIDE a script must not become a paragraph break
+        got = self._md(spark, "<script>'</p><h1>x</h1>'</script>after.")
+        assert got == "after."
+
+    def test_heading_levels(self, spark):
+        for n in (1, 3, 6):
+            assert self._md(spark, f"<h{n}>T</h{n}>") == "#" * n + " T"
+
+    def test_strong_and_case(self, spark):
+        assert self._md(spark, "<STRONG>x</STRONG> <EM>y</EM>") \
+            == "**x** *y*"
+
+    def test_entities_decoded_after_stripping(self, spark):
+        # '&lt;p&gt;' decodes to a literal '<p>' that must SURVIVE
+        assert self._md(spark, "&lt;p&gt; stays") == "<p> stays"
+
+    def test_null_and_empty(self, spark):
+        assert self._md(spark, None) == ""
+        assert self._md(spark, "") == ""
+
+    def test_zero_exchanges_in_plan(self, spark):
+        from resume_ocr_spark.operators.structured import html_to_markdown
+        df = spark.createDataFrame([(0, "<p>x</p>")], "id int, html string")
+        plan = (html_to_markdown(df)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "Exchange" not in plan
