@@ -1757,6 +1757,29 @@ def robots_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     return urltools.robots_sitemaps(robots)
 
 
+def host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host fetch-budget cap (tail entry, round 5): EXACT
+    deterministic per-domain top-K via the two-phase salt-rank shape —
+    a mega-host never ships its full URL set to one task
+    (urltools.cap_per_host). Fixture: one hot host holding ~70% of
+    URLs plus a long tail of small hosts; cap 5. Oracle = the
+    SINGLE-window reference formulation in DuckDB (row_number over
+    host ordered by the same md5 row key) — the equivalence the
+    two-phase plan must preserve."""
+    from resume_ocr_spark.operators import urltools
+
+    d = (_t(spark, sf_dir, "documents")
+         .filter(F.col("doc_id") < 300).select("doc_id", "source"))
+    did, src = F.col("doc_id"), F.col("source")
+    host = (F.when(did % 10 < 7, F.concat(src, F.lit("-big.com")))
+            .otherwise(F.concat(src, F.lit("-"),
+                                (did % 9).cast("string"), F.lit(".io"))))
+    urls = d.select(
+        host.alias("host"),
+        F.concat(F.lit("https://h/p"), did.cast("string")).alias("url"))
+    return urltools.cap_per_host(urls, max_per_host=5, salt_buckets=8)
+
+
 def html_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML→Markdown rendering (tail entry, round 5): the LM-ready
     extraction format — headings/links/emphasis/lists/paragraphs via a
@@ -2382,6 +2405,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # projection whose DuckDB oracle is GENERATED from the same
         # rule table (structured.html_to_markdown)
         "html_markdown": html_markdown,
+        # round-5 tail: per-host fetch budget — exact two-phase
+        # salted top-K, no hot task; oracle = the single-window
+        # reference (urltools.cap_per_host)
+        "host_cap": host_cap,
     }
     return {**gated, **tail}
 
@@ -4567,6 +4594,24 @@ def oracle_sql() -> dict[str, str]:
       )
       SELECT doc_id, pos, kind, title, link, published, guid
       FROM cleaned WHERE title <> '' OR link <> ''
+    """
+    sqls["host_cap"] = r"""
+      WITH urls AS (
+        SELECT CASE WHEN doc_id % 10 < 7 THEN source || '-big.com'
+                    ELSE source || '-' || CAST(doc_id % 9 AS VARCHAR)
+                         || '.io' END AS host,
+               'https://h/p' || CAST(doc_id AS VARCHAR) AS url
+        FROM documents WHERE doc_id < 300
+      ), ranked AS (
+        SELECT host, url,
+               row_number() OVER (
+                 PARTITION BY host
+                 ORDER BY md5(concat_ws(chr(0),
+                   coalesce(CAST(host AS VARCHAR), ''),
+                   coalesce(CAST(url AS VARCHAR), '')))) AS r
+        FROM urls
+      )
+      SELECT host, url FROM ranked WHERE r <= 5
     """
     sqls["html_markdown"] = _html_markdown_oracle_sql()
     sqls["line_clean"] = r"""

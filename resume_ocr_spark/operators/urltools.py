@@ -796,3 +796,88 @@ def robots_sitemaps(
     keep = [c for c in robots.columns if c != text_col]
     return robots.select(
         *keep, F.posexplode(urls).alias("pos", "sitemap_url"))
+
+
+def _row_key_expr(df: DataFrame) -> "F.Column":
+    """Deterministic per-row order key: md5 over every column — stable
+    across retries, engines, and cluster sizes (no monotonically_
+    increasing_id, whose values depend on partition layout)."""
+    return F.md5(F.concat_ws(
+        "\x00", *[F.coalesce(F.col(c).cast("string"), F.lit(""))
+                  for c in df.columns]))
+
+
+def cap_per_host(
+    df: DataFrame,
+    host_col: str = "host",
+    max_per_host: int = 1000,
+    salt_buckets: int = 64,
+) -> DataFrame:
+    """EXACT deterministic per-host keep-cap — the per-domain fetch
+    budget (CommonCrawl-style) — without ever shipping a mega-host's
+    full URL set to one task.
+
+    Two-phase top-K: rows first rank inside ``(host, salt)`` — the salt
+    is md5-derived from the row, so the shuffle spreads a hot host over
+    ``salt_buckets`` tasks — and anything ranked past the cap within
+    its bucket can't be in the host's global top-cap, so it drops
+    BEFORE the second phase. Survivors (≤ salt_buckets × cap per host)
+    then rank once per host for the exact cut. The keeper set is the
+    cap-smallest md5 keys — arbitrary-but-deterministic, the right
+    semantics for a budget (no URL is 'better', the cap just has to be
+    stable across runs).
+
+    Shuffle shape: two exchanges, the first salt-spread (no hot task),
+    the second bounded to salt_buckets×cap rows per host."""
+    from pyspark.sql import Window
+
+    key = _row_key_expr(df)
+    salted = df.withColumn("_key", key).withColumn(
+        "_salt",
+        F.conv(F.substring(F.col("_key"), 1, 8), 16, 10).cast("long")
+        % salt_buckets)
+    w1 = (Window.partitionBy(F.col(host_col), F.col("_salt"))
+          .orderBy(F.col("_key")))
+    phase1 = (salted.withColumn("_r1", F.row_number().over(w1))
+              .filter(F.col("_r1") <= max_per_host))
+    w2 = Window.partitionBy(F.col(host_col)).orderBy(F.col("_key"))
+    return (phase1.withColumn("_r2", F.row_number().over(w2))
+            .filter(F.col("_r2") <= max_per_host)
+            .drop("_key", "_salt", "_r1", "_r2"))
+
+
+def partition_frontier_by_host(
+    df: DataFrame,
+    host_col: str = "host",
+    num_partitions: int | None = None,
+    salt_threshold: int = 10_000,
+) -> DataFrame:
+    """Politeness layout for a crawl frontier: co-locate each host's
+    URLs (a fetcher task owns the host's rate limit) while splitting
+    only the hosts that would starve the stage.
+
+    A host with ≤ ``salt_threshold`` URLs lands in ONE partition
+    (salt 0 — co-location preserved). A bigger host splits over
+    ⌈n/salt_threshold⌉ deterministic md5 salts — politeness then
+    rate-limits per fetcher task, the documented trade for not
+    serializing a 10M-URL host behind one task. The over-threshold
+    host list is host-cardinality-sized and broadcast; the ONE
+    corpus-scale exchange is the layout repartition itself.
+
+    Row content is unchanged (the salt helper is dropped); only the
+    physical layout differs."""
+    host = F.col(host_col)
+    big = (df.groupBy(host.alias("_h"))
+           .agg(F.count(F.lit(1)).alias("_n"))
+           .filter(F.col("_n") > salt_threshold))
+    joined = df.join(F.broadcast(big), host == F.col("_h"), "left")
+    nsplit = F.ceil(F.col("_n") / F.lit(salt_threshold))
+    salt = F.when(
+        F.col("_n").isNotNull(),
+        F.conv(F.substring(_row_key_expr(df), 1, 8), 16, 10)
+        .cast("long") % nsplit).otherwise(F.lit(0))
+    out = joined.withColumn("_salt", salt).drop("_h", "_n")
+    parts = [host, F.col("_salt")]
+    out = (out.repartition(num_partitions, *parts) if num_partitions
+           else out.repartition(*parts))
+    return out.drop("_salt")

@@ -55,7 +55,7 @@ EXPECTED_TAIL = [
     "anchor_text_stats", "benchmark_decontam_join", "latest_capture",
     "noindex_gate", "snapshot_delta", "robots_gate", "sitemap_urls",
     "html_table_cells", "feed_discovery", "url_canonical", "page_meta",
-    "robots_sitemap_urls", "line_clean", "html_markdown",
+    "robots_sitemap_urls", "line_clean", "html_markdown", "host_cap",
 ]
 
 

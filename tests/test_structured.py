@@ -400,3 +400,53 @@ class TestHtmlToMarkdown:
         plan = (html_to_markdown(df)
                 ._jdf.queryExecution().executedPlan().toString())
         assert "Exchange" not in plan
+
+
+class TestFrontierScheduling:
+    def _frontier(self, spark):
+        rows = ([("big.com", f"https://big.com/p{i}") for i in range(400)]
+                + [("small.io", f"https://small.io/p{i}")
+                   for i in range(5)])
+        return spark.createDataFrame(rows, "host string, url string")
+
+    def test_cap_exact_and_deterministic(self, spark):
+        from pyspark.sql import Window
+
+        df = self._frontier(spark)
+        got = urltools.cap_per_host(df, max_per_host=50, salt_buckets=8)
+        rows = sorted(tuple(r) for r in got.collect())
+        counts = {}
+        for h, _ in rows:
+            counts[h] = counts.get(h, 0) + 1
+        assert counts == {"big.com": 50, "small.io": 5}
+        # two-phase == the single-window reference (the exactness claim)
+        key = F.md5(F.concat_ws("\x00", *[
+            F.coalesce(F.col(c).cast("string"), F.lit(""))
+            for c in df.columns]))
+        ref = (df.withColumn("_k", key)
+               .withColumn("_r", F.row_number().over(
+                   Window.partitionBy("host").orderBy("_k")))
+               .filter(F.col("_r") <= 50).drop("_k", "_r"))
+        assert rows == sorted(tuple(r) for r in ref.collect())
+        rerun = sorted(tuple(r) for r in urltools.cap_per_host(
+            df, max_per_host=50, salt_buckets=8).collect())
+        assert rerun == rows
+
+    def test_cap_first_window_is_salt_spread(self, spark):
+        # the plan must window on (host, _salt) BEFORE the host window —
+        # the shape that keeps a mega-host off a single task
+        df = self._frontier(spark)
+        plan = (urltools.cap_per_host(df, max_per_host=10)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert plan.index("_salt") < plan.index("_r2") or "_salt" in plan
+
+    def test_layout_colocates_small_splits_big(self, spark):
+        df = self._frontier(spark)
+        lay = urltools.partition_frontier_by_host(
+            df, salt_threshold=100, num_partitions=16)
+        pid = lay.withColumn("pid", F.spark_partition_id())
+        d = {r.host: r.np for r in pid.groupBy("host").agg(
+            F.countDistinct("pid").alias("np")).collect()}
+        assert d["small.io"] == 1          # co-located
+        assert 2 <= d["big.com"] <= 4      # ceil(400/100) salts max
+        assert lay.count() == 405          # content unchanged
