@@ -140,3 +140,35 @@ def test_empty_robots_refused_and_bad_columns(spark, tmp_path):
     spark.createDataFrame([("h",)], "host string").write.parquet(bad_p)
     assert _run(["--robots", bad_p, "--sitemaps", sitemaps_p,
                  "--output", out]) == 2
+
+
+@pytest.mark.usefixtures("spark")
+def test_max_per_host_budget(spark, tmp_path):
+    robots_p = str(tmp_path / "robots_b")
+    spark.createDataFrame(
+        [("a.com", "Sitemap: https://a.com/s1.xml")],
+        "host string, robots_txt string").write.parquet(robots_p)
+    xml = "<urlset>" + "".join(
+        f"<url><loc>https://a.com/page/{i}</loc></url>"
+        for i in range(20)) + "</urlset>"
+    sitemaps_p = str(tmp_path / "maps_b")
+    spark.createDataFrame([("https://a.com/s1.xml", xml)],
+                          "sitemap_url string, sitemap_xml string"
+                          ).write.parquet(sitemaps_p)
+    out = str(tmp_path / "out_b")
+    assert _run(["--robots", robots_p, "--sitemaps", sitemaps_p,
+                 "--max-per-host", "7", "--output", out]) == 0
+    fr = spark.read.parquet(f"{out}/frontier")
+    assert fr.count() == 7
+    audit = {r.counter: r.n for r in
+             spark.read.parquet(f"{out}/audit").collect()}
+    assert audit["budget_dropped"] == 13
+    assert audit["frontier"] == 7
+    # budget keeper set is deterministic across runs
+    out2 = str(tmp_path / "out_b2")
+    assert _run(["--robots", robots_p, "--sitemaps", sitemaps_p,
+                 "--max-per-host", "7", "--output", out2]) == 0
+    a = sorted(r.canonical_url for r in fr.collect())
+    b = sorted(r.canonical_url for r in
+               spark.read.parquet(f"{out2}/frontier").collect())
+    assert a == b

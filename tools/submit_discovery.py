@@ -3,7 +3,7 @@
     spark-submit --py-files dist/resume_ocr_spark.zip tools/submit_discovery.py \
         --robots <robots.parquet> --sitemaps <sitemaps.parquet> \
         --output <dir> [--feeds <feeds.parquet>] [--known <frontier.parquet>] \
-        [--no-provenance-gate]
+        [--no-provenance-gate] [--max-per-host N]
 
 The discovery edge of a refresh crawl: BEFORE pages can be triaged
 (tools/submit_refresh.py) they must be FOUND. This job chains the
@@ -21,8 +21,9 @@ round-5 discovery family end-to-end:
   4. --feeds (feed_url, feed_xml), optional: urltools.feed_entries
      links join the candidate set
   5. urltools.with_canonical_url + per-key fold → one row per
-     canonical URL (deterministic min provenance); --known (previous
-     frontier) suppresses already-known URLs
+     canonical URL (deterministic min provenance); --max-per-host
+     applies the round's fetch budget (exact two-phase cap, no hot
+     task); --known (previous frontier) suppresses already-known URLs
 
 Writes under --output:
     frontier/  canonical_url, via (sitemap|feed), src (the sitemap or
@@ -66,6 +67,9 @@ def main() -> int:
     ap.add_argument("--no-provenance-gate", action="store_true",
                     help="parse every provided sitemap body, advertised "
                          "or not")
+    ap.add_argument("--max-per-host", type=int, default=None,
+                    help="per-host fetch budget for this round — exact "
+                         "deterministic two-phase cap on the frontier")
     args = ap.parse_args()
 
     from resume_ocr_spark.operators import urltools
@@ -137,6 +141,18 @@ def main() -> int:
                 .select("canonical_url",
                         F.col("_p.via").alias("via"),
                         F.col("_p.src").alias("src")))
+
+    if args.max_per_host is not None:
+        # budget AFTER the fold (a capped duplicate would waste budget),
+        # host derived from the canonical key; two bounded windows, a
+        # hot host never lands on one task (urltools.cap_per_host)
+        before_cap = frontier.count()
+        frontier = urltools.cap_per_host(
+            frontier.withColumn(
+                "_host", urltools.host_expr(F.col("canonical_url"))),
+            host_col="_host", max_per_host=args.max_per_host,
+        ).drop("_host")
+        audit.append(("budget_dropped", before_cap - frontier.count()))
 
     if args.known:
         known = spark.read.parquet(args.known)
