@@ -1681,16 +1681,10 @@ def html_table_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return structured.html_tables(pages)
 
 
-def feed_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RSS/Atom feed-entry extraction (tail entry, round 5): the
-    freshness-discovery surface beside sitemap_urls — <item> and
-    <entry> blocks exploded with document-order pos in one zero-shuffle
-    codegen pass (urltools.feed_entries). Fixture covers CDATA titles,
-    entity-escaped links, attribute-bearing guids, Atom href= links
-    (attr-order robust), uppercase/whitespace-padded blocks, and an
-    orphan block with neither title nor link (must drop)."""
-    from resume_ocr_spark.operators import urltools
-
+def _feed_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic (doc_id, feed_xml) rows shared by feed_discovery
+    and streaming_feed_discovery — CDATA titles, entity links,
+    attribute guids, rel-decoy Atom links, an orphan block."""
     d = (_t(spark, sf_dir, "documents")
          .filter(F.col("doc_id") < 300).select("doc_id", "source"))
     did = F.col("doc_id")
@@ -1720,8 +1714,63 @@ def feed_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     xml = F.concat(
         F.lit('<?xml version="1.0"?><rss><channel><title>Chan</title>'),
         item1, item2, orphan, F.lit("</channel></rss>"), entry1)
-    pages = d.select("doc_id", xml.alias("feed_xml"))
-    return urltools.feed_entries(pages)
+    return d.select("doc_id", xml.alias("feed_xml"))
+
+
+def feed_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSS/Atom feed-entry extraction (tail entry, round 5): the
+    freshness-discovery surface beside sitemap_urls — <item> and
+    <entry> blocks exploded with document-order pos in one zero-shuffle
+    codegen pass (urltools.feed_entries). Fixture covers CDATA titles,
+    entity-escaped links, attribute-bearing guids, Atom href= links
+    (attr-order robust), uppercase/whitespace-padded blocks, and an
+    orphan block with neither title nor link (must drop)."""
+    from resume_ocr_spark.operators import urltools
+
+    return urltools.feed_entries(_feed_fixture(spark, sf_dir))
+
+
+_STREAM_DISCOVERY_CACHE: dict[str, str] = {}
+
+
+def streaming_feed_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming URL discovery under the hard gate (tail entry,
+    round 5): the deterministic feed fixture lands as TWO overlapping
+    file-source micro-batches (doc_id [0,150) then [100,300) — the
+    overlap makes the cross-batch frontier dedup observable), each
+    batch's links canonicalize and anti-join the persisted frontier of
+    prior batches (streaming.stream_discovery — the output IS the
+    dedup state). Gate surface = the materialized canonical frontier;
+    oracle = the batch SQL over the full fixture (feed parse +
+    canonical chain + DISTINCT): streaming-vs-batch equivalence IS the
+    check. Repeat calls reuse the drained output (checkpoint no-op)."""
+    import tempfile
+
+    from resume_ocr_spark import streaming as streamops
+
+    key = f"out:{sf_dir}"
+    if key not in _STREAM_DISCOVERY_CACHE:
+        import atexit
+        import shutil
+
+        feeds = tempfile.mkdtemp(prefix="stream_disc_feeds_")
+        out = tempfile.mkdtemp(prefix="stream_disc_out_")
+        cp = tempfile.mkdtemp(prefix="stream_disc_cp_")
+        for d in (feeds, out, cp):
+            atexit.register(shutil.rmtree, d, ignore_errors=True)
+        fx = _feed_fixture(spark, sf_dir).select(
+            F.concat(F.lit("https://f/"), F.col("doc_id").cast("string"))
+            .alias("feed_url"), "feed_xml", "doc_id")
+        (fx.filter(F.col("doc_id") < 150).drop("doc_id").coalesce(1)
+         .write.mode("append").parquet(feeds))
+        (fx.filter(F.col("doc_id") >= 100).drop("doc_id").coalesce(1)
+         .write.mode("append").parquet(feeds))
+        streamops.stream_discovery(spark, feeds, out, cp,
+                                   max_files_per_trigger=1)
+        _STREAM_DISCOVERY_CACHE[key] = out
+    path = os.path.join(_STREAM_DISCOVERY_CACHE[key],
+                        "frontier_stream", "data")
+    return spark.read.parquet(path).select("canonical_url")
 
 
 def robots_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2409,6 +2458,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # salted top-K, no hot task; oracle = the single-window
         # reference (urltools.cap_per_host)
         "host_cap": host_cap,
+        # round-5 tail: streaming URL discovery — overlapping feed
+        # micro-batches, frontier-as-state cross-batch dedup; oracle =
+        # the batch SQL over the full fixture
+        # (streaming.stream_discovery)
+        "streaming_feed_discovery": streaming_feed_discovery,
     }
     return {**gated, **tail}
 
@@ -4595,6 +4649,55 @@ def oracle_sql() -> dict[str, str]:
       SELECT doc_id, pos, kind, title, link, published, guid
       FROM cleaned WHERE title <> '' OR link <> ''
     """
+    # streaming discovery = DISTINCT canonicalized links of the SAME feed
+    # fixture — built by WRAPPING the feed_discovery oracle (no drift)
+    # and appending the url_canonical chain on the link column
+    sqls["streaming_feed_discovery"] = r"""
+      WITH feedrows AS (
+    """ + "{FEED_SQL}" + r"""
+      ), links AS (
+        SELECT link AS url FROM feedrows WHERE link <> ''
+      ), parts AS (
+        SELECT regexp_replace(trim(coalesce(url, '')), '(?s)#.*$', '')
+          AS u
+        FROM links
+      ), ex AS (
+        SELECT u,
+          lower(regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*):', 1))
+            AS scheme,
+          regexp_extract(
+            regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1),
+            '^(?:[^@]*@)?(.*)$', 1) AS hostport,
+          regexp_extract(u,
+            '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
+          regexp_extract(u, '\?(.*)$', 1) AS query
+        FROM parts
+      ), hp AS (
+        SELECT *,
+          regexp_replace(lower(regexp_extract(hostport, '^([^:]*)', 1)),
+                         '[.]+$', '') AS host,
+          regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+          coalesce(array_to_string(list_sort(list_filter(
+            string_split(query, '&'),
+            p -> p <> '' AND NOT regexp_matches(p,
+              '^(utm_[a-z0-9_]+|gclid|dclid|fbclid|msclkid|mc_cid|mc_eid|igshid|yclid|_ga)(=|$)')
+          )), '&'), '') AS q2
+        FROM ex
+      )
+      SELECT DISTINCT
+        CASE WHEN scheme = '' OR host = '' THEN u
+        ELSE scheme || '://' || host
+          || CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                       OR (scheme = 'https' AND port = '443')
+                  THEN '' ELSE ':' || port END
+          || CASE WHEN path0 = '' THEN '/' ELSE path0 END
+          || CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END
+        END AS canonical_url
+      FROM hp
+    """
+    sqls["streaming_feed_discovery"] = sqls[
+        "streaming_feed_discovery"].replace(
+            "{FEED_SQL}", sqls["feed_discovery"])
     sqls["host_cap"] = r"""
       WITH urls AS (
         SELECT CASE WHEN doc_id % 10 < 7 THEN source || '-big.com'

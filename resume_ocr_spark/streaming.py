@@ -398,3 +398,67 @@ def stream_curate(
     )
     q.awaitTermination()
     return n_batches
+
+
+def stream_discovery(
+    spark: SparkSession,
+    feeds_dir: str,
+    out_root: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> int:
+    """Streaming incremental URL discovery: feed-XML parquet files
+    landing in ``feeds_dir`` become micro-batches; each batch's entries
+    (urltools.feed_entries — pure Column ops, so the same expression
+    tree runs unchanged under Structured Streaming) are canonicalized
+    and anti-joined against the PERSISTED frontier built by all PRIOR
+    batches, and only never-seen canonical URLs append — the streaming
+    twin of tools/submit_discovery.py's fold, with the frontier itself
+    as the dedup index (no separate state store: the output IS the
+    state, replay-safe by the same batch_id-partition exclusion rule
+    as :func:`stream_curate`).
+
+    Returns the number of micro-batches drained (availableNow); call
+    again after new feed files land to discover only the delta."""
+    import os as _os
+
+    from pyspark.sql.utils import AnalysisException
+
+    from resume_ocr_spark.operators import urltools
+
+    schema = "feed_url string, feed_xml string"
+    stream = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        stream = stream.option("maxFilesPerTrigger",
+                               int(max_files_per_trigger))
+    stream = stream.parquet(feeds_dir)
+    frontier_path = _os.path.join(out_root, "frontier_stream", "data")
+    n_batches = 0
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        nonlocal n_batches
+        try:
+            seen = (spark.read.parquet(frontier_path)
+                    .filter(F.col("batch_id") != int(batch_id))
+                    .select("canonical_url"))
+        except AnalysisException:  # first batch: no frontier yet
+            seen = spark.createDataFrame([], "canonical_url string")
+        links = (urltools.feed_entries(batch_df, xml_col="feed_xml")
+                 .filter(F.col("link") != "")
+                 .select(urltools.canonical_url_expr(F.col("link"))
+                         .alias("canonical_url"))
+                 .distinct())
+        fresh = links.join(seen, "canonical_url", "left_anti").withColumn(
+            "batch_id", F.lit(int(batch_id)))
+        (fresh.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id")
+         .parquet(frontier_path))
+        n_batches += 1
+
+    q = (stream.writeStream.foreachBatch(process)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return n_batches

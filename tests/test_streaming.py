@@ -345,3 +345,42 @@ class TestStreamCurate:
         assert after == before
         idx = spark.read.parquet(f"{out}/curated_index/data")
         assert idx.count() == 2
+
+
+class TestStreamDiscovery:
+    def test_cross_batch_dedup_and_redrain_noop(self, spark, tmp_path):
+        from resume_ocr_spark import streaming as streamops
+
+        feeds = str(tmp_path / "feeds")
+        out = str(tmp_path / "out")
+        cp = str(tmp_path / "cp")
+        xml = ("<rss><item><title>a</title>"
+               "<link>https://e.com/1?utm_source=x</link></item>"
+               "<item><title>b</title><link>https://e.com/2</link>"
+               "</item></rss>")
+        xml2 = ("<rss><item><title>b2</title><link>https://e.com/2#f"
+                "</link></item><item><title>c</title>"
+                "<link>https://e.com/3</link></item></rss>")
+        df1 = spark.createDataFrame([("f1", xml)],
+                                    "feed_url string, feed_xml string")
+        df2 = spark.createDataFrame([("f2", xml2)],
+                                    "feed_url string, feed_xml string")
+        df1.coalesce(1).write.mode("append").parquet(feeds)
+        n = streamops.stream_discovery(spark, feeds, out, cp,
+                                       max_files_per_trigger=1)
+        assert n == 1
+        df2.coalesce(1).write.mode("append").parquet(feeds)
+        # second drain sees only the new file; /2 is already known
+        # (canonicalization folds the #f variant onto it)
+        n = streamops.stream_discovery(spark, feeds, out, cp,
+                                       max_files_per_trigger=1)
+        assert n == 1
+        rows = spark.read.parquet(f"{out}/frontier_stream/data").collect()
+        got = sorted((r.canonical_url, r.batch_id) for r in rows)
+        assert got == [("https://e.com/1", 0), ("https://e.com/2", 0),
+                       ("https://e.com/3", 1)]
+        # re-drain with no new files: checkpoint makes it a no-op
+        n = streamops.stream_discovery(spark, feeds, out, cp)
+        assert n == 0
+        assert spark.read.parquet(
+            f"{out}/frontier_stream/data").count() == 3
