@@ -1701,13 +1701,18 @@ def _feed_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("<ITEM>\n  <title>  Plain   title "), (did % 7).cast("string"),
         F.lit("  </title>\n</ITEM>"))).otherwise(F.lit(""))
     orphan = F.lit("<item><guid>orphan-drops</guid></item>")
+    # every 4th entry single-quotes rel/href (both quote styles are
+    # valid XML AttValue) — covers the quote-agnostic extraction path
+    alt_open = F.when(did % 4 == 0,
+                      F.lit("<link rel='alternate' href='https://")) \
+        .otherwise(F.lit('<link rel="alternate" href="https://'))
+    alt_close = F.when(did % 4 == 0, F.lit("'/>")).otherwise(F.lit('"/>'))
     entry1 = F.when(did % 2 == 0, F.concat(
         F.lit('<entry><title>Atom entry</title>'
-              '<link rel="self" href="https://wrong.example/feed.xml"/>'
-              '<link rel="alternate" '
-              'href="https://'), F.col("source"), F.lit(".org/e/"),
-        (did % 5).cast("string"),
-        F.lit('"/><updated>2026-01-02T03:04:0'), (did % 10).cast("string"),
+              '<link rel="self" href="https://wrong.example/feed.xml"/>'),
+        alt_open, F.col("source"), F.lit(".org/e/"),
+        (did % 5).cast("string"), alt_close,
+        F.lit('<updated>2026-01-02T03:04:0'), (did % 10).cast("string"),
         F.lit("Z</updated><id>tag:"), F.col("source"),
         F.lit(".org,2026:"), did.cast("string"),
         F.lit("</id></entry>"))).otherwise(F.lit(""))
@@ -4562,9 +4567,16 @@ def oracle_sql() -> dict[str, str]:
                   THEN '<entry><title>Atom entry</title>'
                        || '<link rel="self" '
                        || 'href="https://wrong.example/feed.xml"/>'
-                       || '<link rel="alternate" href="https://' || source
+                       || CASE WHEN doc_id % 4 = 0
+                               THEN '<link rel=''alternate'' '
+                                    || 'href=''https://'
+                               ELSE '<link rel="alternate" '
+                                    || 'href="https://' END
+                       || source
                        || '.org/e/' || CAST(doc_id % 5 AS VARCHAR)
-                       || '"/><updated>2026-01-02T03:04:0'
+                       || CASE WHEN doc_id % 4 = 0
+                               THEN '''/>' ELSE '"/>' END
+                       || '<updated>2026-01-02T03:04:0'
                        || CAST(doc_id % 10 AS VARCHAR)
                        || 'Z</updated><id>tag:' || source || '.org,2026:'
                        || CAST(doc_id AS VARCHAR) || '</id></entry>'
@@ -4595,16 +4607,14 @@ def oracle_sql() -> dict[str, str]:
           regexp_extract(b,
             '(?is)<link(?:\s[^>]*[^/>])?\s*>\s*(.*?)\s*</link\s*>', 1)
             AS textlink,
-          coalesce(regexp_extract(
-            list_filter(regexp_extract_all(b, '(?is)<link\s[^>]*>'),
-              t -> regexp_matches(t, '(?is)\srel\s*=\s*"alternate"'))[1],
-            '(?is)\shref\s*=\s*"([^"]*)"', 1), '') AS althref,
-          coalesce(regexp_extract(
-            list_filter(regexp_extract_all(b, '(?is)<link\s[^>]*>'),
-              t -> NOT regexp_matches(t, '(?is)\srel\s*='))[1],
-            '(?is)\shref\s*=\s*"([^"]*)"', 1), '') AS norelhref,
-          regexp_extract(b,
-            '(?is)<link[^>]*\shref\s*=\s*"([^"]*)"', 1) AS anyhref,
+          list_filter(regexp_extract_all(b, '(?is)<link\s[^>]*>'),
+            t -> regexp_matches(t,
+              '(?is)\srel\s*=\s*["'']alternate["'']'))[1] AS alttag,
+          list_filter(regexp_extract_all(b, '(?is)<link\s[^>]*>'),
+            t -> NOT regexp_matches(t, '(?is)\srel\s*='))[1] AS noreltag,
+          list_filter(regexp_extract_all(b, '(?is)<link\s[^>]*>'),
+            t -> regexp_matches(t,
+              '(?is)\shref\s*=\s*["'']'))[1] AS anytag,
           CASE WHEN kind = 'rss'
                THEN regexp_extract(b,
                  '(?is)<pubdate(?:\s[^>]*)?>\s*(.*?)\s*</pubdate\s*>', 1)
@@ -4618,11 +4628,27 @@ def oracle_sql() -> dict[str, str]:
                  '(?is)<id(?:\s[^>]*)?>\s*(.*?)\s*</id\s*>', 1)
           END AS rawguid
         FROM blocks
+      ), hrefs AS (
+        -- per-tag href, either XML quote style; double-quote wins
+        SELECT *,
+          coalesce(nullif(regexp_extract(alttag,
+            '(?is)\shref\s*=\s*"([^"]*)"', 1), ''), regexp_extract(
+            alttag, '(?is)\shref\s*=\s*''([^'']*)''', 1), '')
+            AS althref,
+          coalesce(nullif(regexp_extract(noreltag,
+            '(?is)\shref\s*=\s*"([^"]*)"', 1), ''), regexp_extract(
+            noreltag, '(?is)\shref\s*=\s*''([^'']*)''', 1), '')
+            AS norelhref,
+          coalesce(nullif(regexp_extract(anytag,
+            '(?is)\shref\s*=\s*"([^"]*)"', 1), ''), regexp_extract(
+            anytag, '(?is)\shref\s*=\s*''([^'']*)''', 1), '')
+            AS anyhref
+        FROM fields
       ), pref AS (
         SELECT *, CASE WHEN althref <> '' THEN althref
                        WHEN norelhref <> '' THEN norelhref
                        ELSE anyhref END AS hreflink
-        FROM fields
+        FROM hrefs
       ), cleaned AS (
         SELECT doc_id, pos, kind,
           trim(regexp_replace(

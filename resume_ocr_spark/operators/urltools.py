@@ -579,12 +579,17 @@ _FEED_TITLE_RE = r"(?is)<title(?:\s[^>]*)?>\s*(.*?)\s*</title\s*>"
 # lazy body capture starting at '<link .../>' would run across sibling
 # elements to an unrelated '</link>' and emit markup garbage as a link
 _RSS_LINK_RE = r"(?is)<link(?:\s[^>]*[^/>])?\s*>\s*(.*?)\s*</link\s*>"
-_ATOM_HREF_RE = r"(?is)<link[^>]*\shref\s*=\s*\"([^\"]*)\""
 # all <link ...> tags, for rel-aware preference (Atom entries carry
 # rel=self/replies/edit links BESIDE the article's rel=alternate)
 _LINK_TAG_RE = r"(?is)<link\s[^>]*>"
+# XML attributes MUST be quoted, but EITHER quote style is valid
+# (XML 1.0 §3.1 AttValue) — one pattern per style, no backreference,
+# because RE2 (the oracle's engine) has none; linkgraph.py's <a href>
+# extraction set the precedent. Double-quote wins inside one tag.
 _HREF_IN_TAG_RE = r"(?is)\shref\s*=\s*\"([^\"]*)\""
-_REL_ALTERNATE_RE = r"(?is)\srel\s*=\s*\"alternate\""
+_HREF_SQ_IN_TAG_RE = r"(?is)\shref\s*=\s*'([^']*)'"
+_HREF_ANY_RE = r"(?is)\shref\s*=\s*[\"']"
+_REL_ALTERNATE_RE = r"(?is)\srel\s*=\s*[\"']alternate[\"']"
 _REL_ANY_RE = r"(?is)\srel\s*="
 _RSS_PUBDATE_RE = r"(?is)<pubdate(?:\s[^>]*)?>\s*(.*?)\s*</pubdate\s*>"
 _ATOM_UPDATED_RE = r"(?is)<updated(?:\s[^>]*)?>\s*(.*?)\s*</updated\s*>"
@@ -608,12 +613,15 @@ def _href_pref_expr(b) -> "F.Column":
 
     def first_href(arr):
         first = F.get(arr, 0)  # NULL when empty, no guard needed
-        return F.coalesce(
+        dq = F.coalesce(
             F.regexp_extract(first, _HREF_IN_TAG_RE, 1), F.lit(""))
+        sq = F.coalesce(
+            F.regexp_extract(first, _HREF_SQ_IN_TAG_RE, 1), F.lit(""))
+        return F.when(dq != "", dq).otherwise(sq)
 
     alt = first_href(F.filter(tags, lambda t: t.rlike(_REL_ALTERNATE_RE)))
     norel = first_href(F.filter(tags, lambda t: ~t.rlike(_REL_ANY_RE)))
-    anyh = F.regexp_extract(b, _ATOM_HREF_RE, 1)
+    anyh = first_href(F.filter(tags, lambda t: t.rlike(_HREF_ANY_RE)))
     return (F.when(alt != "", alt)
             .when(norel != "", norel)
             .otherwise(anyh))
@@ -646,6 +654,8 @@ def feed_entries(df: DataFrame, xml_col: str = "feed_xml") -> DataFrame:
       URL), then a rel-less tag (Atom's default-alternate), then any
       href — so multi-link entries (rel=self/replies/edit beside
       alternate, the common blog layout) resolve to the article.
+      Both XML quote styles (``href="…"`` / ``href='…'``) are
+      accepted, double-quote winning within one tag.
     - ``published``: ``<pubDate>`` (RSS) / ``<updated>`` (Atom) as
       published — RFC822/3339 parsing is the caller's policy, same as
       sitemap ``lastmod``.

@@ -173,6 +173,29 @@ class TestFeedEntries:
             "</entry></feed>")
         assert got[0][3] == "https://h.co/post/2"
 
+    def test_single_quoted_href_and_rel(self, spark):
+        # XML AttValue allows either quote style (XML 1.0 §3.1); a
+        # feed parser that only reads href="…" drops every
+        # single-quoting publisher's links (found live: a
+        # single-quoted fixture returned link='')
+        got = _feed(
+            spark,
+            "<feed><entry><title>T</title>"
+            "<link rel='self' href='https://h.co/feeds/1'/>"
+            "<link rel='alternate' href='https://h.co/post/9'/>"
+            "</entry></feed>")
+        assert got[0][3] == "https://h.co/post/9"
+
+    def test_mixed_quote_styles_dq_wins_in_tag(self, spark):
+        # malformed double-attribute tag: the documented tie-break is
+        # double-quote first, then single
+        got = _feed(
+            spark,
+            "<feed><entry><title>T</title>"
+            "<link href='https://h.co/sq' href=\"https://h.co/dq\"/>"
+            "</entry></feed>")
+        assert got[0][3] == "https://h.co/dq"
+
     def test_self_closing_link_is_not_a_text_link(self, spark):
         # a lazy body capture starting at '<link .../>' must not run
         # across siblings to an unrelated '</link>'
