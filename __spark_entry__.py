@@ -2168,6 +2168,22 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.image_metadata(multimodal.render_binary_column(docs))
 
 
+def exif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF extraction over camera-style JPEGs (tail entry, round 5):
+    deterministic EXIF-tagged renders (orientation 1-8 with the stored
+    grid pre-rotated by the INVERSE, alternating II/MM byte order, every
+    11th a corrupt TIFF → error-as-data, every 13th bare → all-NULL) and
+    the parsed fields recomputed ARITHMETICALLY from doc_id by the
+    oracle — writer-side knowledge vs reader-side parsing, a genuinely
+    independent check (multimodal.render_exif_jpeg / exif_metadata)."""
+    from resume_ocr_spark.operators import multimodal
+
+    docs = (_t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 400).select("doc_id", "text"))
+    return multimodal.exif_metadata(
+        multimodal.render_exif_binary_column(docs))
+
+
 def audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio plumbing: binary PCM column → typed features (duration, RMS,
     zero-crossings) via Arrow batch UDF; deterministic RAUD codec stands in
@@ -2468,6 +2484,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the batch SQL over the full fixture
         # (streaming.stream_discovery)
         "streaming_feed_discovery": streaming_feed_discovery,
+        # round-5 tail: EXIF parse over camera JPEGs; oracle recomputes
+        # every field arithmetically from the writer-side generation
+        # rule (multimodal.exif_metadata)
+        "exif_meta": exif_meta,
     }
     return {**gated, **tail}
 
@@ -4724,6 +4744,31 @@ def oracle_sql() -> dict[str, str]:
     sqls["streaming_feed_discovery"] = sqls[
         "streaming_feed_discovery"].replace(
             "{FEED_SQL}", sqls["feed_discovery"])
+    # exif_meta: reader-side parsing vs WRITER-side generation rule —
+    # every field recomputed from doc_id arithmetic (render_exif_jpeg);
+    # corrupt-TIFF (11) beats bare-JPEG (13) beats tagged, same order
+    sqls["exif_meta"] = r"""
+      SELECT doc_id,
+        CASE WHEN doc_id % 11 = 0 OR doc_id % 13 = 0 THEN NULL
+             ELSE CAST(doc_id % 8 + 1 AS INTEGER) END AS orientation,
+        CASE WHEN doc_id % 11 = 0 OR doc_id % 13 = 0 THEN NULL
+             ELSE 'Cam' || CAST(doc_id % 3 AS VARCHAR) END AS make,
+        CASE WHEN doc_id % 11 = 0 OR doc_id % 13 = 0 THEN NULL
+             ELSE 'M-' || CAST(doc_id % 7 AS VARCHAR) END AS model,
+        CASE WHEN doc_id % 11 = 0 OR doc_id % 13 = 0 THEN NULL
+             ELSE '2026:01:0' || CAST(doc_id % 9 + 1 AS VARCHAR)
+                  || ' 00:00:0' || CAST(doc_id % 10 AS VARCHAR)
+        END AS datetime_original,
+        CASE WHEN doc_id % 11 = 0 OR doc_id % 13 = 0 THEN NULL
+             ELSE CAST(doc_id % 640 + 1 AS BIGINT) END AS exif_w,
+        CASE WHEN doc_id % 11 = 0 OR doc_id % 13 = 0 THEN NULL
+             ELSE CAST(doc_id % 480 + 1 AS BIGINT) END AS exif_h,
+        CASE WHEN doc_id % 11 = 0 OR doc_id % 13 = 0 THEN NULL
+             ELSE doc_id % 5 = 0 END AS has_gps,
+        CASE WHEN doc_id % 11 = 0 THEN 'TIFF header truncated'
+             ELSE NULL END AS error
+      FROM documents WHERE doc_id < 400
+    """
     sqls["host_cap"] = r"""
       WITH urls AS (
         SELECT CASE WHEN doc_id % 10 < 7 THEN source || '-big.com'

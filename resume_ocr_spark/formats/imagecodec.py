@@ -189,9 +189,16 @@ def decode_image(payload: bytes) -> np.ndarray:
             raise ImageDecodeError(f"corrupt PNG: {exc}") from exc
     if payload[:3] == jpegcodec.JPEG_MAGIC:
         try:
-            return jpegcodec.decode_jpeg_gray(payload)
+            img = jpegcodec.decode_jpeg_gray(payload)
         except jpegcodec.JpegDecodeError as exc:
             raise ImageDecodeError(f"corrupt JPEG: {exc}") from exc
+        # camera EXIF: normalize the stored grid to display orientation
+        # BEFORE any consumer (OCR reads rotated glyph rows as garbage;
+        # pHash of a sideways photo misses its upright duplicate). A
+        # corrupt APP1 means "no usable EXIF", not a decode failure.
+        from . import exifcodec
+        return exifcodec.apply_orientation(
+            img, exifcodec.orientation_of(payload))
     raise ImageDecodeError("bad RIMG magic")
 
 

@@ -111,6 +111,98 @@ def render_binary_column(
     )
 
 
+EXIF_META_SCHEMA = (
+    "doc_id long, orientation int, make string, model string, "
+    "datetime_original string, exif_w long, exif_h long, has_gps boolean, "
+    "error string"
+)
+
+
+def render_exif_jpeg(doc_id: int, text: str) -> bytes:
+    """Deterministic EXIF-tagged JPEG for one doc (pure — driver-side
+    oracles recompute every field from doc_id arithmetic): the RIMG
+    render re-encoded baseline, stored PRE-ROTATED by the inverse of
+    its Orientation tag so decode_image's EXIF normalization must
+    recover the upright page; APP1 alternates byte order per doc.
+    Every 11th doc carries a TRUNCATED TIFF block (the corrupt-EXIF
+    error-as-data path) and every 13th ships bare (no APP1 at all —
+    absence is data, not an error)."""
+    from ..formats import exifcodec, jpegenc
+
+    img = imagecodec.decode_rimg(
+        imagecodec.render_text_image((text or "")[:40]))
+    if doc_id % 11 == 0:
+        bad = b"\xff\xe1\x00\x0cExif\x00\x00II*\x00"
+        return exifcodec.splice_app1(jpegenc.encode_jpeg(img), bad)
+    if doc_id % 13 == 0:
+        return jpegenc.encode_jpeg(img)
+    o = doc_id % 8 + 1
+    stored = exifcodec.apply_orientation(img, exifcodec.INVERSE[o])
+    app1 = exifcodec.build_app1(
+        orientation=o, make=f"Cam{doc_id % 3}", model=f"M-{doc_id % 7}",
+        datetime_original=(f"2026:01:0{doc_id % 9 + 1} "
+                           f"00:00:0{doc_id % 10}"),
+        pixel_x=doc_id % 640 + 1, pixel_y=doc_id % 480 + 1,
+        gps=doc_id % 5 == 0,
+        byte_order="II" if doc_id % 2 == 0 else "MM")
+    return exifcodec.splice_app1(jpegenc.encode_jpeg(stored), app1)
+
+
+def render_exif_binary_column(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """text → EXIF-tagged JPEG binary column (render_binary_column's
+    camera-photo sibling; see :func:`render_exif_jpeg`)."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col],
+                "media": [render_exif_jpeg(i, t)
+                          for i, t in zip(pdf[id_col], pdf[text_col])],
+            })
+
+    return docs.select(id_col, text_col).mapInPandas(
+        gen, schema="doc_id long, media binary")
+
+
+def exif_metadata(media_df: DataFrame) -> DataFrame:
+    """binary JPEG → EXIF fields (orientation / camera / capture time /
+    claimed dims / GPS-presence) via a vectorized batch UDF. Absent
+    EXIF is all-NULL with NULL error (absence is data); a corrupt TIFF
+    block is an error-as-data row. ``has_gps`` is the privacy signal a
+    curation PII gate consumes — coordinates are deliberately not
+    extracted. Zero shuffles: pure per-batch projection."""
+    from ..formats import exifcodec
+
+    def meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        nul = (None,) * 7
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                if payload is None:
+                    rows.append((doc_id, *nul, "null payload"))
+                    continue
+                try:
+                    info = exifcodec.parse_exif(bytes(payload))
+                except exifcodec.ExifError as exc:
+                    rows.append((doc_id, *nul, str(exc)))
+                    continue
+                if info is None:
+                    rows.append((doc_id, *nul, None))
+                else:
+                    rows.append((
+                        doc_id, info["orientation"], info["make"],
+                        info["model"], info["datetime_original"],
+                        info["pixel_x"], info["pixel_y"],
+                        info["has_gps"], None))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "orientation", "make", "model",
+                "datetime_original", "exif_w", "exif_h", "has_gps",
+                "error"])
+
+    return media_df.mapInPandas(meta, schema=EXIF_META_SCHEMA)
+
+
 def image_metadata(media_df: DataFrame) -> DataFrame:
     """binary → typed metadata (h, w, pixel count, mean intensity) via a
     vectorized batch UDF; corrupt payloads become error rows."""

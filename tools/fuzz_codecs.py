@@ -38,7 +38,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np  # noqa: E402
 
 from resume_ocr_spark import textproc  # noqa: E402
-from resume_ocr_spark.formats import (avcodec, htmlcodec, imagecodec,  # noqa: E402
+from resume_ocr_spark.formats import (avcodec, exifcodec,  # noqa: E402
+                                      htmlcodec, imagecodec,
                                       jpegcodec, jpegenc, mp4codec, mpegaudio,
                                       pdfcodec, pngcodec, realfont,
                                       warcformat)
@@ -123,6 +124,17 @@ def campaign_containers(n: int) -> None:
             {"warc_type": "resource", "payload": b"zzz" * 30,
              "content_type": "text/plain"}], gzip_members=True),
          warcformat.parse_warc, warcformat.WarcError),
+        # EXIF surfaces: the parser directly (ExifError is the named
+        # error) AND the decode hot path (orientation_of must swallow
+        # every mangled APP1 — only JpegDecodeError may surface)
+        ("jpg_exif", exifcodec.splice_app1(js, exifcodec.build_app1(
+            orientation=6, make="CamX", model="M-1", gps=True,
+            datetime_original="2026:01:01 00:00:00", pixel_x=64,
+            pixel_y=64, byte_order="MM")),
+         exifcodec.parse_exif, exifcodec.ExifError),
+        ("jpg_exif_decode", exifcodec.splice_app1(js, exifcodec.build_app1(
+            orientation=8, make="CamY", byte_order="II")),
+         imagecodec.decode_image, imagecodec.ImageDecodeError),
     ]
     if mp3:
         cases.append(("mp3", mp3, avcodec.probe_audio_any,
