@@ -1681,6 +1681,50 @@ def html_table_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return structured.html_tables(pages)
 
 
+def interleaved_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → interleaved span-table ingest (tail entry, round 5): the
+    step that PRODUCES the engine's core (doc_id, spans) shape from
+    crawled pages (operators/interleave.py). Fixture covers all three
+    src/alt attribute quote styles, script/style/comment scrub with
+    <img> DECOYS inside each, a src-less <img> (dropped), adjacent
+    imgs (empty chunk dropped), entity-bearing alt text, and offset
+    renumbering over survivors. Gate surface = the exploded span rows
+    (the north rule's span-sequence (kind, text, media_ref, order)
+    comparison); the nested producer is the same plan one
+    array-transform earlier."""
+    from resume_ocr_spark.operators import interleave
+
+    d = (_t(spark, sf_dir, "documents")
+         .filter(F.col("doc_id") < 400).select("doc_id", "source"))
+    did = F.col("doc_id")
+    main_img = (
+        F.when(did % 3 == 0, F.concat(
+            F.lit('<img src="https://'), F.col("source"), F.lit(".com/i/"),
+            did.cast("string"), F.lit('.jpg" alt="Fig &lt;1&gt;">')))
+        .when(did % 3 == 1, F.concat(
+            F.lit("<img alt='pic' src='//cdn."), F.col("source"),
+            F.lit(".net/"), did.cast("string"), F.lit("'>")))
+        .otherwise(F.concat(
+            F.lit("<img src=/rel/"), did.cast("string"), F.lit(".png>"))))
+    h = F.concat(
+        F.lit("<html><head><title>Doc "), did.cast("string"),
+        F.lit("</title><style>p {color: red}</style></head><body>"
+              '<script type="text/javascript">var x = '
+              '"<img src=decoy.png>";</script>'
+              "<h1>Heading &amp; intro</h1><p>Body text.</p>"),
+        main_img,
+        F.when(did % 5 == 0,
+               F.lit('<img class="noref">')).otherwise(F.lit("")),
+        F.when(did % 7 == 0,
+               F.lit('<img src=x7.png>'
+                     '<img src=y7.png alt="  padded  alt  ">'))
+        .otherwise(F.lit("")),
+        F.lit('<p>Tail.</p><!-- <img src="comment-decoy.png"> -->'
+              "</body></html>"))
+    pages = d.select("doc_id", h.alias("html"))
+    return interleave.span_rows(interleave.html_to_spans(pages))
+
+
 def _feed_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic (doc_id, feed_xml) rows shared by feed_discovery
     and streaming_feed_discovery — CDATA titles, entity links,
@@ -2488,6 +2532,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # every field arithmetically from the writer-side generation
         # rule (multimodal.exif_metadata)
         "exif_meta": exif_meta,
+        # round-5 tail: HTML → interleaved (kind, text, media_ref,
+        # offset) span ingest — the producer of the engine's core
+        # table shape (operators/interleave.py)
+        "interleaved_spans": interleaved_spans,
     }
     return {**gated, **tail}
 
@@ -4768,6 +4816,101 @@ def oracle_sql() -> dict[str, str]:
         CASE WHEN doc_id % 11 = 0 THEN 'TIFF header truncated'
              ELSE NULL END AS error
       FROM documents WHERE doc_id < 400
+    """
+    # interleaved_spans: same fixture string, then the row-wise twin of
+    # the array pipeline — chunks and img tags unnested with 0-based
+    # positions, text/image spans interleaved by (i, sub), survivors
+    # renumbered by row_number. Attribute extraction mirrors the
+    # three-style coalesce; text cleaning is the established chain.
+    sqls["interleaved_spans"] = r"""
+      WITH pages AS (
+        SELECT doc_id,
+          '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+          || '</title><style>p {color: red}</style></head><body>'
+          || '<script type="text/javascript">var x = '
+          || '"<img src=decoy.png>";</script>'
+          || '<h1>Heading &amp; intro</h1><p>Body text.</p>'
+          || CASE WHEN doc_id % 3 = 0
+                  THEN '<img src="https://' || source || '.com/i/'
+                       || CAST(doc_id AS VARCHAR)
+                       || '.jpg" alt="Fig &lt;1&gt;">'
+                  WHEN doc_id % 3 = 1
+                  THEN '<img alt=''pic'' src=''//cdn.' || source
+                       || '.net/' || CAST(doc_id AS VARCHAR) || '''>'
+                  ELSE '<img src=/rel/' || CAST(doc_id AS VARCHAR)
+                       || '.png>'
+             END
+          || CASE WHEN doc_id % 5 = 0
+                  THEN '<img class="noref">' ELSE '' END
+          || CASE WHEN doc_id % 7 = 0
+                  THEN '<img src=x7.png>'
+                       || '<img src=y7.png alt="  padded  alt  ">'
+                  ELSE '' END
+          || '<p>Tail.</p><!-- <img src="comment-decoy.png"> -->'
+          || '</body></html>' AS html
+        FROM documents WHERE doc_id < 400
+      ), cleaned AS (
+        SELECT doc_id, regexp_replace(html,
+          '(?is)<script(?:\s[^>]*)?>.*?</script\s*>'
+          || '|<style(?:\s[^>]*)?>.*?</style\s*>'
+          || '|<noscript(?:\s[^>]*)?>.*?</noscript\s*>'
+          || '|<!--.*?-->', '', 'g') AS h
+        FROM pages
+      ), chunks AS (
+        SELECT doc_id,
+          unnest(string_split_regex(h, '(?is)<img(?:\s[^>]*)?>')) AS c,
+          unnest(range(len(string_split_regex(h,
+            '(?is)<img(?:\s[^>]*)?>')))) AS i
+        FROM cleaned
+      ), imgs AS (
+        SELECT doc_id,
+          unnest(regexp_extract_all(h, '(?is)<img(?:\s[^>]*)?>')) AS tag,
+          unnest(range(len(regexp_extract_all(h,
+            '(?is)<img(?:\s[^>]*)?>')))) AS i
+        FROM cleaned
+      ), spans0 AS (
+        SELECT doc_id, i, 0 AS sub, 'text' AS kind,
+          trim(regexp_replace(
+            replace(replace(replace(replace(replace(
+              regexp_replace(c, '(?is)<[^>]*>', ' ', 'g'),
+              '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+              '&apos;', ''''), '&amp;', '&'),
+            '[ \t\n\x0B\f\r]+', ' ', 'g')) AS text,
+          '' AS media_ref
+        FROM chunks
+        UNION ALL
+        SELECT doc_id, i, 1, 'image',
+          trim(regexp_replace(
+            replace(replace(replace(replace(replace(
+              regexp_replace(coalesce(
+                nullif(regexp_extract(tag,
+                  '(?is)\salt\s*=\s*"([^"]*)"', 1), ''),
+                nullif(regexp_extract(tag,
+                  '(?is)\salt\s*=\s*''([^'']*)''', 1), ''),
+                regexp_extract(tag,
+                  '(?is)\salt\s*=\s*([^\s"''>]+)', 1), ''),
+                '(?is)<[^>]*>', ' ', 'g'),
+              '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+              '&apos;', ''''), '&amp;', '&'),
+            '[ \t\n\x0B\f\r]+', ' ', 'g')),
+          coalesce(
+            nullif(regexp_extract(tag,
+              '(?is)\ssrc\s*=\s*"([^"]*)"', 1), ''),
+            nullif(regexp_extract(tag,
+              '(?is)\ssrc\s*=\s*''([^'']*)''', 1), ''),
+            regexp_extract(tag,
+              '(?is)\ssrc\s*=\s*([^\s"''>]+)', 1), '')
+        FROM imgs
+      ), kept AS (
+        SELECT * FROM spans0
+        WHERE (kind = 'text' AND text <> '')
+           OR (kind = 'image' AND media_ref <> '')
+      )
+      SELECT doc_id,
+        CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i, sub) - 1
+             AS INTEGER) AS offset,
+        kind, text, media_ref
+      FROM kept
     """
     sqls["host_cap"] = r"""
       WITH urls AS (

@@ -56,7 +56,7 @@ EXPECTED_TAIL = [
     "noindex_gate", "snapshot_delta", "robots_gate", "sitemap_urls",
     "html_table_cells", "feed_discovery", "url_canonical", "page_meta",
     "robots_sitemap_urls", "line_clean", "html_markdown", "host_cap",
-    "streaming_feed_discovery", "exif_meta",
+    "streaming_feed_discovery", "exif_meta", "interleaved_spans",
 ]
 
 
