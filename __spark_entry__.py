@@ -1681,19 +1681,14 @@ def html_table_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return structured.html_tables(pages)
 
 
-def interleaved_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HTML → interleaved span-table ingest (tail entry, round 5): the
-    step that PRODUCES the engine's core (doc_id, spans) shape from
-    crawled pages (operators/interleave.py). Fixture covers all three
-    src/alt attribute quote styles, script/style/comment scrub with
-    <img> DECOYS inside each, a src-less <img> (dropped), adjacent
-    imgs (empty chunk dropped), entity-bearing alt text, and offset
-    renumbering over survivors. Gate surface = the exploded span rows
-    (the north rule's span-sequence (kind, text, media_ref, order)
-    comparison); the nested producer is the same plan one
-    array-transform earlier."""
-    from resume_ocr_spark.operators import interleave
-
+def _interleave_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared (doc_id, html) fixture for the interleave family. Covers
+    all three src/alt attribute quote styles, script/style/comment
+    scrub with <img> DECOYS inside each, a src-less <img> (dropped),
+    adjacent imgs (empty chunk dropped), entity-bearing alt text, and —
+    for the boilerplate entry — a corpus-wide logo img on every doc%2==0
+    page plus a footer sprite on every doc%11==0 page (shared
+    media_refs, the chrome `drop_frequent_media` removes)."""
     d = (_t(spark, sf_dir, "documents")
          .filter(F.col("doc_id") < 400).select("doc_id", "source"))
     did = F.col("doc_id")
@@ -1710,8 +1705,11 @@ def interleaved_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("<html><head><title>Doc "), did.cast("string"),
         F.lit("</title><style>p {color: red}</style></head><body>"
               '<script type="text/javascript">var x = '
-              '"<img src=decoy.png>";</script>'
-              "<h1>Heading &amp; intro</h1><p>Body text.</p>"),
+              '"<img src=decoy.png>";</script>'),
+        F.when(did % 2 == 0,
+               F.lit('<img src="https://static.site/logo.png" alt="logo">'))
+        .otherwise(F.lit("")),
+        F.lit("<h1>Heading &amp; intro</h1><p>Body text.</p>"),
         main_img,
         F.when(did % 5 == 0,
                F.lit('<img class="noref">')).otherwise(F.lit("")),
@@ -1719,10 +1717,76 @@ def interleaved_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                F.lit('<img src=x7.png>'
                      '<img src=y7.png alt="  padded  alt  ">'))
         .otherwise(F.lit("")),
+        F.when(did % 11 == 0,
+               F.lit("<img src=//static.site/footer.gif>"))
+        .otherwise(F.lit("")),
         F.lit('<p>Tail.</p><!-- <img src="comment-decoy.png"> -->'
               "</body></html>"))
-    pages = d.select("doc_id", h.alias("html"))
+    return d.select("doc_id", h.alias("html"))
+
+
+def interleaved_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → interleaved span-table ingest (tail entry, round 5): the
+    step that PRODUCES the engine's core (doc_id, spans) shape from
+    crawled pages (operators/interleave.py). Fixture: `_interleave_pages`
+    (quote styles, scrub decoys, drops, shared chrome imgs). Gate
+    surface = the exploded span rows (the north rule's span-sequence
+    (kind, text, media_ref, order) comparison); the nested producer is
+    the same plan one array-transform earlier."""
+    from resume_ocr_spark.operators import interleave
+
+    pages = _interleave_pages(spark, sf_dir)
     return interleave.span_rows(interleave.html_to_spans(pages))
+
+
+def caption_pairs_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image–text pair mining over the interleaved table (tail entry,
+    round 5; operators/interleave.py caption_pairs): one row per image
+    span with alt caption + adjacent-text-span context. Fixture's x7/y7
+    adjacent-image runs pin the ''-context edges; the %7 docs pin
+    multi-image documents; note x7's after-neighbor is y7 (an image) so
+    both its contexts are ''. Oracle = LAG/LEAD window twin."""
+    from resume_ocr_spark.operators import interleave
+
+    pages = _interleave_pages(spark, sf_dir)
+    return interleave.caption_pairs(interleave.html_to_spans(pages))
+
+
+def media_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate-media removal (tail entry, round 5;
+    operators/interleave.py drop_frequent_media): the logo.png (every
+    even doc) and footer.gif (every %11 doc) media_refs appear in >=2
+    docs → every copy dropped; per-doc unique imgs survive; offsets
+    renumber gap-free. Gate surface = exploded post-removal rows joined
+    with the per-doc removal counters (one row per surviving span —
+    every fixture doc keeps its text spans, so the inner join drops
+    nothing; the empty-doc path is pinned by
+    tests/test_interleave.py)."""
+    from resume_ocr_spark.operators import interleave
+
+    pages = _interleave_pages(spark, sf_dir)
+    cleaned = interleave.drop_frequent_media(
+        interleave.html_to_spans(pages))
+    return (interleave.span_rows(cleaned)
+            .join(cleaned.select("doc_id", "n_media_removed",
+                                 "n_spans_total"), "doc_id")
+            .select("doc_id", "offset", "kind", "text", "media_ref",
+                    "n_media_removed", "n_spans_total"))
+
+
+def pack_interleaved_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal sequence packing (tail entry, round 5;
+    operators/interleave.py pack_interleaved): per-doc token cost folds
+    over the spans array (text chars/4 + 64 per image), then the
+    standard per-shard windowed-cumsum assignment — one hash exchange.
+    Oracle recomputes the same fold row-wise (unnest + SUM) and the
+    same cumsum."""
+    from resume_ocr_spark.operators import interleave
+
+    pages = _interleave_pages(spark, sf_dir)
+    return interleave.pack_interleaved(
+        interleave.html_to_spans(pages),
+        image_token_cost=64, budget=256, shards=8)
 
 
 def _feed_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2536,6 +2600,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # offset) span ingest — the producer of the engine's core
         # table shape (operators/interleave.py)
         "interleaved_spans": interleaved_spans,
+        # round-5 tail: the interleaved-table consumer family —
+        # LAION-style image+context pair mining, corpus-level
+        # boilerplate-media removal, multimodal sequence packing
+        # (operators/interleave.py)
+        "caption_pairs": caption_pairs_entry,
+        "media_boilerplate": media_boilerplate,
+        "pack_interleaved": pack_interleaved_entry,
     }
     return {**gated, **tail}
 
@@ -4817,18 +4888,23 @@ def oracle_sql() -> dict[str, str]:
              ELSE NULL END AS error
       FROM documents WHERE doc_id < 400
     """
-    # interleaved_spans: same fixture string, then the row-wise twin of
-    # the array pipeline — chunks and img tags unnested with 0-based
+    # Interleave family: one shared fixture CTE chain (the row-wise twin
+    # of the array pipeline — chunks and img tags unnested with 0-based
     # positions, text/image spans interleaved by (i, sub), survivors
-    # renumbered by row_number. Attribute extraction mirrors the
-    # three-style coalesce; text cleaning is the established chain.
-    sqls["interleaved_spans"] = r"""
-      WITH pages AS (
+    # renumbered by row_number; attribute extraction mirrors the
+    # three-style coalesce; text cleaning is the established chain),
+    # then four surfaces: the raw span rows, LAG/LEAD caption pairs,
+    # frequent-media removal, and multimodal packing.
+    _il_fixture = r"""pages AS (
         SELECT doc_id,
           '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
           || '</title><style>p {color: red}</style></head><body>'
           || '<script type="text/javascript">var x = '
           || '"<img src=decoy.png>";</script>'
+          || CASE WHEN doc_id % 2 = 0
+                  THEN '<img src="https://static.site/logo.png"'
+                       || ' alt="logo">'
+                  ELSE '' END
           || '<h1>Heading &amp; intro</h1><p>Body text.</p>'
           || CASE WHEN doc_id % 3 = 0
                   THEN '<img src="https://' || source || '.com/i/'
@@ -4845,6 +4921,9 @@ def oracle_sql() -> dict[str, str]:
           || CASE WHEN doc_id % 7 = 0
                   THEN '<img src=x7.png>'
                        || '<img src=y7.png alt="  padded  alt  ">'
+                  ELSE '' END
+          || CASE WHEN doc_id % 11 = 0
+                  THEN '<img src=//static.site/footer.gif>'
                   ELSE '' END
           || '<p>Tail.</p><!-- <img src="comment-decoy.png"> -->'
           || '</body></html>' AS html
@@ -4905,13 +4984,74 @@ def oracle_sql() -> dict[str, str]:
         SELECT * FROM spans0
         WHERE (kind = 'text' AND text <> '')
            OR (kind = 'image' AND media_ref <> '')
+      ), spans AS (
+        SELECT doc_id,
+          CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i, sub) - 1
+               AS INTEGER) AS "offset",
+          kind, text, media_ref
+        FROM kept
+      )"""
+    sqls["interleaved_spans"] = (
+        "WITH " + _il_fixture
+        + '\n      SELECT doc_id, "offset", kind, text, media_ref'
+          " FROM spans")
+    sqls["caption_pairs"] = (
+        "WITH " + _il_fixture + r""", w AS (
+        SELECT doc_id, "offset", kind, text, media_ref,
+          lag(kind) OVER (PARTITION BY doc_id ORDER BY "offset") AS pk,
+          lag(text) OVER (PARTITION BY doc_id ORDER BY "offset") AS pt,
+          lead(kind) OVER (PARTITION BY doc_id ORDER BY "offset") AS nk,
+          lead(text) OVER (PARTITION BY doc_id ORDER BY "offset") AS nt
+        FROM spans
       )
-      SELECT doc_id,
-        CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i, sub) - 1
+      SELECT doc_id, "offset", media_ref, text AS caption,
+        CASE WHEN pk = 'text' THEN pt ELSE '' END AS context_before,
+        CASE WHEN nk = 'text' THEN nt ELSE '' END AS context_after
+      FROM w WHERE kind = 'image'""")
+    sqls["media_boilerplate"] = (
+        "WITH " + _il_fixture + r""", chrome AS (
+        SELECT media_ref FROM spans WHERE kind = 'image'
+        GROUP BY media_ref HAVING COUNT(DISTINCT doc_id) >= 2
+      ), marked AS (
+        SELECT s.doc_id, s.offset AS o, s.kind, s.text, s.media_ref,
+               (c.media_ref IS NOT NULL) AS is_chrome
+        FROM spans s LEFT JOIN chrome c
+          ON s.kind = 'image' AND s.media_ref = c.media_ref
+      ), counters AS (
+        SELECT doc_id,
+          CAST(SUM(CASE WHEN is_chrome THEN 1 ELSE 0 END) AS INTEGER)
+            AS n_media_removed,
+          CAST(COUNT(*) AS INTEGER) AS n_spans_total
+        FROM marked GROUP BY doc_id
+      )
+      SELECT m.doc_id,
+        CAST(row_number() OVER (PARTITION BY m.doc_id ORDER BY m.o) - 1
              AS INTEGER) AS offset,
-        kind, text, media_ref
-      FROM kept
-    """
+        m.kind, m.text, m.media_ref, k.n_media_removed, k.n_spans_total
+      FROM marked m JOIN counters k ON m.doc_id = k.doc_id
+      WHERE NOT m.is_chrome""")
+    sqls["pack_interleaved"] = (
+        "WITH " + _il_fixture + r""", costs AS (
+        SELECT doc_id,
+          CAST(SUM(CASE WHEN kind = 'image' THEN 64
+                   ELSE CAST(ceil(length(regexp_replace(
+                          text, '\s', '', 'g')) / 4.0) AS BIGINT)
+                   END) AS BIGINT) AS n_tokens
+        FROM spans GROUP BY doc_id
+      ), toks AS (
+        SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard, n_tokens
+        FROM costs
+      ), cum AS (
+        SELECT doc_id, shard, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (
+                 PARTITION BY shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS prev
+        FROM toks
+      )
+      SELECT doc_id, shard, CAST(prev // 256 AS BIGINT) AS seq_id,
+             n_tokens, CAST(prev % 256 AS BIGINT) AS seq_offset
+      FROM cum""")
     sqls["host_cap"] = r"""
       WITH urls AS (
         SELECT CASE WHEN doc_id % 10 < 7 THEN source || '-big.com'

@@ -110,3 +110,122 @@ def span_rows(spans_df: DataFrame) -> DataFrame:
                     F.col("s.kind").alias("kind"),
                     F.col("s.text").alias("text"),
                     F.col("s.media_ref").alias("media_ref")))
+
+
+def caption_pairs(spans_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Image–text pair mining over the interleaved table (the
+    LAION/OBELICS-style step that turns an interleaved web corpus into
+    (image, caption, context) training pairs): one output row per image
+    span, carrying its entity-decoded ``alt`` caption plus the adjacent
+    text spans as before/after context ('' when the neighbor is another
+    image or the document edge).
+
+    Precondition: ``offset`` equals array position (gap-free, as
+    ``html_to_spans`` / ``drop_frequent_media`` emit) — neighbors are
+    ``F.get`` array lookups, which return NULL (never throw) off either
+    edge, so the first/last-span cases fold into the '' default.
+
+    Distributed shape: pure Column ops (filter + transform over the
+    spans array, then one explode) — ZERO shuffles; docs without images
+    vanish at the explode, so a 100 TB text-mostly crawl costs a scan."""
+    spans = F.col("spans")
+
+    def pair(s):
+        before = F.get(spans, s["offset"] - 1)
+        after = F.get(spans, s["offset"] + 1)
+        btxt = F.coalesce(
+            F.when(before["kind"] == "text", before["text"]), F.lit(""))
+        atxt = F.coalesce(
+            F.when(after["kind"] == "text", after["text"]), F.lit(""))
+        return F.struct(s["offset"].alias("offset"),
+                        s["media_ref"].alias("media_ref"),
+                        s["text"].alias("caption"),
+                        btxt.alias("context_before"),
+                        atxt.alias("context_after"))
+
+    pairs = F.transform(
+        F.filter(spans, lambda s: s["kind"] == "image"), pair)
+    return (spans_df
+            .select(F.col(id_col).alias("doc_id"),
+                    F.explode(pairs).alias("p"))
+            .select("doc_id", "p.offset", "p.media_ref", "p.caption",
+                    "p.context_before", "p.context_after"))
+
+
+def drop_frequent_media(spans_df: DataFrame, id_col: str = "doc_id",
+                        min_docs: int = 2) -> DataFrame:
+    """Corpus-level boilerplate-media removal — the span-table analog of
+    CCNet/RefinedWeb line dedup (``dedup.remove_duplicate_lines``): an
+    image whose ``media_ref`` appears in at least ``min_docs`` distinct
+    documents is site chrome (logos, nav sprites, tracking pixels), and
+    EVERY copy is dropped (RefinedWeb semantics — no keeper; a logo is
+    worth zero training pairs). Text spans are never touched; surviving
+    spans renumber gap-free so downstream positional ops
+    (:func:`caption_pairs`) stay valid.
+
+    100 TB shape (mirrors ``remove_duplicate_lines``): the explode is
+    narrow; the boilerplate set costs one (media_ref, count-distinct-doc)
+    aggregation with map-side combine; the span side joins it
+    co-partitioned on media_ref (no broadcast — the chrome set scales
+    with the number of SITES, i.e. with the corpus); one final shuffle
+    regroups spans per document. Docs that lose every span (or had
+    none) survive with empty arrays — totality.
+
+    Output: ``(doc_id, spans, n_media_removed, n_spans_total)``."""
+    if min_docs < 2:
+        raise ValueError("min_docs must be >= 2")
+    exploded = spans_df.select(
+        F.col(id_col).alias("doc_id"), F.explode_outer("spans").alias("s"))
+    chrome = (
+        exploded.filter(F.col("s.kind") == "image")
+        .groupBy(F.col("s.media_ref").alias("_ref"))
+        .agg(F.countDistinct("doc_id").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_ref"))
+    marked = exploded.join(
+        chrome,
+        (F.col("s.kind") == "image") & (F.col("s.media_ref") == F.col("_ref")),
+        "left").withColumn("_keep", F.col("_ref").isNull())
+    kept = F.array_sort(F.collect_list(F.when(F.col("_keep"), F.struct(
+        F.col("s.offset").alias("o"), F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref")))))
+    renumbered = F.transform(kept, lambda x, i: _span_struct(
+        x["kind"], x["text"], x["media_ref"], i))
+    return marked.groupBy("doc_id").agg(
+        renumbered.alias("spans"),
+        F.sum(F.when(F.col("s").isNotNull() & ~F.col("_keep"), 1)
+              .otherwise(0)).cast("int").alias("n_media_removed"),
+        F.count(F.col("s")).cast("int").alias("n_spans_total"))
+
+
+def pack_interleaved(spans_df: DataFrame, id_col: str = "doc_id",
+                     image_token_cost: int = 64,
+                     budget: int | None = None,
+                     shards: int | None = None) -> DataFrame:
+    """Sequence packing for interleaved multimodal documents: a doc's
+    token cost is the sum over its spans — text spans at the engine's
+    chars/4 BPE estimate (``textstats.with_token_counts``), image spans
+    at a fixed ``image_token_cost`` (the patch-token budget a vision
+    encoder spends per image, e.g. 64 for a 448px/14-patch-pool model).
+    The cost fold is one ``F.aggregate`` over the array (zero shuffles);
+    assignment reuses :func:`packing.pack_sequences_from_counts` — the
+    same single hash exchange, so multimodal packing costs exactly what
+    text packing costs at 100 TB.
+
+    Output matches ``pack_sequences``: ``(doc_id, shard, seq_id,
+    n_tokens, seq_offset)``."""
+    from resume_ocr_spark.operators import packing
+
+    budget = packing.DEFAULT_BUDGET if budget is None else budget
+    shards = packing.DEFAULT_SHARDS if shards is None else shards
+    cost = F.aggregate(
+        "spans", F.lit(0).cast("bigint"),
+        lambda acc, s: acc + F.when(
+            s["kind"] == "image", F.lit(image_token_cost)
+        ).otherwise(
+            F.ceil(F.length(F.regexp_replace(s["text"], r"\s", ""))
+                   / F.lit(4.0))).cast("bigint"))
+    counts = spans_df.select(F.col(id_col), cost.alias("n_tokens"))
+    return packing.pack_sequences_from_counts(
+        counts, id_col=id_col, budget=budget, shards=shards)

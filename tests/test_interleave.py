@@ -100,6 +100,126 @@ class TestHtmlToSpans:
         assert out.parse_failures == 1  # the unresolved media_ref
 
 
+class TestCaptionPairs:
+    def _pairs(self, spark, html):
+        df = spark.createDataFrame([("d0", html)],
+                                   "doc_id string, html string")
+        return [tuple(r)[1:] for r in
+                interleave.caption_pairs(interleave.html_to_spans(df))
+                .orderBy("offset").collect()]
+
+    def test_context_both_sides(self, spark):
+        got = self._pairs(
+            spark, '<p>before</p><img src="a.png" alt="cap"><p>after</p>')
+        assert got == [(1, "a.png", "cap", "before", "after")]
+
+    def test_edges_and_image_neighbors(self, spark):
+        # leading img: no before-context; img neighbor is not context
+        got = self._pairs(
+            spark, "<img src=1.png><img src=2.png>middle")
+        assert got == [(0, "1.png", "", "", ""),
+                       (1, "2.png", "", "", "middle")]
+
+    def test_trailing_image_edge(self, spark):
+        got = self._pairs(spark, "lead<img src=z.png>")
+        assert got == [(1, "z.png", "", "lead", "")]
+
+    def test_textonly_docs_vanish(self, spark):
+        assert self._pairs(spark, "<p>just text</p>") == []
+
+    def test_zero_exchanges_in_plan(self, spark):
+        df = spark.createDataFrame([("d", "x<img src=u.png>y")],
+                                   "doc_id string, html string")
+        plan = (interleave.caption_pairs(interleave.html_to_spans(df))
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "Exchange" not in plan
+
+
+class TestDropFrequentMedia:
+    def test_chrome_dropped_everywhere_offsets_renumber(self, spark):
+        logo = '<img src="https://cdn.site/logo.png">'
+        df = spark.createDataFrame(
+            [("a", f"{logo}<p>A text</p><img src=a.png>"),
+             ("b", f"{logo}<p>B text</p><img src=b.png>"),
+             ("c", logo)],
+            "doc_id string, html string")
+        out = {r.doc_id: r for r in interleave.drop_frequent_media(
+            interleave.html_to_spans(df)).collect()}
+        a = [(s.offset, s.kind, s.media_ref) for s in out["a"].spans]
+        assert a == [(0, "text", ""), (1, "image", "a.png")]
+        assert (out["a"].n_media_removed, out["a"].n_spans_total) == (1, 3)
+        # doc that loses its only span survives with an empty array
+        assert out["c"].spans == []
+        assert (out["c"].n_media_removed, out["c"].n_spans_total) == (1, 1)
+
+    def test_below_threshold_kept(self, spark):
+        df = spark.createDataFrame(
+            [("a", "x<img src=only-here.png>"), ("b", "y")],
+            "doc_id string, html string")
+        out = {r.doc_id: r for r in interleave.drop_frequent_media(
+            interleave.html_to_spans(df)).collect()}
+        assert [s.media_ref for s in out["a"].spans] == ["", "only-here.png"]
+        assert out["a"].n_media_removed == 0
+
+    def test_min_docs_validated(self, spark):
+        df = spark.createDataFrame([("a", "x")],
+                                   "doc_id string, html string")
+        import pytest
+        with pytest.raises(ValueError):
+            interleave.drop_frequent_media(
+                interleave.html_to_spans(df), min_docs=1)
+
+    def test_caption_pairs_compose_after_renumber(self, spark):
+        # after chrome removal the offsets are positional again, so
+        # caption_pairs sees the POST-removal neighbors
+        logo = "<img src=logo.png>"
+        df = spark.createDataFrame(
+            [("a", f"hello{logo}<img src=keep.png>world"),
+             ("b", logo)],
+            "doc_id string, html string")
+        pairs = interleave.caption_pairs(interleave.drop_frequent_media(
+            interleave.html_to_spans(df))).collect()
+        assert [tuple(r) for r in pairs] == [
+            ("a", 1, "keep.png", "", "hello", "world")]
+
+
+class TestPackInterleaved:
+    SCHEMA = ("doc_id int, spans array<struct<kind:string,text:string,"
+              "media_ref:string,offset:int>>")
+
+    def test_mixed_cost_accounting(self, spark):
+        # text 'x'*8 -> ceil(8/4)=2 tokens; image -> 64; doc cost 66
+        rows = [(i, [("text", "x" * 8, "", 0), ("image", "", "u.png", 1)])
+                for i in range(4)]
+        out = {r.doc_id: r for r in interleave.pack_interleaved(
+            spark.createDataFrame(rows, self.SCHEMA),
+            image_token_cost=64, budget=100, shards=2).collect()}
+        assert all(out[i].n_tokens == 66 for i in range(4))
+        # shard 0: docs 0,2 -> cumsum 0,66 -> seq 0 offsets 0,66
+        assert (out[0].shard, out[0].seq_id, out[0].seq_offset) == (0, 0, 0)
+        assert (out[2].shard, out[2].seq_id, out[2].seq_offset) == (0, 0, 66)
+        # doc 2's successor would start at 132 -> seq 1 for a third doc
+        rows.append((4, [("image", "", "v.png", 0)]))
+        out2 = {r.doc_id: r for r in interleave.pack_interleaved(
+            spark.createDataFrame(rows, self.SCHEMA),
+            image_token_cost=64, budget=100, shards=2).collect()}
+        assert (out2[4].shard, out2[4].seq_id, out2[4].seq_offset) == (
+            0, 1, 132 % 100)
+
+    def test_empty_spans_zero_cost(self, spark):
+        out = interleave.pack_interleaved(
+            spark.createDataFrame([(7, [])], self.SCHEMA),
+            budget=10, shards=1).collect()
+        assert (out[0].n_tokens, out[0].seq_offset) == (0, 0)
+
+    def test_single_exchange_in_plan(self, spark):
+        rows = [(i, [("text", "abc", "", 0)]) for i in range(3)]
+        plan = (interleave.pack_interleaved(
+                    spark.createDataFrame(rows, self.SCHEMA))
+                ._jdf.queryExecution().executedPlan().toString())
+        assert plan.count("Exchange") == 1
+
+
 class TestSpanRows:
     def test_explode_matches_nested(self, spark):
         df = spark.createDataFrame(

@@ -57,6 +57,7 @@ EXPECTED_TAIL = [
     "html_table_cells", "feed_discovery", "url_canonical", "page_meta",
     "robots_sitemap_urls", "line_clean", "html_markdown", "host_cap",
     "streaming_feed_discovery", "exif_meta", "interleaved_spans",
+    "caption_pairs", "media_boilerplate", "pack_interleaved",
 ]
 
 
