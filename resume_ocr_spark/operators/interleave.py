@@ -186,7 +186,12 @@ def drop_frequent_media(spans_df: DataFrame, id_col: str = "doc_id",
         chrome,
         (F.col("s.kind") == "image") & (F.col("s.media_ref") == F.col("_ref")),
         "left").withColumn("_keep", F.col("_ref").isNull())
-    kept = F.array_sort(F.collect_list(F.when(F.col("_keep"), F.struct(
+    # the s-NOT-NULL guard matters: explode_outer emits a NULL s for an
+    # EMPTY input array, and F.struct(NULL.field, ...) is a non-null
+    # struct of nulls — without the guard an empty doc grows one bogus
+    # span instead of staying empty
+    kept = F.array_sort(F.collect_list(F.when(
+        F.col("_keep") & F.col("s").isNotNull(), F.struct(
         F.col("s.offset").alias("o"), F.col("s.kind").alias("kind"),
         F.col("s.text").alias("text"),
         F.col("s.media_ref").alias("media_ref")))))

@@ -161,6 +161,17 @@ class TestDropFrequentMedia:
         assert [s.media_ref for s in out["a"].spans] == ["", "only-here.png"]
         assert out["a"].n_media_removed == 0
 
+    def test_empty_input_array_stays_empty(self, spark):
+        # regression: explode_outer emits NULL s for an empty array and
+        # F.struct(NULL.field,...) is a non-null struct — an unguarded
+        # collect grew one bogus all-null span for empty docs
+        df = spark.createDataFrame([("a", ""), ("b", None)],
+                                   "doc_id string, html string")
+        out = {r.doc_id: r for r in interleave.drop_frequent_media(
+            interleave.html_to_spans(df)).collect()}
+        assert out["a"].spans == [] and out["b"].spans == []
+        assert out["a"].n_spans_total == 0
+
     def test_min_docs_validated(self, spark):
         df = spark.createDataFrame([("a", "x")],
                                    "doc_id string, html string")
@@ -218,6 +229,55 @@ class TestPackInterleaved:
                     spark.createDataFrame(rows, self.SCHEMA))
                 ._jdf.queryExecution().executedPlan().toString())
         assert plan.count("Exchange") == 1
+
+
+class TestSubmitInterleave:
+    def _run(self, argv):
+        import sys
+        from tools import submit_interleave
+        old = sys.argv
+        sys.argv = ["submit_interleave.py"] + argv
+        try:
+            return submit_interleave.main()
+        finally:
+            sys.argv = old
+
+    def test_job_writes_three_tables_consistently(self, spark, tmp_path):
+        src = str(tmp_path / "pages.parquet")
+        spark.createDataFrame(
+            [(i,
+              "<body><img src=//cdn.site/logo.png>"
+              f"<p>Intro {i}.</p>"
+              f"<img src='https://s.ex/u{i}.jpg' alt='cap {i}'>"
+              f"<p>After {i}.</p></body>")
+             for i in range(30)],
+            "doc_id int, html string").write.parquet(src)
+        out = str(tmp_path / "out")
+        rc = self._run(["--input", src, "--output", out,
+                        "--budget", "128", "--shards", "4"])
+        assert rc == 0
+        tbl = spark.read.parquet(f"{out}/spans")
+        pairs = spark.read.parquet(f"{out}/pairs")
+        packed = spark.read.parquet(f"{out}/packed")
+        assert tbl.count() == 30
+        # chrome logo dropped everywhere; one unique image per doc
+        from pyspark.sql import functions as F2
+        assert tbl.agg(F2.sum("n_media_removed")).collect()[0][0] == 30
+        assert pairs.count() == 30
+        p = {r.doc_id: r for r in pairs.collect()}
+        assert p[7].caption == "cap 7" and p[7].context_before == "Intro 7."
+        assert packed.count() == 30
+        assert packed.agg(F2.max("seq_offset")).collect()[0][0] < 128
+
+    def test_zero_span_ingest_refused(self, spark, tmp_path):
+        src = str(tmp_path / "empty.parquet")
+        spark.createDataFrame([(1, ""), (2, None)],
+                              "doc_id int, html string").write.parquet(src)
+        out = str(tmp_path / "out2")
+        rc = self._run(["--input", src, "--output", out])
+        assert rc == 4
+        import os
+        assert not os.path.exists(f"{out}/spans")
 
 
 class TestSpanRows:
