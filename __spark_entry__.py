@@ -1688,7 +1688,10 @@ def _interleave_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     adjacent imgs (empty chunk dropped), entity-bearing alt text, and —
     for the boilerplate entry — a corpus-wide logo img on every doc%2==0
     page plus a footer sprite on every doc%11==0 page (shared
-    media_refs, the chrome `drop_frequent_media` removes)."""
+    media_refs, the chrome `drop_frequent_media` removes). Every
+    doc%13==0 page is a text-free image GALLERY (the quality gate's
+    no_text rung; also pins zero-text-span docs through the whole
+    family)."""
     d = (_t(spark, sf_dir, "documents")
          .filter(F.col("doc_id") < 400).select("doc_id", "source"))
     did = F.col("doc_id")
@@ -1701,6 +1704,10 @@ def _interleave_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(".net/"), did.cast("string"), F.lit("'>")))
         .otherwise(F.concat(
             F.lit("<img src=/rel/"), did.cast("string"), F.lit(".png>"))))
+    gallery = F.concat(
+        F.lit("<body><img src=g1-"), did.cast("string"),
+        F.lit(".png><img src=g2-"), did.cast("string"),
+        F.lit(".png></body>"))
     h = F.concat(
         F.lit("<html><head><title>Doc "), did.cast("string"),
         F.lit("</title><style>p {color: red}</style></head><body>"
@@ -1722,7 +1729,8 @@ def _interleave_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("")),
         F.lit('<p>Tail.</p><!-- <img src="comment-decoy.png"> -->'
               "</body></html>"))
-    return d.select("doc_id", h.alias("html"))
+    return d.select(
+        "doc_id", F.when(did % 13 == 0, gallery).otherwise(h).alias("html"))
 
 
 def interleaved_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1772,6 +1780,25 @@ def media_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  "n_spans_total"), "doc_id")
             .select("doc_id", "offset", "kind", "text", "media_ref",
                     "n_media_removed", "n_spans_total"))
+
+
+def interleaved_quality_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OBELICS-style interleaved-document quality gate (tail entry,
+    round 5; operators/interleave.py interleaved_quality): composition
+    metrics in one array fold (counts, text_chars, image_fraction,
+    chars_per_image, max consecutive-image run) + first-drop-wins
+    drop_reason. Thresholds chosen so the fixture exercises ALL FOUR
+    rungs deterministically: %13 galleries → no_text; 1-digit-title
+    docs → too_short; image-heavy %7∩%2 docs → image_wall; run-2
+    adjacencies that dodge the wall → image_run; majority NULL.
+    Oracle = row-wise twin with a gaps-and-islands run length."""
+    from resume_ocr_spark.operators import interleave
+
+    pages = _interleave_pages(spark, sf_dir)
+    return interleave.interleaved_quality(
+        interleave.html_to_spans(pages),
+        min_text_chars=37, max_image_fraction=0.55,
+        max_image_run=1).drop("spans")
 
 
 def pack_interleaved_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2607,6 +2634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "caption_pairs": caption_pairs_entry,
         "media_boilerplate": media_boilerplate,
         "pack_interleaved": pack_interleaved_entry,
+        "interleaved_quality": interleaved_quality_entry,
     }
     return {**gated, **tail}
 
@@ -4897,6 +4925,11 @@ def oracle_sql() -> dict[str, str]:
     # frequent-media removal, and multimodal packing.
     _il_fixture = r"""pages AS (
         SELECT doc_id,
+          CASE WHEN doc_id % 13 = 0 THEN
+            '<body><img src=g1-' || CAST(doc_id AS VARCHAR)
+            || '.png><img src=g2-' || CAST(doc_id AS VARCHAR)
+            || '.png></body>'
+          ELSE
           '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
           || '</title><style>p {color: red}</style></head><body>'
           || '<script type="text/javascript">var x = '
@@ -4926,7 +4959,8 @@ def oracle_sql() -> dict[str, str]:
                   THEN '<img src=//static.site/footer.gif>'
                   ELSE '' END
           || '<p>Tail.</p><!-- <img src="comment-decoy.png"> -->'
-          || '</body></html>' AS html
+          || '</body></html>'
+          END AS html
         FROM documents WHERE doc_id < 400
       ), cleaned AS (
         SELECT doc_id, regexp_replace(html,
@@ -5030,6 +5064,47 @@ def oracle_sql() -> dict[str, str]:
         m.kind, m.text, m.media_ref, k.n_media_removed, k.n_spans_total
       FROM marked m JOIN counters k ON m.doc_id = k.doc_id
       WHERE NOT m.is_chrome""")
+    sqls["interleaved_quality"] = (
+        "WITH " + _il_fixture + r""", stats AS (
+        SELECT doc_id,
+          CAST(COUNT(*) AS INTEGER) AS n_spans,
+          CAST(SUM(CASE WHEN kind = 'text' THEN 1 ELSE 0 END)
+               AS INTEGER) AS n_text,
+          CAST(SUM(CASE WHEN kind = 'image' THEN 1 ELSE 0 END)
+               AS INTEGER) AS n_images,
+          CAST(SUM(CASE WHEN kind = 'text' THEN length(text) ELSE 0 END)
+               AS BIGINT) AS text_chars
+        FROM spans GROUP BY doc_id
+      ), img_islands AS (
+        SELECT doc_id,
+          "offset" - CAST(row_number() OVER (
+            PARTITION BY doc_id ORDER BY "offset") AS INTEGER) AS isl
+        FROM spans WHERE kind = 'image'
+      ), runlen AS (
+        SELECT doc_id, CAST(MAX(cnt) AS INTEGER) AS max_image_run
+        FROM (SELECT doc_id, isl, COUNT(*) AS cnt
+              FROM img_islands GROUP BY doc_id, isl)
+        GROUP BY doc_id
+      ), metrics AS (
+        SELECT s.doc_id, s.n_spans, s.n_text, s.n_images, s.text_chars,
+          round(CASE WHEN s.n_spans > 0
+                     THEN CAST(s.n_images AS DOUBLE) / s.n_spans
+                     ELSE 0.0 END, 6) AS image_fraction,
+          round(CASE WHEN s.n_images > 0
+                     THEN CAST(s.text_chars AS DOUBLE) / s.n_images
+                     ELSE CAST(s.text_chars AS DOUBLE) END, 6)
+            AS chars_per_image,
+          COALESCE(r.max_image_run, 0) AS max_image_run
+        FROM stats s LEFT JOIN runlen r ON s.doc_id = r.doc_id
+      )
+      SELECT doc_id, n_spans, n_text, n_images, text_chars,
+        image_fraction, chars_per_image, max_image_run,
+        CASE WHEN n_text = 0 THEN 'no_text'
+             WHEN text_chars < 37 THEN 'too_short'
+             WHEN image_fraction > 0.55 THEN 'image_wall'
+             WHEN max_image_run > 1 THEN 'image_run'
+             ELSE NULL END AS drop_reason
+      FROM metrics""")
     sqls["pack_interleaved"] = (
         "WITH " + _il_fixture + r""", costs AS (
         SELECT doc_id,

@@ -204,6 +204,83 @@ def drop_frequent_media(spans_df: DataFrame, id_col: str = "doc_id",
         F.count(F.col("s")).cast("int").alias("n_spans_total"))
 
 
+def with_span_stats(spans_df: DataFrame) -> DataFrame:
+    """Per-document composition metrics over the interleaved table —
+    everything an interleaved-corpus quality gate reads, in ONE pass
+    over the spans array (three ``F.aggregate``/``F.filter`` folds,
+    zero shuffles, scan-shaped at 100 TB):
+
+    ``n_spans, n_text, n_images`` — span counts by kind;
+    ``text_chars`` — total visible-text length;
+    ``image_fraction`` — n_images / n_spans (0.0 for empty docs);
+    ``chars_per_image`` — text_chars / n_images (text_chars when no
+    images — the no-image doc is all text);
+    ``max_image_run`` — longest run of CONSECUTIVE image spans (the
+    OBELICS gallery-page signal: image walls carry no aligned text)."""
+    spans = F.col("spans")
+    n_spans = F.size(spans)
+    n_images = F.size(F.filter(spans, lambda s: s["kind"] == "image"))
+    n_text = (n_spans - n_images).cast("int")
+    text_chars = F.aggregate(
+        spans, F.lit(0).cast("bigint"),
+        lambda acc, s: acc + F.when(
+            s["kind"] == "text", F.length(s["text"])).otherwise(0))
+    # run/best fold: run resets on every non-image span
+    run_best = F.aggregate(
+        spans,
+        F.struct(F.lit(0).cast("int").alias("run"),
+                 F.lit(0).cast("int").alias("best")),
+        lambda acc, s: F.struct(
+            F.when(s["kind"] == "image", acc["run"] + 1)
+            .otherwise(0).cast("int").alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(s["kind"] == "image", acc["run"] + 1)
+                .otherwise(0)).cast("int").alias("best")),
+        lambda acc: acc["best"])
+    return (spans_df
+            .withColumn("n_spans", n_spans.cast("int"))
+            .withColumn("n_text", n_text)
+            .withColumn("n_images", n_images.cast("int"))
+            .withColumn("text_chars", text_chars)
+            .withColumn("image_fraction", F.round(
+                F.when(n_spans > 0, n_images.cast("double") / n_spans)
+                .otherwise(0.0), 6))
+            .withColumn("chars_per_image", F.round(
+                F.when(n_images > 0,
+                       F.col("text_chars").cast("double") / n_images)
+                .otherwise(F.col("text_chars").cast("double")), 6))
+            .withColumn("max_image_run", run_best))
+
+
+def interleaved_quality(spans_df: DataFrame,
+                        min_text_chars: int = 100,
+                        max_image_fraction: float = 0.5,
+                        max_image_run: int = 3) -> DataFrame:
+    """OBELICS-style document gate for an interleaved multimodal corpus
+    (Laurençon et al. 2023 §3: drop pages whose structure says the
+    images carry no aligned text): first-drop-wins ``drop_reason`` over
+    :func:`with_span_stats` —
+
+    ``no_text``     not a single text span (pure image gallery);
+    ``too_short``   under ``min_text_chars`` of visible text;
+    ``image_wall``  over ``max_image_fraction`` of spans are images;
+    ``image_run``   a run of more than ``max_image_run`` consecutive
+                    images (carousel/gallery block);
+    NULL            keep.
+
+    Same convention as ``curate.curate``: every row survives with its
+    reason — filter ``drop_reason IS NULL`` for the keepers. Pure
+    Column ops on top of the stats fold; zero shuffles."""
+    stats = with_span_stats(spans_df)
+    reason = (
+        F.when(F.col("n_text") == 0, "no_text")
+        .when(F.col("text_chars") < min_text_chars, "too_short")
+        .when(F.col("image_fraction") > max_image_fraction, "image_wall")
+        .when(F.col("max_image_run") > max_image_run, "image_run"))
+    return stats.withColumn("drop_reason", reason)
+
+
 def pack_interleaved(spans_df: DataFrame, id_col: str = "doc_id",
                      image_token_cost: int = 64,
                      budget: int | None = None,

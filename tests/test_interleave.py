@@ -231,6 +231,63 @@ class TestPackInterleaved:
         assert plan.count("Exchange") == 1
 
 
+class TestInterleavedQuality:
+    SCHEMA = ("doc_id string, spans array<struct<kind:string,text:string,"
+              "media_ref:string,offset:int>>")
+
+    def _t(self, text):
+        return ("text", text, "", 0)
+
+    def _i(self, ref="u.png"):
+        return ("image", "", ref, 0)
+
+    def test_span_stats_one_pass(self, spark):
+        rows = [("a", [self._t("x" * 40), self._i(), self._i(),
+                       self._t("y" * 20), self._i()])]
+        r = interleave.with_span_stats(
+            spark.createDataFrame(rows, self.SCHEMA)).collect()[0]
+        assert (r.n_spans, r.n_text, r.n_images) == (5, 2, 3)
+        assert r.text_chars == 60
+        assert r.image_fraction == 0.6
+        assert r.chars_per_image == 20.0
+        assert r.max_image_run == 2
+
+    def test_empty_doc_stats(self, spark):
+        r = interleave.with_span_stats(
+            spark.createDataFrame([("e", [])], self.SCHEMA)).collect()[0]
+        assert (r.n_spans, r.text_chars, r.image_fraction,
+                r.chars_per_image, r.max_image_run) == (0, 0, 0.0, 0.0, 0)
+
+    def test_first_drop_wins_ladder(self, spark):
+        rows = [
+            ("gallery", [self._i(), self._i()]),                 # no_text
+            ("short", [self._t("tiny"), self._i()]),             # too_short
+            ("wall", [self._t("x" * 60), self._i(), self._i(),
+                      self._t("y" * 60), self._i(), self._i(),
+                      self._i()]),                               # 5/7 images
+            ("carousel", [self._t("x" * 60), self._i(), self._i(),
+                          self._i(), self._i(), self._t("y" * 60),
+                          self._t("z" * 60), self._t("w" * 60)]),  # run 4
+            ("good", [self._t("x" * 120), self._i(),
+                      self._t("y" * 120)]),
+        ]
+        out = {r.doc_id: r.drop_reason for r in interleave
+               .interleaved_quality(
+                   spark.createDataFrame(rows, self.SCHEMA),
+                   min_text_chars=100, max_image_fraction=0.5,
+                   max_image_run=3).collect()}
+        assert out == {"gallery": "no_text", "short": "too_short",
+                       "wall": "image_wall", "carousel": "image_run",
+                       "good": None}
+
+    def test_zero_exchanges_in_plan(self, spark):
+        df = spark.createDataFrame(
+            [("d", [self._t("x"), self._i()])], self.SCHEMA)
+        plan = (interleave.interleaved_quality(df)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "Exchange" not in plan
+
+
 class TestSubmitInterleave:
     def _run(self, argv):
         import sys

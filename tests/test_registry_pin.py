@@ -58,6 +58,7 @@ EXPECTED_TAIL = [
     "robots_sitemap_urls", "line_clean", "html_markdown", "host_cap",
     "streaming_feed_discovery", "exif_meta", "interleaved_spans",
     "caption_pairs", "media_boilerplate", "pack_interleaved",
+    "interleaved_quality",
 ]
 
 
