@@ -2,8 +2,9 @@
 
 The whole engine runs over one table shape — ``(doc_id,
 spans:array<struct<kind,text,media_ref,offset>>)`` (BASELINE.json
-input_hint; the reference ingests the same shape one upload at a time,
-`app/routers/resumes.py`). This module is the ingest step that
+input_hint; the reference ingests the same shape one upload at a time —
+`app/routers/analysis.py:443-453` files → kind-dispatched spans). This
+module is the ingest step that
 PRODUCES that shape from crawled pages: each document's visible text
 becomes ``text`` spans and each ``<img src>`` becomes an ``image``
 span whose ``media_ref`` is the source URL (for the fetch/blob-resolve

@@ -462,3 +462,44 @@ def stream_discovery(
          .start())
     q.awaitTermination()
     return n_batches
+
+
+def stream_interleave(
+    spark: SparkSession,
+    pages_dir: str,
+    out_root: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> str:
+    """Streaming twin of the interleave ingest front door: crawl pages
+    ``(doc_id, html)`` landing as parquet files in ``pages_dir`` become
+    micro-batches, and each batch appends its interleaved span rows to
+    the output table. ``interleave.html_to_spans`` is a STATELESS
+    Column projection, so the exact batch expression tree runs
+    unchanged under Structured Streaming — no foreachBatch, no state
+    store, no watermark; exactly-once lands on the file sink's commit
+    log (a replayed batch overwrites its own files, never duplicates).
+
+    Corpus-level chrome removal (``drop_frequent_media``) is inherently
+    cross-document state and deliberately stays a BATCH pass over the
+    landed table — the classic ingest-now/curate-later split the
+    packaged job (tools/submit_interleave.py) runs in one shot.
+
+    Returns the output path; drain again after new page files land to
+    ingest only the delta (availableNow trigger)."""
+    from resume_ocr_spark.operators import interleave
+
+    schema = "doc_id string, html string"
+    stream = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        stream = stream.option("maxFilesPerTrigger",
+                               int(max_files_per_trigger))
+    spans = interleave.html_to_spans(stream.parquet(pages_dir))
+    out_path = os.path.join(out_root, "spans_stream")
+    q = (spans.writeStream.format("parquet")
+         .option("path", out_path)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return out_path

@@ -347,3 +347,37 @@ class TestSpanRows:
         assert [tuple(r) for r in flat.collect()] == [
             ("a", 0, "text", "x", ""), ("a", 1, "image", "", "u.png"),
             ("a", 2, "text", "y", ""), ("b", 0, "text", "z", "")]
+
+
+class TestStreamInterleave:
+    def test_streaming_matches_batch_and_redrain_noop(self, spark, tmp_path):
+        from resume_ocr_spark import streaming as streamops
+
+        pages = str(tmp_path / "pages")
+        out = str(tmp_path / "sout")
+        cp = str(tmp_path / "scp")
+        wave1 = spark.createDataFrame(
+            [("a", "<p>one</p><img src=a.png alt='A'>"),
+             ("b", "<script>var x='<img src=no.png>'</script><p>two</p>")],
+            "doc_id string, html string")
+        wave2 = spark.createDataFrame(
+            [("c", "<img src=c1.png><img src=c2.png>tail")],
+            "doc_id string, html string")
+        wave1.coalesce(1).write.mode("append").parquet(pages)
+        path = streamops.stream_interleave(spark, pages, out, cp)
+        assert spark.read.parquet(path).count() == 2  # one row per doc
+        wave2.coalesce(1).write.mode("append").parquet(pages)
+        streamops.stream_interleave(spark, pages, out, cp)
+        # streaming output == batch html_to_spans over the full input,
+        # span for span
+        got = sorted(
+            (r.doc_id, s.offset, s.kind, s.text, s.media_ref)
+            for r in spark.read.parquet(path).collect() for s in r.spans)
+        batch = sorted(
+            (r.doc_id, s.offset, s.kind, s.text, s.media_ref)
+            for r in interleave.html_to_spans(
+                spark.read.parquet(pages)).collect() for s in r.spans)
+        assert got == batch and len(got) == 6
+        # re-drain with no new files: checkpoint makes it a no-op
+        streamops.stream_interleave(spark, pages, out, cp)
+        assert spark.read.parquet(path).count() == 3  # 3 docs, 6 spans
