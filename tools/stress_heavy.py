@@ -202,7 +202,26 @@ def run_family(spark, docs_path: str, results: dict) -> None:
             .otherwise(F.md5("text")).alias("digest"))
         return force(urltools.snapshot_delta(old, new))
 
+    def interleave_chrome():
+        # HTML ingest + corpus-level chrome removal with ONE media_ref
+        # (the logo) shared by EVERY document — the hottest possible key
+        # for the chrome count-distinct agg and the span-side join-back
+        # (per-doc unique imgs survive, the logo's 1-row chrome entry
+        # matches a corpus-sized span stripe)
+        from resume_ocr_spark.operators import interleave
+
+        pages = docs.select("doc_id", F.concat(
+            F.lit("<body><img src=//static.site/logo.png><p>"),
+            F.col("text"),
+            F.lit('</p><img src="https://img.ex/u'),
+            F.col("doc_id").cast("string"),
+            F.lit('.jpg" alt="fig"><p>tail</p></body>')).alias("html"))
+        cleaned = interleave.drop_frequent_media(
+            interleave.html_to_spans(pages))
+        return force(interleave.span_rows(cleaned))
+
     timed("lsh_candidates_k128", lsh_k128, results)
+    timed("interleave_chrome", interleave_chrome, results)
     timed("snapshot_delta", snapshot_delta_stress, results)
     timed("pagerank5", pagerank5, results)
     timed("jaccard_lsh", jaccard_lsh, results)
