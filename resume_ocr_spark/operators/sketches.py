@@ -49,11 +49,18 @@ from pyspark.sql import Column, DataFrame, functions as F
 __all__ = [
     "hll_distinct",
     "hll_registers",
+    "hll_merge",
+    "hll_estimate",
     "bloom_build",
     "bloom_probe",
+    "bloom_words",
     "cms_build",
+    "cms_merge",
     "cms_estimate",
     "histogram_quantiles",
+    "histogram_bins",
+    "histogram_merge",
+    "histogram_quantiles_from_bins",
 ]
 
 # --- shared md5→int plumbing (mirrors mixture.with_sample_bucket) --------
@@ -161,6 +168,24 @@ def hll_distinct(
     ``m·|groups|`` rows with map-side combine; stage 2 shuffles the
     register table (tiny). The raw values never move."""
     regs = hll_registers(df, value_col, group_cols, seed=seed)
+    return hll_estimate(regs, group_cols)
+
+
+def hll_merge(regs_a: DataFrame, regs_b: DataFrame,
+              group_cols: list[str]) -> DataFrame:
+    """Merge two register tables (same value recipe + seed): union +
+    ``max`` regroup. Equal by law to the sketch of the unioned inputs
+    (pinned by test_hll_merge_is_register_max) — THE incremental-profile
+    primitive: yesterday's persisted registers + today's batch, no
+    rescan of yesterday."""
+    return (regs_a.union(regs_b)
+            .groupBy(*group_cols, "bucket")
+            .agg(F.max("m_reg").cast("int").alias("m_reg")))
+
+
+def hll_estimate(regs: DataFrame, group_cols: list[str]) -> DataFrame:
+    """The estimate pass over a (possibly merged / re-read) register
+    table — see :func:`hll_distinct` for the output contract."""
     term = _pow2_at(F.lit(HLL_RHO_MAX) - F.col("m_reg"), HLL_RHO_MAX + 1)
     per_group = regs.groupBy(*group_cols).agg(
         F.count(F.lit(1)).cast("int").alias("n_buckets"),
@@ -316,6 +341,14 @@ def cms_build(
     )
 
 
+def cms_merge(sk_a: DataFrame, sk_b: DataFrame) -> DataFrame:
+    """Merge two CMS tables built with the same (d, w, seed): union +
+    sum regroup — equal by law to the sketch of the concatenated
+    streams (pinned by test_cms_overcounts_only_and_merges)."""
+    return (sk_a.union(sk_b)
+            .groupBy("row", "col").agg(F.sum("cnt").alias("cnt")))
+
+
 def cms_estimate(
     queries: DataFrame,
     sketch: DataFrame,
@@ -376,13 +409,43 @@ def histogram_quantiles(
     with map-side combine instead of every value. Output:
     ``(group…, n bigint, q50_est, q95_est, q99_est double)`` (column
     names from ``qs`` percents)."""
+    binned = histogram_bins(df, value_col, group_cols, width)
+    return histogram_quantiles_from_bins(binned, group_cols, width, qs)
+
+
+def histogram_bins(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    width: float,
+) -> DataFrame:
+    """The histogram sketch TABLE ``(group…, bin, c)`` — bin =
+    ``floor(value/width)``, merge = ``sum`` regroup
+    (:func:`histogram_merge`)."""
     bin_col = F.floor(F.col(value_col) / F.lit(float(width))).cast("long")
-    binned = (
+    return (
         df.filter(F.col(value_col).isNotNull())
         .select(*group_cols, bin_col.alias("bin"))
         .groupBy(*group_cols, "bin")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+
+
+def histogram_merge(bins_a: DataFrame, bins_b: DataFrame,
+                    group_cols: list[str]) -> DataFrame:
+    """Merge two bin tables built with the same width: union + sum."""
+    return (bins_a.union(bins_b)
+            .groupBy(*group_cols, "bin").agg(F.sum("c").alias("c")))
+
+
+def histogram_quantiles_from_bins(
+    binned: DataFrame,
+    group_cols: list[str],
+    width: float,
+    qs: tuple[float, ...] = (0.5, 0.95, 0.99),
+) -> DataFrame:
+    """The quantile pass over a (possibly merged / re-read) bin table —
+    see :func:`histogram_quantiles` for the output contract."""
     from pyspark.sql import Window
 
     wspec = (
