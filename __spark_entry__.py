@@ -2467,6 +2467,76 @@ def hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         li, "l_extendedprice", ["l_returnflag"], width=1000.0)
 
 
+# ---------------------------------------------------------------------------
+# Iceberg-style table-maintenance family (round 5, operators/maintenance.py)
+# ---------------------------------------------------------------------------
+
+# z-order fixture bounds: table-level stats an Iceberg manifest would carry;
+# pinned as literals so the key is a pure function (and the oracle's twin)
+_Z_BOUNDS = {"cust": (0, 1499), "price": (1013, 499979), "bits": 8}
+
+
+def zorder_key_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering key (tail entry, round 5): Morton-interleave 8
+    bits each of o_custkey and floor(o_totalprice) — the layout key whose
+    range-partitioning gives every output file a tight hyper-rectangle in
+    BOTH columns, so file min/max stats prune scans on either (the
+    `ORDER BY a, b` layout only prunes on `a`). Pure integer math; the
+    oracle is GENERATED from the same recipe (maintenance.zorder_key_sql).
+    The pruning benefit itself is pinned by tests/test_maintenance.py's
+    stats-spread comparison."""
+    from resume_ocr_spark.operators import maintenance
+
+    b = _Z_BOUNDS
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.floor(F.col("o_totalprice")).cast("long").alias("price_i"))
+    key = maintenance.zorder_key(
+        ["o_custkey", "price_i"],
+        [b["cust"][0], b["price"][0]], [b["cust"][1], b["price"][1]],
+        bits=b["bits"])
+    return o.select("o_orderkey", key.alias("zkey"))
+
+
+def compaction_plan_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner (tail entry, round 5): a synthetic
+    manifest (one file per order, deterministic pseudo-size, partitioned
+    by order status) bin-packed to a 128 MiB target — files ≥ 75% of
+    target pass through unplanned (group NULL). One window over the
+    manifest; the oracle is the same cumsum-window formulation in
+    DuckDB."""
+    from resume_ocr_spark.operators import maintenance
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    files = o.select(
+        F.col("o_orderstatus").alias("partition"),
+        F.concat(F.lit("f"), F.col("o_orderkey").cast("string"))
+            .alias("file"),
+        (1 + (F.col("o_orderkey") * 104729) % 134217728).alias("bytes"))
+    return maintenance.compaction_plan(files, target_bytes=134217728)
+
+
+def orphan_files_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan-file detection (tail entry, round 5): storage listing minus
+    the union of retained snapshots' manifests — the snapshot-expiry
+    deletion list. Manifests synthesized from orders (5 snapshots over a
+    shared file universe), retention = snapshots {3, 4}; one broadcast +
+    one left-anti join, manifest-level only."""
+    from resume_ocr_spark.operators import maintenance
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    manifests = o.select(
+        (F.col("o_orderkey") % 5).alias("snapshot_id"),
+        F.concat(F.lit("f"), (F.col("o_orderkey") % 300).cast("string"))
+            .alias("file"))
+    storage = o.select(
+        F.concat(F.lit("f"), (F.col("o_orderkey") % 350).cast("string"))
+            .alias("file"))
+    retained = spark.createDataFrame([(3,), (4,)], "snapshot_id bigint")
+    return maintenance.orphan_files(storage, manifests, retained) \
+        .select("file")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship smoke query on sf0.001 (driver checks rows>0)."""
     return extract_pipeline(spark, "/root/testdata/sf0.001")
@@ -2728,6 +2798,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_url_seen": bloom_url_seen,
         "cms_topk": cms_topk,
         "hist_quantiles": hist_quantiles,
+        # round-5 tail: Iceberg-style table maintenance
+        # (operators/maintenance.py) — layout keys, compaction planning,
+        # snapshot-expiry orphan detection
+        "zorder_key": zorder_key_entry,
+        "compaction_plan": compaction_plan_entry,
+        "orphan_files": orphan_files_entry,
     }
     return {**gated, **tail}
 
@@ -5593,6 +5669,56 @@ def oracle_sql() -> dict[str, str]:
                        THEN bin END) + 1)
                * CAST(1000.0 AS DOUBLE) AS q99_est
       FROM cum GROUP BY 1
+    """
+    # --- Iceberg-style maintenance family (round 5) ------------------------
+    from resume_ocr_spark.operators import maintenance as _mt
+
+    _zb = _Z_BOUNDS
+    _zsql = _mt.zorder_key_sql(
+        ["o_custkey", "floor(o_totalprice)"],
+        [_zb["cust"][0], _zb["price"][0]],
+        [_zb["cust"][1], _zb["price"][1]], bits=_zb["bits"])
+    sqls["zorder_key"] = f"""
+      SELECT o_orderkey, {_zsql} AS zkey FROM orders
+    """
+    sqls["compaction_plan"] = """
+      WITH files AS (
+        SELECT o_orderstatus AS "partition",
+               'f' || CAST(o_orderkey AS VARCHAR) AS file,
+               CAST(1 + (o_orderkey * 104729) % 134217728 AS BIGINT)
+                 AS bytes
+        FROM orders WHERE o_orderkey < 2000
+      ), marked AS (
+        SELECT "partition", file, bytes,
+               bytes < CAST(100663296.0 AS DOUBLE) AS small
+        FROM files
+      ), win AS (
+        SELECT "partition", file, bytes, small,
+               COALESCE(SUM(bytes) OVER (
+                 PARTITION BY "partition", small
+                 ORDER BY bytes DESC, file
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS prev
+        FROM marked
+      )
+      SELECT "partition", file, bytes, small,
+             CASE WHEN small
+                  THEN CAST(prev // 134217728 AS BIGINT) END AS "group"
+      FROM win
+    """
+    sqls["orphan_files"] = """
+      WITH o AS (SELECT o_orderkey FROM orders WHERE o_orderkey < 1000),
+      man AS (
+        SELECT o_orderkey % 5 AS snapshot_id,
+               'f' || CAST(o_orderkey % 300 AS VARCHAR) AS file FROM o
+      ),
+      st AS (
+        SELECT DISTINCT 'f' || CAST(o_orderkey % 350 AS VARCHAR) AS file
+        FROM o
+      )
+      SELECT file FROM st
+      EXCEPT
+      SELECT DISTINCT file FROM man WHERE snapshot_id IN (3, 4)
     """
     # embedding_ann_ivf (sample-trained codebook) left the registry in
     # round 3: its codebook trains on a driver-side sample of the sf table,

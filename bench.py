@@ -41,6 +41,10 @@ HEADLINE = [
     # round-4 additions
     "text_stats", "dedup_phash", "bpe_token_counts", "bigram_logprob",
     "multimodal_pipeline",
+    # round-5 additions: the mergeable-sketch family (hll_distinct also
+    # computes the exact countDistinct twin, so its wall carries its own
+    # sketch-vs-exact comparison)
+    "hll_distinct", "cms_topk", "hist_quantiles",
 ]
 
 

@@ -60,6 +60,7 @@ EXPECTED_TAIL = [
     "caption_pairs", "media_boilerplate", "pack_interleaved",
     "interleaved_quality",
     "hll_distinct", "bloom_url_seen", "cms_topk", "hist_quantiles",
+    "zorder_key", "compaction_plan", "orphan_files",
 ]
 
 
