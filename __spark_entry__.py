@@ -2537,6 +2537,43 @@ def orphan_files_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("file")
 
 
+_STREAM_PROFILE_CACHE: dict[str, str] = {}
+
+
+def streaming_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sketch maintenance under the hard gate (tail entry,
+    round 5): the sf documents table is split into 3 deterministic files,
+    drained as one-file micro-batches through streaming.stream_profile
+    (per-batch HLL-register + counter DELTAS as batch_id partitions),
+    and the MERGED state must hash-match the one-pass batch oracle in
+    DuckDB — the gate itself proves streaming == batch under any batch
+    slicing, which is the CRDT merge-law story end-to-end."""
+    import tempfile
+
+    from resume_ocr_spark import streaming as streamops
+
+    if sf_dir not in _STREAM_PROFILE_CACHE:
+        import atexit
+        import shutil
+
+        src = tempfile.mkdtemp(prefix="stream_prof_src_")
+        out = tempfile.mkdtemp(prefix="stream_prof_out_")
+        cp = tempfile.mkdtemp(prefix="stream_prof_cp_")
+        for d in (src, out, cp):
+            atexit.register(shutil.rmtree, d, ignore_errors=True)
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "lang",
+                                                     "text")
+        for part in range(3):
+            (docs.filter(F.col("doc_id") % 3 == part).coalesce(1)
+             .write.mode("overwrite")
+             .parquet(os.path.join(src, f"part{part}")))
+        streamops.stream_profile(spark, src, out, cp,
+                                 max_files_per_trigger=1)
+        _STREAM_PROFILE_CACHE[sf_dir] = out
+    return streamops.profile_from_state(
+        spark, _STREAM_PROFILE_CACHE[sf_dir])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship smoke query on sf0.001 (driver checks rows>0)."""
     return extract_pipeline(spark, "/root/testdata/sf0.001")
@@ -2804,6 +2841,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_key": zorder_key_entry,
         "compaction_plan": compaction_plan_entry,
         "orphan_files": orphan_files_entry,
+        # round-5 tail: streaming sketch maintenance — merged micro-batch
+        # deltas must equal the batch pass (CRDT merge laws, gate-proved)
+        "streaming_sketch_profile": streaming_sketch_profile,
     }
     return {**gated, **tail}
 
@@ -5669,6 +5709,61 @@ def oracle_sql() -> dict[str, str]:
                        THEN bin END) + 1)
                * CAST(1000.0 AS DOUBLE) AS q99_est
       FROM cum GROUP BY 1
+    """
+    # streaming sketch maintenance: the BATCH one-pass answer — what the
+    # merged micro-batch deltas must equal under the CRDT merge laws.
+    # Same register recipe as hll_distinct, value = corpus word per lang.
+    _hw = "md5(word || ':hll')"
+    _hwb = _sk.hex_int_sql(_hw, 1, 2)
+    _hwr = (
+        f"strpos(lpad(bin(CAST({_sk.hex_int_sql(_hw, 3, 5)} AS BIGINT)), "
+        f"{_sk.HLL_RHO_BITS}, '0'), '1')")
+    sqls["streaming_sketch_profile"] = f"""
+      WITH words AS (
+        SELECT lang, w AS word FROM (
+          SELECT lang,
+                 unnest(string_split(trim(regexp_replace(lower(text),
+                        '[^a-z0-9]+', ' ', 'g')), ' ')) AS w
+          FROM documents
+        ) WHERE w <> ''
+      ), hashed AS (
+        SELECT lang, CAST({_hwb} AS BIGINT) AS bucket,
+               CASE WHEN {_hwr} = 0 THEN {_sk.HLL_RHO_MAX}
+                    ELSE {_hwr} END AS rho
+        FROM words
+      ), regs AS (
+        SELECT lang, bucket, MAX(rho) AS m_reg FROM hashed GROUP BY 1, 2
+      ), per_g AS (
+        SELECT lang, CAST(COUNT(*) AS INT) AS n_buckets,
+               SUM(CAST(1 AS BIGINT)
+                   << CAST({_sk.HLL_RHO_MAX} - m_reg AS INT)) AS s_ne
+        FROM regs GROUP BY 1
+      ), est AS (
+        SELECT lang, n_buckets,
+               CAST(s_ne + ({_sk.HLL_M} - n_buckets)
+                    * CAST({1 << _sk.HLL_RHO_MAX} AS BIGINT) AS BIGINT)
+                 AS s_scaled,
+               ({_sk.HLL_M} - n_buckets) AS zeros
+        FROM per_g
+      )
+      SELECT e.lang, e.n_buckets, e.s_scaled,
+             ROUND(CASE WHEN (CAST({_amm} AS DOUBLE)
+                              * CAST({_scale!r} AS DOUBLE)) / e.s_scaled
+                             <= CAST({2.5 * _sk.HLL_M!r} AS DOUBLE)
+                         AND e.zeros > 0
+                        THEN CAST({float(_sk.HLL_M)!r} AS DOUBLE)
+                             * ln(CAST({float(_sk.HLL_M)!r} AS DOUBLE)
+                                  / e.zeros)
+                        ELSE (CAST({_amm} AS DOUBLE)
+                              * CAST({_scale!r} AS DOUBLE))
+                             / e.s_scaled END, 4)
+               AS est_distinct,
+             w.n_words, d.n_docs
+      FROM est e
+      JOIN (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_words
+            FROM words GROUP BY 1) w USING (lang)
+      JOIN (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY 1) d USING (lang)
     """
     # --- Iceberg-style maintenance family (round 5) ------------------------
     from resume_ocr_spark.operators import maintenance as _mt

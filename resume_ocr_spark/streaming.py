@@ -503,3 +503,96 @@ def stream_interleave(
          .start())
     q.awaitTermination()
     return out_path
+
+
+def stream_profile(
+    spark: SparkSession,
+    docs_dir: str,
+    out_root: str,
+    checkpoint_dir: str,
+    group_col: str = "lang",
+    max_files_per_trigger: int | None = None,
+) -> int:
+    """Streaming sketch-profile maintenance: document files landing in
+    ``docs_dir`` become micro-batches; each batch emits its own HLL
+    register / exact-counter DELTAS as a ``batch_id`` partition (dynamic
+    overwrite). Exactly-once needs NO exclusion rule here, unlike
+    :func:`stream_curate`'s fingerprint index: sketches are CRDTs — a
+    replayed batch rewrites its own delta partition bit-identically, and
+    the merged view (:func:`profile_from_state`) is a max/sum regroup
+    over partitions, insensitive to replay order and to how the stream
+    was sliced into batches (the merge laws pinned in
+    tests/test_sketches.py are exactly what makes the streaming answer
+    equal the batch answer).
+
+    Returns the number of micro-batches processed in this availableNow
+    drain; call again after new files land to sketch only the delta."""
+    from .operators import sketches as _sk
+    from .operators.dedup import _tokens
+
+    schema = (spark.read.option("recursiveFileLookup", "true")
+              .parquet(docs_dir).schema)
+    reader = (spark.readStream.schema(schema)
+              .option("recursiveFileLookup", "true"))
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(docs_dir)
+
+    regs_path = os.path.join(out_root, "hll_regs", "data")
+    totals_path = os.path.join(out_root, "totals", "data")
+    n_batches = 0
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        nonlocal n_batches
+        words = (batch_df
+                 .select(group_col, F.explode(_tokens("text")).alias("word"))
+                 .filter(F.col("word") != ""))
+        regs = (_sk.hll_registers(words, "word", [group_col])
+                .withColumn("batch_id", F.lit(int(batch_id))))
+        totals = (
+            words.groupBy(group_col)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_words"))
+            .join(batch_df.groupBy(group_col)
+                  .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs")),
+                  group_col, "right")
+            .select(group_col,
+                    F.coalesce("n_words", F.lit(0).cast("bigint"))
+                     .alias("n_words"),
+                    "n_docs")
+            .withColumn("batch_id", F.lit(int(batch_id))))
+        for frame, path in ((regs, regs_path), (totals, totals_path)):
+            (frame.write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("batch_id")
+             .parquet(path))
+        n_batches += 1
+
+    q = (stream.writeStream.foreachBatch(process)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return n_batches
+
+
+def profile_from_state(
+    spark: SparkSession,
+    out_root: str,
+    group_col: str = "lang",
+) -> DataFrame:
+    """Merged profile over everything :func:`stream_profile` has landed:
+    registers max-merge across batch partitions → HLL estimate; counters
+    sum. Output ``(group, n_buckets, s_scaled, est_distinct, n_words,
+    n_docs)`` — equal to the single batch pass over the union of all
+    batches, by the sketch merge laws."""
+    from .operators import sketches as _sk
+
+    regs = (spark.read.parquet(os.path.join(out_root, "hll_regs", "data"))
+            .groupBy(group_col, "bucket")
+            .agg(F.max("m_reg").cast("int").alias("m_reg")))
+    est = _sk.hll_estimate(regs, [group_col])
+    totals = (spark.read.parquet(os.path.join(out_root, "totals", "data"))
+              .groupBy(group_col)
+              .agg(F.sum("n_words").cast("bigint").alias("n_words"),
+                   F.sum("n_docs").cast("bigint").alias("n_docs")))
+    return est.join(totals, group_col)
