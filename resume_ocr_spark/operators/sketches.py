@@ -51,8 +51,10 @@ __all__ = [
     "hll_registers",
     "hll_merge",
     "hll_estimate",
+    "hll_set_estimates",
     "bloom_build",
     "bloom_probe",
+    "bloom_probe_join",
     "bloom_words",
     "cms_build",
     "cms_merge",
@@ -207,6 +209,34 @@ def hll_estimate(regs: DataFrame, group_cols: list[str]) -> DataFrame:
     )
 
 
+def hll_set_estimates(
+    regs_a: DataFrame,
+    regs_b: DataFrame,
+    group_cols: list[str],
+) -> DataFrame:
+    """Distinct-count estimates for the UNION and INTERSECTION of two
+    sketched sets (same value recipe + seed), per group: union is exact
+    at the sketch level (register max — :func:`hll_merge`); intersection
+    is inclusion–exclusion ``|A| + |B| - |A∪B|``, clamped at 0 (the
+    standard HLL approach; error grows as the true intersection shrinks
+    relative to the union — callers wanting tight small-intersection
+    estimates need a different sketch family, documented here rather
+    than papered over). Output: ``(group…, est_a, est_b, est_union,
+    est_intersection)``."""
+    a = hll_estimate(regs_a, group_cols).select(
+        *group_cols, F.col("est_distinct").alias("est_a"))
+    b = hll_estimate(regs_b, group_cols).select(
+        *group_cols, F.col("est_distinct").alias("est_b"))
+    u = hll_estimate(hll_merge(regs_a, regs_b, group_cols),
+                     group_cols).select(
+        *group_cols, F.col("est_distinct").alias("est_union"))
+    inter = F.greatest(
+        F.lit(0.0),
+        F.round(F.col("est_a") + F.col("est_b") - F.col("est_union"), 4))
+    return (a.join(b, group_cols).join(u, group_cols)
+            .withColumn("est_intersection", inter))
+
+
 # --- Bloom filter ----------------------------------------------------------
 
 BLOOM_LANE_BITS = 32  # bits per BIGINT word; bit 63 never set (DuckDB-safe)
@@ -289,6 +319,55 @@ def bloom_probe(
     return df.withColumn(
         out_col, F.when(v.isNull(), F.lit(False)).otherwise(member)
     )
+
+
+def bloom_probe_join(
+    df: DataFrame,
+    value_col: str,
+    sketch: DataFrame,
+    m_bits: int = 2048,
+    k: int = 4,
+    seed: str = "bloom",
+    out_col: str = "bloom_member",
+) -> DataFrame:
+    """Membership probe for filters too big to literal-fold
+    (:func:`bloom_probe` collects ``m_bits/32`` words to the driver —
+    right for a 2 KB frontier filter, wrong for a 2 GB one): ``k``
+    SEQUENTIAL broadcast left-joins of the word table, one per hash
+    index, each pinning its lane-set bit as a boolean column — the
+    corpus never shuffles and never regroups (an explode-k → groupBy(id)
+    formulation would shuffle k× the corpus).  Broadcasting the word
+    table k times is the deliberate trade: it is ≤ ``m_bits/32`` rows —
+    millions of build keys compress into megabytes, which is Bloom's
+    whole point.
+
+    Semantics are identical to :func:`bloom_probe` (pinned by
+    test_bloom_probe_join_matches_literal): missing word rows coalesce
+    to not-set; NULL values are non-members."""
+    if m_bits % BLOOM_LANE_BITS:
+        raise ValueError(f"m_bits must be a multiple of {BLOOM_LANE_BITS}")
+    v = F.col(value_col)
+    out = df
+    flags = []
+    for i in range(k):
+        pos = _bloom_pos(v, i, m_bits, seed)
+        w = sketch.select(F.col("word").alias(f"_bw{i}"),
+                          F.col("bits").alias(f"_bb{i}"))
+        out = out.withColumn(f"_bw{i}",
+                             (pos / BLOOM_LANE_BITS).cast("int")) \
+                 .withColumn(f"_bp{i}",
+                             (pos % BLOOM_LANE_BITS).cast("int"))
+        out = out.join(F.broadcast(w), f"_bw{i}", "left")
+        lane = _pow2_at(F.col(f"_bp{i}"), BLOOM_LANE_BITS)
+        flags.append(F.coalesce(
+            F.col(f"_bb{i}").bitwiseAND(lane) != 0, F.lit(False)))
+    member = flags[0]
+    for fcol in flags[1:]:
+        member = member & fcol
+    out = out.withColumn(
+        out_col, F.when(v.isNull(), F.lit(False)).otherwise(member))
+    drop = [c for i in range(k) for c in (f"_bw{i}", f"_bp{i}", f"_bb{i}")]
+    return out.drop(*drop)
 
 
 def bloom_words(sketch: DataFrame, m_bits: int = 2048) -> list[int]:

@@ -172,3 +172,62 @@ def test_hist_bins_merge_by_sum(spark):
         a.union(b), "l_extendedprice", ["l_returnflag"], width=1000.0)
     assert (sorted(map(tuple, whole.collect()))
             == sorted(map(tuple, merged.collect())))
+
+
+def test_bloom_probe_join_matches_literal(spark, urls):
+    seen = urls.filter(F.col("doc_id") < 60).select("url")
+    sketch = sk.bloom_build(seen, "url").cache()
+    words = sk.bloom_words(sketch)
+    lit_rows = sorted(map(tuple,
+                          sk.bloom_probe(urls, "url", words)
+                          .select("doc_id", "bloom_member").collect()))
+    join_rows = sorted(map(tuple,
+                           sk.bloom_probe_join(urls, "url", sketch)
+                           .select("doc_id", "bloom_member").collect()))
+    assert lit_rows == join_rows
+    # NULL values are non-members on both paths
+    nulls = spark.createDataFrame([(1, None)], "doc_id long, url string")
+    assert not sk.bloom_probe(nulls, "url", words) \
+        .collect()[0]["bloom_member"]
+    assert not sk.bloom_probe_join(nulls, "url", sketch) \
+        .collect()[0]["bloom_member"]
+
+
+def test_bloom_probe_join_plan_has_no_corpus_shuffle(spark, urls):
+    seen = urls.filter(F.col("doc_id") < 60).select("url")
+    # realistic usage: the sketch is persisted state (a written/cached
+    # table), so the probe plan contains ONLY the k broadcasts of it
+    sketch = sk.bloom_build(seen, "url").cache()
+    sketch.count()
+    try:
+        plan = sk.bloom_probe_join(urls, "url", sketch) \
+            ._jdf.queryExecution().executedPlan().toString()
+        import re
+        assert len(re.findall(r"BroadcastExchange", plan)) == 4
+        # every hash exchange in the plan text belongs to the sketch
+        # BUILD's bounded groupBy(word) lineage (≤ m/32 = 64 keys, cached
+        # — the repeated plan_ids are reuse, not re-execution); the PROBE
+        # side must never shuffle, i.e. no exchange keyed on a corpus
+        # column (url / doc_id / a _bw probe key)
+        keys = re.findall(r"Exchange hashpartitioning\((\w+)#", plan)
+        assert keys and all(k == "word" for k in keys), keys
+        assert "Exchange rangepartitioning" not in plan, plan
+    finally:
+        sketch.unpersist()
+
+
+def test_hll_set_estimates_union_and_intersection(spark):
+    # A = 0..599, B = 400..999 → |A|=600 |B|=600 |A∪B|=1000 |A∩B|=200
+    mk = lambda lo, hi: spark.range(lo, hi).select(
+        F.concat(F.lit("k"), F.col("id").cast("string")).alias("v"),
+        F.lit("g").alias("g"))
+    ra = sk.hll_registers(mk(0, 600), "v", ["g"])
+    rb = sk.hll_registers(mk(400, 1000), "v", ["g"])
+    row = sk.hll_set_estimates(ra, rb, ["g"]).collect()[0]
+    assert abs(row["est_union"] - 1000) / 1000 < 0.20
+    # intersection inherits union-scale absolute error: |err| < 20% of union
+    assert abs(row["est_intersection"] - 200) < 0.20 * 1000
+    # disjoint sets: intersection clamps at >= 0
+    rc = sk.hll_registers(mk(5000, 5600), "v", ["g"])
+    row2 = sk.hll_set_estimates(ra, rc, ["g"]).collect()[0]
+    assert row2["est_intersection"] >= 0.0
