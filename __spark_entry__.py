@@ -2537,6 +2537,30 @@ def orphan_files_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("file")
 
 
+def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced mixture sampling (tail entry, late round 5): the
+    rebalancing sampler that stops a dominant embedding mode from
+    swamping the training mix — k-means-assign every vector to its cell
+    (similarity.kmeans_codebook + ivf_assign, the SemDeDup fixture and
+    codebook), then take an EQUAL md5-order quota per cell
+    (mixture.stratified_topk over cell). Hash-checked against a
+    single-node python replica embedded as VALUES (the _det pattern).
+    100 TB shape: assign is a zero-shuffle Arrow matmul; the quota is a
+    window over cells (parallelism = #cells — for low-K codebooks; use
+    weighted_mixture rates for large K)."""
+    from resume_ocr_spark.operators import mixture, similarity
+
+    vecs = _semantic_dedup_input()
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cent = similarity.kmeans_codebook(vecs.astype("float64"), k=8)
+    assigned = similarity.ivf_assign(df, cent)
+    return mixture.stratified_topk(
+        assigned.select("vec_id", "cell"), k=10,
+        group_col="cell", id_col="vec_id", seed="cb",
+    ).select("vec_id", "cell", "bucket", "sample_rank")
+
+
 _STREAM_PROFILE_CACHE: dict[str, str] = {}
 
 
@@ -2844,6 +2868,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 tail: streaming sketch maintenance — merged micro-batch
         # deltas must equal the batch pass (CRDT merge laws, gate-proved)
         "streaming_sketch_profile": streaming_sketch_profile,
+        # round-5 tail: cluster-rebalanced mixture draw (assign + quota)
+        "cluster_balanced_sample": cluster_balanced_sample,
     }
     return {**gated, **tail}
 
@@ -5566,6 +5592,7 @@ def oracle_sql() -> dict[str, str]:
     sqls["robots_gate"] = _precomputed("robots_gate")
     sqls["encoding_triage"] = _precomputed("encoding_triage")
     sqls["semantic_dedup_det"] = _precomputed("semantic_dedup_det")
+    sqls["cluster_balanced_sample"] = _precomputed("cluster_balanced_sample")
     # --- mergeable-sketch family (round 5, operators/sketches.py) ---------
     # Every hash below is rebuilt digit-by-digit from md5 hex via
     # sketches.hex_int_sql (the generated twin of the Column recipe), so
@@ -6167,6 +6194,27 @@ def _precomputed(name: str) -> str:
             ("rms", "DOUBLE"), ("zero_crossings", "INTEGER"),
             ("energy", "DOUBLE"), ("n_bytes", "INTEGER"),
             ("error", "VARCHAR")])
+    elif name == "cluster_balanced_sample":
+        import hashlib
+
+        from resume_ocr_spark.operators import similarity as sim
+
+        work = _semantic_dedup_input().astype(np.float64)
+        cent = sim.kmeans_codebook(work, k=8)
+        assign = (sim._unit(work) @ cent.T).argmax(axis=1)
+        by_cell: dict[int, list[tuple[int, int]]] = {}
+        for i in range(len(work)):
+            bucket = int(hashlib.md5(f"{i}:cb".encode())
+                         .hexdigest()[28:32], 16)  # with_sample_bucket
+            by_cell.setdefault(int(assign[i]), []).append((bucket, i))
+        rows = []
+        for cell, members in by_cell.items():
+            members.sort()                      # (bucket asc, vec_id asc)
+            for rank, (bucket, i) in enumerate(members[:10], start=1):
+                rows.append((i, cell, bucket, rank))
+        sql = _values_sql(rows, [
+            ("vec_id", "BIGINT"), ("cell", "INTEGER"),
+            ("bucket", "BIGINT"), ("sample_rank", "INTEGER")])
     elif name == "semantic_dedup_det":
         from resume_ocr_spark.operators import similarity as sim
 

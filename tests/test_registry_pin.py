@@ -61,7 +61,7 @@ EXPECTED_TAIL = [
     "interleaved_quality",
     "hll_distinct", "bloom_url_seen", "cms_topk", "hist_quantiles",
     "zorder_key", "compaction_plan", "orphan_files",
-    "streaming_sketch_profile",
+    "streaming_sketch_profile", "cluster_balanced_sample",
 ]
 
 

@@ -220,6 +220,39 @@ def run_family(spark, docs_path: str, results: dict) -> None:
             interleave.html_to_spans(pages))
         return force(interleave.span_rows(cleaned))
 
+    def sketch_profile():
+        # the one-scan profiling pass: words → HLL registers + CMS
+        # counters + length bins. Mega-bucket/replica structure makes the
+        # word stream extremely skewed (boilerplate words dominate) —
+        # exactly what bounded-key map-side combine must absorb; state
+        # stays ≤ m·|langs| + d·w + bins regardless of corpus size
+        from resume_ocr_spark.operators import sketches as sk
+        from resume_ocr_spark.operators.dedup import _tokens
+
+        words = (docs.select("lang", F.explode(_tokens("text"))
+                             .alias("word")).filter(F.col("word") != ""))
+        a = force(sk.hll_distinct(words, "word", ["lang"]))
+        b = force(sk.cms_build(words.select("word"), "word"))
+        c = force(sk.histogram_bins(
+            docs.select("lang", F.length("text").cast("double")
+                        .alias("len")), "len", ["lang"], width=200.0))
+        return a + b + c
+
+    def zorder_pass():
+        # layout-key computation + range repartition over the full corpus
+        # (the rewrite job's shuffle); key is pure projection, the range
+        # exchange is the only data movement
+        from resume_ocr_spark.operators import maintenance as mt
+
+        keyed = mt.zorder_layout(
+            docs.select("doc_id",
+                        (F.col("doc_id") % 100000).alias("a"),
+                        F.length("text").cast("long").alias("b")),
+            ["a", "b"], [0, 0], [99999, 20000], bits=8, n_files=64)
+        return force(keyed)
+
+    timed("sketch_profile", sketch_profile, results)
+    timed("zorder_layout", zorder_pass, results)
     timed("lsh_candidates_k128", lsh_k128, results)
     timed("interleave_chrome", interleave_chrome, results)
     timed("snapshot_delta", snapshot_delta_stress, results)
