@@ -88,6 +88,10 @@ def test_profile_sanity_and_refusals(spark, tmp_path):
     # invalid sizing → exit 2; empty-words corpus → exit 4, writes nothing
     assert _run(["--input", os.path.join(SF, "documents.parquet"),
                  "--output", out, "--topk", "0"]) == 2
+    # state == output would race the lazy merge reads against the
+    # overwrite — refused up front
+    assert _run(["--input", os.path.join(SF, "documents.parquet"),
+                 "--output", out, "--state", out]) == 2
     empty = str(tmp_path / "empty")
     spark.createDataFrame([(1, "en", "!!!")],
                           "doc_id long, lang string, text string"

@@ -55,6 +55,14 @@ def main() -> int:
     if args.topk <= 0 or args.len_width <= 0:
         print("invalid sizing arguments", file=sys.stderr)
         return 2
+    import os.path as _p
+    if args.state and _p.abspath(args.state) == _p.abspath(args.output):
+        # Spark reads are lazy: overwriting the directory a merge is still
+        # reading from corrupts the state mid-job — demand a fresh output
+        print("--state must differ from --output (lazy reads would race "
+              "the overwrite); write to a new dir per batch",
+              file=sys.stderr)
+        return 2
 
     from resume_ocr_spark.operators import sketches as sk
     from resume_ocr_spark.operators.dedup import _tokens
