@@ -2561,6 +2561,31 @@ def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "cell", "bucket", "sample_rank")
 
 
+def fim_transform_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIM / PSM training-objective rewrite (tail entry, late round 5):
+    half the corpus (md5-gated, ≥8 words) becomes
+    ``<PRE> prefix <SUF> suffix <MID> middle`` with md5-drawn cut points —
+    Bavarian et al. 2022's infilling objective as a deterministic,
+    engine-replayable projection. Zero shuffles (operators/objectives.py
+    has the 100 TB analysis)."""
+    from resume_ocr_spark.operators import objectives
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return objectives.fim_transform(docs)
+
+
+def span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 span corruption (tail entry, late round 5): periodic md5-phased
+    word spans masked to ``<X_k>`` sentinels (3/16 ≈ 15% corruption rate),
+    emitting corrupted input + sentinel-delimited target. Position
+    arithmetic, not per-word draws — O(1)/word, deterministic, zero
+    shuffles."""
+    from resume_ocr_spark.operators import objectives
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return objectives.span_corrupt(docs)
+
+
 _STREAM_PROFILE_CACHE: dict[str, str] = {}
 
 
@@ -2870,6 +2895,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sketch_profile": streaming_sketch_profile,
         # round-5 tail: cluster-rebalanced mixture draw (assign + quota)
         "cluster_balanced_sample": cluster_balanced_sample,
+        # round-5 tail: training-objective example transforms
+        # (operators/objectives.py) — FIM/PSM rewrite + T5 span corruption
+        "fim_transform": fim_transform_entry,
+        "span_corruption": span_corruption,
     }
     return {**gated, **tail}
 
@@ -5842,6 +5871,13 @@ def oracle_sql() -> dict[str, str]:
       EXCEPT
       SELECT DISTINCT file FROM man WHERE snapshot_id IN (3, 4)
     """
+    # training-objective transforms: the oracle SQL is generated next to
+    # the operator (objectives.fim_oracle_sql / span_corrupt_oracle_sql)
+    # so the md5-field recipe lives in exactly one reviewable place
+    from resume_ocr_spark.operators import objectives as _obj
+
+    sqls["fim_transform"] = _obj.fim_oracle_sql()
+    sqls["span_corruption"] = _obj.span_corrupt_oracle_sql()
     # embedding_ann_ivf (sample-trained codebook) left the registry in
     # round 3: its codebook trains on a driver-side sample of the sf table,
     # which oracle_sql() cannot see, so it could only ever be a rows-only
