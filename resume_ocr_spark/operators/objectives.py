@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .mixture import BUCKETS
+from .mixture import BUCKETS, with_sample_bucket
 
 #: FIM sentinel tokens (PSM serialization: prefix, suffix, then the middle
 #: the model must produce)
@@ -72,16 +72,16 @@ def fim_transform(
         raise ValueError("min_words must be >= 3 (three non-empty parts)")
     cut_lim = int(rate * BUCKETS)
     ids = F.col(id_col).cast("string")
-    gate = F.conv(
-        F.substring(F.md5(F.concat(ids, F.lit(f":{seed}"))), 29, 4), 16, 10
-    ).cast("long")
     hcut = F.md5(F.concat(ids, F.lit(f":{seed}:cut")))
     a = F.conv(F.substring(hcut, 1, 4), 16, 10).cast("long")
     b = F.conv(F.substring(hcut, 5, 4), 16, 10).cast("long")
 
-    base = df.select(
+    # the apply/skip gate is mixture's 16-bit sampling bucket (one source
+    # of truth for that hash recipe); the cut draws use the high md5
+    # fields of an independent ':cut' key
+    base = with_sample_bucket(df, id_col, seed, out_col="_g").select(
         F.col(id_col), _words(text_col).alias("_w"),
-        gate.alias("_g"), a.alias("_a"), b.alias("_b"),
+        F.col("_g"), a.alias("_a"), b.alias("_b"),
     ).select(
         id_col, "_w", "_a", "_b",
         F.size("_w").cast("bigint").alias("n_words"),
