@@ -643,6 +643,24 @@ def kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.with_kneser_ney_logprob(docs, big, tri)
 
 
+CCNET_SAMPLE_CAP = 32768  # half the 16-bit bucket space → ~50% sample
+
+
+def ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing (tail entry, round 5):
+    per-language tercile labels over the gated bigram scorer's nll, with
+    rank-based thresholds from the deterministic ':ccnet' md5 sample
+    (textstats.ccnet_ppl_buckets docstring). Same doc_id < 150 model
+    slice and λ as bigram_logprob; the oracle rebuilds the scorer CTE,
+    the lang CASE, and the ROW_NUMBER tercile picks in SQL."""
+    docs = (_t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < BIGRAM_SLICE).select("doc_id", "text"))
+    uni = textstats.word_counts(docs)
+    big = textstats.bigram_counts(docs)
+    return textstats.ccnet_ppl_buckets(
+        docs, uni, big, lam=BIGRAM_LAM, sample_cap=CCNET_SAMPLE_CAP)
+
+
 DSIR_TARGET_SLICE = 100  # en docs below this id form the DSIR target set
 NB_LABEL_SLICE = 300     # labeled seed for the NB quality classifier
 DSIR_RESAMPLE_K = 50
@@ -2899,6 +2917,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (operators/objectives.py) — FIM/PSM rewrite + T5 span corruption
         "fim_transform": fim_transform_entry,
         "span_corruption": span_corruption,
+        # round-5 tail: CCNet head/middle/tail perplexity terciles per
+        # language, sample-rank thresholds (textstats.ccnet_ppl_buckets)
+        "ccnet_buckets": ccnet_buckets,
     }
     return {**gated, **tail}
 
@@ -3417,6 +3438,90 @@ def oracle_sql() -> dict[str, str]:
     # expressions exactly (left-to-right * and /). D3=D2=0.75 exact
     # binary literals; 1-eps emitted as 0.99, the uniform floor computed
     # in SQL from the same doubles.
+    # CCNet perplexity terciles: bigram-scorer CTE + lang CASE + sample
+    # rank thresholds (type-1 quantiles = actual data values, so no
+    # interpolation-arithmetic hazard); ':ccnet' 16-bit bucket via the
+    # mixture oracle's hex-digit trick, qualified on n.doc_id
+    _ccd = ("(instr('0123456789abcdef', substring(md5(CAST(n.doc_id"
+            " AS VARCHAR) || ':ccnet'), {p}, 1)) - 1)")
+    _cc16 = (f"({_ccd.format(p=29)} * 4096 + {_ccd.format(p=30)} * 256"
+             f" + {_ccd.format(p=31)} * 16 + {_ccd.format(p=32)})")
+    sqls["ccnet_buckets"] = f"""
+      WITH toks AS (
+        SELECT doc_id, w, i FROM (
+          SELECT doc_id,
+                 unnest(string_split(trim(regexp_replace(lower(text),
+                        '[^a-z0-9]+', ' ', 'g')), ' ')) AS w,
+                 unnest(generate_series(1,
+                        len(string_split(trim(regexp_replace(lower(text),
+                            '[^a-z0-9]+', ' ', 'g')), ' ')))) AS i
+          FROM documents WHERE doc_id < {BIGRAM_SLICE}
+        ) WHERE w <> ''
+      ), uni AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY w
+      ), tot AS (
+        SELECT CAST(SUM(c) AS DOUBLE) AS t, COUNT(*) AS v FROM uni
+      ), big AS (
+        SELECT a.w AS w1, b.w AS w2, CAST(COUNT(*) AS BIGINT) AS c
+        FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+        GROUP BY 1, 2
+      ), scored AS (
+        SELECT t.doc_id,
+               CASE WHEN t.i = 1
+                    THEN (COALESCE(u.c, 0) + 1.0) / (tot.t + tot.v + 1)
+                    ELSE {BIGRAM_LAM!r} * ((COALESCE(bg.c, 0) + 1.0)
+                                     / (COALESCE(up.c, 0) + tot.v + 1))
+                         + {1.0 - BIGRAM_LAM!r} * ((COALESCE(u.c, 0) + 1.0)
+                                         / (tot.t + tot.v + 1))
+               END AS p
+        FROM toks t
+        LEFT JOIN toks pv ON pv.doc_id = t.doc_id AND pv.i = t.i - 1
+        LEFT JOIN uni u ON u.w = t.w
+        LEFT JOIN uni up ON up.w = pv.w
+        LEFT JOIN big bg ON bg.w1 = pv.w AND bg.w2 = t.w
+        CROSS JOIN tot
+      ), cc_nll AS (
+        SELECT d.doc_id,
+               ROUND(AVG(-ln(s.p)), 4) AS bigram_nll,
+               CAST(COUNT(s.p) AS BIGINT) AS n_scored_words
+        FROM (SELECT doc_id FROM documents WHERE doc_id < {BIGRAM_SLICE}) d
+        LEFT JOIN scored s ON s.doc_id = d.doc_id
+        GROUP BY d.doc_id
+      ), cc_lang AS (
+        SELECT doc_id,
+               CASE WHEN {pt} > {en} THEN 'pt'
+                    WHEN {en} > {pt} THEN 'en' ELSE 'unk' END AS lang_pred
+        FROM (SELECT doc_id, ' ' || lower(text) || ' ' AS padded
+              FROM documents WHERE doc_id < {BIGRAM_SLICE})
+      ), cc_samp AS (
+        SELECT l.lang_pred, n.bigram_nll, n.doc_id
+        FROM cc_nll n JOIN cc_lang l ON l.doc_id = n.doc_id
+        WHERE n.bigram_nll IS NOT NULL
+          AND {_cc16} < {CCNET_SAMPLE_CAP}
+      ), cc_rk AS (
+        SELECT lang_pred, bigram_nll,
+               ROW_NUMBER() OVER (PARTITION BY lang_pred
+                                  ORDER BY bigram_nll, doc_id) AS rk,
+               COUNT(*) OVER (PARTITION BY lang_pred) AS n
+        FROM cc_samp
+      ), cc_thr AS (
+        SELECT lang_pred,
+               MAX(CASE WHEN rk = CAST(CEIL(n / 3.0) AS BIGINT)
+                        THEN bigram_nll END) AS t_head,
+               MAX(CASE WHEN rk = CAST(CEIL(n * 2 / 3.0) AS BIGINT)
+                        THEN bigram_nll END) AS t_mid
+        FROM cc_rk GROUP BY lang_pred
+      )
+      SELECT n.doc_id, l.lang_pred, n.bigram_nll, n.n_scored_words,
+             CASE WHEN n.bigram_nll IS NULL THEN 'unscored'
+                  WHEN t.t_head IS NULL THEN 'unbucketed'
+                  WHEN n.bigram_nll <= t.t_head THEN 'head'
+                  WHEN n.bigram_nll <= t.t_mid THEN 'middle'
+                  ELSE 'tail' END AS ppl_bucket
+      FROM cc_nll n
+      JOIN cc_lang l ON l.doc_id = n.doc_id
+      LEFT JOIN cc_thr t ON t.lang_pred = l.lang_pred
+    """
     sqls["kneser_ney_logprob"] = f"""
       WITH toks AS (
         SELECT doc_id, w, i FROM (

@@ -609,11 +609,18 @@ def with_bigram_logprob(
     alpha: float = 1.0,
     min_count: int = 1,
     max_model_rows: int = 5_000_000,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Interpolated-bigram LM document scorer — one fidelity step past
     :func:`with_unigram_logprob` toward the CCNet/KenLM perplexity filter
     (VERDICT r3 next-round #5): mean per-word negative log probability
     under ``λ·P(w|prev) + (1−λ)·P(w)``.
+
+    ``carry_cols`` names per-document columns of ``df`` (e.g. a language
+    label) to carry through to the output WITHOUT a corpus×corpus
+    join-back: they ride the word explode and become extra group keys of
+    the final per-document aggregate — the shuffle stays the same single
+    exchange on ``id_col`` (+functionally-dependent keys).
 
       P(w)      = (c(w) + α) / (T + α·(V+1))        add-α unigram
       P(w|prev) = (c(prev,w) + α) / (c(prev) + α·(V+1))  add-α bigram
@@ -677,11 +684,12 @@ def with_bigram_logprob(
         "transform(sequence(1, greatest(size(_t), 1)),"
         " i -> struct(get(_t, i - 1) AS word,"
         " CASE WHEN i > 1 THEN get(_t, i - 2) END AS prev))")
+    carry = [c for c in carry_cols]
     words = (
-        df.select(F.col(id_col), toks.alias("_t"))
-        .select(F.col(id_col), F.explode(pos_structs).alias("s"))
+        df.select(F.col(id_col), *[F.col(c) for c in carry], toks.alias("_t"))
+        .select(F.col(id_col), *carry, F.explode(pos_structs).alias("s"))
         # size-1 sequence on empty docs yields one NULL-word row → totality
-        .select(id_col, "s.word", "s.prev")
+        .select(id_col, *carry, "s.word", "s.prev")
     )
     cw = F.coalesce(F.col("u.c"), F.lit(0))
     cprev = F.coalesce(F.col("up.c"), F.lit(0))
@@ -700,13 +708,108 @@ def with_bigram_logprob(
         .join(F.broadcast(big_local).alias("b"),
               (F.col("w.prev") == F.col("b.w1"))
               & (F.col("w.word") == F.col("b.w2")), "left")
-        .select(F.col(f"w.{id_col}").alias(id_col), F.col("w.word").alias("word"),
+        .select(F.col(f"w.{id_col}").alias(id_col),
+                *[F.col(f"w.{c}").alias(c) for c in carry],
+                F.col("w.word").alias("word"),
                 F.when(F.col("w.word").isNotNull(), -F.log(p)).alias("nll"))
     )
-    return scored.groupBy(id_col).agg(
+    return scored.groupBy(id_col, *carry).agg(
         F.round(F.avg("nll"), 4).alias("bigram_nll"),
         F.count("word").alias("n_scored_words"),
     )
+
+
+def ccnet_ppl_buckets(
+    df: DataFrame,
+    unigrams: DataFrame,
+    bigrams: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.7,
+    alpha: float = 1.0,
+    min_count: int = 1,
+    sample_cap: int = 32768,
+    seed: str = "ccnet",
+    max_model_rows: int = 5_000_000,
+) -> DataFrame:
+    """CCNet-style head/middle/tail perplexity bucketing (Wenzek et al.
+    2020): score every document with the interpolated-bigram LM, then
+    label it by where its score falls in the PER-LANGUAGE perplexity
+    terciles — ``head`` (most fluent third) / ``middle`` / ``tail`` —
+    the classic quality partition LLM pipelines train on.
+
+    Thresholds are *rank-based type-1 quantiles of a deterministic
+    sample*, exactly as CCNet computes its cutoffs from a subset rather
+    than a corpus-wide sort: sample = docs whose 16-bit md5 bucket
+    (:func:`.mixture.with_sample_bucket`, independent ``seed``) falls
+    below ``sample_cap``; per language, ``t_head`` = the
+    ``ceil(n/3)``-th smallest ``bigram_nll`` (ties broken by id) and
+    ``t_mid`` = the ``ceil(2n/3)``-th. Rank thresholds are actual data
+    values — bit-identical in any engine, no interpolation-arithmetic
+    hazard (the round(,4)-then-compare contract the bigram scorer
+    already pins).
+
+    Labels: ``bigram_nll <= t_head`` → head, ``<= t_mid`` → middle,
+    else tail; NULL score (zero scorable tokens) → ``unscored``;
+    language absent from the sample → ``unbucketed`` (totality: every
+    input doc gets exactly one row and one label).
+
+    100 TB shape: language ID is a zero-shuffle projection carried
+    through the scorer's single per-doc exchange (``carry_cols`` — no
+    corpus×corpus join-back); the threshold branch filters to the sample
+    BEFORE scoring (per-document scoring under a fixed broadcast model is
+    branch-independent, so sample scores equal full-run scores), so the
+    full-corpus scoring lineage executes exactly once and the rank window
+    sorts ONLY the sample (``sample_cap``/65536 of the corpus — the scale
+    dial); the 3-row-per-language threshold table broadcast-joins back.
+    The corpus is never globally sorted. Cost note: the bounded model
+    collect/broadcast happens twice (once per scorer call).
+    """
+    from pyspark.sql.window import Window
+
+    from .mixture import with_sample_bucket
+
+    langed = with_lang_id(df, text_col).select(
+        id_col, "lang_pred", text_col)
+    sample_docs = (
+        with_sample_bucket(langed, id_col, seed, out_col="_b")
+        .filter(F.col("_b") < sample_cap).drop("_b")
+    )
+    samp = (
+        with_bigram_logprob(
+            sample_docs, unigrams, bigrams, id_col=id_col,
+            text_col=text_col, lam=lam, alpha=alpha, min_count=min_count,
+            max_model_rows=max_model_rows, carry_cols=("lang_pred",),
+        )
+        .filter(F.col("bigram_nll").isNotNull())
+        .select("lang_pred", "bigram_nll", id_col)
+    )
+    scored = with_bigram_logprob(
+        langed, unigrams, bigrams, id_col=id_col, text_col=text_col,
+        lam=lam, alpha=alpha, min_count=min_count,
+        max_model_rows=max_model_rows, carry_cols=("lang_pred",),
+    )
+    w_rk = Window.partitionBy("lang_pred").orderBy("bigram_nll", id_col)
+    w_n = Window.partitionBy("lang_pred")
+    ranked = (samp.withColumn("_rk", F.row_number().over(w_rk))
+                  .withColumn("_n", F.count(F.lit(1)).over(w_n)))
+    thr = ranked.groupBy("lang_pred").agg(
+        F.max(F.when(F.col("_rk") == F.ceil(F.col("_n") / 3.0),
+                     F.col("bigram_nll"))).alias("t_head"),
+        F.max(F.when(F.col("_rk") == F.ceil(F.col("_n") * 2 / 3.0),
+                     F.col("bigram_nll"))).alias("t_mid"),
+    ).withColumnRenamed("lang_pred", "_thr_lang")
+    out = scored.join(F.broadcast(thr),
+                      scored["lang_pred"] == F.col("_thr_lang"), "left")
+    bucket = (
+        F.when(F.col("bigram_nll").isNull(), F.lit("unscored"))
+        .when(F.col("t_head").isNull(), F.lit("unbucketed"))
+        .when(F.col("bigram_nll") <= F.col("t_head"), F.lit("head"))
+        .when(F.col("bigram_nll") <= F.col("t_mid"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return out.select(id_col, "lang_pred", "bigram_nll",
+                      "n_scored_words", bucket.alias("ppl_bucket"))
 
 
 def with_lm_contrast(
