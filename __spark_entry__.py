@@ -1022,6 +1022,24 @@ def packing_sentinels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.pack_with_sentinels(docs, budget=256, shards=8)
 
 
+ANNEAL_FINAL_FRAC = 0.25
+
+
+def anneal_order_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-annealed curriculum (round 5, late): two-phase training
+    order — phase 1 (seen last) = docs clearing the sample
+    order-statistic quality threshold, hash-shuffled within (phase,
+    shard) (packing.anneal_order docstring: one bounded collect, one
+    exchange). The oracle replays quality, threshold, and windows."""
+    from resume_ocr_spark.operators import packing
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = textstats.with_quality_score(docs).select("doc_id", "quality")
+    return packing.anneal_order(
+        scored, final_frac=ANNEAL_FINAL_FRAC, epoch=1, shards=8,
+        sample_rate=0.5)
+
+
 def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic corpus mixing: per-language sampling rates applied via
     an md5-derived bucket (reproducible across engines/retries). Plan:
@@ -2920,6 +2938,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 tail: CCNet head/middle/tail perplexity terciles per
         # language, sample-rank thresholds (textstats.ccnet_ppl_buckets)
         "ccnet_buckets": ccnet_buckets,
+        # round-5 tail: quality-annealed two-phase curriculum order
+        # (packing.anneal_order) — completes the training-order family
+        "anneal_order": anneal_order_entry,
     }
     return {**gated, **tail}
 
@@ -3877,6 +3898,50 @@ def oracle_sql() -> dict[str, str]:
              CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ok, doc_id)
                   - 1 AS BIGINT) AS pos
       FROM s
+    """
+    # annealed curriculum: quality fragment + ':anneal-thr' sample
+    # order-statistic threshold + the epoch-shuffle hash order windowed
+    # per (phase, shard); epoch literal 1, final_frac 0.25, shards 8
+    _and = ("(instr('0123456789abcdef', substring(md5(CAST(doc_id"
+            " AS VARCHAR) || ':anneal-thr'), {p}, 1)) - 1)")
+    _an16 = (f"({_and.format(p=29)} * 4096 + {_and.format(p=30)} * 256"
+             f" + {_and.format(p=31)} * 16 + {_and.format(p=32)})")
+    sqls["anneal_order"] = f"""
+      WITH q AS (
+        SELECT doc_id,
+               ROUND(
+                 LEAST(length(text) / 500.0, 1.0) * 0.4
+                 + (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+                    / GREATEST(length(text), 1)) * 0.4
+                 + (CASE WHEN length(text) * 1.0
+                              / GREATEST(len(string_split(text, ' ')), 1)
+                              BETWEEN 3 AND 12
+                         THEN 1.0 ELSE 0.5 END) * 0.2, 3) AS quality
+        FROM documents
+      ), samp AS (
+        SELECT quality,
+               ROW_NUMBER() OVER (ORDER BY quality DESC) AS rk,
+               COUNT(*) OVER () AS m
+        FROM q WHERE {_an16} < 32768 AND quality IS NOT NULL
+      ), thr AS (
+        SELECT quality AS t FROM samp
+        WHERE rk = CAST(CEIL({ANNEAL_FINAL_FRAC!r} * m) AS BIGINT)
+      ), keyed AS (
+        SELECT doc_id, quality,
+               CASE WHEN quality >= (SELECT t FROM thr)
+                    THEN 1 ELSE 0 END AS phase,
+               md5(CAST(doc_id AS VARCHAR) || ':anneal:1') AS ok
+        FROM q
+      ), sh AS (
+        SELECT doc_id, quality, phase, ok,
+               CAST({_ep_shard} % 8 AS INT) AS shard
+        FROM keyed
+      )
+      SELECT doc_id, quality, CAST(phase AS INT) AS phase, shard,
+             CAST(ROW_NUMBER() OVER (PARTITION BY phase, shard
+                                     ORDER BY ok, doc_id)
+                  - 1 AS BIGINT) AS pos
+      FROM sh
     """
     # sentinel packing: sequence_packing's cumsum with +2 tokens/doc
     # reserved, grouped to the loader contract (ordered ids + BOS/EOS slots)

@@ -263,3 +263,88 @@ def chunk_documents(
         )
     )
     return out
+
+
+def anneal_order(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "quality",
+    final_frac: float = 0.25,
+    epoch: int = 0,
+    shards: int = DEFAULT_SHARDS,
+    seed: str = "anneal",
+    sample_rate: float = 0.5,
+    max_sample_rows: int = 2_000_000,
+    sample_seed: str = "anneal-thr",
+) -> DataFrame:
+    """Quality-annealed two-phase curriculum order — the standard
+    late-pretraining anneal schedule (train on everything shuffled, then
+    finish the last ``final_frac`` of steps on the highest-quality
+    slice): every document gets ``(phase, shard, pos)``; the loader's
+    global order is phase ascending, then shard, then pos, so phase-1
+    (anneal) data is seen last.
+
+    Phase split: phase 1 = documents whose ``quality_col`` clears the
+    ``(1 - final_frac)`` quantile; the threshold is the
+    ``ceil(final_frac · m)``-th LARGEST quality among a DETERMINISTIC
+    md5 sample (:func:`.selection.gumbel_threshold_filter`'s exact
+    bounded-collect order-statistic idiom — replayable bit-for-bit by
+    the SQL oracle; ties at the threshold all anneal, NULL quality
+    trains in phase 0 only). Within each phase the order is
+    :func:`epoch_shuffle`'s hash permutation (``md5(id ':' seed ':'
+    epoch)``), windowed per ``(phase, shard)``.
+
+    100 TB shape: one bounded driver collect for the threshold (the
+    ``sample_rate``/``max_sample_rows`` dials), threshold folded as a
+    plan literal → the phase label is a zero-shuffle projection; then
+    ONE hash exchange on ``(phase, shard)`` feeds the row_number
+    windows. No global sort, no corpus-wide quantile.
+
+    Output: ``(id_col, quality, phase, shard, pos)``."""
+    import math
+
+    from .mixture import with_sample_bucket
+
+    if not 0.0 < final_frac < 1.0:
+        raise ValueError(f"final_frac must be in (0, 1): {final_frac}")
+    if not 0.0 < sample_rate <= 1.0:
+        raise ValueError(f"sample_rate must be in (0, 1]: {sample_rate}")
+    if shards <= 0:
+        raise ValueError("shards must be positive")
+    sample_q = [
+        r[quality_col]
+        for r in (with_sample_bucket(df, id_col=id_col, seed=sample_seed,
+                                     out_col="_thr_bucket")
+                  .filter((F.col("_thr_bucket")
+                           < F.lit(int(sample_rate * 65536)))
+                          & F.col(quality_col).isNotNull())
+                  .select(quality_col)
+                  .limit(max_sample_rows + 1).collect())
+    ]
+    if not sample_q:
+        raise ValueError("anneal threshold sample is empty — raise "
+                         "sample_rate")
+    if len(sample_q) > max_sample_rows:
+        raise ValueError(
+            f"threshold sample exceeds max_sample_rows={max_sample_rows}; "
+            "lower sample_rate")
+    m = len(sample_q)
+    rank = math.ceil(final_frac * m)  # 1-based from the top
+    threshold = sorted(sample_q, reverse=True)[rank - 1]
+    h = F.md5(F.concat(F.col(id_col).cast("string"),
+                       F.lit(f":{seed}:{epoch}")))
+    base = df.select(
+        F.col(id_col),
+        F.col(quality_col).alias("quality"),
+        # NULL quality compares NULL >= t → NULL → phase 0
+        F.when(F.col(quality_col) >= F.lit(threshold).cast("double"),
+               F.lit(1)).otherwise(F.lit(0)).alias("phase"),
+        h.alias("_ok"),
+        (F.conv(F.substring(h, 1, 4), 16, 10).cast("long")
+         % F.lit(shards)).cast("int").alias("shard"),
+    )
+    w = Window.partitionBy("phase", "shard").orderBy("_ok", id_col)
+    return base.select(
+        F.col(id_col), "quality", "phase", "shard",
+        (F.row_number().over(w) - 1).cast("bigint").alias("pos"),
+    )

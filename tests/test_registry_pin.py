@@ -62,7 +62,7 @@ EXPECTED_TAIL = [
     "hll_distinct", "bloom_url_seen", "cms_topk", "hist_quantiles",
     "zorder_key", "compaction_plan", "orphan_files",
     "streaming_sketch_profile", "cluster_balanced_sample",
-    "fim_transform", "span_corruption", "ccnet_buckets",
+    "fim_transform", "span_corruption", "ccnet_buckets", "anneal_order",
 ]
 
 
