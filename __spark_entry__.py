@@ -1053,6 +1053,23 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         default_weight=0.25, seed="mix")
 
 
+TMIX_TARGET_ROWS = 300
+
+
+def temperature_mixture_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source sampling (round 5, late — the T5/mT5
+    q ∝ p^α mix): rates from one bounded group-count agg, quantized to
+    exact integer arithmetic (mixture.temperature_mixture docstring:
+    sqrt is IEEE-correctly-rounded, so α=0.5 replays bit-for-bit in
+    DuckDB), applied as the shared md5 bucket filter — zero corpus
+    shuffles."""
+    from resume_ocr_spark.operators import mixture
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return mixture.temperature_mixture(
+        docs, target_rows=TMIX_TARGET_ROWS, group_col="lang", alpha=0.5)
+
+
 def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full curation funnel in one job: quality filter → exact dedup
     (keeper = min surviving id per fingerprint) → benchmark decontamination
@@ -2941,6 +2958,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 tail: quality-annealed two-phase curriculum order
         # (packing.anneal_order) — completes the training-order family
         "anneal_order": anneal_order_entry,
+        # round-5 tail: T5/mT5 temperature-scaled source mixing
+        # (mixture.temperature_mixture) — exact-integer rate arithmetic
+        "temperature_mixture": temperature_mixture_entry,
     }
     return {**gated, **tail}
 
@@ -3760,6 +3780,39 @@ def oracle_sql() -> dict[str, str]:
       WHERE bucket < CASE lang WHEN 'en' THEN 65536
                                WHEN 'fr' THEN 32768
                                ELSE 16384 END
+    """
+    # temperature mixing: rates replayed in EXACT integer arithmetic —
+    # s = floor(sqrt(c)·1e6) (sqrt is IEEE-correctly-rounded in both
+    # engines), then pure BIGINT products and floor-division; bucket is
+    # the shared 16-bit recipe under ':tmix'
+    _tmd = ("(instr('0123456789abcdef', "
+            "substring(md5(CAST(doc_id AS VARCHAR) || ':tmix'), {p}, 1))"
+            " - 1)")
+    _tm16 = (f"({_tmd.format(p=29)} * 4096 + {_tmd.format(p=30)} * 256"
+             f" + {_tmd.format(p=31)} * 16 + {_tmd.format(p=32)})")
+    sqls["temperature_mixture"] = f"""
+      WITH cnt AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents GROUP BY lang
+      ), sc AS (
+        SELECT lang, c,
+               CAST(FLOOR(SQRT(c) * 1000000.0) AS BIGINT) AS s
+        FROM cnt
+      ), tot AS (
+        SELECT CAST(SUM(s) AS BIGINT) AS st FROM sc
+      ), rates AS (
+        SELECT lang,
+               CAST(LEAST(65536,
+                    (65536 * {TMIX_TARGET_ROWS} * s) // (st * c))
+                    AS INT) AS rate
+        FROM sc CROSS JOIN tot
+      ), b AS (
+        SELECT doc_id, lang, CAST({_tm16} AS BIGINT) AS bucket
+        FROM documents
+      )
+      SELECT b.lang, b.doc_id, b.bucket, r.rate
+      FROM b JOIN rates r ON r.lang = b.lang
+      WHERE b.bucket < r.rate
     """
     # curation funnel: composes the quality / fingerprint / decontam /
     # mixture oracle fragments above with the engine's reason precedence

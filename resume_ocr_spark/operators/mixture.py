@@ -163,3 +163,78 @@ def stratified_topk(
         .withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= k)
     )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    target_rows: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    seed: str = "tmix",
+    max_groups: int = 100_000,
+) -> DataFrame:
+    """Temperature-scaled source sampling (the T5/mT5 multilingual mix):
+    draw ≈ ``target_rows`` documents with per-group probability
+    ``q_g ∝ p_g^alpha`` where ``p_g`` is the group's corpus share —
+    ``alpha < 1`` flattens the mixture toward rare groups (mT5 uses
+    0.3, 0.5 is a common default), ``alpha = 1`` reproduces the
+    natural distribution.
+
+    Engine-stable arithmetic: per-group scores are quantized to BIGINT
+    micro-units ``s_g = floor(f(c_g) · 1e6)`` (``f = sqrt`` when
+    ``alpha = 0.5`` — IEEE-correctly-rounded in every engine, so the
+    DuckDB oracle replays it bit-for-bit; general ``alpha`` uses
+    ``pow``, same quantization), then the keep rate is EXACT integer
+    arithmetic: ``rate_g = min(65536, (65536 · K · s_g) // (S · c_g))``
+    with ``S = Σ s_g``, applied as the shared md5 16-bit bucket filter
+    (:func:`with_sample_bucket`). Expected take from group g is
+    ``≈ K·q_g`` capped at the group size (no replacement — a group too
+    small for its temperature share contributes all it has,
+    standard undersampling behavior).
+
+    100 TB shape: ONE map-side-combined ``groupBy(group)`` count
+    (output bounded by ``max_groups``, collected like the other model
+    statistics), rates folded into a broadcast table, then a
+    zero-shuffle bucket filter — the corpus never shuffles.
+
+    Output: ``(group_col, id_col, bucket, rate)``."""
+    import math
+
+    if target_rows <= 0:
+        raise ValueError(f"target_rows must be positive: {target_rows}")
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0: {alpha}")
+    counts = (df.groupBy(group_col).count()
+              .limit(max_groups + 1).collect())
+    if not counts:
+        raise ValueError("corpus is empty — nothing to mix")
+    if len(counts) > max_groups:
+        raise ValueError(
+            f"more than max_groups={max_groups} groups; raise the cap "
+            "or pre-bucket the group column")
+    if any(r[group_col] is None for r in counts):
+        raise ValueError("NULL group values — clean or coalesce "
+                         f"{group_col} first")
+    c = {r[group_col]: int(r["count"]) for r in counts}
+    if alpha == 0.5:
+        s = {g: math.floor(math.sqrt(n) * 1e6) for g, n in c.items()}
+    else:
+        s = {g: math.floor((n ** alpha) * 1e6) for g, n in c.items()}
+    total = sum(s.values())
+    rates = {
+        g: min(BUCKETS,
+               (BUCKETS * target_rows * s[g]) // (total * c[g]))
+        for g in c
+    }
+    spark = df.sparkSession
+    rdf = spark.createDataFrame(
+        [(g, int(r)) for g, r in sorted(rates.items())],
+        f"{group_col} string, rate int",
+    )
+    return (
+        with_sample_bucket(df, id_col, seed)
+        .join(F.broadcast(rdf), group_col, "inner")
+        .filter(F.col("bucket") < F.col("rate"))
+        .select(group_col, id_col, "bucket", "rate")
+    )
