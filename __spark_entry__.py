@@ -3783,13 +3783,17 @@ def oracle_sql() -> dict[str, str]:
     """
     # temperature mixing: rates replayed in EXACT integer arithmetic —
     # s = floor(sqrt(c)·1e6) (sqrt is IEEE-correctly-rounded in both
-    # engines), then pure BIGINT products and floor-division; bucket is
-    # the shared 16-bit recipe under ':tmix'
+    # engines), then integer products in HUGEINT (the 2^32·K·s product
+    # overflows BIGINT at gate scale; Spark computes rates driver-side
+    # in Python big ints, so only the oracle needs the wide lane) and
+    # floor-division, cast back to BIGINT for the result column; bucket
+    # is the 32-BIT md5 slice (hex digits 25-32 under ':tmix' —
+    # mixture.temperature_mixture's anti-starvation granularity)
     _tmd = ("(instr('0123456789abcdef', "
             "substring(md5(CAST(doc_id AS VARCHAR) || ':tmix'), {p}, 1))"
             " - 1)")
-    _tm16 = (f"({_tmd.format(p=29)} * 4096 + {_tmd.format(p=30)} * 256"
-             f" + {_tmd.format(p=31)} * 16 + {_tmd.format(p=32)})")
+    _tm32 = " + ".join(
+        f"{_tmd.format(p=25 + i)} * {16 ** (7 - i)}" for i in range(8))
     sqls["temperature_mixture"] = f"""
       WITH cnt AS (
         SELECT lang, CAST(COUNT(*) AS BIGINT) AS c
@@ -3802,12 +3806,14 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(SUM(s) AS BIGINT) AS st FROM sc
       ), rates AS (
         SELECT lang,
-               CAST(LEAST(65536,
-                    (65536 * {TMIX_TARGET_ROWS} * s) // (st * c))
-                    AS INT) AS rate
+               CAST(LEAST(CAST(4294967296 AS HUGEINT),
+                    (CAST(4294967296 AS HUGEINT)
+                     * {TMIX_TARGET_ROWS} * s)
+                    // (CAST(st AS HUGEINT) * c))
+                    AS BIGINT) AS rate
         FROM sc CROSS JOIN tot
       ), b AS (
-        SELECT doc_id, lang, CAST({_tm16} AS BIGINT) AS bucket
+        SELECT doc_id, lang, CAST({_tm32} AS BIGINT) AS bucket
         FROM documents
       )
       SELECT b.lang, b.doc_id, b.bucket, r.rate

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
 
 BUCKETS = 1 << 16  # md5-derived bucket space; rates quantize to 1/65536
 
@@ -186,12 +187,16 @@ def temperature_mixture(
     ``alpha = 0.5`` — IEEE-correctly-rounded in every engine, so the
     DuckDB oracle replays it bit-for-bit; general ``alpha`` uses
     ``pow``, same quantization), then the keep rate is EXACT integer
-    arithmetic: ``rate_g = min(65536, (65536 · K · s_g) // (S · c_g))``
-    with ``S = Σ s_g``, applied as the shared md5 16-bit bucket filter
-    (:func:`with_sample_bucket`). Expected take from group g is
-    ``≈ K·q_g`` capped at the group size (no replacement — a group too
-    small for its temperature share contributes all it has,
-    standard undersampling behavior).
+    arithmetic: ``rate_g = min(2^32, (2^32 · K · s_g) // (S · c_g))``
+    with ``S = Σ s_g``, applied as a 32-BIT md5 bucket filter (hex
+    digits 25–32 under ``seed`` — 16 bits would floor a dominant
+    group's per-doc rate to 0 whenever ``K·q_g < c_g/65536``, e.g. any
+    1e9-doc group at K=300; 32 bits pushes that boundary to
+    ``c_g/2^32``, and crossing it raises instead of silently dropping
+    the group). Expected take from group g is ``≈ K·q_g`` capped at
+    the group size (no replacement — a group too small for its
+    temperature share contributes all it has, standard undersampling
+    behavior).
 
     100 TB shape: ONE map-side-combined ``groupBy(group)`` count
     (output bounded by ``max_groups``, collected like the other model
@@ -222,18 +227,32 @@ def temperature_mixture(
     else:
         s = {g: math.floor((n ** alpha) * 1e6) for g, n in c.items()}
     total = sum(s.values())
+    space = BUCKETS * BUCKETS  # 2^32
     rates = {
-        g: min(BUCKETS,
-               (BUCKETS * target_rows * s[g]) // (total * c[g]))
+        g: min(space, (space * target_rows * s[g]) // (total * c[g]))
         for g in c
     }
+    # a group whose temperature share rounds to a ≥1-doc expected take
+    # must never quantize to rate 0 — that is a silent drop, not noise
+    starved = sorted(g for g in c
+                     if rates[g] == 0 and target_rows * s[g] >= total)
+    if starved:
+        raise ValueError(
+            "rate quantization floored these groups to 0 despite an "
+            f"expected take >= 1 doc: {starved[:5]} — their per-doc keep "
+            "probability is below 2^-32; split them (sub-bucket the "
+            "group column) or raise target_rows")
     spark = df.sparkSession
     rdf = spark.createDataFrame(
         [(g, int(r)) for g, r in sorted(rates.items())],
-        f"{group_col} string, rate int",
+        StructType([df.schema[group_col],
+                    StructField("rate", LongType(), False)]),
     )
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}")))
+    bucketed = df.withColumn(
+        "bucket", F.conv(F.substring(h, 25, 8), 16, 10).cast("long"))
     return (
-        with_sample_bucket(df, id_col, seed)
+        bucketed
         .join(F.broadcast(rdf), group_col, "inner")
         .filter(F.col("bucket") < F.col("rate"))
         .select(group_col, id_col, "bucket", "rate")

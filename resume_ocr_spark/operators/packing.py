@@ -137,14 +137,8 @@ def epoch_shuffle(
     Output: ``(id_col, epoch, shard, pos)``."""
     if shards <= 0:
         raise ValueError("shards must be positive")
-    h = F.md5(F.concat(F.col(id_col).cast("string"),
-                       F.lit(f":{seed}:{epoch}")))
-    base = df.select(
-        F.col(id_col),
-        h.alias("_ok"),
-        (F.conv(F.substring(h, 1, 4), 16, 10).cast("long")
-         % F.lit(shards)).cast("int").alias("shard"),
-    )
+    h, shard = _hash_order(id_col, f"{seed}:{epoch}", shards)
+    base = df.select(F.col(id_col), h.alias("_ok"), shard.alias("shard"))
     w = Window.partitionBy("shard").orderBy("_ok", id_col)
     return base.select(
         F.col(id_col),
@@ -152,6 +146,18 @@ def epoch_shuffle(
         "shard",
         (F.row_number().over(w) - 1).cast("bigint").alias("pos"),
     )
+
+
+def _hash_order(id_col: str, key_seed: str, shards: int):
+    """The md5 hash-order recipe's single source of truth, shared by
+    :func:`epoch_shuffle` and :func:`anneal_order` (oracles mirror it as
+    the ``_ep_shard`` fragment): returns ``(order_key, shard)`` columns —
+    ``md5(id ':' key_seed)`` and its HIGH 16 bits mod ``shards``."""
+    h = F.md5(F.concat(F.col(id_col).cast("string"),
+                       F.lit(f":{key_seed}")))
+    shard = (F.conv(F.substring(h, 1, 4), 16, 10).cast("long")
+             % F.lit(shards)).cast("int")
+    return h, shard
 
 
 #: loader-contract sentinel budget: one BOS before and one EOS after every
@@ -331,8 +337,7 @@ def anneal_order(
     m = len(sample_q)
     rank = math.ceil(final_frac * m)  # 1-based from the top
     threshold = sorted(sample_q, reverse=True)[rank - 1]
-    h = F.md5(F.concat(F.col(id_col).cast("string"),
-                       F.lit(f":{seed}:{epoch}")))
+    h, shard = _hash_order(id_col, f"{seed}:{epoch}", shards)
     base = df.select(
         F.col(id_col),
         F.col(quality_col).alias("quality"),
@@ -340,8 +345,7 @@ def anneal_order(
         F.when(F.col(quality_col) >= F.lit(threshold).cast("double"),
                F.lit(1)).otherwise(F.lit(0)).alias("phase"),
         h.alias("_ok"),
-        (F.conv(F.substring(h, 1, 4), 16, 10).cast("long")
-         % F.lit(shards)).cast("int").alias("shard"),
+        shard.alias("shard"),
     )
     w = Window.partitionBy("phase", "shard").orderBy("_ok", id_col)
     return base.select(

@@ -769,6 +769,11 @@ def ccnet_ppl_buckets(
 
     from .mixture import with_sample_bucket
 
+    if not 0 < sample_cap <= 65536:
+        raise ValueError(
+            f"sample_cap must be in (0, 65536]: {sample_cap} — a cap of 0 "
+            "would empty the threshold sample and silently label the whole "
+            "corpus 'unbucketed'")
     langed = with_lang_id(df, text_col).select(
         id_col, "lang_pred", text_col)
     sample_docs = (

@@ -251,8 +251,43 @@ def run_family(spark, docs_path: str, results: dict) -> None:
             ["a", "b"], [0, 0], [99999, 20000], bits=8, n_files=64)
         return force(keyed)
 
+    def ccnet_stress():
+        # full-corpus bigram scoring + carry-through lang + sample-rank
+        # terciles; the model trains on a FIXED slice so the broadcast
+        # stays constant while the scored corpus grows 10× — wall should
+        # track the corpus-side explode, never the model
+        from resume_ocr_spark.operators import textstats
+
+        sl = docs.filter(F.col("doc_id") < 150).select("doc_id", "text")
+        uni = textstats.word_counts(sl)
+        big = textstats.bigram_counts(sl)
+        return force(textstats.ccnet_ppl_buckets(
+            docs.select("doc_id", "text"), uni, big, sample_cap=4096))
+
+    def anneal_stress():
+        # quality projection + literal-threshold phase split + the one
+        # (phase, shard) exchange — the whole job is two scans + a window
+        from resume_ocr_spark.operators import packing, textstats
+
+        scored = textstats.with_quality_score(
+            docs.select("doc_id", "text")).select("doc_id", "quality")
+        return force(packing.anneal_order(scored, shards=64,
+                                          sample_rate=0.0625))
+
+    def tmix_stress():
+        # one bounded group agg + broadcast rate filter; the take should
+        # hold ≈ target_rows as the corpus grows (the rates shrink 10×)
+        from resume_ocr_spark.operators import mixture
+
+        return force(mixture.temperature_mixture(
+            docs.select("doc_id", "lang"), target_rows=1000,
+            group_col="lang"))
+
     timed("sketch_profile", sketch_profile, results)
     timed("zorder_layout", zorder_pass, results)
+    timed("ccnet_buckets", ccnet_stress, results)
+    timed("anneal_order", anneal_stress, results)
+    timed("temperature_mixture", tmix_stress, results)
     timed("lsh_candidates_k128", lsh_k128, results)
     timed("interleave_chrome", interleave_chrome, results)
     timed("snapshot_delta", snapshot_delta_stress, results)

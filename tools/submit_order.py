@@ -68,6 +68,11 @@ def main() -> int:
     if args.id_col not in docs.columns:
         print(f"input lacks column {args.id_col}", file=sys.stderr)
         return 2
+    # every argument/schema refusal happens BEFORE the first write — a
+    # partial output tree (order/ without packed/) must never survive
+    if args.pack_budget is not None and args.text_col not in docs.columns:
+        print(f"--pack-budget needs {args.text_col}", file=sys.stderr)
+        return 2
     if docs.limit(1).count() == 0:
         print("corpus is empty — refusing the run", file=sys.stderr)
         return 4
@@ -111,9 +116,6 @@ def main() -> int:
             for r in back.groupBy("phase").count().collect()}
 
     if args.pack_budget is not None:
-        if args.text_col not in docs.columns:
-            print(f"--pack-budget needs {args.text_col}", file=sys.stderr)
-            return 2
         packed = packing.pack_with_sentinels(
             docs.select(args.id_col, args.text_col), id_col=args.id_col,
             text_col=args.text_col, budget=args.pack_budget,
