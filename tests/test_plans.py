@@ -7,6 +7,7 @@ branches, and partition pruning in the warehouse shim.
 """
 
 import pytest
+from pyspark.sql import functions as F
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -209,3 +210,36 @@ class TestRound5OpPlans:
         from resume_ocr_spark.operators import dedup
         assert self._shape(
             dedup.remove_duplicate_lines(prose_docs)) == (4, 1, 0)
+
+    def test_ccnet_buckets_broadcast_only_joins(self, spark, prose_docs):
+        """Three hash exchanges (corpus per-doc agg, sample per-doc agg,
+        the sample-sized lang window), seven broadcast joins (2×3 model
+        sides + the 3-row threshold table), zero SortMergeJoins — the
+        corpus is never globally sorted and never shuffles to meet the
+        model or the thresholds."""
+        from resume_ocr_spark.operators import textstats
+        uni = textstats.word_counts(prose_docs)
+        big = textstats.bigram_counts(prose_docs)
+        out = textstats.ccnet_ppl_buckets(prose_docs, uni, big)
+        assert self._shape(out) == (3, 0, 7)
+
+    def test_anneal_order_single_exchange(self, spark, prose_docs):
+        """The threshold is a driver-side literal, so the phase label is
+        a zero-shuffle projection; the only exchange feeds the
+        (phase, shard) position windows."""
+        from resume_ocr_spark.operators import packing
+        scored = prose_docs.select(
+            "doc_id", (F.col("doc_id") % 10 / 10.0).alias("quality"))
+        assert self._shape(packing.anneal_order(scored)) == (1, 0, 0)
+
+    def test_temperature_mixture_zero_shuffle_filter(self, spark,
+                                                     prose_docs):
+        """Rates are computed driver-side from the bounded group-count
+        agg; the RETURNED plan is a zero-exchange broadcast-join filter —
+        the corpus never shuffles."""
+        from resume_ocr_spark.operators import mixture
+        tagged = prose_docs.select(
+            "doc_id", F.when(F.col("doc_id") % 3 == 0, "a")
+            .otherwise("b").alias("source"))
+        out = mixture.temperature_mixture(tagged, target_rows=20)
+        assert self._shape(out) == (0, 0, 1)
