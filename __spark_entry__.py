@@ -1053,6 +1053,42 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         default_weight=0.25, seed="mix")
 
 
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (round 5, late — the feature-store /
+    market-data point-in-time lookup the task's custom-operator tier
+    names): each click/view event gains the latest at-or-before 'error'
+    reading of its user. Union-window form — ONE key exchange, zero
+    joins, no history explosion (operators/timeseries.py). Oracle:
+    DuckDB's native ASOF LEFT JOIN, whose inclusive l.ts >= r.ts matches
+    the right-before-left tie ordering exactly."""
+    from resume_ocr_spark.operators import timeseries
+
+    ev = _t(spark, sf_dir, "events")
+    right = (ev.filter(F.col("event_type") == "error")
+             .groupBy("user_id", "ts")
+             .agg(F.max("value").alias("err_value")))
+    left = (ev.filter(F.col("event_type").isin("click", "view"))
+            .select("user_id", "ts", "event_id", "value"))
+    return timeseries.asof_join(left, right, ["user_id"])
+
+
+def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketized interval range join (round 5, late): events matched to
+    per-type 12-hour campaign windows via exact-microsecond time buckets
+    + equi-join + containment filter — never a nested-loop
+    (operators/timeseries.py). The oracle states the containment
+    predicate directly; both must agree row-for-row."""
+    from resume_ocr_spark.operators import timeseries
+
+    ev = _t(spark, sf_dir, "events")
+    iv = (ev.groupBy("event_type").agg(F.min("ts").alias("start_ts"))
+          .withColumn("end_ts",
+                      F.col("start_ts") + F.expr("INTERVAL 12 HOURS")))
+    return timeseries.range_join(
+        ev.select("event_id", "event_type", "ts"), iv,
+        ["event_type"], width_sec=3600)
+
+
 TMIX_TARGET_ROWS = 300
 
 
@@ -2961,6 +2997,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 tail: T5/mT5 temperature-scaled source mixing
         # (mixture.temperature_mixture) — exact-integer rate arithmetic
         "temperature_mixture": temperature_mixture_entry,
+        # round-5 tail: time-series joins Spark lacks natively
+        # (operators/timeseries.py — union-window as-of, bucketized range)
+        "asof_join": asof_join_events,
+        "range_join": range_join_events,
     }
     return {**gated, **tail}
 
@@ -3819,6 +3859,35 @@ def oracle_sql() -> dict[str, str]:
       SELECT b.lang, b.doc_id, b.bucket, r.rate
       FROM b JOIN rates r ON r.lang = b.lang
       WHERE b.bucket < r.rate
+    """
+    # as-of join: DuckDB's NATIVE ASOF LEFT JOIN is the oracle — its
+    # inclusive l.ts >= r.ts matches the union-window's
+    # right-before-left tie ordering; right side pre-deduped to unique
+    # (user_id, ts) identically on both sides
+    sqls["asof_join"] = """
+      WITH r AS (
+        SELECT user_id, ts, MAX(value) AS err_value
+        FROM events WHERE event_type = 'error' GROUP BY user_id, ts
+      ), l AS (
+        SELECT user_id, ts, event_id, value
+        FROM events WHERE event_type IN ('click', 'view')
+      )
+      SELECT l.user_id, l.ts, l.event_id, l.value,
+             r.err_value AS err_value_r, r.ts AS ts_r
+      FROM l ASOF LEFT JOIN r
+        ON l.user_id = r.user_id AND l.ts >= r.ts
+    """
+    # range join: the oracle states half-open containment directly; the
+    # engine's bucketized equi-join must reproduce it row-for-row
+    sqls["range_join"] = """
+      WITH iv AS (
+        SELECT event_type, MIN(ts) AS start_ts,
+               MIN(ts) + INTERVAL 12 HOUR AS end_ts
+        FROM events GROUP BY event_type
+      )
+      SELECT e.event_id, e.event_type, e.ts, iv.start_ts, iv.end_ts
+      FROM events e JOIN iv ON iv.event_type = e.event_type
+      WHERE iv.start_ts <= e.ts AND e.ts < iv.end_ts
     """
     # curation funnel: composes the quality / fingerprint / decontam /
     # mixture oracle fragments above with the engine's reason precedence

@@ -1,0 +1,152 @@
+"""Time-series joins Spark lacks as native operators: as-of join and
+interval range join, built as compositions of existing DataFrame ops
+(never a cartesian, never per-row Python) — the "custom operator as a
+composition" tier beside :mod:`.dedup`'s LSH family.
+
+**As-of join** (``asof_join``): attach to every left row the single
+right row with the same key whose timestamp is the LATEST at-or-before
+the left timestamp — the point-in-time lookup of feature stores and
+market data. Implementation is the union-window form: tag the sides,
+union them, and per key let a running ``last(..., ignorenulls=True)``
+over (ts, side) carry the most recent right payload forward into each
+left row. ONE hash exchange on the key, zero joins, no row explosion —
+the classic sort-merge-asof expressed in windows. (A join-based form
+``l.ts >= r.ts`` would explode to the full history per key before
+aggregating back.)
+
+**Range join** (``range_join``): match events to (start, end] intervals
+per key. Naive Spark compiles ``BETWEEN`` into BroadcastNestedLoop (or
+worse); the scale form BUCKETIZES time — each event lands in exactly one
+``width_sec`` bucket of exact integer microseconds, each interval
+explodes to the buckets it covers — then an EQUI-join on (key, bucket)
+plus the exact containment filter. Every (event, interval) pair meets in
+exactly one bucket (the event's), so no dedup pass is needed. Join
+strategy follows the interval side's size: broadcast for dimension-table
+interval sets, shuffle equi-join otherwise — either way never a
+nested-loop over the corpus.
+
+Engine parity: all bucket arithmetic is BIGINT microseconds
+(``unix_micros`` / DuckDB ``epoch_us``), and as-of tie-ordering is
+right-before-left at equal timestamps (DuckDB ``ASOF JOIN``'s inclusive
+``l.ts >= r.ts`` semantics). Right sides with duplicate (key, ts) rows
+must be pre-deduplicated (the oracle and engine would otherwise pick
+arbitrary winners); ``asof_join`` raises if asked to carry none of the
+right columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    right_cols: list[str] | None = None,
+    suffix: str = "_r",
+    tolerance_sec: int | None = None,
+) -> DataFrame:
+    """Backward as-of join: every ``left`` row gains the ``right`` row's
+    payload columns (renamed ``<col><suffix>``) from the latest right
+    timestamp <= the left timestamp within the same key, plus the matched
+    timestamp ``<ts_col><suffix>``; NULLs when no predecessor exists (or
+    it is older than ``tolerance_sec``). Left rows/columns are preserved
+    exactly — totality like a LEFT join."""
+    rcols = (list(right_cols) if right_cols is not None
+             else [c for c in right.columns
+                   if c not in key_cols and c != ts_col])
+    if not rcols:
+        raise ValueError("right side carries no payload columns")
+    carried = [f"{c}{suffix}" for c in rcols] + [f"{ts_col}{suffix}"]
+    left_payload = [c for c in left.columns
+                    if c not in key_cols and c != ts_col]
+    lhs = left.select(
+        *key_cols, F.col(ts_col), F.lit(1).alias("_side"),
+        *[F.col(c) for c in left_payload],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}")
+          for c in rcols],
+        F.lit(None).cast(right.schema[ts_col].dataType)
+        .alias(f"{ts_col}{suffix}"),
+    )
+    rhs = right.select(
+        *key_cols, F.col(ts_col), F.lit(0).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left_payload],
+        *[F.col(c).alias(f"{c}{suffix}") for c in rcols],
+        F.col(ts_col).alias(f"{ts_col}{suffix}"),
+    )
+    # right sorts BEFORE left at equal ts → "at-or-before" is inclusive,
+    # matching DuckDB ASOF's l.ts >= r.ts
+    w = (Window.partitionBy(*key_cols).orderBy(ts_col, "_side")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    filled = lhs.unionByName(rhs).select(
+        *key_cols, ts_col, "_side", *left_payload,
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in carried],
+    )
+    out = filled.filter(F.col("_side") == 1).drop("_side")
+    if tolerance_sec is not None:
+        # cast: TIMESTAMP_NTZ → TIMESTAMP is exact under the pinned-UTC
+        # session (see range_join)
+        fresh = (F.expr(f"unix_micros(cast({ts_col} as timestamp))")
+                 - F.expr(f"unix_micros(cast({ts_col}{suffix}"
+                          " as timestamp))")
+                 <= int(tolerance_sec) * 1_000_000)
+        out = out.select(
+            *key_cols, ts_col, *left_payload,
+            *[F.when(fresh, F.col(c)).alias(c) for c in carried],
+        )
+    return out.select(*key_cols, ts_col, *left_payload, *carried)
+
+
+def range_join(
+    events: DataFrame,
+    intervals: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    width_sec: int = 3600,
+    broadcast_intervals: bool = True,
+) -> DataFrame:
+    """Interval containment join, half-open ``start <= ts < end``:
+    returns every (event, interval) match with the interval's columns
+    attached. ``width_sec`` is the time-bucket granularity — size it
+    near the typical interval length so intervals explode to O(1)
+    buckets each. ``broadcast_intervals=False`` switches the equi-join
+    to the shuffled form for interval sets too large to broadcast."""
+    if width_sec <= 0:
+        raise ValueError("width_sec must be positive")
+    w_us = int(width_sec) * 1_000_000
+    # `div` = exact integer division (double `/` + cast could misbucket
+    # a boundary event by one ulp); epochs are positive so div == floor.
+    # cast(... as timestamp) lets TIMESTAMP_NTZ columns through
+    # unix_micros — exact under the engine's pinned-UTC session
+    # (session.py), where NTZ→TZ is an identity reinterpretation
+    def _us(col: str):
+        return f"unix_micros(cast({col} as timestamp))"
+
+    ev = events.withColumn(
+        "_b", F.expr(f"{_us(ts_col)} div {w_us}"))
+    iv_cols = [c for c in intervals.columns]
+    iv = (
+        intervals
+        .filter(F.col(end_col) > F.col(start_col))
+        .withColumn(
+            "_b",
+            F.explode(F.sequence(
+                F.expr(f"{_us(start_col)} div {w_us}"),
+                F.expr(f"({_us(end_col)} - 1) div {w_us}"),
+            )))
+    )
+    if broadcast_intervals:
+        iv = F.broadcast(iv)
+    joined = ev.join(
+        iv, [*key_cols, "_b"], "inner",
+    ).filter((F.col(start_col) <= F.col(ts_col))
+             & (F.col(ts_col) < F.col(end_col)))
+    keep = ([c for c in events.columns]
+            + [c for c in iv_cols if c not in key_cols])
+    return joined.select(*keep)

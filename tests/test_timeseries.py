@@ -1,0 +1,133 @@
+"""Time-series joins (operators/timeseries.py): exact parity with Python
+brute force for asof_join (ties, no-predecessor NULLs, tolerance) and
+range_join (boundary inclusion/exclusion, multi-bucket intervals), plus
+the plan shapes the module promises (one exchange / broadcast equi-join,
+never a nested loop)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from resume_ocr_spark.operators import timeseries
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _ts(minutes, micros=0):
+    return T0 + dt.timedelta(minutes=minutes, microseconds=micros)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(0), 100), (1, _ts(10), 101), (1, _ts(20), 102),
+         (2, _ts(5), 200), (2, _ts(6), 201),
+         (3, _ts(1), 300)],  # key 3 has no right rows at all
+        "k long, ts timestamp, ev long")
+    right = spark.createDataFrame(
+        [(1, _ts(0), 1.0),    # tie with left @0 → matches (inclusive)
+         (1, _ts(15), 2.0),
+         (2, _ts(4), 3.0)],
+        "k long, ts timestamp, v double")
+    return left, right
+
+
+def _py_asof(left_rows, right_rows, tol_sec=None):
+    out = {}
+    for k, lts, ev in left_rows:
+        best = None
+        for rk, rts, v in right_rows:
+            if rk == k and rts <= lts and (best is None or rts > best[0]):
+                best = (rts, v)
+        if best and tol_sec is not None \
+                and (lts - best[0]).total_seconds() > tol_sec:
+            best = None
+        out[ev] = (best[1], best[0]) if best else (None, None)
+    return out
+
+
+class TestAsof:
+    LEFT = [(1, _ts(0), 100), (1, _ts(10), 101), (1, _ts(20), 102),
+            (2, _ts(5), 200), (2, _ts(6), 201), (3, _ts(1), 300)]
+    RIGHT = [(1, _ts(0), 1.0), (1, _ts(15), 2.0), (2, _ts(4), 3.0)]
+
+    def test_matches_python_brute_force(self, spark, frames):
+        left, right = frames
+        got = {r["ev"]: (r["v_r"], r["ts_r"])
+               for r in timeseries.asof_join(left, right, ["k"]).collect()}
+        assert got == _py_asof(self.LEFT, self.RIGHT)
+        assert got[100] == (1.0, _ts(0))       # inclusive tie
+        assert got[300] == (None, None)        # totality: no predecessor
+
+    def test_tolerance_expires_stale_matches(self, spark, frames):
+        left, right = frames
+        got = {r["ev"]: (r["v_r"], r["ts_r"])
+               for r in timeseries.asof_join(
+                   left, right, ["k"], tolerance_sec=300).collect()}
+        assert got == _py_asof(self.LEFT, self.RIGHT, tol_sec=300)
+        assert got[102] == (2.0, _ts(15))      # 5 min old: fresh
+        assert got[101] == (None, None)        # 10 min old: expired
+
+    def test_single_exchange_no_joins(self, spark, frames):
+        left, right = frames
+        plan = timeseries.asof_join(left, right, ["k"]) \
+            ._jdf.queryExecution().executedPlan().toString()
+        import re
+        assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+        assert "Join" not in plan
+
+    def test_validation(self, spark, frames):
+        left, right = frames
+        with pytest.raises(ValueError, match="payload"):
+            timeseries.asof_join(left, right.select("k", "ts"), ["k"])
+
+
+class TestRange:
+    def test_matches_python_brute_force(self, spark):
+        events = spark.createDataFrame(
+            [(i, "a" if i % 2 == 0 else "b", _ts(i * 7)) for i in range(40)],
+            "event_id long, k string, ts timestamp")
+        # interval spanning many 1-min buckets + an empty interval dropped
+        intervals = spark.createDataFrame(
+            [("a", _ts(10), _ts(100)), ("b", _ts(0), _ts(35)),
+             ("b", _ts(50), _ts(50))],
+            "k string, start_ts timestamp, end_ts timestamp")
+        got = {(r["event_id"], r["start_ts"])
+               for r in timeseries.range_join(
+                   events, intervals, ["k"], width_sec=60).collect()}
+        ev = [(i, "a" if i % 2 == 0 else "b", _ts(i * 7)) for i in range(40)]
+        iv = [("a", _ts(10), _ts(100)), ("b", _ts(0), _ts(35))]
+        expect = {(e[0], s) for e in ev for (k, s, t) in iv
+                  if e[1] == k and s <= e[2] < t}
+        assert got == expect and got
+
+    def test_half_open_boundaries(self, spark):
+        events = spark.createDataFrame(
+            [(0, "x", _ts(10)), (1, "x", _ts(20))],
+            "event_id long, k string, ts timestamp")
+        intervals = spark.createDataFrame(
+            [("x", _ts(10), _ts(20))],
+            "k string, start_ts timestamp, end_ts timestamp")
+        got = [r["event_id"] for r in timeseries.range_join(
+            events, intervals, ["k"]).collect()]
+        assert got == [0]  # start inclusive, end exclusive
+
+    def test_broadcast_equi_join_never_nested_loop(self, spark):
+        events = spark.createDataFrame(
+            [(0, "x", _ts(1))], "event_id long, k string, ts timestamp")
+        intervals = spark.createDataFrame(
+            [("x", _ts(0), _ts(5))],
+            "k string, start_ts timestamp, end_ts timestamp")
+        plan = timeseries.range_join(events, intervals, ["k"]) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+    def test_validation(self, spark):
+        events = spark.createDataFrame(
+            [(0, "x", _ts(1))], "event_id long, k string, ts timestamp")
+        with pytest.raises(ValueError, match="width_sec"):
+            timeseries.range_join(events, events.select(
+                "k", F.col("ts").alias("start_ts"),
+                F.col("ts").alias("end_ts")), ["k"], width_sec=0)
