@@ -1089,6 +1089,20 @@ def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["event_type"], width_sec=3600)
 
 
+def hypertable_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable continuous-aggregate rollup (round 5, late — the third
+    named custom-operator example): hour→day per-type buckets where the
+    day level merges the HOUR level, never rescanning raw; integer-cents
+    aggregates make the hierarchical merge exactly equal the oracle's
+    flat per-level recompute — which is precisely the equivalence the
+    gate then proves (operators/timeseries.py)."""
+    from resume_ocr_spark.operators import timeseries
+
+    ev = _t(spark, sf_dir, "events")
+    return timeseries.hypertable_rollup(
+        ev, ["event_type"], widths_sec=(3600, 86400))
+
+
 TMIX_TARGET_ROWS = 300
 
 
@@ -3001,6 +3015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (operators/timeseries.py — union-window as-of, bucketized range)
         "asof_join": asof_join_events,
         "range_join": range_join_events,
+        "hypertable_rollup": hypertable_rollup_events,
     }
     return {**gated, **tail}
 
@@ -3888,6 +3903,38 @@ def oracle_sql() -> dict[str, str]:
       SELECT e.event_id, e.event_type, e.ts, iv.start_ts, iv.end_ts
       FROM events e JOIN iv ON iv.event_type = e.event_type
       WHERE iv.start_ts <= e.ts AND e.ts < iv.end_ts
+    """
+    # hypertable rollup: the oracle recomputes each level FLAT from raw;
+    # the engine merges day from hour — exact equality holds because the
+    # aggregates are integer cents (no float summation-order drift),
+    # which is the hierarchical-merge correctness claim itself
+    sqls["hypertable_rollup"] = """
+      WITH cents AS (
+        SELECT event_type, epoch_us(ts) AS us,
+               CAST(ROUND(value * 100) AS BIGINT) AS cv
+        FROM events
+      ), l1 AS (
+        SELECT event_type, us // 3600000000 AS b,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(cv) AS BIGINT) AS sum_cents,
+               MIN(cv) AS min_cents, MAX(cv) AS max_cents
+        FROM cents GROUP BY 1, 2
+      ), l2 AS (
+        SELECT event_type, us // 86400000000 AS b,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(cv) AS BIGINT) AS sum_cents,
+               MIN(cv) AS min_cents, MAX(cv) AS max_cents
+        FROM cents GROUP BY 1, 2
+      )
+      SELECT event_type, CAST(3600 AS BIGINT) AS bucket_width_sec,
+             make_timestamp(b * 3600000000) AS bucket_start,
+             n_events, sum_cents, min_cents, max_cents
+      FROM l1
+      UNION ALL
+      SELECT event_type, CAST(86400 AS BIGINT),
+             make_timestamp(b * 86400000000),
+             n_events, sum_cents, min_cents, max_cents
+      FROM l2
     """
     # curation funnel: composes the quality / fingerprint / decontam /
     # mixture oracle fragments above with the engine's reason precedence

@@ -1,7 +1,8 @@
-"""Time-series joins Spark lacks as native operators: as-of join and
-interval range join, built as compositions of existing DataFrame ops
-(never a cartesian, never per-row Python) — the "custom operator as a
-composition" tier beside :mod:`.dedup`'s LSH family.
+"""Time-series operators Spark lacks natively: as-of join, interval
+range join, and the hypertable continuous-aggregate rollup, built as
+compositions of existing DataFrame ops (never a cartesian, never
+per-row Python) — the "custom operator as a composition" tier beside
+:mod:`.dedup`'s LSH family.
 
 **As-of join** (``asof_join``): attach to every left row the single
 right row with the same key whose timestamp is the LATEST at-or-before
@@ -150,3 +151,77 @@ def range_join(
     keep = ([c for c in events.columns]
             + [c for c in iv_cols if c not in key_cols])
     return joined.select(*keep)
+
+
+def hypertable_rollup(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    widths_sec: tuple[int, ...] = (60, 3600, 86400),
+) -> DataFrame:
+    """Hypertable continuous-aggregate rollup (the TimescaleDB shape the
+    custom-operator tier names): multi-resolution time-bucket aggregates
+    where each coarser level is merged FROM THE PREVIOUS LEVEL, never by
+    rescanning raw — the raw table is read exactly once, and every level
+    after the first aggregates a frame already ~width-ratio× smaller.
+
+    ``widths_sec`` must be ascending and each must divide the next (the
+    hypertable invariant that makes hierarchical merging exact: a coarse
+    bucket is a whole number of fine buckets). Aggregates are the
+    mergeable four — count / sum / min / max — over the value quantized
+    to integer CENTS (``round(value·100)`` as BIGINT), so the
+    hierarchical sums are exact integers with no float
+    summation-order drift between levels or engines; averages are
+    derivable downstream as ``sum/n``.
+
+    Output: one row per (key, level bucket) across all levels —
+    ``(*key_cols, bucket_width_sec, bucket_start, n_events, sum_cents,
+    min_cents, max_cents)``. Plan: ONE exchange on (keys, fine bucket)
+    for level 0; each further level is a groupBy of the
+    already-aggregated (small) frame."""
+    if not widths_sec:
+        raise ValueError("widths_sec must be non-empty")
+    for a, b in zip(widths_sec, widths_sec[1:]):
+        if b <= a or b % a != 0:
+            raise ValueError(
+                "widths_sec must be ascending and each must divide the "
+                f"next (got {a} then {b}) — the invariant that makes "
+                "level-to-level merging exact")
+
+    def _us(col: str) -> str:
+        return f"unix_micros(cast({col} as timestamp))"
+
+    w0_us = int(widths_sec[0]) * 1_000_000
+    cents = F.expr(f"cast(round({value_col} * 100) as bigint)")
+    lvl = (
+        events
+        .select(*key_cols,
+                F.expr(f"{_us(ts_col)} div {w0_us}").alias("_b"),
+                cents.alias("_cv"))
+        .groupBy(*key_cols, "_b")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum("_cv").alias("sum_cents"),
+             F.min("_cv").alias("min_cents"),
+             F.max("_cv").alias("max_cents"))
+    )
+    out = None
+    prev_w = widths_sec[0]
+    for i, w in enumerate(widths_sec):
+        if i > 0:
+            factor = w // prev_w
+            lvl = (lvl.withColumn("_b", F.expr(f"_b div {factor}"))
+                   .groupBy(*key_cols, "_b")
+                   .agg(F.sum("n_events").alias("n_events"),
+                        F.sum("sum_cents").alias("sum_cents"),
+                        F.min("min_cents").alias("min_cents"),
+                        F.max("max_cents").alias("max_cents")))
+            prev_w = w
+        level_rows = lvl.select(
+            *key_cols,
+            F.lit(int(w)).cast("bigint").alias("bucket_width_sec"),
+            F.timestamp_micros(F.col("_b") * (int(w) * 1_000_000))
+            .alias("bucket_start"),
+            "n_events", "sum_cents", "min_cents", "max_cents")
+        out = level_rows if out is None else out.unionByName(level_rows)
+    return out

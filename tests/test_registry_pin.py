@@ -63,7 +63,7 @@ EXPECTED_TAIL = [
     "zorder_key", "compaction_plan", "orphan_files",
     "streaming_sketch_profile", "cluster_balanced_sample",
     "fim_transform", "span_corruption", "ccnet_buckets", "anneal_order",
-    "temperature_mixture", "asof_join", "range_join",
+    "temperature_mixture", "asof_join", "range_join", "hypertable_rollup",
 ]
 
 

@@ -131,3 +131,56 @@ class TestRange:
             timeseries.range_join(events, events.select(
                 "k", F.col("ts").alias("start_ts"),
                 F.col("ts").alias("end_ts")), ["k"], width_sec=0)
+
+
+class TestHypertableRollup:
+    def test_each_level_matches_flat_recompute(self, spark):
+        events = spark.createDataFrame(
+            [(i, "t" + str(i % 3), _ts(i * 13, micros=i),
+              round((i * 7 % 50) / 4.0, 2)) for i in range(200)],
+            "event_id long, event_type string, ts timestamp, value double")
+        out = timeseries.hypertable_rollup(
+            events, ["event_type"], widths_sec=(60, 3600, 86400)).collect()
+        rows = [(r["event_type"], r["ts"], round(r["value"] * 100))
+                for r in events.collect()]
+        for width in (60, 3600, 86400):
+            flat = {}
+            for k, ts, cv in rows:
+                b = (int(ts.timestamp() * 1_000_000)) // (width * 1_000_000)
+                n, s, mn, mx = flat.get((k, b), (0, 0, None, None))
+                flat[(k, b)] = (n + 1, s + cv,
+                                cv if mn is None else min(mn, cv),
+                                cv if mx is None else max(mx, cv))
+            got = {(r["event_type"],
+                    int(r["bucket_start"].timestamp() * 1_000_000)
+                    // (width * 1_000_000)):
+                   (r["n_events"], r["sum_cents"], r["min_cents"],
+                    r["max_cents"])
+                   for r in out if r["bucket_width_sec"] == width}
+            assert got == flat, width
+
+    def test_counts_conserved_across_levels(self, spark):
+        events = spark.createDataFrame(
+            [(i, "x", _ts(i), 1.0) for i in range(100)],
+            "event_id long, event_type string, ts timestamp, value double")
+        out = timeseries.hypertable_rollup(
+            events, ["event_type"], widths_sec=(60, 3600)).collect()
+        by_level = {}
+        for r in out:
+            by_level[r["bucket_width_sec"]] = \
+                by_level.get(r["bucket_width_sec"], 0) + r["n_events"]
+        assert by_level == {60: 100, 3600: 100}
+
+    def test_validation(self, spark):
+        events = spark.createDataFrame(
+            [(0, "x", _ts(0), 1.0)],
+            "event_id long, event_type string, ts timestamp, value double")
+        with pytest.raises(ValueError, match="divide"):
+            timeseries.hypertable_rollup(events, ["event_type"],
+                                         widths_sec=(60, 90))
+        with pytest.raises(ValueError, match="ascending|divide"):
+            timeseries.hypertable_rollup(events, ["event_type"],
+                                         widths_sec=(3600, 60))
+        with pytest.raises(ValueError, match="non-empty"):
+            timeseries.hypertable_rollup(events, ["event_type"],
+                                         widths_sec=())
