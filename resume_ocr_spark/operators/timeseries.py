@@ -41,6 +41,33 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _us(col: str) -> str:
+    """SQL fragment: exact BIGINT microseconds of a timestamp column.
+    cast(... as timestamp) lets TIMESTAMP_NTZ through unix_micros —
+    exact under the engine's pinned-UTC session (session.py), where
+    NTZ→TZ is an identity reinterpretation."""
+    return f"unix_micros(cast({col} as timestamp))"
+
+
+def _floordiv_us(col: str, divisor_us: int) -> str:
+    """SQL fragment: FLOOR division of a timestamp's microseconds by an
+    integer width — `div` alone truncates toward zero, which disagrees
+    with DuckDB's flooring `//` for pre-1970 (negative-epoch)
+    timestamps, so the remainder correction makes it floor for every
+    sign. Integer arithmetic throughout (double `/` + cast could
+    misbucket a boundary event by one ulp)."""
+    e = _us(col)
+    return (f"(({e}) div {divisor_us})"
+            f" - (case when (({e}) % {divisor_us}) < 0 then 1 else 0 end)")
+
+
+def _reject_collisions(reserved: list[str], *frames: DataFrame) -> None:
+    hit = sorted({c for f in frames for c in f.columns if c in reserved})
+    if hit:
+        raise ValueError(
+            f"input columns collide with reserved working names: {hit}")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -64,20 +91,25 @@ def asof_join(
     carried = [f"{c}{suffix}" for c in rcols] + [f"{ts_col}{suffix}"]
     left_payload = [c for c in left.columns
                     if c not in key_cols and c != ts_col]
-    lhs = left.select(
-        *key_cols, F.col(ts_col), F.lit(1).alias("_side"),
-        *[F.col(c) for c in left_payload],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}")
-          for c in rcols],
-        F.lit(None).cast(right.schema[ts_col].dataType)
-        .alias(f"{ts_col}{suffix}"),
-    )
-    rhs = right.select(
+    _reject_collisions(["_side", "_match", *carried], left)
+    # the matched right row travels as ONE struct so the carry is
+    # row-ATOMIC: per-column last(ignorenulls) would stitch fields from
+    # DIFFERENT right rows whenever a payload value is NULL. NULL-ts
+    # right rows can never be an at-or-before match (DuckDB ASOF's
+    # l.ts >= NULL is never true) so they are dropped, not sorted first.
+    rhs = right.filter(F.col(ts_col).isNotNull()).select(
         *key_cols, F.col(ts_col), F.lit(0).alias("_side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in left_payload],
-        *[F.col(c).alias(f"{c}{suffix}") for c in rcols],
-        F.col(ts_col).alias(f"{ts_col}{suffix}"),
+        F.struct(
+            *[F.col(c).alias(f"{c}{suffix}") for c in rcols],
+            F.col(ts_col).alias(f"{ts_col}{suffix}"),
+        ).alias("_match"),
+    )
+    lhs = left.select(
+        *key_cols, F.col(ts_col), F.lit(1).alias("_side"),
+        *[F.col(c) for c in left_payload],
+        F.lit(None).cast(rhs.schema["_match"].dataType).alias("_match"),
     )
     # right sorts BEFORE left at equal ts → "at-or-before" is inclusive,
     # matching DuckDB ASOF's l.ts >= r.ts
@@ -85,15 +117,15 @@ def asof_join(
          .rowsBetween(Window.unboundedPreceding, 0))
     filled = lhs.unionByName(rhs).select(
         *key_cols, ts_col, "_side", *left_payload,
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in carried],
+        F.last("_match", ignorenulls=True).over(w).alias("_match"),
     )
-    out = filled.filter(F.col("_side") == 1).drop("_side")
+    out = filled.filter(F.col("_side") == 1).select(
+        *key_cols, ts_col, *left_payload,
+        *[F.col(f"_match.{c}").alias(c) for c in carried],
+    )
     if tolerance_sec is not None:
-        # cast: TIMESTAMP_NTZ → TIMESTAMP is exact under the pinned-UTC
-        # session (see range_join)
-        fresh = (F.expr(f"unix_micros(cast({ts_col} as timestamp))")
-                 - F.expr(f"unix_micros(cast({ts_col}{suffix}"
-                          " as timestamp))")
+        fresh = (F.expr(_us(ts_col))
+                 - F.expr(_us(f"{ts_col}{suffix}"))
                  <= int(tolerance_sec) * 1_000_000)
         out = out.select(
             *key_cols, ts_col, *left_payload,
@@ -120,26 +152,22 @@ def range_join(
     to the shuffled form for interval sets too large to broadcast."""
     if width_sec <= 0:
         raise ValueError("width_sec must be positive")
+    _reject_collisions(["_b"], events, intervals)
     w_us = int(width_sec) * 1_000_000
-    # `div` = exact integer division (double `/` + cast could misbucket
-    # a boundary event by one ulp); epochs are positive so div == floor.
-    # cast(... as timestamp) lets TIMESTAMP_NTZ columns through
-    # unix_micros — exact under the engine's pinned-UTC session
-    # (session.py), where NTZ→TZ is an identity reinterpretation
-    def _us(col: str):
-        return f"unix_micros(cast({col} as timestamp))"
-
-    ev = events.withColumn(
-        "_b", F.expr(f"{_us(ts_col)} div {w_us}"))
+    ev = events.withColumn("_b", F.expr(_floordiv_us(ts_col, w_us)))
     iv_cols = [c for c in intervals.columns]
+    # end-1 µs: the last bucket containing any in-range point of the
+    # half-open interval. _floordiv_us takes a COLUMN, so shift the end
+    # back one microsecond as a timestamp expression first.
+    end_m1 = f"cast(timestamp_micros({_us(end_col)} - 1) as timestamp)"
     iv = (
         intervals
         .filter(F.col(end_col) > F.col(start_col))
         .withColumn(
             "_b",
             F.explode(F.sequence(
-                F.expr(f"{_us(start_col)} div {w_us}"),
-                F.expr(f"({_us(end_col)} - 1) div {w_us}"),
+                F.expr(_floordiv_us(start_col, w_us)),
+                F.expr(_floordiv_us(end_m1, w_us)),
             )))
     )
     if broadcast_intervals:
@@ -182,22 +210,22 @@ def hypertable_rollup(
     already-aggregated (small) frame."""
     if not widths_sec:
         raise ValueError("widths_sec must be non-empty")
+    if widths_sec[0] <= 0:
+        raise ValueError(
+            f"widths_sec must be positive (got {widths_sec[0]})")
     for a, b in zip(widths_sec, widths_sec[1:]):
         if b <= a or b % a != 0:
             raise ValueError(
                 "widths_sec must be ascending and each must divide the "
                 f"next (got {a} then {b}) — the invariant that makes "
                 "level-to-level merging exact")
-
-    def _us(col: str) -> str:
-        return f"unix_micros(cast({col} as timestamp))"
-
+    _reject_collisions(["_b", "_cv"], events)
     w0_us = int(widths_sec[0]) * 1_000_000
     cents = F.expr(f"cast(round({value_col} * 100) as bigint)")
     lvl = (
         events
         .select(*key_cols,
-                F.expr(f"{_us(ts_col)} div {w0_us}").alias("_b"),
+                F.expr(_floordiv_us(ts_col, w0_us)).alias("_b"),
                 cents.alias("_cv"))
         .groupBy(*key_cols, "_b")
         .agg(F.count(F.lit(1)).alias("n_events"),
@@ -210,7 +238,11 @@ def hypertable_rollup(
     for i, w in enumerate(widths_sec):
         if i > 0:
             factor = w // prev_w
-            lvl = (lvl.withColumn("_b", F.expr(f"_b div {factor}"))
+            # same floor-not-truncate correction as _floordiv_us, for
+            # pre-1970 (negative) bucket indices
+            coarse = (f"(_b div {factor}) - (case when (_b % {factor}) < 0"
+                      " then 1 else 0 end)")
+            lvl = (lvl.withColumn("_b", F.expr(coarse))
                    .groupBy(*key_cols, "_b")
                    .agg(F.sum("n_events").alias("n_events"),
                         F.sum("sum_cents").alias("sum_cents"),

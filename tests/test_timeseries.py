@@ -184,3 +184,63 @@ class TestHypertableRollup:
         with pytest.raises(ValueError, match="non-empty"):
             timeseries.hypertable_rollup(events, ["event_type"],
                                          widths_sec=())
+
+
+class TestReviewRegressions:
+    """Round-5 review findings: row-atomic carry, NULL-ts right rows,
+    pre-1970 floor bucketing, reserved-name collisions."""
+
+    def test_asof_carry_is_row_atomic_under_null_payload(self, spark):
+        left = spark.createDataFrame(
+            [(1, _ts(6), 100)], "k long, ts timestamp, ev long")
+        right = spark.createDataFrame(
+            [(1, _ts(0), 3.0), (1, _ts(5), None)],
+            "k long, ts timestamp, v double")
+        [r] = timeseries.asof_join(left, right, ["k"]).collect()
+        # the matched row is (ts=5, v=NULL) VERBATIM — not v from ts=0
+        # stitched onto ts from ts=5
+        assert (r["v_r"], r["ts_r"]) == (None, _ts(5))
+
+    def test_asof_null_ts_right_rows_never_match(self, spark):
+        left = spark.createDataFrame(
+            [(1, _ts(1), 100)], "k long, ts timestamp, ev long")
+        right = spark.createDataFrame(
+            [(1, None, 9.0)], "k long, ts timestamp, v double")
+        [r] = timeseries.asof_join(left, right, ["k"]).collect()
+        assert (r["v_r"], r["ts_r"]) == (None, None)
+
+    def test_pre_1970_timestamps_bucket_by_floor(self, spark):
+        old = dt.datetime(1969, 12, 31, 23, 30)
+        events = spark.createDataFrame(
+            [(0, "x", old, 1.0)],
+            "event_id long, event_type string, ts timestamp, value double")
+        out = timeseries.hypertable_rollup(
+            events, ["event_type"], widths_sec=(3600, 86400)).collect()
+        for r in out:  # bucket_start must bound its events from below
+            assert r["bucket_start"] <= old
+        intervals = spark.createDataFrame(
+            [("x", dt.datetime(1969, 12, 31), dt.datetime(1970, 1, 2))],
+            "event_type string, start_ts timestamp, end_ts timestamp")
+        got = timeseries.range_join(
+            events.select("event_id", "event_type", "ts"), intervals,
+            ["event_type"]).collect()
+        assert len(got) == 1
+
+    def test_reserved_name_collisions_raise(self, spark, frames):
+        left, right = frames
+        with pytest.raises(ValueError, match="reserved"):
+            timeseries.asof_join(
+                left.withColumn("v_r", F.lit(1)), right, ["k"])
+        ev = spark.createDataFrame(
+            [(0, "x", _ts(1), 5)],
+            "event_id long, k string, ts timestamp, _b long")
+        iv = spark.createDataFrame(
+            [("x", _ts(0), _ts(5))],
+            "k string, start_ts timestamp, end_ts timestamp")
+        with pytest.raises(ValueError, match="reserved"):
+            timeseries.range_join(ev, iv, ["k"])
+        with pytest.raises(ValueError, match="positive"):
+            timeseries.hypertable_rollup(
+                ev.withColumnRenamed("k", "event_type")
+                .withColumnRenamed("_b", "value"), ["event_type"],
+                widths_sec=(0,))
