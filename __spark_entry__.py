@@ -397,6 +397,19 @@ def dedup_jaccard_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    persist_words=False)
 
 
+def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding-parameter eval (dedup family capstone): measured recall and
+    candidate cost of the K=4/b=2 MinHash banding against the exact
+    all-pairs Jaccard ground truth, on the SAME doc_id<40 slice and 0.3
+    threshold as dedup_jaccard_pairs / dedup_jaccard_lsh — the sample eval
+    you run before committing (k, bands) to a 100 TB dedup pass. One row;
+    precision is 1.0 by construction (LSH-gated exact Jaccard only keeps
+    true pairs — dedup.lsh_recall_eval's docstring), so recall and
+    candidate_frac carry the whole cost/recall dial."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    return dedup.lsh_recall_eval(docs, "doc_id", "text", threshold=0.3)
+
+
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB embedding near-dup path under the hard gate: hyperplane-
     LSH band bucket join prunes candidates, exact cosine (zip_with fold)
@@ -3016,6 +3029,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": asof_join_events,
         "range_join": range_join_events,
         "hypertable_rollup": hypertable_rollup_events,
+        # round-5 tail: banding-parameter eval — measured LSH recall +
+        # candidate cost vs the exact baseline (dedup.lsh_recall_eval)
+        "dedup_lsh_eval": dedup_lsh_eval,
     }
     return {**gated, **tail}
 
@@ -4236,6 +4252,52 @@ def oracle_sql() -> dict[str, str]:
       JOIN sizes sa ON sa.doc_id = id_a
       JOIN sizes sb ON sb.doc_id = id_b
       WHERE common * 1.0 / (sa.sz + sb.sz - common) >= 0.3
+    """
+
+    # banding-parameter eval (dedup.lsh_recall_eval): the exact all-pairs
+    # truth CTE of dedup_jaccard_pairs + the SAME K=4/b=2 banding CTEs as
+    # dedup_jaccard_lsh, reduced to one scalar diagnostics row
+    sqls["dedup_lsh_eval"] = _WORDS_CTE.format(filt="WHERE doc_id < 40") + """
+      , sizes AS (SELECT doc_id, COUNT(*) AS sz FROM words GROUP BY doc_id)
+      , allc AS (
+        SELECT l.doc_id AS id_a, r.doc_id AS id_b, COUNT(*) AS common
+        FROM words l JOIN words r
+          ON l.word = r.word AND l.doc_id < r.doc_id
+        GROUP BY 1, 2
+      ), truth AS (
+        SELECT id_a, id_b FROM allc
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE common * 1.0 / (sa.sz + sb.sz - common) >= 0.3
+      ), sigs AS (
+        SELECT doc_id,
+               MIN(md5(word || ':0')) AS mh0, MIN(md5(word || ':1')) AS mh1,
+               MIN(md5(word || ':2')) AS mh2, MIN(md5(word || ':3')) AS mh3
+        FROM words GROUP BY doc_id
+      ), banded AS (
+        SELECT doc_id, 0 AS band, md5(mh0 || mh1) AS bh FROM sigs
+        UNION ALL
+        SELECT doc_id, 1 AS band, md5(mh2 || mh3) AS bh FROM sigs
+      ), cand AS (
+        SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        FROM banded l JOIN banded r
+          ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+      ), m AS (
+        SELECT
+          (SELECT COUNT(DISTINCT doc_id) FROM words) AS n_docs,
+          (SELECT COUNT(*) FROM truth) AS n_true,
+          (SELECT COUNT(*) FROM truth t JOIN cand c
+             ON t.id_a = c.id_a AND t.id_b = c.id_b) AS n_retrieved,
+          (SELECT COUNT(*) FROM cand) AS n_candidates
+      )
+      SELECT CAST(n_docs AS BIGINT) AS n_docs,
+             CAST(n_true AS BIGINT) AS n_true,
+             CAST(n_retrieved AS BIGINT) AS n_retrieved,
+             CAST(n_candidates AS BIGINT) AS n_candidates,
+             ROUND(n_retrieved * 1.0 / NULLIF(n_true, 0), 4) AS recall,
+             ROUND(n_candidates * 2.0 / NULLIF(n_docs * (n_docs - 1), 0), 4)
+               AS candidate_frac
+      FROM m
     """
 
     # hyperplane-LSH embedding near-dup: the 8 seeded planes are embedded as

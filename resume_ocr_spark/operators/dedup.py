@@ -766,6 +766,71 @@ def jaccard_pairs_lsh(
     return out
 
 
+def lsh_recall_eval(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """Measured recall/cost of the MinHash-LSH banding path against the
+    exact all-pairs Jaccard ground truth on the SAME slice — the eval you
+    run on a bounded sample before committing (k, bands) for a 100 TB
+    dedup pass, so the MMDS ch.3 S-curve is observed on your corpus rather
+    than assumed.
+
+    One row:
+      n_docs          docs with ≥1 word (the comparable universe)
+      n_true          exact pairs with Jaccard ≥ threshold (ground truth)
+      n_retrieved     true pairs the banding surfaces (LSH-gated exact
+                      Jaccard keeps exactly these, so its precision vs
+                      truth is 1.0 by construction — recall is the whole
+                      story)
+      n_candidates    distinct banding candidate pairs = the size of the
+                      exact-scoring join (the COST side of the dial)
+      recall          n_retrieved / n_true (NULL when no true pairs)
+      candidate_frac  n_candidates / C(n_docs, 2) — the fraction of the
+                      all-pairs work the banding actually performs
+
+    Diagnostic operator: it contains the O(n²) exact baseline by
+    definition, so run it on a sample slice; the production path stays
+    :func:`jaccard_pairs_lsh`. The crossJoins below combine 1-row scalar
+    aggregates (broadcast probes, the similarity.py IVF-probe pattern) —
+    never data-sized."""
+    words = _words(df, id_col, text_col)
+    # ground truth: exact all-pairs over the SAME words frame (the math of
+    # jaccard_pairs, inlined so one scan serves truth + signatures)
+    l, r = words.alias("l"), words.alias("r")
+    common = (
+        l.join(r, (F.col("l.word") == F.col("r.word"))
+               & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+        .groupBy(F.col(f"l.{id_col}").alias("id_a"),
+                 F.col(f"r.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    truth = _jaccard_from_common(words, common, id_col, threshold)
+    cand = minhash_lsh_candidates(
+        _minhash_from_words(words, id_col, k), id_col, k=k, bands=bands)
+    hit = truth.join(cand, ["id_a", "id_b"], "left_semi")
+    counts = (
+        words.agg(F.countDistinct(id_col).alias("n_docs"))
+        .crossJoin(truth.agg(F.count("*").alias("n_true")))
+        .crossJoin(hit.agg(F.count("*").alias("n_retrieved")))
+        .crossJoin(cand.agg(F.count("*").alias("n_candidates")))
+    )
+    return counts.select(
+        "n_docs", "n_true", "n_retrieved", "n_candidates",
+        F.round(F.col("n_retrieved")
+                / F.when(F.col("n_true") > 0, F.col("n_true")), 4)
+        .alias("recall"),
+        F.round(F.col("n_candidates") * 2.0
+                / F.when(F.col("n_docs") > 1,
+                         F.col("n_docs") * (F.col("n_docs") - 1)), 4)
+        .alias("candidate_frac"),
+    )
+
+
 # --- incremental dedup (new batch vs historical index) ---------------------
 
 def incremental_exact(
