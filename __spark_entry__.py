@@ -458,6 +458,18 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(_t(spark, sf_dir, "embeddings"), query_id=0, k=10)
 
 
+def hard_negatives_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training hard-negative mining (similarity.hard_negatives):
+    per anchor (vec_id 0–3), the 5 most-similar candidates with cosine in
+    [0.1, 0.9) — informative negatives below the near-dup/positive band.
+    Anchors broadcast; one candidate scan, one grouped-sum shuffle, one
+    per-anchor top-k window."""
+    emb = (_t(spark, sf_dir, "embeddings")
+           .filter(F.col("vec_id") < 120).select("vec_id", "embedding"))
+    return similarity.hard_negatives(emb, anchor_ids=[0, 1, 2, 3], k=5,
+                                     lo=0.1, hi=0.9)
+
+
 def _ivf_det_input():
     import numpy as np
 
@@ -3032,6 +3044,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 tail: banding-parameter eval — measured LSH recall +
         # candidate cost vs the exact baseline (dedup.lsh_recall_eval)
         "dedup_lsh_eval": dedup_lsh_eval,
+        # round-5 tail: contrastive-training hard-negative mining
+        # (similarity.hard_negatives) — banded per-anchor top-k
+        "hard_negatives": hard_negatives_entry,
     }
     return {**gated, **tail}
 
@@ -3363,6 +3378,35 @@ def oracle_sql() -> dict[str, str]:
       WHERE un.vec_id <> 0
       GROUP BY un.vec_id
       ORDER BY cosine DESC, vec_id ASC LIMIT 10
+    """
+    # hard-negative mining (similarity.hard_negatives): same unnest-sum
+    # cosine as embedding_cosine_topk, multi-anchor, band-filtered,
+    # per-anchor ROW_NUMBER top-k with the id-asc tiebreak
+    sqls["hard_negatives"] = """
+      WITH un AS (
+        SELECT vec_id,
+               unnest(CAST(embedding AS DOUBLE[])) AS v,
+               unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings WHERE vec_id < 120
+      ), anc AS (
+        SELECT vec_id AS anchor_id, i, v AS av FROM un WHERE vec_id < 4
+      ), scored AS (
+        SELECT anc.anchor_id, un.vec_id AS negative_id,
+               ROUND(SUM(un.v * anc.av) /
+                     SQRT(SUM(un.v * un.v) * SUM(anc.av * anc.av)), 6)
+                 AS cosine
+        FROM un JOIN anc ON un.i = anc.i AND un.vec_id <> anc.anchor_id
+        GROUP BY 1, 2
+      ), ranked AS (
+        SELECT anchor_id, negative_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                  ORDER BY cosine DESC, negative_id ASC)
+                 AS neg_rank
+        FROM scored WHERE cosine >= 0.1 AND cosine < 0.9
+      )
+      SELECT anchor_id, negative_id, cosine,
+             CAST(neg_rank AS INT) AS neg_rank
+      FROM ranked WHERE neg_rank <= 5
     """
     pt = " + ".join(
         f"CAST((length(padded) - length(replace(padded, '{m}', ''))) / {len(m)} AS INT)"

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 N_PLANES = 8
@@ -63,6 +63,62 @@ def cosine_topk(
         .select(id_col, "cosine")
     )
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+
+
+def hard_negatives(
+    df: DataFrame,
+    anchor_ids,
+    k: int = 5,
+    lo: float = 0.1,
+    hi: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hard-negative mining for contrastive / retrieval training data: for
+    each anchor, the ``k`` most-similar candidates whose cosine lies in
+    ``[lo, hi)`` — similar enough to be informative negatives (random
+    negatives are trivially separable), but below the positive/near-dup
+    band ``hi``, which the dedup family already owns (feeding a near-dup
+    as a "negative" poisons the contrastive loss).
+
+    ``anchor_ids`` is a bounded id collection (the sampled query set a
+    real pipeline mines against); the anchor vectors are broadcast.
+    100 TB shape: the candidate corpus is scanned ONCE (unnest → equi
+    join on element index against the broadcast anchors → grouped sums —
+    the same dialect-neutral formulation as :func:`cosine_topk`), then
+    one per-anchor top-k window. Cost is O(corpus × |anchors|) with no
+    corpus self-join; for corpus×corpus mining, bucket first (LSH /
+    :func:`ivf_assign`) and mine within buckets.
+
+    Returns (anchor_id, negative_id, cosine, neg_rank 1..k), ranked most
+    similar first with id-asc tiebreak (deterministic)."""
+    un = _unnested(df, id_col, vec_col)
+    anc = (un.filter(F.col(id_col).isin(list(anchor_ids)))
+           .select(F.col(id_col).alias("anchor_id"), "i",
+                   F.col("v").alias("av")))
+    scored = (
+        un.join(F.broadcast(anc), "i")
+        .filter(F.col(id_col) != F.col("anchor_id"))
+        .groupBy("anchor_id", id_col)
+        .agg(
+            F.sum(F.col("v") * F.col("av")).alias("dot"),
+            F.sum(F.col("v") * F.col("v")).alias("nn"),
+            F.sum(F.col("av") * F.col("av")).alias("qq"),
+        )
+        .withColumn(
+            "cosine",
+            F.round(F.col("dot") / F.sqrt(F.col("nn") * F.col("qq")), 6),
+        )
+        .filter((F.col("cosine") >= lo) & (F.col("cosine") < hi))
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= k)
+        .select("anchor_id", F.col(id_col).alias("negative_id"),
+                "cosine", "neg_rank")
+    )
 
 
 def cosine_pairs(
