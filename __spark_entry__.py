@@ -487,6 +487,41 @@ def embedding_ann_ivf_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(df, query_id=7, k=10, n_probe=4)
 
 
+def _pq_det(spark):
+    """Shared deterministic PQ fixture: the IVF det input (400×16 float32)
+    as a DataFrame + its per-subspace codebooks (m=4, k=16) trained on the
+    identical float64 matrix the oracle replica uses."""
+    import numpy as np
+
+    vecs = _ivf_det_input()
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cb = similarity.pq_codebooks(vecs.astype(np.float64))
+    return df, cb, vecs
+
+
+def pq_codes_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode (similarity.pq_encode): the compressed
+    index table — (vec_id, sub, code) for m=4 subspaces × k=16 codewords
+    over the deterministic 400×16 input; hash-checked against the shared
+    single-node replica (pq_codebooks/pq_encode_array run on the same
+    float64 matrix)."""
+    df, cb, _ = _pq_det(spark)
+    return similarity.pq_encode(df, cb)
+
+
+def pq_adc_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-k (similarity.pq_adc_topk): LUT-scan
+    over the compressed codes only — raw vectors never read at query
+    time. Query = row 7, matching the IVF det entry."""
+    import numpy as np
+
+    df, cb, vecs = _pq_det(spark)
+    codes = similarity.pq_encode(df, cb)
+    return similarity.pq_adc_topk(codes, cb, vecs[7].astype(np.float64),
+                                  k=10)
+
+
 def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded hyperplane-LSH ANN: exact cosine only among vectors sharing a
     signature band with the query — the bucket-join top-k (similarity.
@@ -3047,6 +3082,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 tail: contrastive-training hard-negative mining
         # (similarity.hard_negatives) — banded per-anchor top-k
         "hard_negatives": hard_negatives_entry,
+        # round-5 tail: product quantization — compressed-embedding codes
+        # + LUT asymmetric-distance top-k (similarity.pq_*)
+        "pq_codes": pq_codes_entry,
+        "pq_adc": pq_adc_entry,
     }
     return {**gated, **tail}
 
@@ -4978,6 +5017,8 @@ def oracle_sql() -> dict[str, str]:
     sqls["extract_pipeline"] = _precomputed("extract_pipeline")
     sqls["streaming_extract_ingest"] = _precomputed("streaming_extract_ingest")
     sqls["embedding_ann_ivf_det"] = _precomputed("embedding_ann_ivf_det")
+    sqls["pq_codes"] = _precomputed("pq_codes")
+    sqls["pq_adc"] = _precomputed("pq_adc")
     sqls["html_strip_gate"] = _precomputed("html_strip_gate")
     sqls["html_justext_gate"] = _precomputed("html_justext_gate")
     sqls["multimodal_meta"] = _precomputed("multimodal_meta")
@@ -6432,6 +6473,31 @@ def _precomputed(name: str) -> str:
         scored.sort(key=lambda t: (-t[1], t[0]))
         sql = _values_sql(scored[:10],
                           [("vec_id", "BIGINT"), ("cosine", "DOUBLE")])
+    elif name == "pq_codes":
+        from resume_ocr_spark.operators import similarity as sim
+
+        vecs = _ivf_det_input().astype(np.float64)
+        cb = sim.pq_codebooks(vecs)
+        codes = sim.pq_encode_array(vecs, cb)
+        rows = [(i, s, int(codes[i, s]))
+                for i in range(len(vecs)) for s in range(cb.shape[0])]
+        sql = _values_sql(rows, [
+            ("vec_id", "BIGINT"), ("sub", "INTEGER"), ("code", "INTEGER")])
+    elif name == "pq_adc":
+        from resume_ocr_spark.operators import similarity as sim
+
+        vecs = _ivf_det_input().astype(np.float64)
+        cb = sim.pq_codebooks(vecs)
+        codes = sim.pq_encode_array(vecs, cb)
+        m, kc, dsub = cb.shape
+        q = vecs[7]
+        lut = [[float(((q[s * dsub:(s + 1) * dsub] - cb[s][c]) ** 2).sum())
+                for c in range(kc)] for s in range(m)]
+        dists = [(i, round(sum(lut[s][codes[i, s]] for s in range(m)), 6))
+                 for i in range(len(vecs))]
+        dists.sort(key=lambda t: (t[1], t[0]))
+        sql = _values_sql(dists[:10],
+                          [("vec_id", "BIGINT"), ("adc_dist", "DOUBLE")])
     elif name == "html_strip_gate":
         import hashlib
         import random

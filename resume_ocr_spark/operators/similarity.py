@@ -554,3 +554,152 @@ def lsh_bucketed_topk(
         cond = c if cond is None else (cond | c)
     bucket = banded.crossJoin(F.broadcast(q)).filter(cond).select(id_col, vec_col)
     return cosine_topk(bucket, query_id, k, id_col, vec_col)
+
+
+# --- product quantization (PQ) — compressed-embedding ANN storage ----------
+#
+# At 10^12 vectors the raw float32 embedding column is the storage/scan
+# bottleneck (64 dims × 4 B = 256 B/row); PQ (Jégou et al., "Product
+# Quantization for Nearest Neighbor Search", TPAMI 2011) stores m small
+# codes (m bytes at k≤256) and serves approximate distances by scanning
+# codes against a per-query lookup table — the compressed layer FAISS's
+# IVF-PQ pairs with the coarse quantizer implemented above (ivf_*).
+
+PQ_SUBSPACES = 4
+PQ_CODES = 16
+PQ_ITERS = 5
+
+
+def _lloyd_l2(sample: np.ndarray, k: int, iters: int, seed: int) -> np.ndarray:
+    """Plain L2 Lloyd on an in-memory sample (PQ quantizes raw subvectors,
+    so this is Euclidean k-means — unlike the spherical
+    :func:`kmeans_codebook` used for cosine cells). Deterministic: seeded
+    init, argmin ties resolve to the lowest centroid id."""
+    sample = np.asarray(sample, dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    k = min(k, len(sample))
+    cent = sample[rng.choice(len(sample), size=k, replace=False)].copy()
+    for _ in range(iters):
+        d2 = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(k):
+            members = sample[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return cent
+
+
+def pq_codebooks(sample: np.ndarray, m: int = PQ_SUBSPACES,
+                 k: int = PQ_CODES, iters: int = PQ_ITERS,
+                 seed: int = 13) -> np.ndarray:
+    """Per-subspace codebooks, shape (m, k, dim/m): split each vector into
+    m contiguous blocks, L2-Lloyd each block independently (seed offset per
+    subspace). Shared by the Spark trainer AND the single-node oracle
+    replica so the driver gate hash-checks the PQ path end-to-end."""
+    sample = np.asarray(sample, dtype=np.float64)
+    dim = sample.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    dsub = dim // m
+    return np.stack([
+        _lloyd_l2(sample[:, s * dsub:(s + 1) * dsub], k, iters, seed + s)
+        for s in range(m)
+    ])
+
+
+def pq_encode_array(mat: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """(n, m) int32 codes: per subspace, the L2-nearest codeword. Pure
+    numpy, shared by the Arrow batch UDF and the oracle replica (identical
+    float64 math → identical codes)."""
+    mat = np.asarray(mat, dtype=np.float64)
+    m, _, dsub = codebooks.shape
+    codes = np.empty((len(mat), m), dtype=np.int32)
+    for s in range(m):
+        sub = mat[:, s * dsub:(s + 1) * dsub]
+        d2 = ((sub[:, None, :] - codebooks[s][None, :, :]) ** 2).sum(axis=2)
+        codes[:, s] = d2.argmin(axis=1)
+    return codes
+
+
+def pq_train(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    m: int = PQ_SUBSPACES, k: int = PQ_CODES, iters: int = PQ_ITERS,
+    seed: int = 13,
+) -> np.ndarray:
+    """PQ codebooks from a bounded driver-side sample (same contract as
+    :func:`ivf_train` — training cost independent of table size; refine
+    with a distributed pass via :func:`ivf_train_distributed`'s pattern if
+    the sample statistic ever proves insufficient)."""
+    sample = np.array(
+        [r[vec_col] for r in
+         df.select(vec_col).orderBy(F.col(id_col)).limit(IVF_SAMPLE).collect()],
+        dtype=np.float64,
+    )
+    return pq_codebooks(sample, m, k, iters, seed)
+
+
+def pq_encode(
+    df: DataFrame, codebooks: np.ndarray,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    batch_counter=None,
+) -> DataFrame:
+    """(id, sub, code) rows — the compressed index table you persist
+    instead of raw vectors (m codes ≈ m bytes/row at k≤256 vs 4·dim).
+    Batch-vectorized Arrow UDF, one matmul-shaped argmin per subspace,
+    no shuffle; exploded to scalar rows so the result is engine-portable
+    (dialect-neutral types, stable ordering by (id, sub))."""
+    cb = codebooks.copy()
+    m = cb.shape[0]
+
+    def enc(batches):
+        for pdf in batches:
+            if batch_counter is not None:
+                batch_counter.add(1)
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            n = len(mat)
+            codes = pq_encode_array(mat, cb) if n else np.empty((0, m), int)
+            yield pd.DataFrame({
+                id_col: np.repeat(pdf[id_col].to_numpy(), m),
+                "sub": np.tile(np.arange(m, dtype=np.int32), n),
+                "code": codes.reshape(-1),
+            })
+
+    return df.select(id_col, vec_col).mapInPandas(
+        enc, schema=f"{id_col} long, sub int, code int")
+
+
+def pq_adc_topk(
+    codes_df: DataFrame, codebooks: np.ndarray, query_vec,
+    k: int = 10, id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance top-k over the COMPRESSED table: the per-query
+    lookup table LUT[s][c] = ||q_s − codebook[s][c]||² is m·k floats,
+    folded into literal Column arrays — the scan is element_at lookups +
+    one grouped sum + TakeOrderedAndProject, zero Python, and the raw
+    vectors are never read (the whole point of PQ at 10^12 rows).
+    ``codes_df`` is :func:`pq_encode`'s (id, sub, code) table. Returns
+    (id, adc_dist) ascending, id-asc tiebreak."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    m, kc, dsub = codebooks.shape
+    if len(q) != m * dsub:
+        raise ValueError(f"query dim {len(q)} != codebook dim {m * dsub}")
+    luts = [
+        F.array(*[
+            F.lit(float(((q[s * dsub:(s + 1) * dsub] - codebooks[s][c]) ** 2)
+                        .sum()))
+            for c in range(kc)
+        ])
+        for s in range(m)
+    ]
+    # per-row partial: LUT_s[code+1] selected by the sub column (element_at
+    # is 1-based); the grouped SUM re-assembles the m partials per id
+    lut_all = F.array(*luts)
+    partial = F.element_at(F.element_at(lut_all, F.col("sub") + 1),
+                           F.col("code") + 1)
+    return (
+        codes_df.select(F.col(id_col), partial.alias("_d"))
+        .groupBy(id_col)
+        .agg(F.round(F.sum("_d"), 6).alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

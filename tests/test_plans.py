@@ -243,3 +243,42 @@ class TestRound5OpPlans:
             .otherwise("b").alias("source"))
         out = mixture.temperature_mixture(tagged, target_rows=20)
         assert self._shape(out) == (0, 0, 1)
+
+    def test_hard_negatives_broadcast_anchor_scan(self, spark):
+        """One broadcast join (anchors), two hash exchanges (the
+        (anchor, candidate) grouped sums, then the per-anchor window) —
+        the candidate corpus is scanned once and never self-joined."""
+        from resume_ocr_spark.operators import similarity
+        emb = spark.createDataFrame(
+            [(i, [float((i * j) % 5 - 2) for j in range(8)])
+             for i in range(30)],
+            "vec_id long, embedding array<float>")
+        out = similarity.hard_negatives(emb, [0, 1], k=3, lo=-1.0, hi=0.9)
+        assert self._shape(out) == (2, 0, 1)
+
+    def test_pq_encode_zero_shuffle_and_adc_is_lut_topk(self, spark):
+        """pq_encode is a pure batch-UDF projection (zero exchanges);
+        pq_adc_topk is one grouped-sum exchange + TakeOrderedAndProject —
+        the compressed scan never joins and never reads raw vectors."""
+        import numpy as np
+
+        from resume_ocr_spark.operators import similarity
+        vecs = np.random.RandomState(3).randn(50, 8)
+        cb = similarity.pq_codebooks(vecs, m=4, k=8)
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>")
+        codes = similarity.pq_encode(df, cb)
+        assert self._shape(codes) == (0, 0, 0)
+        adc = similarity.pq_adc_topk(codes, cb, vecs[0], k=5)
+        assert self._shape(adc) == (1, 0, 0)
+        assert "TakeOrderedAndProject" in plan_of(adc)
+
+    def test_lsh_recall_eval_no_cartesian(self, spark, prose_docs):
+        """The diagnostics row combines 1-row scalar aggregates: those
+        combines must compile to BroadcastNestedLoopJoin (3 of them),
+        never CartesianProduct; the data-sized joins stay equi-joins."""
+        from resume_ocr_spark.operators import dedup
+        p = plan_of(dedup.lsh_recall_eval(prose_docs, threshold=0.3))
+        assert p.count("CartesianProduct") == 0
+        assert p.count("BroadcastNestedLoopJoin") == 3

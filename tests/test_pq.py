@@ -1,0 +1,84 @@
+"""Product quantization (similarity.pq_*): codebooks, encode, ADC top-k.
+
+Pins: code range/shape, Spark-encode vs the shared numpy replica
+(bit-identical — the oracle-parity contract), ADC top-k surfacing the
+query's own cluster on separated data, and the dimension guards."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from resume_ocr_spark.operators import similarity  # noqa: E402
+
+
+def _clustered(n_per=30, n_clusters=4, dim=8, seed=3):
+    rng = np.random.RandomState(seed)
+    centers = rng.randn(n_clusters, dim) * 10.0
+    vecs = np.concatenate([
+        centers[c] + rng.randn(n_per, dim) * 0.1 for c in range(n_clusters)
+    ])
+    return vecs.astype(np.float64)
+
+
+class TestPq:
+    def test_encode_matches_numpy_replica_exactly(self, spark):
+        vecs = _clustered()
+        cb = similarity.pq_codebooks(vecs, m=4, k=8)
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>")
+        got = {(r["vec_id"], r["sub"]): r["code"]
+               for r in similarity.pq_encode(df, cb).collect()}
+        want = similarity.pq_encode_array(vecs, cb)
+        assert len(got) == len(vecs) * 4
+        assert all(got[(i, s)] == want[i, s]
+                   for i in range(len(vecs)) for s in range(4))
+        assert want.min() >= 0 and want.max() < 8
+
+    def test_adc_topk_finds_the_query_cluster(self, spark):
+        vecs = _clustered()
+        cb = similarity.pq_codebooks(vecs, m=4, k=8)
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>")
+        codes = similarity.pq_encode(df, cb)
+        # query = vector 5 (cluster 0 = ids 0..29); its top-10 by ADC must
+        # all come from cluster 0, like exact L2 would
+        out = similarity.pq_adc_topk(codes, cb, vecs[5], k=10).collect()
+        assert len(out) == 10
+        assert all(r["vec_id"] < 30 for r in out)
+        dists = [r["adc_dist"] for r in out]
+        assert dists == sorted(dists)
+
+    def test_adc_matches_python_lut_sum(self, spark):
+        vecs = _clustered(n_per=10, n_clusters=2)
+        cb = similarity.pq_codebooks(vecs, m=4, k=8)
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>")
+        codes_np = similarity.pq_encode_array(vecs, cb)
+        q = vecs[0]
+        m, kc, dsub = cb.shape
+        lut = [[float(((q[s * dsub:(s + 1) * dsub] - cb[s][c]) ** 2).sum())
+                for c in range(kc)] for s in range(m)]
+        want = sorted(
+            ((i, round(sum(lut[s][codes_np[i, s]] for s in range(m)), 6))
+             for i in range(len(vecs))), key=lambda t: (t[1], t[0]))[:5]
+        got = [(r["vec_id"], r["adc_dist"]) for r in similarity.pq_adc_topk(
+            similarity.pq_encode(df, cb), cb, q, k=5).collect()]
+        assert got == want
+
+    def test_dimension_guards(self, spark):
+        vecs = _clustered(dim=8)
+        with pytest.raises(ValueError, match="not divisible"):
+            similarity.pq_codebooks(vecs, m=3)
+        cb = similarity.pq_codebooks(vecs, m=4, k=8)
+        df = spark.createDataFrame([(0, [0.0] * 8)],
+                                   "vec_id long, embedding array<double>")
+        with pytest.raises(ValueError, match="query dim"):
+            similarity.pq_adc_topk(similarity.pq_encode(df, cb), cb,
+                                   np.zeros(6))
