@@ -522,6 +522,18 @@ def pq_adc_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   k=10)
 
 
+def ivfpq_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed query (similarity.ivfpq_topk): coarse cosine cells
+    prune to n_probe=4 buckets, PQ codes + the asymmetric-distance LUT
+    rank the survivors — the full compressed ANN serving path, raw
+    vectors read only by the (one-off) assignment/encode passes."""
+    import numpy as np
+
+    df, cb, vecs = _pq_det(spark)
+    return similarity.ivfpq_topk(df, vecs[7].astype(np.float64), k=10,
+                                 n_probe=4, codebooks=cb)
+
+
 def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded hyperplane-LSH ANN: exact cosine only among vectors sharing a
     signature band with the query — the bucket-join top-k (similarity.
@@ -3083,9 +3095,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (similarity.hard_negatives) — banded per-anchor top-k
         "hard_negatives": hard_negatives_entry,
         # round-5 tail: product quantization — compressed-embedding codes
-        # + LUT asymmetric-distance top-k (similarity.pq_*)
+        # + LUT asymmetric-distance top-k + the composed IVF-PQ query
         "pq_codes": pq_codes_entry,
         "pq_adc": pq_adc_entry,
+        "ivfpq_topk": ivfpq_entry,
     }
     return {**gated, **tail}
 
@@ -5019,6 +5032,7 @@ def oracle_sql() -> dict[str, str]:
     sqls["embedding_ann_ivf_det"] = _precomputed("embedding_ann_ivf_det")
     sqls["pq_codes"] = _precomputed("pq_codes")
     sqls["pq_adc"] = _precomputed("pq_adc")
+    sqls["ivfpq_topk"] = _precomputed("ivfpq_topk")
     sqls["html_strip_gate"] = _precomputed("html_strip_gate")
     sqls["html_justext_gate"] = _precomputed("html_justext_gate")
     sqls["multimodal_meta"] = _precomputed("multimodal_meta")
@@ -6495,6 +6509,25 @@ def _precomputed(name: str) -> str:
                 for c in range(kc)] for s in range(m)]
         dists = [(i, round(sum(lut[s][codes[i, s]] for s in range(m)), 6))
                  for i in range(len(vecs))]
+        dists.sort(key=lambda t: (t[1], t[0]))
+        sql = _values_sql(dists[:10],
+                          [("vec_id", "BIGINT"), ("adc_dist", "DOUBLE")])
+    elif name == "ivfpq_topk":
+        from resume_ocr_spark.operators import similarity as sim
+
+        vecs = _ivf_det_input().astype(np.float64)
+        cent = sim.kmeans_codebook(vecs)
+        cb = sim.pq_codebooks(vecs)
+        codes = sim.pq_encode_array(vecs, cb)
+        m, kc, dsub = cb.shape
+        q = vecs[7]
+        qn = q / (np.linalg.norm(q) or 1.0)
+        probe = {int(c) for c in (cent @ qn).argsort()[::-1][:4]}
+        assign = (sim._unit(vecs) @ cent.T).argmax(axis=1)
+        lut = [[float(((q[s * dsub:(s + 1) * dsub] - cb[s][c]) ** 2).sum())
+                for c in range(kc)] for s in range(m)]
+        dists = [(i, round(sum(lut[s][codes[i, s]] for s in range(m)), 6))
+                 for i in range(len(vecs)) if int(assign[i]) in probe]
         dists.sort(key=lambda t: (t[1], t[0]))
         sql = _values_sql(dists[:10],
                           [("vec_id", "BIGINT"), ("adc_dist", "DOUBLE")])

@@ -703,3 +703,34 @@ def pq_adc_topk(
         .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def ivfpq_topk(
+    df: DataFrame, query_vec, k: int = 10, n_probe: int = 2,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+    codebooks: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF-PQ: the full FAISS-style compressed ANN query — coarse cells
+    prune the candidate set (:func:`ivf_assign`), PQ codes + the
+    asymmetric-distance LUT rank what's left (:func:`pq_adc_topk`). At
+    10^12 rows this is THE serving shape: the index table you persist is
+    (id, cell, sub, code) — a few bytes per row, partitioned by cell so a
+    probe reads n_probe/k_cells of it — and a query touches neither raw
+    vectors nor any join.
+
+    One-shot form (trains both quantizers from the bounded driver sample
+    when not supplied); a serving layer would persist
+    ``ivf_assign(df, centroids)`` ⋈ ``pq_encode`` once, like
+    :class:`IvfIndex` does for IVF-Flat."""
+    if centroids is None:
+        centroids = ivf_train(df, id_col, vec_col)
+    if codebooks is None:
+        codebooks = pq_train(df, id_col, vec_col)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    probe = [int(c) for c in (centroids @ qn).argsort()[::-1][:n_probe]]
+    assigned = ivf_assign(df, centroids, id_col, vec_col)
+    bucket = assigned.filter(F.col("cell").isin(probe)).select(id_col, vec_col)
+    return pq_adc_topk(pq_encode(bucket, codebooks, id_col, vec_col),
+                       codebooks, q, k, id_col)

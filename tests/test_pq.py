@@ -72,6 +72,35 @@ class TestPq:
             similarity.pq_encode(df, cb), cb, q, k=5).collect()]
         assert got == want
 
+    def test_ivfpq_full_probe_equals_pure_adc(self, spark):
+        # probing every cell removes the IVF pruning, so the composed
+        # query must return exactly pq_adc_topk over the whole table
+        vecs = _clustered(n_per=10, n_clusters=2)
+        cb = similarity.pq_codebooks(vecs, m=4, k=8)
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>")
+        cent = similarity.ivf_train(df, k=4)
+        full = similarity.ivfpq_topk(df, vecs[3], k=5, n_probe=4,
+                                     centroids=cent, codebooks=cb).collect()
+        pure = similarity.pq_adc_topk(
+            similarity.pq_encode(df, cb), cb, vecs[3], k=5).collect()
+        assert [(r["vec_id"], r["adc_dist"]) for r in full] == \
+               [(r["vec_id"], r["adc_dist"]) for r in pure]
+
+    def test_ivfpq_prunes_to_query_cluster(self, spark):
+        vecs = _clustered()
+        cb = similarity.pq_codebooks(vecs, m=4, k=8)
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>")
+        out = similarity.ivfpq_topk(df, vecs[5], k=10, n_probe=1,
+                                    codebooks=cb).collect()
+        # cluster 0 is ids 0..29; a 1-probe query from inside it must
+        # return only members of it
+        assert len(out) == 10
+        assert all(r["vec_id"] < 30 for r in out)
+
     def test_dimension_guards(self, spark):
         vecs = _clustered(dim=8)
         with pytest.raises(ValueError, match="not divisible"):
