@@ -534,6 +534,23 @@ def ivfpq_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  n_probe=4, codebooks=cb)
 
 
+def ivfpq_residual_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVF-PQ (similarity.ivfpq_encode/ivfpq_residual_topk — the
+    FAISS formulation): codes quantize v − centroid[cell], the query
+    builds one LUT per probed cell from its OWN residual. The persisted
+    index is (id, cell, sub, code); the scan is a cell filter + literal
+    LUT lookups + one grouped sum."""
+    import numpy as np
+
+    vecs = _ivf_det_input()
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cent, cb = similarity.ivfpq_train(vecs.astype(np.float64))
+    index = similarity.ivfpq_encode(df, cent, cb)
+    return similarity.ivfpq_residual_topk(
+        index, cent, cb, vecs[7].astype(np.float64), k=10, n_probe=4)
+
+
 def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded hyperplane-LSH ANN: exact cosine only among vectors sharing a
     signature band with the query — the bucket-join top-k (similarity.
@@ -3099,6 +3116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_codes": pq_codes_entry,
         "pq_adc": pq_adc_entry,
         "ivfpq_topk": ivfpq_entry,
+        "ivfpq_residual": ivfpq_residual_entry,
     }
     return {**gated, **tail}
 
@@ -5033,6 +5051,7 @@ def oracle_sql() -> dict[str, str]:
     sqls["pq_codes"] = _precomputed("pq_codes")
     sqls["pq_adc"] = _precomputed("pq_adc")
     sqls["ivfpq_topk"] = _precomputed("ivfpq_topk")
+    sqls["ivfpq_residual"] = _precomputed("ivfpq_residual")
     sqls["html_strip_gate"] = _precomputed("html_strip_gate")
     sqls["html_justext_gate"] = _precomputed("html_justext_gate")
     sqls["multimodal_meta"] = _precomputed("multimodal_meta")
@@ -6528,6 +6547,31 @@ def _precomputed(name: str) -> str:
                 for c in range(kc)] for s in range(m)]
         dists = [(i, round(sum(lut[s][codes[i, s]] for s in range(m)), 6))
                  for i in range(len(vecs)) if int(assign[i]) in probe]
+        dists.sort(key=lambda t: (t[1], t[0]))
+        sql = _values_sql(dists[:10],
+                          [("vec_id", "BIGINT"), ("adc_dist", "DOUBLE")])
+    elif name == "ivfpq_residual":
+        from resume_ocr_spark.operators import similarity as sim
+
+        vecs = _ivf_det_input().astype(np.float64)
+        cent, cb = sim.ivfpq_train(vecs)
+        cells = sim._l2_assign(vecs, cent)
+        codes = sim.pq_encode_residual_array(vecs, cells, cent, cb)
+        m, kc, dsub = cb.shape
+        q = vecs[7]
+        probe = [int(c) for c in
+                 ((cent - q[None, :]) ** 2).sum(axis=1).argsort()[:4]]
+        luts = {}
+        for c in probe:
+            r = q - cent[c]
+            luts[c] = [[float(((r[s * dsub:(s + 1) * dsub]
+                                - cb[s][cd]) ** 2).sum())
+                        for cd in range(kc)] for s in range(m)]
+        dists = [
+            (i, round(sum(luts[int(cells[i])][s][codes[i, s]]
+                          for s in range(m)), 6))
+            for i in range(len(vecs)) if int(cells[i]) in luts
+        ]
         dists.sort(key=lambda t: (t[1], t[0]))
         sql = _values_sql(dists[:10],
                           [("vec_id", "BIGINT"), ("adc_dist", "DOUBLE")])

@@ -705,6 +705,126 @@ def pq_adc_topk(
     )
 
 
+def _l2_assign(mat: np.ndarray, centroids: np.ndarray) -> np.ndarray:
+    """Nearest-centroid by squared L2 — the residual path's coarse
+    assignment (ties → lowest cell id). Shared engine/replica."""
+    mat = np.asarray(mat, dtype=np.float64)
+    d2 = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    return d2.argmin(axis=1)
+
+
+def ivfpq_train(
+    sample: np.ndarray, k_cells: int = IVF_CELLS, m: int = PQ_SUBSPACES,
+    k_codes: int = PQ_CODES, iters: int = PQ_ITERS, seed: int = 13,
+):
+    """Train the residual IVF-PQ pair from one in-memory sample: coarse
+    EUCLIDEAN centroids first (data-space means — the spherical/cosine
+    :func:`kmeans_codebook` is wrong here: its unit-norm centroids leave
+    residuals as large as the data, and the fine quantizer gains
+    nothing), then PQ codebooks fitted on the SAMPLE'S RESIDUALS
+    (v − centroid[cell]) — codewords must live in residual space, or the
+    fine quantizer wastes its budget re-describing the coarse cells.
+    Returns (centroids, codebooks); shared by the Spark entry and the
+    oracle replica."""
+    sample = np.asarray(sample, dtype=np.float64)
+    cent = _lloyd_l2(sample, k_cells, iters, seed)
+    cells = _l2_assign(sample, cent)
+    cb = pq_codebooks(sample - cent[cells], m, k_codes, iters, seed)
+    return cent, cb
+
+
+def pq_encode_residual_array(mat: np.ndarray, cells: np.ndarray,
+                             centroids: np.ndarray,
+                             codebooks: np.ndarray) -> np.ndarray:
+    """Residual PQ codes: encode ``v − centroid[cell]`` instead of ``v`` —
+    the FAISS IVF-PQ formulation (Jégou §IV.A): residuals are centered
+    near zero, so the same k codewords quantize them far more finely than
+    raw vectors. Shared by the Arrow UDF and the oracle replica."""
+    mat = np.asarray(mat, dtype=np.float64)
+    return pq_encode_array(mat - centroids[cells], codebooks)
+
+
+def ivfpq_encode(
+    df: DataFrame, centroids: np.ndarray, codebooks: np.ndarray,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """The persisted IVF-PQ index table: (id, cell, sub, code) with codes
+    quantizing the RESIDUAL v − centroid[cell]. One batch-vectorized pass
+    (assignment matmul + per-subspace argmin), no shuffle; partition the
+    written table by cell so probes prune at the scan."""
+    cent = centroids.copy()
+    cb = codebooks.copy()
+    m = cb.shape[0]
+
+    def enc(batches):
+        for pdf in batches:
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            n = len(mat)
+            if n:
+                cells = _l2_assign(mat, cent)
+                codes = pq_encode_residual_array(mat, cells, cent, cb)
+            else:
+                cells = np.empty(0, int)
+                codes = np.empty((0, m), int)
+            yield pd.DataFrame({
+                id_col: np.repeat(pdf[id_col].to_numpy(), m),
+                "cell": np.repeat(cells.astype(np.int32), m),
+                "sub": np.tile(np.arange(m, dtype=np.int32), n),
+                "code": codes.reshape(-1),
+            })
+
+    return df.select(id_col, vec_col).mapInPandas(
+        enc, schema=f"{id_col} long, cell int, sub int, code int")
+
+
+def ivfpq_residual_topk(
+    index_df: DataFrame, centroids: np.ndarray, codebooks: np.ndarray,
+    query_vec, k: int = 10, n_probe: int = 2, id_col: str = "vec_id",
+) -> DataFrame:
+    """Query the residual IVF-PQ index: per probed cell c the lookup table
+    is built from the QUERY residual q − centroid[c] (asymmetric distance
+    to the cell's quantized residuals), folded into a cell→sub→code
+    literal array — the scan is a partition-prunable cell filter plus
+    element_at lookups and one grouped sum; raw vectors are never read.
+    ``index_df`` is :func:`ivfpq_encode`'s output."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    m, kc, dsub = codebooks.shape
+    if len(q) != m * dsub:
+        raise ValueError(f"query dim {len(q)} != codebook dim {m * dsub}")
+    # L2 probe order — matches the Euclidean coarse quantizer
+    d2 = ((centroids - q[None, :]) ** 2).sum(axis=1)
+    probe = [int(c) for c in d2.argsort()[:n_probe]]
+    # cell-position-indexed LUTs: probed cell p -> m arrays of k distances
+    # against the cell-specific query residual
+    luts = []
+    for c in probe:
+        r = q - centroids[c]
+        luts.append(F.array(*[
+            F.array(*[
+                F.lit(float(((r[s * dsub:(s + 1) * dsub]
+                              - codebooks[s][cd]) ** 2).sum()))
+                for cd in range(kc)
+            ]) for s in range(m)
+        ]))
+    # map the cell id to its position in the probe list (literal CASE) so
+    # element_at picks the right LUT; non-probed cells are filtered out
+    pos = F.lit(None).cast("int")
+    for i, c in enumerate(probe):
+        pos = F.when(F.col("cell") == c, F.lit(i)).otherwise(pos)
+    partial = F.element_at(
+        F.element_at(F.element_at(F.array(*luts), pos + 1),
+                     F.col("sub") + 1),
+        F.col("code") + 1)
+    return (
+        index_df.filter(F.col("cell").isin(probe))
+        .select(F.col(id_col), partial.alias("_d"))
+        .groupBy(id_col)
+        .agg(F.round(F.sum("_d"), 6).alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def ivfpq_topk(
     df: DataFrame, query_vec, k: int = 10, n_probe: int = 2,
     id_col: str = "vec_id", vec_col: str = "embedding",

@@ -101,6 +101,61 @@ class TestPq:
         assert len(out) == 10
         assert all(r["vec_id"] < 30 for r in out)
 
+    def test_residual_encode_matches_numpy_replica(self, spark):
+        vecs = _clustered()
+        cent, cb = similarity.ivfpq_train(vecs, k_cells=4, m=4, k_codes=8)
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>")
+        got = {(r["vec_id"], r["sub"]): (r["cell"], r["code"])
+               for r in similarity.ivfpq_encode(df, cent, cb).collect()}
+        cells = similarity._l2_assign(vecs, cent)
+        codes = similarity.pq_encode_residual_array(vecs, cells, cent, cb)
+        assert len(got) == len(vecs) * 4
+        for i in range(len(vecs)):
+            for s in range(4):
+                assert got[(i, s)] == (cells[i], codes[i, s])
+
+    def test_residual_quantization_beats_raw_on_clustered_data(self):
+        # the point of residual coding: with coarse cells removed, the
+        # same codebook budget reconstructs vectors with LOWER error
+        vecs = _clustered()
+        cent, cb_res = similarity.ivfpq_train(vecs, k_cells=4, m=4,
+                                              k_codes=8)
+        cells = similarity._l2_assign(vecs, cent)
+        codes_res = similarity.pq_encode_residual_array(
+            vecs, cells, cent, cb_res)
+        cb_raw = similarity.pq_codebooks(vecs, m=4, k=8)
+        codes_raw = similarity.pq_encode_array(vecs, cb_raw)
+        m, _, dsub = cb_res.shape
+
+        def recon(codes, cb, base):
+            out = np.array(base, dtype=np.float64, copy=True)
+            for s in range(m):
+                out[:, s * dsub:(s + 1) * dsub] += cb[s][codes[:, s]]
+            return out
+
+        err_res = ((recon(codes_res, cb_res, cent[cells]) - vecs) ** 2
+                   ).sum(axis=1).mean()
+        err_raw = ((recon(codes_raw, cb_raw, np.zeros_like(vecs)) - vecs)
+                   ** 2).sum(axis=1).mean()
+        assert err_res < err_raw
+
+    def test_residual_topk_full_probe_ranks_query_first(self, spark):
+        vecs = _clustered()
+        cent, cb = similarity.ivfpq_train(vecs, k_cells=4, m=4, k_codes=8)
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>")
+        index = similarity.ivfpq_encode(df, cent, cb)
+        out = similarity.ivfpq_residual_topk(
+            index, cent, cb, vecs[5], k=10, n_probe=4).collect()
+        assert len(out) == 10
+        # vector 5's own quantized residual must be the (near-)closest,
+        # and its whole top-10 stays inside cluster 0 (ids 0..29)
+        assert out[0]["vec_id"] == 5
+        assert all(r["vec_id"] < 30 for r in out)
+
     def test_dimension_guards(self, spark):
         vecs = _clustered(dim=8)
         with pytest.raises(ValueError, match="not divisible"):

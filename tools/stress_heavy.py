@@ -283,6 +283,39 @@ def run_family(spark, docs_path: str, results: dict) -> None:
             docs.select("doc_id", "lang"), target_rows=1000,
             group_col="lang"))
 
+    def _hash_embeddings(dims: int = 16):
+        # deterministic synthetic embeddings that scale WITH the corpus:
+        # dim j of doc d = (xxhash64(d*dims+j) mod 1000)/1000 — pure Column
+        # projection, no data dependency beyond doc_id
+        cols = [((F.xxhash64(F.col("doc_id") * dims + j) % 1000) / 1000.0)
+                .cast("double") for j in range(dims)]
+        return docs.select(F.col("doc_id").alias("vec_id"),
+                           F.array(*cols).alias("embedding"))
+
+    def pq_stress():
+        # bounded-sample train (constant cost) + full-corpus zero-shuffle
+        # encode + ADC LUT scan — wall should track the corpus linearly
+        import numpy as np
+
+        from resume_ocr_spark.operators import similarity
+
+        emb = _hash_embeddings()
+        cb = similarity.pq_train(emb)
+        codes = similarity.pq_encode(emb, cb)
+        return force(similarity.pq_adc_topk(codes, cb, np.full(16, 0.5),
+                                            k=10))
+
+    def hardneg_stress():
+        # 4 broadcast anchors × the full corpus: one candidate scan + one
+        # grouped-sum exchange + the per-anchor window — linear in corpus
+        from resume_ocr_spark.operators import similarity
+
+        emb = _hash_embeddings()
+        return force(similarity.hard_negatives(
+            emb, [0, 1, 2, 3], k=10, lo=0.0, hi=0.999))
+
+    timed("pq_encode_adc", pq_stress, results)
+    timed("hard_negatives", hardneg_stress, results)
     timed("sketch_profile", sketch_profile, results)
     timed("zorder_layout", zorder_pass, results)
     timed("ccnet_buckets", ccnet_stress, results)
