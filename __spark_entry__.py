@@ -397,6 +397,18 @@ def dedup_jaccard_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    persist_words=False)
 
 
+def dp_group_counts_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-DP language histogram release (privacy.dp_group_counts): per-lang
+    COUNT + Lap(1/ε) via the deterministic 16-bit md5 uniform →
+    inverse-CDF transform, clamped at 0 — the data-card release you can
+    publish beside a trained model. One combined agg shuffle; noise is a
+    grouped-size projection."""
+    from resume_ocr_spark.operators import privacy
+
+    return privacy.dp_group_counts(
+        _t(spark, sf_dir, "documents"), "lang", epsilon=1.0, seed="dp")
+
+
 def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banding-parameter eval (dedup family capstone): measured recall and
     candidate cost of the K=4/b=2 MinHash banding against the exact
@@ -3117,6 +3129,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_adc": pq_adc_entry,
         "ivfpq_topk": ivfpq_entry,
         "ivfpq_residual": ivfpq_residual_entry,
+        # round-5 tail: ε-DP histogram release (operators/privacy.py)
+        "dp_group_counts": dp_group_counts_entry,
     }
     return {**gated, **tail}
 
@@ -4412,6 +4426,26 @@ def oracle_sql() -> dict[str, str]:
              ROUND(n_candidates * 2.0 / NULLIF(n_docs * (n_docs - 1), 0), 4)
                AS candidate_frac
       FROM m
+    """
+
+    # ε-DP histogram release (privacy.dp_group_counts): same 16-bit md5
+    # bucket idiom as the mixture oracles, inverse-CDF Laplace in SQL
+    _dpd = ("(instr('0123456789abcdef', "
+            "substring(md5(lang || ':dp'), {p}, 1)) - 1)")
+    _dp_bucket = (f"({_dpd.format(p=29)} * 4096 + {_dpd.format(p=30)} * 256"
+                  f" + {_dpd.format(p=31)} * 16 + {_dpd.format(p=32)})")
+    sqls["dp_group_counts"] = f"""
+      WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+      u AS (
+        SELECT lang, n,
+               (CAST({_dp_bucket} AS DOUBLE) + 0.5) / 65536.0 AS u
+        FROM c
+      )
+      SELECT lang,
+             ROUND(GREATEST(0.0,
+                   n + (-1.0) * SIGN(u - 0.5) * LN(1 - 2 * ABS(u - 0.5))),
+                   4) AS dp_count
+      FROM u
     """
 
     # hyperplane-LSH embedding near-dup: the 8 seeded planes are embedded as

@@ -65,7 +65,7 @@ EXPECTED_TAIL = [
     "fim_transform", "span_corruption", "ccnet_buckets", "anneal_order",
     "temperature_mixture", "asof_join", "range_join", "hypertable_rollup",
     "dedup_lsh_eval", "hard_negatives", "pq_codes", "pq_adc",
-    "ivfpq_topk", "ivfpq_residual",
+    "ivfpq_topk", "ivfpq_residual", "dp_group_counts",
 ]
 
 
