@@ -786,7 +786,13 @@ def ivfpq_residual_topk(
     to the cell's quantized residuals), folded into a cell→sub→code
     literal array — the scan is a partition-prunable cell filter plus
     element_at lookups and one grouped sum; raw vectors are never read.
-    ``index_df`` is :func:`ivfpq_encode`'s output."""
+    ``index_df`` is :func:`ivfpq_encode`'s output.
+
+    Plan-size dial (applies to :func:`pq_adc_topk` too): the LUT embeds
+    n_probe·m·k float literals in the plan — fine at these parameters
+    (≤ a few thousand); at FAISS-typical k=256/m=16, fold the LUT into a
+    broadcast (cell, sub, code, d) table and equi-join instead — the
+    same shuffle-free scan, the literals just move off the plan."""
     q = np.asarray(query_vec, dtype=np.float64)
     m, kc, dsub = codebooks.shape
     if len(q) != m * dsub:
