@@ -563,6 +563,23 @@ def ivfpq_residual_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
         index, cent, cb, vecs[7].astype(np.float64), k=10, n_probe=4)
 
 
+def ann_recall_ivfpq_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured ANN recall (similarity.topk_recall): residual IVF-PQ's
+    top-10 for query 7 (n_probe=4) scored against the exact L2 top-10 —
+    the compressed path's quality, observed on the det input rather than
+    assumed. One diagnostics row (n_true, n_hit, recall)."""
+    import numpy as np
+
+    vecs = _ivf_det_input()
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = vecs[7].astype(np.float64)
+    cent, cb = similarity.ivfpq_train(vecs.astype(np.float64))
+    approx = similarity.ivfpq_residual_topk(
+        similarity.ivfpq_encode(df, cent, cb), cent, cb, q, k=10, n_probe=4)
+    return similarity.topk_recall(approx, similarity.exact_l2_topk(df, q, 10))
+
+
 def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded hyperplane-LSH ANN: exact cosine only among vectors sharing a
     signature band with the query — the bucket-join top-k (similarity.
@@ -3131,6 +3148,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_residual": ivfpq_residual_entry,
         # round-5 tail: ε-DP histogram release (operators/privacy.py)
         "dp_group_counts": dp_group_counts_entry,
+        # round-5 tail: measured ANN recall — residual IVF-PQ vs exact L2
+        "ann_recall_ivfpq": ann_recall_ivfpq_entry,
     }
     return {**gated, **tail}
 
@@ -5086,6 +5105,7 @@ def oracle_sql() -> dict[str, str]:
     sqls["pq_adc"] = _precomputed("pq_adc")
     sqls["ivfpq_topk"] = _precomputed("ivfpq_topk")
     sqls["ivfpq_residual"] = _precomputed("ivfpq_residual")
+    sqls["ann_recall_ivfpq"] = _precomputed("ann_recall_ivfpq")
     sqls["html_strip_gate"] = _precomputed("html_strip_gate")
     sqls["html_justext_gate"] = _precomputed("html_justext_gate")
     sqls["multimodal_meta"] = _precomputed("multimodal_meta")
@@ -6609,6 +6629,41 @@ def _precomputed(name: str) -> str:
         dists.sort(key=lambda t: (t[1], t[0]))
         sql = _values_sql(dists[:10],
                           [("vec_id", "BIGINT"), ("adc_dist", "DOUBLE")])
+    elif name == "ann_recall_ivfpq":
+        from resume_ocr_spark.operators import similarity as sim
+
+        vecs = _ivf_det_input().astype(np.float64)
+        q = vecs[7]
+        # exact L2 truth, same round-then-order contract as exact_l2_topk
+        exact = sorted(
+            ((i, round(float(((vecs[i] - q) ** 2).sum()), 6))
+             for i in range(len(vecs))), key=lambda t: (t[1], t[0]))[:10]
+        # the residual IVF-PQ replica (same math as the ivfpq_residual
+        # oracle above)
+        cent, cb = sim.ivfpq_train(vecs)
+        cells = sim._l2_assign(vecs, cent)
+        codes = sim.pq_encode_residual_array(vecs, cells, cent, cb)
+        m, kc, dsub = cb.shape
+        probe = [int(c) for c in
+                 ((cent - q[None, :]) ** 2).sum(axis=1).argsort()[:4]]
+        luts = {}
+        for c in probe:
+            r = q - cent[c]
+            luts[c] = [[float(((r[s * dsub:(s + 1) * dsub]
+                                - cb[s][cd]) ** 2).sum())
+                        for cd in range(kc)] for s in range(m)]
+        adists = [
+            (i, round(sum(luts[int(cells[i])][s][codes[i, s]]
+                          for s in range(m)), 6))
+            for i in range(len(vecs)) if int(cells[i]) in luts
+        ]
+        adists.sort(key=lambda t: (t[1], t[0]))
+        approx_ids = {i for i, _ in adists[:10]}
+        n_hit = sum(1 for i, _ in exact if i in approx_ids)
+        sql = _values_sql(
+            [(len(exact), n_hit, round(n_hit / len(exact), 4))],
+            [("n_true", "BIGINT"), ("n_hit", "BIGINT"),
+             ("recall", "DOUBLE")])
     elif name == "html_strip_gate":
         import hashlib
         import random

@@ -831,6 +831,53 @@ def ivfpq_residual_topk(
     )
 
 
+def exact_l2_topk(
+    df: DataFrame, query_vec, k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force L2 top-k against a literal query vector — the ground
+    truth the compressed paths (:func:`pq_adc_topk`,
+    :func:`ivfpq_residual_topk`) are measured against. zip_with fold of
+    squared differences: zero shuffle, one TakeOrderedAndProject.
+    Ascending distance, id-asc tiebreak (same ordering contract as the
+    ADC scans)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qlit = F.array(*[F.lit(float(x)) for x in q])
+    d2 = F.aggregate(
+        F.zip_with(F.col(vec_col).cast("array<double>"), qlit,
+                   lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    return (
+        df.select(F.col(id_col), F.round(d2, 6).alias("l2_dist"))
+        .orderBy(F.col("l2_dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def topk_recall(
+    approx_df: DataFrame, truth_df: DataFrame, id_col: str = "vec_id",
+) -> DataFrame:
+    """Measured recall@k of ANY approximate top-k against its exact
+    baseline (the ANN sibling of dedup.lsh_recall_eval — observe the
+    cost/recall dial, don't assume it): one row
+    (n_true, n_hit, recall) where n_hit counts truth ids the approximate
+    result surfaced. Both inputs are k-row frames, so every join here is
+    constant-size."""
+    hit = truth_df.select(id_col).join(
+        approx_df.select(id_col), id_col, "left_semi")
+    return (
+        truth_df.agg(F.count("*").alias("n_true"))
+        .crossJoin(hit.agg(F.count("*").alias("n_hit")))
+        .select(
+            "n_true", "n_hit",
+            F.round(F.col("n_hit")
+                    / F.when(F.col("n_true") > 0, F.col("n_true")), 4)
+            .alias("recall"),
+        )
+    )
+
+
 def ivfpq_topk(
     df: DataFrame, query_vec, k: int = 10, n_probe: int = 2,
     id_col: str = "vec_id", vec_col: str = "embedding",

@@ -156,6 +156,45 @@ class TestPq:
         assert out[0]["vec_id"] == 5
         assert all(r["vec_id"] < 30 for r in out)
 
+    def test_exact_l2_topk_matches_numpy(self, spark):
+        vecs = _clustered(n_per=10, n_clusters=2)
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>")
+        q = vecs[3]
+        want = sorted(
+            ((i, round(float(((vecs[i] - q) ** 2).sum()), 6))
+             for i in range(len(vecs))), key=lambda t: (t[1], t[0]))[:5]
+        got = [(r["vec_id"], r["l2_dist"]) for r in
+               similarity.exact_l2_topk(df, q, k=5).collect()]
+        assert got == want
+        assert got[0] == (3, 0.0)  # the query itself
+
+    def test_topk_recall_scores_overlap(self, spark):
+        truth = spark.createDataFrame([(i,) for i in range(10)],
+                                      "vec_id long")
+        approx = spark.createDataFrame([(i,) for i in range(7, 17)],
+                                       "vec_id long")
+        row = similarity.topk_recall(approx, truth).collect()[0]
+        assert (row["n_true"], row["n_hit"], row["recall"]) == (10, 3, 0.3)
+
+    def test_ivfpq_recall_on_clustered_data_is_high(self, spark):
+        # the end-to-end recall the gate entry measures, at test scale:
+        # residual IVF-PQ with full probe should recover most of the
+        # exact L2 top-10 on well-separated clusters
+        vecs = _clustered()
+        cent, cb = similarity.ivfpq_train(vecs, k_cells=4, m=4, k_codes=8)
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>")
+        approx = similarity.ivfpq_residual_topk(
+            similarity.ivfpq_encode(df, cent, cb), cent, cb, vecs[5],
+            k=10, n_probe=4)
+        row = similarity.topk_recall(
+            approx, similarity.exact_l2_topk(df, vecs[5], 10)).collect()[0]
+        assert row["n_true"] == 10
+        assert row["recall"] >= 0.5
+
     def test_dimension_guards(self, spark):
         vecs = _clustered(dim=8)
         with pytest.raises(ValueError, match="not divisible"):

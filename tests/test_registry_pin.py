@@ -66,6 +66,7 @@ EXPECTED_TAIL = [
     "temperature_mixture", "asof_join", "range_join", "hypertable_rollup",
     "dedup_lsh_eval", "hard_negatives", "pq_codes", "pq_adc",
     "ivfpq_topk", "ivfpq_residual", "dp_group_counts",
+    "ann_recall_ivfpq",
 ]
 
 
