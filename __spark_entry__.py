@@ -4448,9 +4448,11 @@ def oracle_sql() -> dict[str, str]:
     """
 
     # ε-DP histogram release (privacy.dp_group_counts): same 16-bit md5
-    # bucket idiom as the mixture oracles, inverse-CDF Laplace in SQL
+    # bucket idiom as the mixture oracles, inverse-CDF Laplace in SQL;
+    # the draw key folds the statistic identity (seed:stat — review r5's
+    # noise-cancellation fix), mirroring privacy._laplace_noise
     _dpd = ("(instr('0123456789abcdef', "
-            "substring(md5(lang || ':dp'), {p}, 1)) - 1)")
+            "substring(md5(lang || ':dp:count:eps=1.0'), {p}, 1)) - 1)")
     _dp_bucket = (f"({_dpd.format(p=29)} * 4096 + {_dpd.format(p=30)} * 256"
                   f" + {_dpd.format(p=31)} * 16 + {_dpd.format(p=32)})")
     sqls["dp_group_counts"] = f"""
@@ -6589,14 +6591,17 @@ def _precomputed(name: str) -> str:
         from resume_ocr_spark.operators import similarity as sim
 
         vecs = _ivf_det_input().astype(np.float64)
-        cent = sim.kmeans_codebook(vecs)
+        # L2 coarse cells — mirrors ivfpq_topk's default trainer (the
+        # cosine probe was replaced after review r5's metric-mismatch
+        # finding)
+        cent = sim._lloyd_l2(vecs, sim.IVF_CELLS, sim.PQ_ITERS, 13)
         cb = sim.pq_codebooks(vecs)
         codes = sim.pq_encode_array(vecs, cb)
         m, kc, dsub = cb.shape
         q = vecs[7]
-        qn = q / (np.linalg.norm(q) or 1.0)
-        probe = {int(c) for c in (cent @ qn).argsort()[::-1][:4]}
-        assign = (sim._unit(vecs) @ cent.T).argmax(axis=1)
+        probe = {int(c) for c in
+                 ((cent - q[None, :]) ** 2).sum(axis=1).argsort()[:4]}
+        assign = sim._l2_assign(vecs, cent)
         lut = [[float(((q[s * dsub:(s + 1) * dsub] - cb[s][c]) ** 2).sum())
                 for c in range(kc)] for s in range(m)]
         dists = [(i, round(sum(lut[s][codes[i, s]] for s in range(m)), 6))

@@ -773,6 +773,7 @@ def lsh_recall_eval(
     threshold: float = 0.5,
     k: int = MINHASH_K,
     bands: int = LSH_BANDS,
+    persist_words: bool = False,
 ) -> DataFrame:
     """Measured recall/cost of the MinHash-LSH banding path against the
     exact all-pairs Jaccard ground truth on the SAME slice — the eval you
@@ -797,8 +798,18 @@ def lsh_recall_eval(
     definition, so run it on a sample slice; the production path stays
     :func:`jaccard_pairs_lsh`. The crossJoins below combine 1-row scalar
     aggregates (broadcast probes, the similarity.py IVF-probe pattern) —
-    never data-sized."""
+    never data-sized.
+
+    The words frame feeds five consumers (truth self-join ×2, sizes,
+    signatures, n_docs); ``persist_words=True`` caches the tokenize
+    scan across them — same contract as :func:`jaccard_pairs_lsh`: the
+    RETURNED frame carries ``.cached_words`` for the caller to unpersist
+    after materializing. Default False (the gate/bench call this
+    repeatedly; on the bounded eval slice recomputing is cheaper than
+    pinned storage)."""
     words = _words(df, id_col, text_col)
+    if persist_words:
+        words.persist()
     # ground truth: exact all-pairs over the SAME words frame (the math of
     # jaccard_pairs, inlined so one scan serves truth + signatures)
     l, r = words.alias("l"), words.alias("r")
@@ -819,7 +830,7 @@ def lsh_recall_eval(
         .crossJoin(hit.agg(F.count("*").alias("n_retrieved")))
         .crossJoin(cand.agg(F.count("*").alias("n_candidates")))
     )
-    return counts.select(
+    out = counts.select(
         "n_docs", "n_true", "n_retrieved", "n_candidates",
         F.round(F.col("n_retrieved")
                 / F.when(F.col("n_true") > 0, F.col("n_true")), 4)
@@ -829,6 +840,9 @@ def lsh_recall_eval(
                          F.col("n_docs") * (F.col("n_docs") - 1)), 4)
         .alias("candidate_frac"),
     )
+    if persist_words:
+        out.cached_words = words  # caller unpersists after materializing
+    return out
 
 
 # --- incremental dedup (new batch vs historical index) ---------------------

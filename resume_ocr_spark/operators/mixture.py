@@ -23,6 +23,16 @@ from pyspark.sql.types import LongType, StructField, StructType
 BUCKETS = 1 << 16  # md5-derived bucket space; rates quantize to 1/65536
 
 
+def bucket16_expr(key_col, seed: str):
+    """The 16-bit md5 bucket as a bare Column expression — THE single
+    copy of the hash recipe (low 16 bits of md5(key ':' seed)).
+    :func:`with_sample_bucket` wraps it; ``privacy._laplace_noise``
+    consumes it for the DP uniform; the oracles' ``_mixd``/``_sp16``/
+    ``_dpd`` SQL fragments mirror it."""
+    h = F.md5(F.concat(key_col.cast("string"), F.lit(f":{seed}")))
+    return F.conv(F.substring(h, 29, 4), 16, 10).cast("long")
+
+
 def with_sample_bucket(
     df: DataFrame, id_col: str = "doc_id", seed: str = "mix",
     out_col: str = "bucket",
@@ -30,13 +40,9 @@ def with_sample_bucket(
     """Uniform deterministic bucket in [0, 65536): low 16 bits of
     md5(id ':' seed). Changing ``seed`` draws an independent sample.
     ``out_col`` lets internal callers avoid clobbering a caller's own
-    ``bucket`` column — this function is the single source of truth for
-    the 16-bit hash recipe (the oracles' ``_mixd``/``_sp16`` fragments
-    mirror it)."""
-    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}")))
-    return df.withColumn(
-        out_col, F.conv(F.substring(h, 29, 4), 16, 10).cast("long")
-    )
+    ``bucket`` column — the recipe itself lives in
+    :func:`bucket16_expr`."""
+    return df.withColumn(out_col, bucket16_expr(F.col(id_col), seed))
 
 
 def weighted_mixture(

@@ -28,16 +28,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-BUCKETS = 1 << 16
+from .mixture import BUCKETS, bucket16_expr
 
 
-def _laplace_noise(key_col, b: float, seed: str):
+def _laplace_noise(key_col, b: float, seed: str, stat: str):
     """Lap(b) via inverse CDF of the deterministic 16-bit md5 uniform:
-    u = (bucket(key, seed) + 0.5) / 65536 ∈ (0, 1), then
+    u = (bucket(key, seed:stat) + 0.5) / 65536 ∈ (0, 1), then
     −b·sign(u−½)·ln(1−2|u−½|). u can never be exactly ½ (half-integer
-    numerator), so sign() never returns 0."""
-    h = F.md5(F.concat(key_col.cast("string"), F.lit(f":{seed}")))
-    bucket = F.conv(F.substring(h, 29, 4), 16, 10).cast("long")
+    numerator), so sign() never returns 0.
+
+    ``stat`` folds the STATISTIC IDENTITY (count vs sum, ε, clip, value
+    column) into the draw key: without it, two releases over the same
+    groups would share one uniform per group, and a linear combination
+    (e.g. dp_sum − clip·dp_count) cancels the correlated noise EXACTLY —
+    a mechanism-level break no secret seed prevents (review r5).
+    Different statistics therefore draw independent uniforms."""
+    bucket = bucket16_expr(key_col, f"{seed}:{stat}")
     u = (bucket.cast("double") + F.lit(0.5)) / F.lit(float(BUCKETS))
     half = u - F.lit(0.5)
     return (F.lit(-b) * F.signum(half)
@@ -60,7 +66,8 @@ def dp_group_counts(
     if epsilon <= 0:
         raise ValueError(f"epsilon must be positive: {epsilon}")
     counts = df.groupBy(group_col).agg(F.count("*").alias("_n"))
-    noise = _laplace_noise(F.col(group_col), 1.0 / epsilon, seed)
+    noise = _laplace_noise(F.col(group_col), 1.0 / epsilon, seed,
+                           f"count:eps={float(epsilon)}")
     return counts.select(
         group_col,
         F.round(F.greatest(F.lit(0.0), F.col("_n") + noise), 4)
@@ -88,7 +95,9 @@ def dp_group_sums(
     clamped = F.least(F.greatest(F.col(value_col).cast("double"),
                                  F.lit(0.0)), F.lit(float(clip)))
     sums = df.groupBy(group_col).agg(F.sum(clamped).alias("_s"))
-    noise = _laplace_noise(F.col(group_col), clip / epsilon, seed)
+    noise = _laplace_noise(
+        F.col(group_col), clip / epsilon, seed,
+        f"sum:{value_col}:clip={float(clip)}:eps={float(epsilon)}")
     return sums.select(
         group_col,
         F.round(F.greatest(F.lit(0.0), F.col("_s") + noise), 4)

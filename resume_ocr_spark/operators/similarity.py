@@ -82,20 +82,27 @@ def hard_negatives(
     as a "negative" poisons the contrastive loss).
 
     ``anchor_ids`` is a bounded id collection (the sampled query set a
-    real pipeline mines against); the anchor vectors are broadcast.
-    100 TB shape: the candidate corpus is scanned ONCE (unnest → equi
-    join on element index against the broadcast anchors → grouped sums —
-    the same dialect-neutral formulation as :func:`cosine_topk`), then
-    one per-anchor top-k window. Cost is O(corpus × |anchors|) with no
-    corpus self-join; for corpus×corpus mining, bucket first (LSH /
-    :func:`ivf_assign`) and mine within buckets.
+    real pipeline mines against); the anchor vectors are COLLECTED to the
+    driver (one pruned point lookup — bounded by contract) and rebuilt as
+    a local frame, so the candidate corpus is scanned exactly once
+    (unnest → equi join on element index against the broadcast anchors →
+    grouped sums — the same dialect-neutral formulation as
+    :func:`cosine_topk`), then one per-anchor top-k window. Deriving the
+    broadcast side from the corpus lineage instead would scan the corpus
+    a second time just to extract |anchors| rows (review r5). Cost is
+    O(corpus × |anchors|) with no corpus self-join; for corpus×corpus
+    mining, bucket first (LSH / :func:`ivf_assign`) and mine within
+    buckets.
 
     Returns (anchor_id, negative_id, cosine, neg_rank 1..k), ranked most
     similar first with id-asc tiebreak (deterministic)."""
     un = _unnested(df, id_col, vec_col)
-    anc = (un.filter(F.col(id_col).isin(list(anchor_ids)))
-           .select(F.col(id_col).alias("anchor_id"), "i",
-                   F.col("v").alias("av")))
+    anc_rows = (df.filter(F.col(id_col).isin(list(anchor_ids)))
+                .select(id_col, vec_col).collect())
+    anc = df.sparkSession.createDataFrame(
+        [(r[id_col], i, float(v))
+         for r in anc_rows for i, v in enumerate(r[vec_col])],
+        "anchor_id long, i int, av double")
     scored = (
         un.join(F.broadcast(anc), "i")
         .filter(F.col(id_col) != F.col("anchor_id"))
@@ -311,6 +318,18 @@ def kmeans_codebook(
     return centroids
 
 
+def _driver_sample(df: DataFrame, id_col: str, vec_col: str) -> np.ndarray:
+    """The bounded driver-side training sample (first IVF_SAMPLE rows in
+    id order, float64) — the ONE sampling contract shared by every
+    quantizer trainer (ivf_train, pq_train, ivfpq_topk), so they can
+    never silently diverge."""
+    return np.array(
+        [r[vec_col] for r in
+         df.select(vec_col).orderBy(F.col(id_col)).limit(IVF_SAMPLE).collect()],
+        dtype=np.float64,
+    )
+
+
 def ivf_train(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     k: int = IVF_CELLS, iters: int = IVF_ITERS, seed: int = 11,
@@ -318,12 +337,7 @@ def ivf_train(
     """Deterministic k-means-lite codebook from a bounded driver-side sample
     (IVF coarse quantizer, à la FAISS IVF-Flat). At 100 TB the sample stays
     bounded — training cost is independent of table size."""
-    sample = np.array(
-        [r[vec_col] for r in
-         df.select(vec_col).orderBy(F.col(id_col)).limit(IVF_SAMPLE).collect()],
-        dtype=np.float64,
-    )
-    return kmeans_codebook(sample, k, iters, seed)
+    return kmeans_codebook(_driver_sample(df, id_col, vec_col), k, iters, seed)
 
 
 def _unit(mat: np.ndarray) -> np.ndarray:
@@ -626,16 +640,13 @@ def pq_train(
     m: int = PQ_SUBSPACES, k: int = PQ_CODES, iters: int = PQ_ITERS,
     seed: int = 13,
 ) -> np.ndarray:
-    """PQ codebooks from a bounded driver-side sample (same contract as
-    :func:`ivf_train` — training cost independent of table size; refine
-    with a distributed pass via :func:`ivf_train_distributed`'s pattern if
-    the sample statistic ever proves insufficient)."""
-    sample = np.array(
-        [r[vec_col] for r in
-         df.select(vec_col).orderBy(F.col(id_col)).limit(IVF_SAMPLE).collect()],
-        dtype=np.float64,
-    )
-    return pq_codebooks(sample, m, k, iters, seed)
+    """PQ codebooks from a bounded driver-side sample (same
+    :func:`_driver_sample` contract as :func:`ivf_train` — training cost
+    independent of table size; refine with a distributed pass via
+    :func:`ivf_train_distributed`'s pattern if the sample statistic ever
+    proves insufficient)."""
+    return pq_codebooks(_driver_sample(df, id_col, vec_col),
+                        m, k, iters, seed)
 
 
 def pq_encode(
@@ -646,8 +657,9 @@ def pq_encode(
     """(id, sub, code) rows — the compressed index table you persist
     instead of raw vectors (m codes ≈ m bytes/row at k≤256 vs 4·dim).
     Batch-vectorized Arrow UDF, one matmul-shaped argmin per subspace,
-    no shuffle; exploded to scalar rows so the result is engine-portable
-    (dialect-neutral types, stable ordering by (id, sub))."""
+    no shuffle; exploded to scalar rows keyed by (id, sub) so the result
+    is engine-portable (dialect-neutral types). No row-ORDER guarantee —
+    mapInPandas emits partition order; consumers aggregate or sort."""
     cb = codebooks.copy()
     m = cb.shape[0]
 
@@ -850,6 +862,11 @@ def exact_l2_topk(
     )
     return (
         df.select(F.col(id_col), F.round(d2, 6).alias("l2_dist"))
+        # NULL distances (null vectors, or a length mismatch — zip_with
+        # pads with nulls and the fold propagates them) must not occupy
+        # top-k slots: ascending sort puts NULLS FIRST, so junk rows
+        # would displace real neighbors in the ground truth (review r5)
+        .filter(F.col("l2_dist").isNotNull())
         .orderBy(F.col("l2_dist").asc(), F.col(id_col).asc())
         .limit(k)
     )
@@ -885,25 +902,48 @@ def ivfpq_topk(
     codebooks: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF-PQ: the full FAISS-style compressed ANN query — coarse cells
-    prune the candidate set (:func:`ivf_assign`), PQ codes + the
-    asymmetric-distance LUT rank what's left (:func:`pq_adc_topk`). At
-    10^12 rows this is THE serving shape: the index table you persist is
-    (id, cell, sub, code) — a few bytes per row, partitioned by cell so a
-    probe reads n_probe/k_cells of it — and a query touches neither raw
-    vectors nor any join.
+    prune the candidate set, PQ codes + the asymmetric-distance LUT rank
+    what's left (:func:`pq_adc_topk`). At 10^12 rows this is THE serving
+    shape: the index table you persist is (id, cell, sub, code) — a few
+    bytes per row, partitioned by cell so a probe reads n_probe/k_cells
+    of it — and a query touches neither raw vectors nor any join.
 
-    One-shot form (trains both quantizers from the bounded driver sample
-    when not supplied); a serving layer would persist
-    ``ivf_assign(df, centroids)`` ⋈ ``pq_encode`` once, like
-    :class:`IvfIndex` does for IVF-Flat."""
+    Coarse and fine stages share the L2 metric (review r5: the earlier
+    cosine-cell probe feeding an L2 ADC rank silently collapsed recall on
+    non-unit-norm data — a candidate at 100·q dominates the cosine probe
+    while the true L2 neighbors sit in unprobed cells; FAISS keeps both
+    stages in one metric, as the residual path here always did). Default
+    centroids come from :func:`_lloyd_l2` over the shared bounded driver
+    sample; pass spherical centroids only for corpora you normalize
+    first.
+
+    One-shot form (trains both quantizers when not supplied); a serving
+    layer would persist the assignment ⋈ :func:`pq_encode` once — or use
+    :func:`ivfpq_encode` + :func:`ivfpq_residual_topk`, the
+    higher-fidelity residual form."""
+    sample = None
     if centroids is None:
-        centroids = ivf_train(df, id_col, vec_col)
+        sample = _driver_sample(df, id_col, vec_col)
+        centroids = _lloyd_l2(sample, IVF_CELLS, PQ_ITERS, seed=13)
     if codebooks is None:
-        codebooks = pq_train(df, id_col, vec_col)
+        if sample is None:
+            sample = _driver_sample(df, id_col, vec_col)
+        codebooks = pq_codebooks(sample)
     q = np.asarray(query_vec, dtype=np.float64)
-    qn = q / (np.linalg.norm(q) or 1.0)
-    probe = [int(c) for c in (centroids @ qn).argsort()[::-1][:n_probe]]
-    assigned = ivf_assign(df, centroids, id_col, vec_col)
+    d2 = ((centroids - q[None, :]) ** 2).sum(axis=1)
+    probe = [int(c) for c in d2.argsort()[:n_probe]]
+    cent = centroids.copy()
+    vt = df.schema[vec_col].dataType.simpleString()
+
+    def assign(batches):
+        for pdf in batches:
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            out = pdf[[id_col, vec_col]].copy()
+            out["cell"] = list(_l2_assign(mat, cent)) if len(mat) else []
+            yield out
+
+    assigned = df.select(id_col, vec_col).mapInPandas(
+        assign, schema=f"{id_col} long, {vec_col} {vt}, cell int")
     bucket = assigned.filter(F.col("cell").isin(probe)).select(id_col, vec_col)
     return pq_adc_topk(pq_encode(bucket, codebooks, id_col, vec_col),
                        codebooks, q, k, id_col)

@@ -17,8 +17,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from resume_ocr_spark.operators import privacy  # noqa: E402
 
 
-def _lap_replica(key: str, b: float, seed: str = "dp") -> float:
-    h = hashlib.md5(f"{key}:{seed}".encode()).hexdigest()
+def _lap_replica(key: str, b: float, seed: str = "dp",
+                 stat: str = "count:eps=1.0") -> float:
+    h = hashlib.md5(f"{key}:{seed}:{stat}".encode()).hexdigest()
     bucket = int(h[28:32], 16)
     u = (bucket + 0.5) / 65536.0
     half = u - 0.5
@@ -47,17 +48,19 @@ class TestDpRelease:
             df, "lang", epsilon=0.1).collect()}
         tight = {r["lang"]: r["dp_count"] for r in privacy.dp_group_counts(
             df, "lang", epsilon=10.0).collect()}
-        # same uniform draw, b differs 100×: each release equals its
-        # replica, and the coarse-ε deviation dominates the tight one
-        assert loose["a"] == round(max(0.0, 40 + _lap_replica("a", 10.0)), 4)
-        assert tight["a"] == round(max(0.0, 40 + _lap_replica("a", 0.1)), 4)
-        assert abs(loose["a"] - 40) > abs(tight["a"] - 40)
+        # ε is part of the draw key (independent uniforms per release);
+        # each release equals its own replica
+        assert loose["a"] == round(
+            max(0.0, 40 + _lap_replica("a", 10.0, stat="count:eps=0.1")), 4)
+        assert tight["a"] == round(
+            max(0.0, 40 + _lap_replica("a", 0.1, stat="count:eps=10.0")), 4)
 
     def test_small_count_clamps_at_zero(self, spark):
-        # find a seed whose draw is negative for group 'z', then overwhelm
-        # a count of 1 with epsilon small enough to go below zero
-        seed = next(s for s in ("dp", "dp1", "dp2", "dp3", "dp4")
-                    if _lap_replica("z", 1.0, s) < 0)
+        # find a seed whose draw is negative for group 'z' under the
+        # release's exact stat key, then overwhelm a count of 1
+        seeds = ("dp", "dp1", "dp2", "dp3", "dp4", "dp5", "dp6")
+        seed = next(s for s in seeds
+                    if _lap_replica("z", 20.0, s, "count:eps=0.05") < -1)
         df = spark.createDataFrame([(0, "z")], "doc_id long, lang string")
         out = privacy.dp_group_counts(
             df, "lang", epsilon=0.05, seed=seed).collect()[0]
@@ -69,10 +72,24 @@ class TestDpRelease:
         out = {r["lang"]: r["dp_sum"] for r in privacy.dp_group_sums(
             df, "lang", "v", clip=100.0, epsilon=1.0).collect()}
         # the 5000 outlier is clamped to the public bound before the sum
+        stat = "sum:v:clip=100.0:eps=1.0"
         assert out["a"] == round(max(0.0, 150.0 +
-                                     _lap_replica("a", 100.0)), 4)
+                                     _lap_replica("a", 100.0, stat=stat)), 4)
         assert out["b"] == round(max(0.0, 2.0 +
-                                     _lap_replica("b", 100.0)), 4)
+                                     _lap_replica("b", 100.0, stat=stat)), 4)
+
+    def test_joint_release_noise_does_not_cancel(self, spark):
+        # review r5: with a SHARED uniform, dp_sum − clip·dp_count would
+        # reconstruct S − clip·n exactly; the stat-keyed draws must break
+        # that cancellation
+        rows = [(i, "a", 1.0) for i in range(30)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string, v double")
+        clip = 100.0
+        cnt = privacy.dp_group_counts(df, "lang").collect()[0]["dp_count"]
+        sm = privacy.dp_group_sums(
+            df, "lang", "v", clip=clip).collect()[0]["dp_sum"]
+        true_combo = 30.0 - clip * 30.0
+        assert abs((sm - clip * cnt) - true_combo) > 1.0
 
     def test_guards(self, spark):
         df = _docs(spark)
