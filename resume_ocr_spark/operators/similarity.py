@@ -947,3 +947,49 @@ def ivfpq_topk(
     bucket = assigned.filter(F.col("cell").isin(probe)).select(id_col, vec_col)
     return pq_adc_topk(pq_encode(bucket, codebooks, id_col, vec_col),
                        codebooks, q, k, id_col)
+
+
+class IvfPqIndex:
+    """Materialized residual IVF-PQ index — the persisted serving layer
+    the one-shot :func:`ivfpq_residual_topk` docstring describes:
+    ``build()`` trains both quantizers from the shared bounded driver
+    sample, runs :func:`ivfpq_encode` ONCE, and either pins the
+    (id, cell, sub, code) table or writes it to parquet PARTITIONED BY
+    cell — so every ``topk()`` probe prunes to n_probe/k_cells of the
+    files at the scan (PartitionFilters, pinned in tests) and touches no
+    raw vectors. At 10^12 rows this table is a few bytes/row; queries
+    are a cell filter + literal LUT lookups + one grouped sum.
+
+    Release executor storage with ``unpersist()`` when the index is
+    retired (persisted form only)."""
+
+    def __init__(self, index: DataFrame, centroids: np.ndarray,
+                 codebooks: np.ndarray, id_col: str):
+        self.index = index
+        self.centroids = centroids
+        self.codebooks = codebooks
+        self.id_col = id_col
+
+    @classmethod
+    def build(cls, df: DataFrame, id_col: str = "vec_id",
+              vec_col: str = "embedding", k_cells: int = IVF_CELLS,
+              m: int = PQ_SUBSPACES, k_codes: int = PQ_CODES,
+              path: str | None = None) -> "IvfPqIndex":
+        sample = _driver_sample(df, id_col, vec_col)
+        centroids, codebooks = ivfpq_train(sample, k_cells, m, k_codes)
+        index = ivfpq_encode(df, centroids, codebooks, id_col, vec_col)
+        if path is not None:
+            index.write.mode("overwrite").partitionBy("cell").parquet(path)
+            index = df.sparkSession.read.parquet(path)
+        else:
+            index = index.persist()
+            index.count()  # materialize the single encode pass now
+        return cls(index, centroids, codebooks, id_col)
+
+    def topk(self, query_vec, k: int = 10, n_probe: int = 2) -> DataFrame:
+        return ivfpq_residual_topk(self.index, self.centroids,
+                                   self.codebooks, query_vec, k=k,
+                                   n_probe=n_probe, id_col=self.id_col)
+
+    def unpersist(self, blocking: bool = False) -> None:
+        self.index.unpersist(blocking=blocking)

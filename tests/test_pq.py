@@ -195,6 +195,44 @@ class TestPq:
         assert row["n_true"] == 10
         assert row["recall"] >= 0.5
 
+    def test_ivfpq_index_serves_same_answers_as_one_shot(self, spark):
+        vecs = _clustered()
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>")
+        idx = similarity.IvfPqIndex.build(df, k_cells=4, m=4, k_codes=8)
+        try:
+            got = [(r["vec_id"], r["adc_dist"]) for r in
+                   idx.topk(vecs[5], k=8, n_probe=4).collect()]
+            cent, cb = similarity.ivfpq_train(
+                similarity._driver_sample(df, "vec_id", "embedding"),
+                k_cells=4, m=4, k_codes=8)
+            want = [(r["vec_id"], r["adc_dist"]) for r in
+                    similarity.ivfpq_residual_topk(
+                        similarity.ivfpq_encode(df, cent, cb), cent, cb,
+                        vecs[5], k=8, n_probe=4).collect()]
+            assert got == want
+        finally:
+            idx.unpersist()
+
+    def test_ivfpq_index_durable_form_prunes_partitions(self, spark,
+                                                        tmp_path):
+        vecs = _clustered()
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>")
+        path = str(tmp_path / "ivfpq_index")
+        idx = similarity.IvfPqIndex.build(df, k_cells=4, m=4, k_codes=8,
+                                          path=path)
+        q = idx.topk(vecs[5], k=5, n_probe=1)
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        # the probe must reach the parquet scan as a partition filter —
+        # the n_probe/k_cells read-pruning claim, asserted not assumed
+        assert "PartitionFilters" in plan
+        assert "cell" in plan.split("PartitionFilters")[1][:200]
+        rows = q.collect()
+        assert len(rows) == 5 and rows[0]["vec_id"] == 5
+
     def test_dimension_guards(self, spark):
         vecs = _clustered(dim=8)
         with pytest.raises(ValueError, match="not divisible"):
