@@ -1036,6 +1036,66 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), BM25_QUERY)
 
 
+#: fixtures for the positional-index family (operators/postings.py):
+#: the BM25 query's five terms plus the phrase/proximity probe words
+PHRASE_QUERY = "big data merge"
+PROXIMITY_TERMS = ["spark", "query", "window"]
+POSTINGS_TERMS = sorted(set(BM25_QUERY.split())
+                        | set(PHRASE_QUERY.split()) | set(PROXIMITY_TERMS))
+
+
+def postings_index_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional postings build (tail entry, round 5): the materialized
+    inverted-index relation (term, doc_id, tf, positions) for a fixed
+    term subset — the pruned read shape a term-bucketed serving index
+    performs. Positions CSV-joined for the gate (house array rule)."""
+    from resume_ocr_spark.operators import postings
+
+    post = postings.build_postings(
+        _t(spark, sf_dir, "documents"), terms=POSTINGS_TERMS)
+    return post.select(
+        "term", "doc_id", "tf",
+        F.array_join(F.col("positions").cast("array<string>"),
+                     ",").alias("positions"))
+
+
+def bm25_indexed_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-backed BM25 (tail entry, round 5): same formula/constants/
+    output as bm25_retrieval but served from the postings + doc-length
+    sidecar — the corpus is never rescanned (query cost = the five
+    terms' postings lists). Shares bm25_retrieval's oracle verbatim:
+    the gate proves the two paths identical."""
+    from resume_ocr_spark.operators import postings
+
+    docs = _t(spark, sf_dir, "documents")
+    post = postings.build_postings(docs, terms=POSTINGS_TERMS)
+    return postings.index_bm25(post, postings.doc_lengths(docs), BM25_QUERY)
+
+
+def phrase_query_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase query over the positional index (tail entry, round
+    5): docs where 'big data merge' occurs at consecutive positions —
+    adjacency resolved inside the row with a higher-order filter; the
+    oracle restates it as i/i+1/i+2 positional self-joins."""
+    from resume_ocr_spark.operators import postings
+
+    post = postings.build_postings(
+        _t(spark, sf_dir, "documents"), terms=POSTINGS_TERMS)
+    return postings.phrase_matches(post, PHRASE_QUERY)
+
+
+def proximity_window_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-cover proximity (tail entry, round 5): per doc containing
+    all of spark/query/window, the shortest position window covering all
+    three (IR #uw primitive) — one ordered window pass over candidate
+    occurrences; the oracle states the identical running-MAX scan."""
+    from resume_ocr_spark.operators import postings
+
+    post = postings.build_postings(
+        _t(spark, sf_dir, "documents"), terms=POSTINGS_TERMS)
+    return postings.min_window_proximity(post, PROXIMITY_TERMS)
+
+
 def _semantic_dedup_input():
     """Deterministic SemDeDup fixture: 100 base vectors + 20 perturbed
     copies of the first 20 (cosine ≈ 0.999 near-dups)."""
@@ -3150,6 +3210,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_group_counts": dp_group_counts_entry,
         # round-5 tail: measured ANN recall — residual IVF-PQ vs exact L2
         "ann_recall_ivfpq": ann_recall_ivfpq_entry,
+        # round-5 tail: positional inverted index — the repeated-query
+        # serving side of lexical retrieval (postings build, index-backed
+        # BM25 ≡ scan-path BM25, phrase adjacency, min-cover proximity)
+        "postings_index": postings_index_entry,
+        "bm25_indexed": bm25_indexed_entry,
+        "phrase_query": phrase_query_entry,
+        "proximity_window": proximity_window_entry,
     }
     return {**gated, **tail}
 
@@ -4803,6 +4870,76 @@ def oracle_sql() -> dict[str, str]:
              CAST({_matched} AS INT) AS n_terms_matched,
              ROUND(CASE WHEN dl > 0 THEN {_score} ELSE 0 END, 4) AS bm25
       FROM tf, stats
+    """
+
+    # positional-index family: the parallel-unnest position CTE (house
+    # pattern from dedup_minhash_shingles) rebuilds the postings relation
+    # for the fixed term subset; tf/positions from a (term, doc) group
+    _pterms = ", ".join(f"'{t}'" for t in POSTINGS_TERMS)
+    _ptoks = f"""
+      ptoks AS (
+        SELECT doc_id, w, i FROM (
+          SELECT doc_id,
+                 unnest(string_split(trim(regexp_replace(lower(
+                        coalesce(text, '')), '[^a-z0-9]+', ' ', 'g')),
+                        ' ')) AS w,
+                 unnest(generate_series(1,
+                        len(string_split(trim(regexp_replace(lower(
+                            coalesce(text, '')), '[^a-z0-9]+', ' ', 'g')),
+                            ' ')))) AS i
+          FROM documents
+        ) WHERE w <> '' AND w IN ({_pterms})
+      )"""
+    sqls["postings_index"] = f"""
+      WITH {_ptoks}
+      SELECT w AS term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf,
+             string_agg(CAST(i AS VARCHAR), ',' ORDER BY i) AS positions
+      FROM ptoks GROUP BY w, doc_id
+    """
+
+    # index-backed BM25 must equal the scan path bit-for-bit — the gate
+    # proves it by running the SAME oracle against both entries
+    sqls["bm25_indexed"] = sqls["bm25_retrieval"]
+
+    # phrase adjacency as i/i+1/... positional self-joins
+    _ph = PHRASE_QUERY.split()
+    _ph_joins = "\n".join(
+        f"        JOIN ptoks t{i} ON t{i}.doc_id = t0.doc_id"
+        f" AND t{i}.i = t0.i + {i} AND t{i}.w = '{w}'"
+        for i, w in enumerate(_ph[1:], start=1))
+    sqls["phrase_query"] = f"""
+      WITH {_ptoks},
+      m AS (
+        SELECT t0.doc_id, t0.i AS pos
+        FROM ptoks t0
+{_ph_joins}
+        WHERE t0.w = '{_ph[0]}')
+      SELECT doc_id, CAST(COUNT(*) AS INT) AS n_matches,
+             CAST(MIN(pos) AS INT) AS first_pos
+      FROM m GROUP BY doc_id
+    """
+
+    # min-cover proximity: the identical running-MAX-per-term ordered
+    # scan the Spark window functions state (LEAST gated on all-seen)
+    _lasts = ",\n".join(
+        f"               MAX(CASE WHEN w = '{t}' THEN i END) OVER win"
+        f" AS l{k}" for k, t in enumerate(PROXIMITY_TERMS))
+    _lnames = ", ".join(f"l{k}" for k in range(len(PROXIMITY_TERMS)))
+    _lnotnull = " AND ".join(
+        f"l{k} IS NOT NULL" for k in range(len(PROXIMITY_TERMS)))
+    _pxterms = ", ".join(f"'{t}'" for t in PROXIMITY_TERMS)
+    sqls["proximity_window"] = f"""
+      WITH {_ptoks},
+      scan AS (
+        SELECT doc_id, i AS pos,
+{_lasts}
+        FROM ptoks WHERE w IN ({_pxterms})
+        WINDOW win AS (PARTITION BY doc_id ORDER BY i
+                       ROWS UNBOUNDED PRECEDING))
+      SELECT doc_id,
+             CAST(MIN(pos - LEAST({_lnames}) + 1) AS INT) AS min_window
+      FROM scan WHERE {_lnotnull}
+      GROUP BY doc_id
     """
 
     # semantic decontamination: corpus ∪ planted-bench-copy vs the 3-vector
