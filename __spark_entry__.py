@@ -2693,6 +2693,41 @@ def hll_distinct_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(F.broadcast(exact), "lang")
 
 
+def kmv_distinct_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV bottom-k distinct (tail entry, round 5): the theta-family
+    sibling of hll_distinct over the same synthetic URL column — ≤64
+    hashes of state per lang, exact when a group's cardinality fits
+    inside k. exact_distinct rides along as the accuracy evidence; the
+    gate hashes n_held + the rounded estimator."""
+    from resume_ocr_spark.operators import sketches
+
+    urls = _sketch_urls(spark, sf_dir)
+    est = sketches.kmv_estimate(
+        sketches.kmv_sketch(urls, "url", ["lang"]), ["lang"])
+    exact = urls.groupBy("lang").agg(
+        F.countDistinct("url").cast("bigint").alias("exact_distinct"))
+    return est.join(F.broadcast(exact), "lang")
+
+
+def kmv_set_ops_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set-operation estimates (tail entry, round 5): union AND
+    intersection of the even-doc vs odd-doc URL sets from two bottom-k
+    sketches — the one estimate HLL cannot give unbiasedly (its
+    intersection is inclusion-exclusion of three noisy terms). All joins
+    sketch-sized; membership against the per-side sketches is exact for
+    combined-bottom-k members (hv ≤ θ_union ≤ θ_side)."""
+    from resume_ocr_spark.operators import sketches
+
+    urls = _sketch_urls(spark, sf_dir)
+    ska = sketches.kmv_sketch(
+        urls.filter(F.col("doc_id") % 2 == 0).withColumn("_g", F.lit(1)),
+        "url", ["_g"]).select("rnk", "hv")
+    skb = sketches.kmv_sketch(
+        urls.filter(F.col("doc_id") % 2 == 1).withColumn("_g", F.lit(1)),
+        "url", ["_g"]).select("rnk", "hv")
+    return sketches.kmv_set_estimates(ska, skb)
+
+
 def bloom_url_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter URL-seen gate (tail entry, round 5): the frontier's
     "have we crawled this?" test — seen set = docs < 60's urls folded into
@@ -3217,6 +3252,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_indexed": bm25_indexed_entry,
         "phrase_query": phrase_query_entry,
         "proximity_window": proximity_window_entry,
+        # round-5 tail: KMV/theta bottom-k sketch — the mergeable distinct
+        # family with unbiased set-operation estimates (HLL's blind spot)
+        "kmv_distinct": kmv_distinct_entry,
+        "kmv_set_ops": kmv_set_ops_entry,
     }
     return {**gated, **tail}
 
@@ -6458,6 +6497,65 @@ def oracle_sql() -> dict[str, str]:
       FROM qcells q
       LEFT JOIN sketch s ON s.rw = q.rw AND s.cl = q.cl
       GROUP BY q.word, q.exact_count
+    """
+    # KMV bottom-k: hashes rebuilt via the same digit-sum twin; the rank
+    # cut and the (k-1)·2³²/hv_k estimator are restated verbatim.
+    # 63.0 * 4294967296.0 is an exact double product on both sides.
+    _khash = _sk.hex_int_sql("md5(url || ':kmv')", 1, 8)
+    _kh = f"CAST({_khash} AS BIGINT)"
+    _kk = _sk.KMV_K
+    _kest = (f"CASE WHEN n_held < {_kk} THEN CAST(n_held AS DOUBLE) "
+             f"ELSE ROUND({float(_kk - 1)!r} * {_sk.KMV_SPACE!r} / hvk, 4) "
+             f"END")
+    sqls["kmv_distinct"] = f"""
+      WITH urls AS (
+        SELECT doc_id, lang, {_url} AS url FROM documents
+      ), hashed AS (
+        SELECT DISTINCT lang, {_kh} AS hv FROM urls
+      ), ranked AS (
+        SELECT lang, hv,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hv) AS rnk
+        FROM hashed
+      ), agg AS (
+        SELECT lang, CAST(COUNT(*) AS INT) AS n_held,
+               MAX(CASE WHEN rnk = {_kk} THEN hv END) AS hvk
+        FROM ranked WHERE rnk <= {_kk} GROUP BY 1
+      )
+      SELECT a.lang, a.n_held, {_kest} AS est_distinct, x.exact_distinct
+      FROM agg a JOIN (
+        SELECT lang, CAST(COUNT(DISTINCT url) AS BIGINT) AS exact_distinct
+        FROM urls GROUP BY 1
+      ) x USING (lang)
+    """
+    sqls["kmv_set_ops"] = f"""
+      WITH urls AS (
+        SELECT doc_id, {_url} AS url FROM documents
+      ), ska AS (
+        SELECT hv FROM (
+          SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rnk FROM (
+            SELECT DISTINCT {_kh} AS hv FROM urls WHERE doc_id % 2 = 0))
+        WHERE rnk <= {_kk}
+      ), skb AS (
+        SELECT hv FROM (
+          SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rnk FROM (
+            SELECT DISTINCT {_kh} AS hv FROM urls WHERE doc_id % 2 = 1))
+        WHERE rnk <= {_kk}
+      ), merged AS (
+        SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rnk FROM (
+          SELECT DISTINCT hv FROM (
+            SELECT hv FROM ska UNION ALL SELECT hv FROM skb))
+      ), agg AS (
+        SELECT CAST(COUNT(*) AS INT) AS n_held,
+               MAX(CASE WHEN rnk = {_kk} THEN hv END) AS hvk,
+               CAST(SUM(CASE WHEN hv IN (SELECT hv FROM ska)
+                              AND hv IN (SELECT hv FROM skb)
+                             THEN 1 ELSE 0 END) AS INT) AS n_both
+        FROM merged WHERE rnk <= {_kk}
+      )
+      SELECT n_held, n_both, {_kest} AS est_union,
+             ROUND(CAST(n_both AS DOUBLE) / n_held * ({_kest}), 4)
+               AS est_intersection
+      FROM agg
     """
     sqls["hist_quantiles"] = """
       WITH b AS (

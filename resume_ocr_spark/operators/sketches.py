@@ -546,3 +546,135 @@ def histogram_quantiles_from_bins(
         name = f"q{int(round(q * 100))}_est"
         aggs.append(((hit_bin + 1) * F.lit(float(width))).alias(name))
     return cum.groupBy(*group_cols).agg(*aggs)
+
+
+# --- KMV (bottom-k / theta) distinct sketch --------------------------------
+
+# The k-minimum-values sketch (Bar-Yossef et al. 2002; the theta-sketch
+# family): keep the k smallest uniform hashes of the distinct values.
+# Complements HLL with the one thing HLL fundamentally lacks — UNBIASED
+# SET-OPERATION estimates (intersection/difference): the combined bottom-k
+# of two sketches is a uniform sample of the union, so membership ratios
+# inside it estimate any set expression. Estimator: n̂ = (k-1)/u_(k) with
+# u_(k) the k-th smallest hash as a fraction of the hash space; < k
+# distinct values → the sketch IS the distinct set (exact count).
+KMV_K = 64
+KMV_SPACE = float(1 << 32)  # hashes are 8 hex digits = 32 bits
+
+
+def kmv_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    k: int = KMV_K,
+    seed: str = "kmv",
+) -> DataFrame:
+    """Per-group bottom-k sketch table: (group…, rnk, hv) with hv the
+    rnk-th smallest 32-bit md5 hash over the DISTINCT values — ≤ k rows
+    per group regardless of input size.
+
+    100 TB shape: one (group, hv) hash agg with map-side combine dedups
+    the hashes; then a two-level bottom-k: a (group, spark_partition_id)
+    window — evenly spread across tasks — discards everything that
+    cannot reach the global bottom-k, so the final per-group window
+    ranks ≤ k·partitions rows. Bounded even for an ungrouped
+    (single-group) sketch, where a bare global window would otherwise
+    sort every distinct hash in ONE task. The prefilter never changes
+    the result: a hash outside its partition's bottom-k is outside the
+    group's bottom-k a fortiori."""
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.col(value_col).cast("string"), F.lit(f":{seed}")))
+    hv = _hex_int(h, 1, 8)
+    dedup = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, hv.alias("hv"))
+        .groupBy(*group_cols, "hv").agg(F.lit(1).alias("_one"))
+    )
+    wloc = Window.partitionBy(*group_cols,
+                              F.spark_partition_id()).orderBy("hv")
+    pruned = (dedup.select(*group_cols, "hv",
+                           F.row_number().over(wloc).alias("_lr"))
+              .filter(F.col("_lr") <= k))
+    w = Window.partitionBy(*group_cols).orderBy("hv")
+    return (
+        pruned.select(*group_cols, "hv",
+                      F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= k)
+        .select(*group_cols, "rnk", "hv")
+    )
+
+
+def kmv_merge(
+    sk_a: DataFrame, sk_b: DataFrame, group_cols: list[str], k: int = KMV_K,
+) -> DataFrame:
+    """Sketch merge: union the hash sets, dedup, re-rank, keep bottom-k.
+    Closed under the sketch contract — bottom-k(bottom-k(A) ∪ bottom-k(B))
+    = bottom-k(A ∪ B) (pinned by tests), so shard sketches reduce
+    pairwise without ever rescanning data."""
+    from pyspark.sql import Window
+
+    u = (sk_a.select(*group_cols, "hv")
+         .unionByName(sk_b.select(*group_cols, "hv"))
+         .groupBy(*group_cols, "hv").agg(F.lit(1).alias("_one")))
+    w = Window.partitionBy(*group_cols).orderBy("hv")
+    return (u.select(*group_cols, "hv", F.row_number().over(w).alias("rnk"))
+            .filter(F.col("rnk") <= k)
+            .select(*group_cols, "rnk", "hv"))
+
+
+def kmv_estimate(
+    sketch: DataFrame, group_cols: list[str], k: int = KMV_K,
+) -> DataFrame:
+    """Per-group distinct estimate from the sketch table: exact count
+    when the group holds < k hashes (the sketch saw every distinct
+    value), else (k-1)·2³²/hv_k rounded to 4 — double math identical in
+    both engines, so the estimate hash-gates."""
+    agg = sketch.groupBy(*group_cols).agg(
+        F.count("*").cast("int").alias("n_held"),
+        F.max(F.when(F.col("rnk") == k, F.col("hv"))).alias("_hvk"))
+    est = F.when(
+        F.col("n_held") < k, F.col("n_held").cast("double")
+    ).otherwise(F.round(F.lit(float(k - 1)) * F.lit(KMV_SPACE)
+                        / F.col("_hvk"), 4))
+    return agg.select(*group_cols, "n_held", est.alias("est_distinct"))
+
+
+def kmv_set_estimates(
+    sk_a: DataFrame, sk_b: DataFrame, k: int = KMV_K,
+) -> DataFrame:
+    """Union / intersection estimates from two UNGROUPED sketches (single
+    logical sets; sketch frames carry just (rnk, hv)).
+
+    Combined bottom-k K of A∪B is a uniform size-k sample of the union;
+    ρ = |K ∩ A ∩ B| / k estimates the intersection fraction, so
+    n̂∩ = ρ·n̂∪ (the theta-sketch intersection). All joins here are
+    sketch-sized (≤ k rows) broadcasts — never data-sized."""
+    merged = kmv_merge(sk_a.select(F.lit(1).alias("_g"), "rnk", "hv"),
+                       sk_b.select(F.lit(1).alias("_g"), "rnk", "hv"),
+                       ["_g"], k)
+    in_a = sk_a.select(F.col("hv").alias("hv_a")).distinct()
+    in_b = sk_b.select(F.col("hv").alias("hv_b")).distinct()
+    both = (
+        merged
+        .join(F.broadcast(in_a), F.col("hv") == F.col("hv_a"), "left")
+        .join(F.broadcast(in_b), F.col("hv") == F.col("hv_b"), "left")
+        .agg(
+            F.count("*").cast("int").alias("n_held"),
+            F.max(F.when(F.col("rnk") == k, F.col("hv"))).alias("_hvk"),
+            F.sum(F.when(F.col("hv_a").isNotNull()
+                         & F.col("hv_b").isNotNull(), 1)
+                  .otherwise(0)).cast("int").alias("n_both"))
+    )
+    est_union = F.when(
+        F.col("n_held") < k, F.col("n_held").cast("double")
+    ).otherwise(F.round(F.lit(float(k - 1)) * F.lit(KMV_SPACE)
+                        / F.col("_hvk"), 4))
+    # ρ denominator is n_held, not k: when the union has < k distinct
+    # hashes K holds ALL of it, so ρ·n̂∪ = (n_both/n_held)·n_held = the
+    # exact intersection count; at n_held == k the two coincide
+    return both.select(
+        "n_held", "n_both",
+        est_union.alias("est_union"),
+        F.round(F.col("n_both") / F.col("n_held") * est_union, 4)
+        .alias("est_intersection"))

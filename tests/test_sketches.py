@@ -231,3 +231,74 @@ def test_hll_set_estimates_union_and_intersection(spark):
     rc = sk.hll_registers(mk(5000, 5600), "v", ["g"])
     row2 = sk.hll_set_estimates(ra, rc, ["g"]).collect()[0]
     assert row2["est_intersection"] >= 0.0
+
+
+# --- KMV bottom-k -----------------------------------------------------------
+
+def test_kmv_exact_below_k(spark):
+    """< k distinct values → the sketch is the distinct set and the
+    estimate is the exact count."""
+    df = spark.createDataFrame(
+        [(i % 17,) for i in range(500)], "v long")
+    est = sk.kmv_estimate(
+        sk.kmv_sketch(df.withColumn("g", F.lit("a")), "v", ["g"], k=64),
+        ["g"], k=64).collect()[0]
+    assert (est.n_held, est.est_distinct) == (17, 17.0)
+
+
+def test_kmv_error_within_band(spark):
+    """n=5000 distinct at k=64: relative error concentrates around
+    1/sqrt(k-2) ≈ 13%; assert a generous 3-sigma band (the hash is
+    deterministic, so this pins a single draw, not a distribution)."""
+    df = spark.createDataFrame([(i,) for i in range(5000)], "v long")
+    est = sk.kmv_estimate(
+        sk.kmv_sketch(df.withColumn("g", F.lit("a")), "v", ["g"]),
+        ["g"]).collect()[0].est_distinct
+    assert abs(est - 5000) / 5000 < 0.4, est
+
+
+def test_kmv_merge_law(spark):
+    """bottom-k(merge(sketch(A), sketch(B))) == sketch(A ∪ B) row for
+    row — the property shard-wise reduction rests on."""
+    a = spark.createDataFrame([(i,) for i in range(0, 3000)], "v long")
+    b = spark.createDataFrame([(i,) for i in range(1500, 4000)], "v long")
+    g = F.lit("g")
+    ska = sk.kmv_sketch(a.withColumn("g", g), "v", ["g"])
+    skb = sk.kmv_sketch(b.withColumn("g", g), "v", ["g"])
+    merged = sk.kmv_merge(ska, skb, ["g"]).orderBy("rnk").collect()
+    direct = sk.kmv_sketch(
+        a.unionByName(b).withColumn("g", g), "v", ["g"]
+    ).orderBy("rnk").collect()
+    assert [(r.rnk, r.hv) for r in merged] == [(r.rnk, r.hv) for r in direct]
+
+
+def test_kmv_ignores_duplicates(spark):
+    """Sketch state depends on the distinct set only."""
+    base = spark.createDataFrame([(i,) for i in range(200)], "v long")
+    dup = base.unionByName(base).unionByName(base)
+    g = F.lit("g")
+    s1 = sk.kmv_sketch(base.withColumn("g", g), "v", ["g"]).collect()
+    s2 = sk.kmv_sketch(dup.withColumn("g", g), "v", ["g"]).collect()
+    assert sorted((r.rnk, r.hv) for r in s1) == \
+        sorted((r.rnk, r.hv) for r in s2)
+
+
+def test_kmv_set_estimates(spark):
+    """Theta-style set ops: union/intersection estimates within a loose
+    band of truth; exact when the union fits inside k."""
+    a = spark.createDataFrame([(i,) for i in range(0, 3000)], "v long")
+    b = spark.createDataFrame([(i,) for i in range(2000, 5000)], "v long")
+    g = F.lit("g")
+    ska = sk.kmv_sketch(a.withColumn("g", g), "v", ["g"]).select("rnk", "hv")
+    skb = sk.kmv_sketch(b.withColumn("g", g), "v", ["g"]).select("rnk", "hv")
+    r = sk.kmv_set_estimates(ska, skb).collect()[0]
+    assert abs(r.est_union - 5000) / 5000 < 0.4, r
+    assert abs(r.est_intersection - 1000) / 1000 < 0.8, r
+
+    # tiny sets: union below k → both estimates exact
+    ta = spark.createDataFrame([(i,) for i in range(0, 30)], "v long")
+    tb = spark.createDataFrame([(i,) for i in range(20, 50)], "v long")
+    sta = sk.kmv_sketch(ta.withColumn("g", g), "v", ["g"]).select("rnk", "hv")
+    stb = sk.kmv_sketch(tb.withColumn("g", g), "v", ["g"]).select("rnk", "hv")
+    t = sk.kmv_set_estimates(sta, stb).collect()[0]
+    assert (t.est_union, t.est_intersection) == (50.0, 10.0)
