@@ -2693,6 +2693,29 @@ def hll_distinct_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(F.broadcast(exact), "lang")
 
 
+BITEXT_CAP = 200  # vec_id cutoff: 100 src × 100 tgt exact pairs at the gate
+
+
+def bitext_mine_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCMatrix-style margin-based bitext mining (tail entry, round 5):
+    embeddings split by vec_id parity into src/tgt sides; each source's
+    best ratio-margin target above 1.0 (operators/bitext.py). Integer
+    micro-cosines make every neighborhood aggregate exact BIGINT, so the
+    margin is one float division both engines state identically. The
+    gated path is the exact all-pairs baseline; the scale path feeds the
+    same scorer LSH/ANN candidates (tests/test_bitext.py)."""
+    from resume_ocr_spark.operators import bitext
+
+    emb = _t(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < BITEXT_CAP)
+    src = emb.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("sid"), "embedding")
+    tgt = emb.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("tid"), "embedding")
+    return bitext.mine_bitext(src, tgt, id_src="sid", id_tgt="tid",
+                              threshold=1.0)
+
+
 def kmv_distinct_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV bottom-k distinct (tail entry, round 5): the theta-family
     sibling of hll_distinct over the same synthetic URL column — ≤64
@@ -3256,6 +3279,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # family with unbiased set-operation estimates (HLL's blind spot)
         "kmv_distinct": kmv_distinct_entry,
         "kmv_set_ops": kmv_set_ops_entry,
+        # round-5 tail: margin-based bitext mining (CCMatrix/LASER) —
+        # hub-suppressing ratio margin over cross-side cosines
+        "bitext_mine": bitext_mine_entry,
     }
     return {**gated, **tail}
 
@@ -6556,6 +6582,51 @@ def oracle_sql() -> dict[str, str]:
              ROUND(CAST(n_both AS DOUBLE) / n_held * ({_kest}), 4)
                AS est_intersection
       FROM agg
+    """
+    # margin-based bitext mining: the unnest/equi-join cosine (house
+    # embedding recipe) quantized to micro-cosine BIGINTs, then windowed
+    # neighborhood sums and ONE float division per pair — restated
+    # clause-for-clause from operators/bitext.py
+    _bk = 4  # bitext.MARGIN_K
+    sqls["bitext_mine"] = f"""
+      WITH side AS (
+        SELECT vec_id,
+               unnest(CAST(embedding AS DOUBLE[])) AS v,
+               unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings WHERE vec_id < {BITEXT_CAP}
+      ), cosv AS (
+        SELECT a.vec_id AS src_id, b.vec_id AS tgt_id,
+               CAST(ROUND(SUM(a.v * b.v)
+                          / sqrt(SUM(a.v * a.v) * SUM(b.v * b.v))
+                          * 1000000.0, 0) AS BIGINT) AS c
+        FROM side a JOIN side b ON a.i = b.i
+        WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
+        GROUP BY 1, 2
+      ), fwd AS (
+        SELECT src_id, CAST(SUM(c) AS BIGINT) AS sumx,
+               CAST(COUNT(*) AS BIGINT) AS cntx
+        FROM (SELECT src_id, c, ROW_NUMBER() OVER (
+                  PARTITION BY src_id ORDER BY c DESC, tgt_id) AS r
+              FROM cosv)
+        WHERE r <= {_bk} GROUP BY 1
+      ), bwd AS (
+        SELECT tgt_id, CAST(SUM(c) AS BIGINT) AS sumy,
+               CAST(COUNT(*) AS BIGINT) AS cnty
+        FROM (SELECT tgt_id, c, ROW_NUMBER() OVER (
+                  PARTITION BY tgt_id ORDER BY c DESC, src_id) AS r
+              FROM cosv)
+        WHERE r <= {_bk} GROUP BY 1
+      ), m AS (
+        SELECT cosv.src_id, cosv.tgt_id, cosv.c,
+               ROUND(2.0 * c * cntx * cnty
+                     / (sumx * cnty + sumy * cntx), 6) AS margin
+        FROM cosv JOIN fwd USING (src_id) JOIN bwd USING (tgt_id)
+      )
+      SELECT src_id, tgt_id, c, margin FROM (
+        SELECT src_id, tgt_id, c, margin, ROW_NUMBER() OVER (
+            PARTITION BY src_id ORDER BY margin DESC, tgt_id) AS r
+        FROM m)
+      WHERE r = 1 AND margin >= 1.0
     """
     sqls["hist_quantiles"] = """
       WITH b AS (
