@@ -2693,6 +2693,22 @@ def hll_distinct_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(F.broadcast(exact), "lang")
 
 
+SNIPPET_WIDTH = 4
+
+
+def phrase_snippets_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KWIC snippets (tail entry, round 5): ±4 tokens of context around
+    each matching doc's first phrase hit — the serving-side rendering
+    after the index match; candidates broadcast into ONE corpus scan,
+    the snippet a zero-shuffle slice."""
+    from resume_ocr_spark.operators import postings
+
+    docs = _t(spark, sf_dir, "documents")
+    post = postings.build_postings(docs, terms=POSTINGS_TERMS)
+    return postings.phrase_snippets(docs, post, PHRASE_QUERY,
+                                    width=SNIPPET_WIDTH)
+
+
 BITEXT_CAP = 200  # vec_id cutoff: 100 src × 100 tgt exact pairs at the gate
 
 
@@ -3275,6 +3291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_indexed": bm25_indexed_entry,
         "phrase_query": phrase_query_entry,
         "proximity_window": proximity_window_entry,
+        "phrase_snippets": phrase_snippets_entry,
         # round-5 tail: KMV/theta bottom-k sketch — the mergeable distinct
         # family with unbiased set-operation estimates (HLL's blind spot)
         "kmv_distinct": kmv_distinct_entry,
@@ -4982,6 +4999,34 @@ def oracle_sql() -> dict[str, str]:
       SELECT doc_id, CAST(COUNT(*) AS INT) AS n_matches,
              CAST(MIN(pos) AS INT) AS first_pos
       FROM m GROUP BY doc_id
+    """
+
+    # KWIC snippets: the phrase CTE joined back to documents; the slice
+    # bounds are the same GREATEST/LEAST ints, the token list the same
+    # split, empties filtered before the join — dialect-twins throughout
+    sqls["phrase_snippets"] = f"""
+      WITH {_ptoks},
+      m AS (
+        SELECT t0.doc_id, t0.i AS pos
+        FROM ptoks t0
+{_ph_joins}
+        WHERE t0.w = '{_ph[0]}'),
+      hits AS (
+        SELECT doc_id, CAST(COUNT(*) AS INT) AS n_matches,
+               CAST(MIN(pos) AS INT) AS first_pos
+        FROM m GROUP BY doc_id),
+      toklist AS (
+        SELECT d.doc_id, h.n_matches, h.first_pos,
+               string_split(trim(regexp_replace(lower(coalesce(d.text,
+                   '')), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+        FROM documents d JOIN hits h USING (doc_id))
+      SELECT doc_id, n_matches, first_pos,
+             array_to_string(list_filter(
+                 t[GREATEST(first_pos - {SNIPPET_WIDTH}, 1):
+                   LEAST(first_pos + {len(_ph) - 1 + SNIPPET_WIDTH},
+                         len(t))],
+                 x -> x <> ''), ' ') AS snippet
+      FROM toklist
     """
 
     # min-cover proximity: the identical running-MAX-per-term ordered

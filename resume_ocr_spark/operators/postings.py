@@ -359,3 +359,57 @@ def min_window_proximity(
     if max_window is not None:
         out = out.filter(F.col("min_window") <= max_window)
     return out
+
+
+def phrase_snippets(
+    df: DataFrame,
+    postings: DataFrame,
+    phrase: str,
+    width: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Keyword-in-context snippets for a phrase: each matching document's
+    first occurrence with ±``width`` tokens of context — the serving-side
+    result rendering every search tier performs after the index match.
+
+    Plan shape: :func:`phrase_matches` resolves candidates from the
+    pruned postings (tiny), which are then BROADCAST into the corpus
+    scan; the snippet itself is a zero-shuffle projection (re-tokenize
+    the matched row, slice around first_pos, join). The corpus is
+    scanned once and never shuffled. Output: (doc_id, n_matches,
+    first_pos, snippet)."""
+    hits = phrase_matches(postings, phrase, id_col)
+    n_words = len(_phrase_tokens(phrase))
+    toks = _tokens(text_col)
+    start = F.greatest(F.col("first_pos") - width, F.lit(1))
+    end = F.least(F.col("first_pos") + (n_words - 1) + width, F.size(toks))
+    return (
+        df.join(F.broadcast(hits), id_col)
+        .select(
+            F.col(id_col), "n_matches", "first_pos",
+            F.array_join(
+                F.filter(F.slice(toks, start, end - start + 1),
+                         lambda w: w != F.lit("")),
+                " ").alias("snippet"))
+    )
+
+
+def merge_postings(
+    base: DataFrame,
+    delta: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Segment merge — the index-maintenance half of the postings story
+    (Lucene's segment model): documents are immutable rows, so a doc's
+    postings live wholly inside one segment and merging is doc-granular.
+    A doc_id present in ``delta`` REPLACES its base postings (recrawl
+    semantics: the newest capture wins), all other base postings carry
+    over untouched; the corpus is never re-scanned.
+
+    Cost: one anti-join on doc_id (the replaced set is typically a tiny
+    fraction) + a union — no positional work is redone.  Applies to the
+    doc-length sidecar with the same call."""
+    replaced = delta.select(id_col).distinct()
+    kept = base.join(F.broadcast(replaced), id_col, "left_anti")
+    return kept.unionByName(delta)

@@ -177,3 +177,46 @@ def test_bucket_col_matches_python(spark):
         "term", postings._bucket_col(F.col("term"), 64).alias("b")).collect()
     for r in rows:
         assert r.b == postings.term_bucket(r.term, 64)
+
+
+def test_phrase_snippets(docs, post):
+    """Snippets: ±width tokens around the first phrase hit, python
+    parity on every matching doc."""
+    phrase, width = "big data merge", 4
+    out = {r.doc_id: (r.n_matches, r.first_pos, r.snippet)
+           for r in postings.phrase_snippets(
+               docs, post, phrase, width=width).collect()}
+    assert out
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    words = phrase.split()
+    for did, (n, p, snip) in out.items():
+        toks = _pytok(texts[did])
+        lo = max(p - width, 1)
+        hi = min(p + len(words) - 1 + width, len(toks))
+        assert snip == " ".join(toks[lo - 1:hi])
+        assert " ".join(words) in snip
+
+
+def test_merge_postings_recrawl(spark):
+    """Segment merge: delta docs replace their base postings wholesale,
+    untouched docs carry over; result equals a fresh build over the
+    final corpus state."""
+    v1 = spark.createDataFrame(
+        [(1, "old text here"), (2, "stable doc"), (3, "to be replaced")],
+        "doc_id long, text string")
+    v2 = spark.createDataFrame(
+        [(3, "replaced text now"), (4, "brand new doc")],
+        "doc_id long, text string")
+    base = postings.build_postings(v1)
+    delta = postings.build_postings(v2)
+    merged = postings.merge_postings(base, delta)
+    final = v1.filter("doc_id NOT IN (3)").unionByName(v2)
+    fresh = postings.build_postings(final)
+    key = lambda r: (r.term, r.doc_id, r.tf, tuple(r.positions))
+    assert sorted(map(key, merged.collect())) == \
+        sorted(map(key, fresh.collect()))
+    # doc-length sidecar merges with the same call
+    dl = postings.merge_postings(
+        postings.doc_lengths(v1), postings.doc_lengths(v2))
+    want = {r.doc_id: r.dl for r in postings.doc_lengths(final).collect()}
+    assert {r.doc_id: r.dl for r in dl.collect()} == want
