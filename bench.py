@@ -45,6 +45,10 @@ HEADLINE = [
     # computes the exact countDistinct twin, so its wall carries its own
     # sketch-vs-exact comparison)
     "hll_distinct", "cms_topk", "hist_quantiles",
+    # round-5 late additions: positional-index serving (postings_index is
+    # the corpus-scan build; bm25_indexed the pruned query), KMV bottom-k,
+    # and margin-based bitext mining (exact capped path)
+    "postings_index", "bm25_indexed", "kmv_distinct", "bitext_mine",
 ]
 
 

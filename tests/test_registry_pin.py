@@ -67,6 +67,10 @@ EXPECTED_TAIL = [
     "dedup_lsh_eval", "hard_negatives", "pq_codes", "pq_adc",
     "ivfpq_topk", "ivfpq_residual", "dp_group_counts",
     "ann_recall_ivfpq",
+    # round-5 late: positional-index serving family, KMV/theta sketch,
+    # margin-based bitext mining
+    "postings_index", "bm25_indexed", "phrase_query", "proximity_window",
+    "phrase_snippets", "kmv_distinct", "kmv_set_ops", "bitext_mine",
 ]
 
 
