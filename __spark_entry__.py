@@ -2709,6 +2709,58 @@ def phrase_snippets_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     width=SNIPPET_WIDTH)
 
 
+JSON_EVENT_CAP = 2000  # bound the flatten gate's row count at sf0.1
+
+
+def _synth_event_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic nested-JSON sidecar synthesized from events columns
+    (integer fields only — no float formatting hazard); the oracle
+    rebuilds the identical string with ||-concat, so both engines parse
+    the same bytes."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_id") < JSON_EVENT_CAP)
+    k = F.get_json_object("props", "$.k")
+    js = F.concat(
+        F.lit('{"meta":{"event":'), F.col("event_id").cast("string"),
+        F.lit(',"user":'), F.col("user_id").cast("string"),
+        F.lit('},"kind":"'), F.col("event_type"),
+        F.lit('","k":'), k,
+        F.lit(',"tags":["t'), (F.col("event_id") % 3).cast("string"),
+        F.lit('","t'), (F.col("event_id") % 5).cast("string"),
+        F.lit('"]}'))
+    return ev.select("event_id", js.alias("js"))
+
+
+def json_flatten_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic JSON leaf flattening (tail entry, round 5): the
+    schema-agnostic sidecar triage — (event_id, path, kind, value) rows
+    to depth 2, one map<string,string> parse + explode per level, zero
+    shuffles (operators/jsontools.py). Oracle walks the same two levels
+    with json_keys/json_extract_string/json_type."""
+    from resume_ocr_spark.operators import jsontools
+
+    return jsontools.json_flatten(
+        _synth_event_json(spark, sf_dir), "js", ["event_id"], max_depth=2)
+
+
+def json_tags_rollup_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON array unnest + rollup (tail entry, round 5): explode the
+    sidecar's tags array, join the typed scalar k, aggregate per tag —
+    the projection→explode→agg shape of sidecar analytics; the ONLY
+    exchange is the final small-key agg."""
+    from resume_ocr_spark.operators import jsontools
+
+    js = _synth_event_json(spark, sf_dir)
+    tags = jsontools.json_array_unnest(js, "js", "$.tags", ["event_id"],
+                                       out_col="tag")
+    ks = jsontools.json_scalars(js, "js", {"k": ("$.k", "bigint")}) \
+        .select("event_id", "k")
+    return (tags.join(ks, "event_id")
+            .groupBy("tag")
+            .agg(F.count("*").cast("bigint").alias("n"),
+                 F.sum("k").cast("bigint").alias("sum_k")))
+
+
 BITEXT_CAP = 200  # vec_id cutoff: 100 src × 100 tgt exact pairs at the gate
 
 
@@ -3299,6 +3351,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 tail: margin-based bitext mining (CCMatrix/LASER) —
         # hub-suppressing ratio margin over cross-side cosines
         "bitext_mine": bitext_mine_entry,
+        # round-5 tail: semi-structured sidecar ingestion — generic JSON
+        # leaf flatten and array-unnest rollup, all JVM-side projections
+        "json_flatten": json_flatten_entry,
+        "json_tags_rollup": json_tags_rollup_entry,
     }
     return {**gated, **tail}
 
@@ -6628,6 +6684,65 @@ def oracle_sql() -> dict[str, str]:
                AS est_intersection
       FROM agg
     """
+    # semi-structured sidecar family: the synthesized JSON is rebuilt
+    # byte-for-byte with ||-concat, then walked with json_keys /
+    # json_extract_string / json_type — DuckDB's json_extract_string
+    # re-serializes non-scalars compactly exactly like Spark's
+    # map<string,string> parse, so leaf values hash equal
+    _synth_js = f"""
+      synth AS (
+        SELECT event_id,
+               '{{"meta":{{"event":' || CAST(event_id AS VARCHAR) ||
+               ',"user":' || CAST(user_id AS VARCHAR) ||
+               '}},"kind":"' || event_type ||
+               '","k":' || json_extract_string(props, '$.k') ||
+               ',"tags":["t' || CAST(event_id % 3 AS VARCHAR) ||
+               '","t' || CAST(event_id % 5 AS VARCHAR) || '"]}}' AS js
+        FROM events WHERE event_id < {JSON_EVENT_CAP}
+      )"""
+    sqls["json_flatten"] = f"""
+      WITH {_synth_js},
+      l1 AS (SELECT event_id, js, unnest(json_keys(js)) AS key FROM synth),
+      l1v AS (SELECT event_id, js, '$.' || key AS path,
+                     json_extract_string(js, '$.' || key) AS val,
+                     json_type(js, '$.' || key) AS t
+              FROM l1),
+      leaf1 AS (SELECT event_id, path,
+                       CASE WHEN t = 'ARRAY' THEN 'array'
+                            ELSE 'scalar' END AS kind,
+                       val AS value
+                FROM l1v WHERE t <> 'OBJECT'),
+      l2 AS (SELECT event_id, js, path AS ppath,
+                    unnest(json_keys(js, path)) AS key
+             FROM l1v WHERE t = 'OBJECT'),
+      leaf2 AS (SELECT event_id, ppath || '.' || key AS path,
+                       CASE WHEN json_type(js, ppath || '.' || key)
+                                 = 'OBJECT' THEN 'object'
+                            WHEN json_type(js, ppath || '.' || key)
+                                 = 'ARRAY' THEN 'array'
+                            ELSE 'scalar' END AS kind,
+                       json_extract_string(js, ppath || '.' || key) AS value
+                FROM l2)
+      SELECT * FROM leaf1 UNION ALL SELECT * FROM leaf2
+    """
+    sqls["json_tags_rollup"] = f"""
+      WITH {_synth_js},
+      tg AS (SELECT event_id, js,
+                    unnest(generate_series(1, CAST(json_array_length(js,
+                        '$.tags') AS BIGINT))) AS i
+             FROM synth),
+      tags AS (SELECT event_id,
+                      json_extract_string(js, '$.tags['
+                          || CAST(i - 1 AS VARCHAR) || ']') AS tag
+               FROM tg),
+      ks AS (SELECT event_id,
+                    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+             FROM events WHERE event_id < {JSON_EVENT_CAP})
+      SELECT tag, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(k) AS BIGINT) AS sum_k
+      FROM tags JOIN ks USING (event_id) GROUP BY tag
+    """
+
     # margin-based bitext mining: the unnest/equi-join cosine (house
     # embedding recipe) quantized to micro-cosine BIGINTs, then windowed
     # neighborhood sums and ONE float division per pair — restated

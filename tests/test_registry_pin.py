@@ -71,6 +71,7 @@ EXPECTED_TAIL = [
     # margin-based bitext mining
     "postings_index", "bm25_indexed", "phrase_query", "proximity_window",
     "phrase_snippets", "kmv_distinct", "kmv_set_ops", "bitext_mine",
+    "json_flatten", "json_tags_rollup",
 ]
 
 
