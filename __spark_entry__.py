@@ -2709,6 +2709,37 @@ def phrase_snippets_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     width=SNIPPET_WIDTH)
 
 
+def winnow_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (tail entry, round 5): the MOSS local
+    fingerprinting — per 4-window rightmost-min over 3-gram hashes,
+    guaranteeing any ≥6-token shared run leaves a common fingerprint
+    (textstats.winnow_fingerprints; the theorem is pytest-pinned).
+    doc_id < 60 keeps the gram self-joins gate-sized, the
+    dedup_minhash_shingles convention."""
+    from resume_ocr_spark.operators import textstats
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    return textstats.winnow_fingerprints(docs, k=3, w=4)
+
+
+#: blocklist-shaped fixture: three phrases resolved in ONE index pass
+MULTI_PHRASES = ["big data merge", "window fast query", "slow hash batch"]
+MULTI_TERMS = sorted({w for p in MULTI_PHRASES for w in p.split()})
+
+
+def multi_phrase_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-phrase blocklist matching (tail entry, round 5): every
+    phrase against the positional index in one candidate pivot —
+    P phrases never cost P passes (postings.multi_phrase_matches); the
+    oracle unions three independent adjacency self-join blocks, proving
+    the fused pass equals the per-phrase construction."""
+    from resume_ocr_spark.operators import postings
+
+    post = postings.build_postings(
+        _t(spark, sf_dir, "documents"), terms=MULTI_TERMS)
+    return postings.multi_phrase_matches(post, MULTI_PHRASES)
+
+
 JSON_EVENT_CAP = 2000  # bound the flatten gate's row count at sf0.1
 
 
@@ -3355,6 +3386,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # leaf flatten and array-unnest rollup, all JVM-side projections
         "json_flatten": json_flatten_entry,
         "json_tags_rollup": json_tags_rollup_entry,
+        # round-5 tail: one-pass multi-phrase blocklist over the index
+        "multi_phrase": multi_phrase_entry,
+        # round-5 tail: winnowing (MOSS) local fingerprints — the
+        # guaranteed local-overlap detector beside global MinHash
+        "winnow_fingerprints": winnow_entry,
     }
     return {**gated, **tail}
 
@@ -5083,6 +5119,73 @@ def oracle_sql() -> dict[str, str]:
                          len(t))],
                  x -> x <> ''), ' ') AS snippet
       FROM toklist
+    """
+
+    # winnowing: 3-gram hashes from the house i/i+1/i+2 shingle joins,
+    # rightmost-min selection as ONE encoded-BIGINT window MIN (hash·2²⁰
+    # + (2²⁰-1-pos)), full windows gated by a frame COUNT — every step
+    # integer-exact on both sides
+    from resume_ocr_spark.operators.sketches import hex_int_sql as _hxs
+
+    _wh = _hxs("md5(a.w || ' ' || b.w || ' ' || c.w)", 1, 5)
+    sqls["winnow_fingerprints"] = f"""
+      WITH wtoks AS (
+        SELECT doc_id, w, i FROM (
+          SELECT doc_id,
+                 unnest(string_split(trim(regexp_replace(lower(
+                        coalesce(text, '')), '[^a-z0-9]+', ' ', 'g')),
+                        ' ')) AS w,
+                 unnest(generate_series(1,
+                        len(string_split(trim(regexp_replace(lower(
+                            coalesce(text, '')), '[^a-z0-9]+', ' ', 'g')),
+                            ' ')))) AS i
+          FROM documents WHERE doc_id < 60
+        ) WHERE w <> ''
+      ), grams AS (
+        SELECT a.doc_id, a.i AS pos, CAST({_wh} AS BIGINT) AS ghash
+        FROM wtoks a
+        JOIN wtoks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+        JOIN wtoks c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+      ), sel AS (
+        SELECT doc_id,
+               MIN(ghash * 1048576 + (1048575 - pos)) OVER win AS selkey,
+               COUNT(*) OVER win AS n
+        FROM grams
+        WINDOW win AS (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+      )
+      SELECT DISTINCT doc_id,
+             CAST(selkey // 1048576 AS BIGINT) AS ghash,
+             CAST(1048575 - (selkey % 1048576) AS INT) AS pos
+      FROM sel WHERE n = 4
+    """
+
+    # multi-phrase blocklist: per-phrase adjacency blocks over a shared
+    # union-term token CTE, UNION ALLed with the phrase as a literal —
+    # the per-phrase construction the fused one-pass engine must equal
+    _mterms = ", ".join(f"'{t}'" for t in MULTI_TERMS)
+    _mtoks = _ptoks.replace(f"({_pterms})", f"({_mterms})").replace(
+        "ptoks AS", "mtoks AS")
+    _mblocks = []
+    for _mp in MULTI_PHRASES:
+        _mw = _mp.split()
+        _mj = "\n".join(
+            f"          JOIN mtoks t{i} ON t{i}.doc_id = t0.doc_id"
+            f" AND t{i}.i = t0.i + {i} AND t{i}.w = '{w}'"
+            for i, w in enumerate(_mw[1:], start=1))
+        _mblocks.append(f"""
+        SELECT doc_id, '{_mp}' AS phrase,
+               CAST(COUNT(*) AS INT) AS n_matches,
+               CAST(MIN(pos) AS INT) AS first_pos
+        FROM (
+          SELECT t0.doc_id, t0.i AS pos
+          FROM mtoks t0
+{_mj}
+          WHERE t0.w = '{_mw[0]}')
+        GROUP BY doc_id""")
+    sqls["multi_phrase"] = f"""
+      WITH {_mtoks}
+      {" UNION ALL ".join(_mblocks)}
     """
 
     # min-cover proximity: the identical running-MAX-per-term ordered

@@ -413,3 +413,52 @@ def merge_postings(
     replaced = delta.select(id_col).distinct()
     kept = base.join(F.broadcast(replaced), id_col, "left_anti")
     return kept.unionByName(delta)
+
+
+def multi_phrase_matches(
+    postings: DataFrame,
+    phrases: list[str],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All phrases against the index in ONE pass — the blocklist shape
+    (UT1-style phrase lists, compliance filters): prune postings to the
+    UNION of every phrase's terms, pivot each candidate doc's positions
+    into the term→positions map ONCE (one shuffle over candidate rows),
+    then resolve every phrase's adjacency from the same in-row map and
+    explode the per-phrase results. P phrases cost one candidate pivot,
+    not P passes.
+
+    A missing term needs no explicit presence check: ``element_at`` on
+    an absent map key is NULL, NULL propagates through the adjacency
+    filter, and ``size(NULL) = -1`` drops the row.
+
+    Output: (doc_id, phrase, n_matches, first_pos) — one row per
+    (matching doc, phrase). Blocklist usage: ``corpus.join(
+    multi_phrase_matches(...).select(id).distinct(), id, "left_anti")``.
+    """
+    toks = {p: _phrase_tokens(p) for p in phrases}
+    if not phrases or any(not t for t in toks.values()):
+        raise ValueError("every phrase needs ≥1 token after normalization")
+    all_terms = sorted({w for t in toks.values() for w in t})
+
+    cand = (
+        postings.filter(F.col("term").isin(all_terms))
+        .groupBy(id_col)
+        .agg(F.map_from_entries(
+            F.collect_list(F.struct("term", "positions"))).alias("_pos"))
+    )
+    entries = []
+    for p in phrases:
+        words = toks[p]
+        m = (F.col("_pos").getItem(words[0]) if len(words) == 1
+             else F.expr(_phrase_filter_expr(words)))
+        entries.append(F.struct(F.lit(p).alias("phrase"), m.alias("m")))
+    return (
+        cand.select(F.col(id_col), F.explode(F.array(*entries)).alias("_e"))
+        .select(F.col(id_col), F.col("_e.phrase").alias("phrase"),
+                F.col("_e.m").alias("_m"))
+        .filter(F.size("_m") > 0)
+        .select(F.col(id_col), "phrase",
+                F.size("_m").cast("int").alias("n_matches"),
+                F.element_at("_m", 1).cast("int").alias("first_pos"))
+    )

@@ -1069,3 +1069,75 @@ def with_clean_lines(
             .withColumn("text_clean", F.array_join(kept, "\n"))
             .withColumn("n_lines", F.size(lines))
             .withColumn("n_lines_kept", F.size(kept)))
+
+
+# --- winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003 / MOSS) ------
+
+# Geometry: gram hash = 20 bits (5 md5 hex digits), position field = 20
+# bits, so the rightmost-min selection key hash·2^20 + (2^20-1-pos) is an
+# exact BIGINT < 2^40 in both engines. Positions beyond 2^20-1 grams
+# (~1M tokens/doc) would alias; guarded below.
+WINNOW_HASH_BITS = 20
+WINNOW_POS_MAX = (1 << WINNOW_HASH_BITS) - 1
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing (the MOSS local fingerprinting): hash every k-word
+    shingle, slide a w-wide window over the hash sequence, select each
+    window's MINIMUM hash (ties → rightmost), and keep the distinct
+    selections. Guarantee (the paper's theorem): any shared run of at
+    least w+k-1 tokens between two documents shares at least one
+    selected fingerprint — the local-overlap detector MinHash (a global
+    set sketch) cannot give.
+
+    Plan: shingles-with-positions are one in-row transform; selection is
+    one window pass per doc (frame CURRENT ROW .. w-1 FOLLOWING, min of
+    the rightmost-min encoded BIGINT key) over the gram rows; the only
+    exchange is the per-doc window clustering. Output: one row per
+    distinct (doc, gram_hash, pos) selection.
+    """
+    if k < 1 or w < 1:
+        raise ValueError("k and w must be ≥ 1")
+    from pyspark.sql import Window
+
+    from .dedup import _tokens
+
+    toks = _tokens(text_col)
+    grams = F.expr(
+        f"CASE WHEN size(_toks) >= {k} THEN "
+        f"transform(sequence(1, size(_toks) - {k - 1}), "
+        f"i -> struct(i AS pos, concat_ws(' ', slice(_toks, i, {k})) "
+        f"AS gram)) ELSE array() END")
+    rows = (
+        df.select(F.col(id_col), toks.alias("_toks"))
+        .select(F.col(id_col), F.explode(grams).alias("_g"))
+        .select(F.col(id_col), F.col("_g.pos").alias("pos"),
+                F.conv(F.substring(F.md5("_g.gram"), 1, 5), 16, 10)
+                .cast("bigint").alias("ghash"))
+        .filter(F.col("pos") <= WINNOW_POS_MAX)
+    )
+    key = (F.col("ghash") * (WINNOW_POS_MAX + 1)
+           + (WINNOW_POS_MAX - F.col("pos")))
+    frame = (Window.partitionBy(id_col).orderBy("pos")
+             .rowsBetween(Window.currentRow, w - 1))
+    sel = (
+        rows.select(
+            F.col(id_col),
+            F.min(key).over(frame).alias("_sel"),
+            F.count("*").over(frame).alias("_n"))
+        .filter(F.col("_n") == w)          # full windows only
+        .select(
+            F.col(id_col),
+            F.expr(f"_sel div {WINNOW_POS_MAX + 1}").cast("bigint")
+            .alias("ghash"),
+            (WINNOW_POS_MAX - F.col("_sel") % (WINNOW_POS_MAX + 1))
+            .cast("int").alias("pos"))
+        .distinct()
+    )
+    return sel

@@ -220,3 +220,34 @@ def test_merge_postings_recrawl(spark):
         postings.doc_lengths(v1), postings.doc_lengths(v2))
     want = {r.doc_id: r.dl for r in postings.doc_lengths(final).collect()}
     assert {r.doc_id: r.dl for r in dl.collect()} == want
+
+
+def test_multi_phrase_one_pass_equals_per_phrase(docs, post):
+    """multi_phrase_matches == the union of single-phrase phrase_matches
+    rows, and a doc missing a phrase's term simply yields no row."""
+    phrases = ["big data merge", "window fast query", "slow hash batch",
+               "zeppelin airship"]
+    multi = {(r.doc_id, r.phrase): (r.n_matches, r.first_pos)
+             for r in postings.multi_phrase_matches(post, phrases).collect()}
+    want = {}
+    for p in phrases:
+        for r in postings.phrase_matches(post, p).collect():
+            want[(r.doc_id, p)] = (r.n_matches, r.first_pos)
+    assert multi == want
+    assert not any(p == "zeppelin airship" for _, p in multi)
+    assert len({p for _, p in multi}) >= 2  # real phrases actually hit
+
+
+def test_multi_phrase_blocklist_antijoin(docs, post):
+    """The documented blocklist usage removes exactly the matching
+    docs."""
+    phrases = ["big data merge"]
+    hits = postings.multi_phrase_matches(post, phrases)
+    kept = docs.join(hits.select("doc_id").distinct(), "doc_id",
+                     "left_anti")
+    assert kept.count() == docs.count() - hits.select("doc_id").distinct().count()
+
+
+def test_multi_phrase_rejects_empty(post):
+    with pytest.raises(ValueError):
+        postings.multi_phrase_matches(post, ["big data", "!!!"])

@@ -71,7 +71,8 @@ EXPECTED_TAIL = [
     # margin-based bitext mining
     "postings_index", "bm25_indexed", "phrase_query", "proximity_window",
     "phrase_snippets", "kmv_distinct", "kmv_set_ops", "bitext_mine",
-    "json_flatten", "json_tags_rollup",
+    "json_flatten", "json_tags_rollup", "multi_phrase",
+    "winnow_fingerprints",
 ]
 
 
