@@ -596,3 +596,87 @@ def profile_from_state(
               .agg(F.sum("n_words").cast("bigint").alias("n_words"),
                    F.sum("n_docs").cast("bigint").alias("n_docs")))
     return est.join(totals, group_col)
+
+
+def stream_index(
+    spark: SparkSession,
+    docs_dir: str,
+    out_root: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> int:
+    """Streaming incremental index maintenance: parquet files landing in
+    ``docs_dir`` become micro-batches; each batch's positional postings
+    and doc-length sidecar land as a SEGMENT partitioned by
+    (batch_id, tbucket) / (batch_id) — the Lucene segment model under
+    Structured Streaming. A batch only ever tokenizes ITSELF: the
+    standing index is never re-scanned, and the per-batch dynamic
+    partition overwrite makes replays idempotent (the same exactly-once
+    sink contract as :func:`stream_extract` — a replayed batch rewrites
+    exactly its own partitions).
+
+    Query-time recrawl semantics live in :func:`index_from_segments`
+    (latest batch wins per doc); cold-path compaction folds segments
+    with ``postings.merge_postings`` when segment counts grow.
+
+    Returns the number of micro-batches processed in this availableNow
+    drain; call again after new files land to index only the delta."""
+    from .operators import postings as _post
+
+    schema = spark.read.option("recursiveFileLookup", "true") \
+        .parquet(docs_dir).schema
+    reader = (spark.readStream.schema(schema)
+              .option("recursiveFileLookup", "true"))
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(docs_dir)
+
+    post_path = os.path.join(out_root, "postings", "data")
+    dl_path = os.path.join(out_root, "doclens", "data")
+    n_batches = 0
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        nonlocal n_batches
+        seg = (_post.build_postings(batch_df)
+               .withColumn("tbucket",
+                           _post._bucket_col(F.col("term"),
+                                             _post.N_BUCKETS))
+               .withColumn("batch_id", F.lit(int(batch_id))))
+        (seg.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id", "tbucket")
+         .parquet(post_path))
+        (_post.doc_lengths(batch_df)
+         .withColumn("batch_id", F.lit(int(batch_id)))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id")
+         .parquet(dl_path))
+        n_batches += 1
+
+    q = (stream.writeStream.foreachBatch(process)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return n_batches
+
+
+def index_from_segments(
+    spark: SparkSession, out_root: str,
+) -> tuple[DataFrame, DataFrame]:
+    """(postings, doclens) view over everything :func:`stream_index` has
+    landed, with recrawl semantics resolved: a doc_id present in several
+    segments keeps only its LATEST batch's postings (newest capture
+    wins). Resolution is one winners agg over the doc-length sidecar
+    (one row per doc per segment — tiny next to the postings) joined
+    back; tbucket survives as a column so bucket pruning still applies.
+    Hand the pair to ``postings.index_bm25`` / ``phrase_matches``, or
+    fold the segments for serving with ``postings.merge_postings``."""
+    post = spark.read.parquet(os.path.join(out_root, "postings", "data"))
+    dl = spark.read.parquet(os.path.join(out_root, "doclens", "data"))
+    winners = dl.groupBy("doc_id").agg(
+        F.max("batch_id").alias("batch_id"))
+    post = post.join(winners, ["doc_id", "batch_id"]).drop("batch_id")
+    dl = dl.join(winners, ["doc_id", "batch_id"]).drop("batch_id")
+    return post, dl
