@@ -314,6 +314,65 @@ def run_family(spark, docs_path: str, results: dict) -> None:
         return force(similarity.hard_negatives(
             emb, [0, 1, 2, 3], k=10, lo=0.0, hi=0.999))
 
+    def postings_build():
+        # the full positional-index build: one (term, doc_id) shuffle —
+        # the exact-dedup cost class; wall must track the corpus
+        from resume_ocr_spark.operators import postings as _post
+
+        return force(_post.build_postings(docs))
+
+    def postings_query():
+        # query-shaped read: terms-restricted build (one corpus scan,
+        # pruned agg) + index BM25 + phrase adjacency — the per-query
+        # serving cost whose growth should stay at scan-linear
+        from resume_ocr_spark.operators import postings as _post
+
+        terms = ["spark", "query", "window", "merge", "big", "data"]
+        p = _post.build_postings(docs, terms=terms)
+        dl = _post.doc_lengths(docs)
+        force(_post.index_bm25(p, dl, "spark query window merge"))
+        return force(_post.phrase_matches(p, "big data merge"))
+
+    def winnow_stress():
+        # gram explode + per-doc window min: linear in total grams
+        from resume_ocr_spark.operators import textstats as _ts
+
+        return force(_ts.winnow_fingerprints(docs, k=3, w=4))
+
+    def kmv_stress():
+        # dedup agg + two bounded bottom-k windows per lang
+        from resume_ocr_spark.operators import sketches as _sk2
+
+        return force(_sk2.kmv_estimate(
+            _sk2.kmv_sketch(docs, "text", ["lang"]), ["lang"]))
+
+    def bitext_margin_stress():
+        # margin SCORING at a fixed per-source fan-out of 8 candidates —
+        # linear in the corpus. Candidate GENERATION at scale is governed
+        # by lsh_candidates_cross's max_bucket_side lever (its flood
+        # behavior is pinned by tests/test_bitext.py::test_bucket_side_cap)
+        from resume_ocr_spark.operators import bitext as _bt
+
+        emb = _hash_embeddings()
+        src = emb.filter(F.col("vec_id") % 2 == 0).select(
+            F.col("vec_id").alias("sid"), "embedding")
+        tgt = emb.filter(F.col("vec_id") % 2 == 1).select(
+            F.col("vec_id").alias("tid"), "embedding")
+        n_tgt = tgt.count()
+        cand = src.select(
+            F.col("sid").alias("src_id"),
+            F.explode(F.expr(
+                f"transform(sequence(0, 7), j -> "
+                f"2 * pmod(xxhash64(sid * 8 + j), {max(n_tgt, 1)}) + 1)"))
+            .alias("tgt_id"))
+        return force(_bt.mine_bitext(src, tgt, id_src="sid", id_tgt="tid",
+                                     threshold=0.0, candidates=cand))
+
+    timed("postings_build", postings_build, results)
+    timed("postings_query", postings_query, results)
+    timed("winnow_fingerprints", winnow_stress, results)
+    timed("kmv_sketch", kmv_stress, results)
+    timed("bitext_margin_fanout8", bitext_margin_stress, results)
     timed("pq_encode_adc", pq_stress, results)
     timed("hard_negatives", hardneg_stress, results)
     timed("sketch_profile", sketch_profile, results)
