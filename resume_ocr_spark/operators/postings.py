@@ -72,6 +72,10 @@ def build_postings(
     One (term, doc_id) hash shuffle with map-side combine; everything
     before it is a per-row projection.  ``sort_array`` pins the
     collect_list order so output is deterministic across retries.
+
+    ``id_col`` must be unique per input row (the dedup-family contract):
+    duplicated ids would merge two documents' position lists into one
+    nonsensical postings row.
     """
     tok = (
         df.select(F.col(id_col),
@@ -399,6 +403,7 @@ def merge_postings(
     base: DataFrame,
     delta: DataFrame,
     id_col: str = "doc_id",
+    broadcast_replaced: bool = True,
 ) -> DataFrame:
     """Segment merge — the index-maintenance half of the postings story
     (Lucene's segment model): documents are immutable rows, so a doc's
@@ -408,10 +413,14 @@ def merge_postings(
     over untouched; the corpus is never re-scanned.
 
     Cost: one anti-join on doc_id (the replaced set is typically a tiny
-    fraction) + a union — no positional work is redone.  Applies to the
-    doc-length sidecar with the same call."""
+    fraction — broadcast by default; pass ``broadcast_replaced=False``
+    for a full-reindex-sized delta so the anti-join shuffles instead of
+    shipping a giant build side) + a union — no positional work is
+    redone.  Applies to the doc-length sidecar with the same call."""
     replaced = delta.select(id_col).distinct()
-    kept = base.join(F.broadcast(replaced), id_col, "left_anti")
+    if broadcast_replaced:
+        replaced = F.broadcast(replaced)
+    kept = base.join(replaced, id_col, "left_anti")
     return kept.unionByName(delta)
 
 

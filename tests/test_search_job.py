@@ -129,3 +129,26 @@ def test_search_job_merge_equals_fresh_build(spark, tmp_path, capsys):
     rc, _ = _run(["merge", "--index", merged, "--delta", delta_p,
                   "--output", merged], capsys)
     assert rc == 2
+
+
+@pytest.mark.usefixtures("spark")
+def test_search_job_blocklist_mode(spark, tmp_path, capsys):
+    idx = str(tmp_path / "idx")
+    rc, _ = _run(["build", "--input", DOCS, "--index", idx], capsys)
+    assert rc == 0
+    bl = tmp_path / "blocklist.txt"
+    bl.write_text("big data merge\nwindow fast query\n\n")
+    outd = str(tmp_path / "qb")
+    rc, meta = _run(["query", "--index", idx, "--output", outd,
+                     "--phrases-file", str(bl)], capsys)
+    assert rc == 0 and meta["mode"] == "blocklist" and meta["rows"] >= 1
+    from resume_ocr_spark.operators import postings
+    got = {(r.doc_id, r.phrase)
+           for r in spark.read.parquet(f"{outd}/results").collect()}
+    docs = spark.read.parquet(DOCS)
+    post = postings.build_postings(docs)
+    want = set()
+    for p in ["big data merge", "window fast query"]:
+        want |= {(r.doc_id, p)
+                 for r in postings.phrase_matches(post, p).collect()}
+    assert got == want

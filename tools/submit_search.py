@@ -15,7 +15,8 @@ segment merge.
         (--bm25 "spark window merge" [--topk 10] |
          --phrase "big data merge" [--snippets <docs.parquet>]
                                    [--snippet-width 5] |
-         --proximity spark,query,window [--max-window 20])
+         --proximity spark,query,window [--max-window 20] |
+         --phrases-file blocklist.txt)   # all phrases, one index pass
 
     # merge a recrawl delta (replaced doc_ids re-index; corpus not rescanned)
     ... submit_search.py merge --index <dir> --delta <docs.parquet> \
@@ -69,9 +70,11 @@ def _build(args) -> int:
 def _query(args) -> int:
     from resume_ocr_spark.operators import postings as P
 
-    modes = [m for m in (args.bm25, args.phrase, args.proximity) if m]
+    modes = [m for m in (args.bm25, args.phrase, args.proximity,
+                         args.phrases_file) if m]
     if len(modes) != 1:
-        print("exactly one of --bm25/--phrase/--proximity", file=sys.stderr)
+        print("exactly one of --bm25/--phrase/--proximity/--phrases-file",
+              file=sys.stderr)
         return 2
     spark = SparkSession.builder.getOrCreate()
     post, dl, man = _load_index(spark, args.index)
@@ -91,6 +94,16 @@ def _query(args) -> int:
                                     width=args.snippet_width,
                                     id_col=man["id_col"])
         mode = "phrase"
+    elif args.phrases_file:
+        with open(args.phrases_file) as fh:
+            phrases = [ln.strip() for ln in fh if ln.strip()]
+        if not phrases:
+            print("--phrases-file is empty", file=sys.stderr)
+            return 2
+        terms = sorted({w for p in phrases for w in P._phrase_tokens(p)})
+        out = P.multi_phrase_matches(idx._pruned(terms), phrases,
+                                     man["id_col"])
+        mode = "blocklist"
     else:
         terms = [t for t in args.proximity.split(",") if t]
         if len(terms) < 2:
@@ -157,6 +170,9 @@ def main() -> int:
     q.add_argument("--bm25", default=None)
     q.add_argument("--phrase", default=None)
     q.add_argument("--proximity", default=None)
+    q.add_argument("--phrases-file", default=None,
+                   help="blocklist mode: file of phrases (one per line), "
+                        "all matched in one index pass")
     q.add_argument("--topk", type=int, default=10)
     q.add_argument("--max-window", type=int, default=None)
     q.add_argument("--snippets", default=None,
