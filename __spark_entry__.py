@@ -2709,6 +2709,28 @@ def phrase_snippets_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     width=SNIPPET_WIDTH)
 
 
+FUZZY_DOC_CAP = 1500
+
+
+def fuzzy_title_pairs_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SymSpell edit-distance near-dup (tail entry, round 5): 4-word
+    normalized title keys, every pair within levenshtein 1 — deletion-
+    key blocking with exact recall (pytest-pinned vs brute force), then
+    the exact verify (dedup.fuzzy_pairs). Oracle states the SEMANTICS
+    (all-pairs levenshtein ≤ 1), proving blocking loses nothing.
+    ASCII-normalized titles sidestep the Spark-codepoint vs
+    DuckDB-byte levenshtein divergence (operator docstring)."""
+    from resume_ocr_spark.operators import dedup
+    from resume_ocr_spark.operators.dedup import _tokens
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < FUZZY_DOC_CAP)
+    titled = docs.select(
+        "doc_id",
+        F.array_join(F.slice(_tokens("text"), 1, 4), " ").alias("title"))
+    return dedup.fuzzy_pairs(titled, max_dist=1)
+
+
 def winnow_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (tail entry, round 5): the MOSS local
     fingerprinting — per 4-window rightmost-min over 3-gram hashes,
@@ -3391,6 +3413,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 tail: winnowing (MOSS) local fingerprints — the
         # guaranteed local-overlap detector beside global MinHash
         "winnow_fingerprints": winnow_entry,
+        # round-5 tail: SymSpell edit-distance near-dup (record linkage)
+        "fuzzy_title_pairs": fuzzy_title_pairs_entry,
     }
     return {**gated, **tail}
 
@@ -5119,6 +5143,21 @@ def oracle_sql() -> dict[str, str]:
                          len(t))],
                  x -> x <> ''), ' ') AS snippet
       FROM toklist
+    """
+
+    # SymSpell fuzzy pairs: the oracle is the SEMANTIC statement —
+    # all-pairs levenshtein over the same normalized titles — so the
+    # gate proves deletion-key blocking recall-exact
+    sqls["fuzzy_title_pairs"] = f"""
+      WITH t AS (
+        SELECT doc_id, array_to_string(
+            (string_split(trim(regexp_replace(lower(coalesce(text, '')),
+                '[^a-z0-9]+', ' ', 'g')), ' '))[1:4], ' ') AS title
+        FROM documents WHERE doc_id < {FUZZY_DOC_CAP})
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(levenshtein(a.title, b.title) AS INT) AS dist
+      FROM t a JOIN t b ON a.doc_id < b.doc_id
+      WHERE levenshtein(a.title, b.title) <= 1
     """
 
     # winnowing: 3-gram hashes from the house i/i+1/i+2 shingle joins,

@@ -992,3 +992,89 @@ def substring_duplicate_spans(
         )
         .drop("_grp")
     )
+
+
+# --- edit-distance (SymSpell-style) near-dup --------------------------------
+
+FUZZY_MAX_LEN = 64          # deletion-key fan-out is C(L, d); cap the input
+FUZZY_MAX_BUCKET = 10_000   # degenerate-key lever (the banding convention)
+
+
+def _del_one(s):
+    """All one-char deletions of string Column ``s`` (the empty string
+    maps to itself so iterated expansion terminates)."""
+    n = F.length(s)
+    return F.when(n <= 0, F.array(s)).otherwise(
+        F.transform(F.sequence(F.lit(1), n),
+                    lambda i: F.concat(s.substr(F.lit(1), i - 1),
+                                       s.substr(i + 1, n))))
+
+
+def _deletion_variants(col, rounds: int):
+    """Array of all strings reachable from ``col`` by ≤ ``rounds``
+    single-character deletions (the SymSpell key set), distinct, pure
+    Column ops: each round maps every current variant through all
+    one-char deletions and flattens."""
+    cur = F.array(col)
+    acc = cur
+    for _ in range(rounds):
+        cur = F.array_distinct(F.flatten(F.transform(cur, _del_one)))
+        acc = F.array_distinct(F.concat(acc, cur))
+    return acc
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "title",
+    max_dist: int = 1,
+    max_bucket_size: int = FUZZY_MAX_BUCKET,
+) -> DataFrame:
+    """Edit-distance near-dup pairs for SHORT strings (titles, names,
+    queries — the record-linkage unit): every (id_a < id_b) with
+    ``levenshtein ≤ max_dist``, found via SymSpell deletion-key blocking
+    (Garbe's algorithm): if lev(a,b) ≤ d then a and b share a variant
+    reachable by ≤ d single-char deletions, so joining on deletion keys
+    has EXACT recall (pytest-pinned vs brute force) and the final
+    levenshtein filter restores exact precision.
+
+    100 TB shape: keys-per-string is C(L, d)-bounded (inputs over
+    ``FUZZY_MAX_LEN`` chars are excluded — this is a short-string
+    operator; use the MinHash family for documents), the join is a
+    bucketed equi-join on the key with the standard
+    ``max_bucket_size`` degenerate-bucket lever, and candidates are
+    deduped before the exact verify. Never all-pairs.
+
+    ASCII caveat (documented): Spark's levenshtein counts codepoints,
+    DuckDB's counts bytes — oracle parity therefore holds on
+    ASCII-normalized inputs (the ``_tokens`` alphabet), which is also
+    the sensible normalization for linkage keys.
+    """
+    if max_dist < 1:
+        raise ValueError("max_dist must be ≥ 1")
+    base = (df.select(F.col(id_col), F.col(text_col).alias("_s"))
+            .filter(F.col("_s").isNotNull()
+                    & (F.length("_s") <= FUZZY_MAX_LEN)))
+    keys = base.select(
+        F.col(id_col), "_s",
+        F.explode(_deletion_variants(F.col("_s"), max_dist)).alias("_k"))
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        wb = Window.partitionBy("_k").orderBy(id_col)
+        keys = (keys.withColumn("_r", F.row_number().over(wb))
+                .filter(F.col("_r") <= max_bucket_size).drop("_r"))
+    l, r = keys.alias("l"), keys.alias("r")
+    cand = (
+        l.join(r, (F.col("l._k") == F.col("r._k"))
+               & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+        .select(F.col(f"l.{id_col}").alias("id_a"),
+                F.col(f"r.{id_col}").alias("id_b"),
+                F.col("l._s").alias("_sa"), F.col("r._s").alias("_sb"))
+        .distinct()
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("_sa", "_sb"))
+        .filter(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "dist")
+    )
