@@ -2709,6 +2709,30 @@ def phrase_snippets_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     width=SNIPPET_WIDTH)
 
 
+def robust_outliers_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier flagging (tail entry, round 5): per-
+    source n_chars anomalies via the Iglewicz–Hoberg modified z — the
+    curation pass a mean/stddev rule can't do (one giant doc drags a
+    mean, not a median). The synthetic corpus is uniform (max natural
+    |z| ≈ 3), so anomalies are PLANTED deterministically — every 97th
+    doc's length ×20, the truncated-scrape/template-flood shape — and
+    the gate checks they (and only they) flag. Exact interpolated
+    medians on both engines (Spark percentile ≡ DuckDB median, both
+    DOUBLE); only flagged rows emitted so the gate row set IS the
+    decision."""
+    from resume_ocr_spark.operators import textstats
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source",
+        F.when(F.col("doc_id") % 97 == 0,
+               F.col("n_chars").cast("double") * 20)
+        .otherwise(F.col("n_chars").cast("double")).alias("nc"))
+    out = textstats.robust_outliers(docs, "nc", ["source"])
+    return (out.filter(F.col("is_outlier"))
+            .select("doc_id", "source", F.col("nc").cast("bigint")
+                    .alias("n_chars"), "grp_median", "grp_mad", "robust_z"))
+
+
 FUZZY_DOC_CAP = 1500
 
 
@@ -3415,6 +3439,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": winnow_entry,
         # round-5 tail: SymSpell edit-distance near-dup (record linkage)
         "fuzzy_title_pairs": fuzzy_title_pairs_entry,
+        # round-5 tail: median/MAD per-source outlier flagging
+        "robust_outliers": robust_outliers_entry,
     }
     return {**gated, **tail}
 
@@ -5143,6 +5169,34 @@ def oracle_sql() -> dict[str, str]:
                          len(t))],
                  x -> x <> ''), ' ') AS snippet
       FROM toklist
+    """
+
+    # robust outliers: the same two-pass median/MAD with DuckDB median()
+    # (interpolated, DOUBLE — the exact twin of Spark's percentile 0.5)
+    sqls["robust_outliers"] = """
+      WITH v AS (
+        SELECT doc_id, source,
+               CASE WHEN doc_id % 97 = 0
+                    THEN CAST(n_chars AS DOUBLE) * 20
+                    ELSE CAST(n_chars AS DOUBLE) END AS nc
+        FROM documents
+      ), med AS (
+        SELECT source, median(nc) AS grp_median FROM v GROUP BY source
+      ), mad AS (
+        SELECT v.source, median(abs(v.nc - med.grp_median)) AS grp_mad
+        FROM v JOIN med USING (source) GROUP BY v.source
+      ), scored AS (
+        SELECT v.doc_id, v.source, v.nc, med.grp_median, mad.grp_mad,
+               CASE WHEN mad.grp_mad > 0 THEN
+                    ROUND(0.6745 * (v.nc - med.grp_median) / mad.grp_mad, 6)
+               END AS robust_z
+        FROM v JOIN med USING (source) JOIN mad ON mad.source = v.source
+      )
+      SELECT doc_id, source, CAST(nc AS BIGINT) AS n_chars,
+             grp_median, grp_mad, robust_z
+      FROM scored
+      WHERE CASE WHEN grp_mad > 0 THEN abs(robust_z) > 3.5
+                 ELSE abs(nc - grp_median) > 0 END
     """
 
     # SymSpell fuzzy pairs: the oracle is the SEMANTIC statement —

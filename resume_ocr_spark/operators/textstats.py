@@ -1141,3 +1141,51 @@ def winnow_fingerprints(
         .distinct()
     )
     return sel
+
+
+def robust_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    k: float = 3.5,
+) -> DataFrame:
+    """Per-group robust outlier flagging via median/MAD — the curation
+    pass that catches per-source anomalies (truncated scrapes, template
+    floods, binary-in-text) that corpus-global thresholds miss, without
+    the mean/stddev fragility (one 100 MB document drags a mean; it
+    cannot drag a median).
+
+    robust_z = 0.6745·(x − median) / MAD  (the Iglewicz–Hoberg modified
+    z-score; |robust_z| > k ≈ 3.5 is their recommended cut). MAD = 0 —
+    over half the group identical — flags exactly the non-median values
+    whose |x − median| > 0, the standard degenerate-case convention.
+
+    Plan: TWO grouped exact-median aggregations (medians need their
+    group's values clustered — at 10^12 rows swap in the mergeable
+    histogram/KLL quantile sketches beside this operator for a
+    single-pass approximate MAD; this operator is the exact
+    tie-breaker), each a map-side-light exchange on the group key, then
+    the per-group stats broadcast back into one scoring projection.
+
+    Output: every input row plus (grp_median, grp_mad, robust_z,
+    is_outlier)."""
+    med = df.groupBy(*group_cols).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("grp_median"))
+    dev = (df.join(F.broadcast(med), list(group_cols))
+           .withColumn("_ad", F.abs(F.col(value_col) - F.col("grp_median"))))
+    mad = dev.groupBy(*group_cols).agg(
+        F.expr("percentile(_ad, 0.5)").alias("grp_mad"))
+    scored = (
+        df.join(F.broadcast(med), list(group_cols))
+        .join(F.broadcast(mad), list(group_cols))
+        .withColumn(
+            "robust_z",
+            F.when(F.col("grp_mad") > 0,
+                   F.round(0.6745 * (F.col(value_col) - F.col("grp_median"))
+                           / F.col("grp_mad"), 6)))
+        .withColumn(
+            "is_outlier",
+            F.when(F.col("grp_mad") > 0, F.abs(F.col("robust_z")) > k)
+            .otherwise(F.abs(F.col(value_col) - F.col("grp_median")) > 0))
+    )
+    return scored

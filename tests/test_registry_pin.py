@@ -72,7 +72,7 @@ EXPECTED_TAIL = [
     "postings_index", "bm25_indexed", "phrase_query", "proximity_window",
     "phrase_snippets", "kmv_distinct", "kmv_set_ops", "bitext_mine",
     "json_flatten", "json_tags_rollup", "multi_phrase",
-    "winnow_fingerprints", "fuzzy_title_pairs",
+    "winnow_fingerprints", "fuzzy_title_pairs", "robust_outliers",
 ]
 
 

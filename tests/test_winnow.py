@@ -81,3 +81,46 @@ def test_winnow_rejects_bad_geometry(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError):
         T.winnow_fingerprints(df, k=0)
+
+
+# --- robust_outliers (median/MAD modified z) --------------------------------
+
+def test_robust_outliers_python_parity(spark):
+    """Per-group median/MAD and modified z equal a python re-derivation;
+    the planted anomaly is flagged, the bulk is not."""
+    import statistics
+
+    rows = [(i, "a", float(100 + (i % 7))) for i in range(40)]
+    rows += [(100, "a", 10_000.0), (101, "a", 0.5)]
+    rows += [(200 + i, "b", float(50 + i)) for i in range(21)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, v double")
+    out = {r.doc_id: r for r in T.robust_outliers(
+        df, "v", ["src"]).collect()}
+
+    for grp in ("a", "b"):
+        vals = [v for _, g, v in rows if g == grp]
+        med = statistics.median(vals)
+        mad = statistics.median(abs(v - med) for v in vals)
+        for did, g, v in rows:
+            if g != grp:
+                continue
+            r = out[did]
+            assert r.grp_median == pytest.approx(med)
+            assert r.grp_mad == pytest.approx(mad)
+            z = 0.6745 * (v - med) / mad
+            assert r.robust_z == pytest.approx(round(z, 6))
+            assert r.is_outlier == (abs(z) > 3.5)
+    assert out[100].is_outlier and out[101].is_outlier
+    assert sum(1 for r in out.values() if r.is_outlier) == 2
+
+
+def test_robust_outliers_zero_mad(spark):
+    """MAD = 0 (majority identical): non-median values flag, median
+    values don't, and robust_z stays NULL instead of dividing by zero."""
+    df = spark.createDataFrame(
+        [(i, "a", 5.0) for i in range(10)] + [(99, "a", 7.0)],
+        "doc_id long, src string, v double")
+    out = {r.doc_id: r for r in T.robust_outliers(
+        df, "v", ["src"]).collect()}
+    assert out[99].is_outlier and out[99].robust_z is None
+    assert not out[0].is_outlier
