@@ -88,8 +88,12 @@ def json_flatten(
             *id_cols,
             F.concat(F.col("path"), F.lit("."), F.col("_k")).alias("path"),
             F.col("_v"))
-        is_obj = F.col("_v").startswith("{")
-        is_arr = F.col("_v").startswith("[")
+        # NULL-safe: a JSON null value parses to a NULL map value, which
+        # must flatten as a scalar leaf — a bare ~startswith filter would
+        # evaluate NULL and silently DROP null-valued keys at every
+        # depth except the last (review finding)
+        is_obj = F.col("_v").isNotNull() & F.col("_v").startswith("{")
+        is_arr = F.col("_v").isNotNull() & F.col("_v").startswith("[")
         last = depth == max_depth - 1
         keep = kv if last else kv.filter(~is_obj)
         outs.append(keep.select(

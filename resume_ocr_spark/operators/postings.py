@@ -378,10 +378,13 @@ def phrase_snippets(
     result rendering every search tier performs after the index match.
 
     Plan shape: :func:`phrase_matches` resolves candidates from the
-    pruned postings (tiny), which are then BROADCAST into the corpus
-    scan; the snippet itself is a zero-shuffle projection (re-tokenize
-    the matched row, slice around first_pos, join). The corpus is
-    scanned once and never shuffled. Output: (doc_id, n_matches,
+    pruned postings, joined back into ONE corpus scan; the snippet
+    itself is a zero-shuffle projection (re-tokenize the matched row,
+    slice around first_pos, join). No broadcast hint: a rare phrase's
+    match set is tiny and AQE broadcasts it at runtime on its own, but
+    a COMMON phrase matches corpus-scale rows and a forced hint would
+    be the driver-OOM cliff (review finding) — the hash join is the
+    safe default at every selectivity. Output: (doc_id, n_matches,
     first_pos, snippet)."""
     hits = phrase_matches(postings, phrase, id_col)
     n_words = len(_phrase_tokens(phrase))
@@ -389,7 +392,7 @@ def phrase_snippets(
     start = F.greatest(F.col("first_pos") - width, F.lit(1))
     end = F.least(F.col("first_pos") + (n_words - 1) + width, F.size(toks))
     return (
-        df.join(F.broadcast(hits), id_col)
+        df.join(hits, id_col)
         .select(
             F.col(id_col), "n_matches", "first_pos",
             F.array_join(

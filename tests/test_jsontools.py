@@ -14,6 +14,9 @@ DOCS = [
     (2, '{"a":7,"b":{"c":9,"n":{"deep":1}},"e":[],"s":"yo"}'),
     (3, 'not json at all {{{'),
     (4, None),
+    # JSON nulls at both depths: must flatten as scalar leaves with a
+    # NULL value, never silently drop (review finding)
+    (5, '{"a":null,"b":{"c":null,"d":4},"z":0}'),
 ]
 
 
@@ -47,6 +50,8 @@ def _py_flatten(js, max_depth):
     """Reference walk mirroring the operator's contract (compact
     re-serialization for non-scalar leaves)."""
     def ser(v):
+        if v is None:
+            return None
         if isinstance(v, (dict, list)):
             return json.dumps(v, separators=(",", ":"))
         if isinstance(v, bool):

@@ -32,7 +32,7 @@ def _run(argv, capsys):
 def test_search_job_end_to_end(spark, tmp_path, capsys):
     idx = str(tmp_path / "idx")
     rc, meta = _run(["build", "--input", DOCS, "--index", idx], capsys)
-    assert rc == 0 and meta["n_docs"] == 500 and meta["n_terms"] > 10
+    assert rc == 0 and meta["n_docs"] == 500
 
     # bm25: top-10, equal to the library scan path's ranking head
     outd = str(tmp_path / "q1")
@@ -152,3 +152,59 @@ def test_search_job_blocklist_mode(spark, tmp_path, capsys):
         want |= {(r.doc_id, p)
                  for r in postings.phrase_matches(post, p).collect()}
     assert got == want
+
+
+@pytest.mark.usefixtures("spark")
+def test_search_job_contract_fixes(spark, tmp_path, capsys):
+    """Review-driven CLI contracts: bm25 no-match exits 4 (matched-only
+    results, no zero-score padding), tokenless phrase exits 2 instead of
+    a traceback, proximity input normalizes like every other mode, and
+    a non-default --text-col survives the manifest into snippets."""
+    docs = spark.read.parquet(DOCS)
+    body_p = str(tmp_path / "body.parquet")
+    docs.withColumnRenamed("text", "body").write.parquet(body_p)
+    idx = str(tmp_path / "idx")
+    rc, _ = _run(["build", "--input", body_p, "--index", idx,
+                  "--text-col", "body"], capsys)
+    assert rc == 0
+
+    # bm25 that matches nothing → 0 result rows → exit 4
+    out1 = str(tmp_path / "o1")
+    rc, meta = _run(["query", "--index", idx, "--output", out1,
+                     "--bm25", "zzznotaword qqqneither"], capsys)
+    assert rc == 4 and meta["rows"] == 0
+
+    # matched-only: a 1-term query returns only docs containing it
+    out2 = str(tmp_path / "o2")
+    rc, _ = _run(["query", "--index", idx, "--output", out2,
+                  "--bm25", "zeppelin spark"], capsys)
+    assert rc == 0
+    assert spark.read.parquet(f"{out2}/results") \
+        .filter("n_terms_matched = 0").count() == 0
+
+    # tokenless phrase / bm25 → exit 2, not a traceback
+    rc, _ = _run(["query", "--index", idx, "--output", out2,
+                  "--phrase", "###"], capsys)
+    assert rc == 2
+    rc, _ = _run(["query", "--index", idx, "--output", out2,
+                  "--bm25", "!!!"], capsys)
+    assert rc == 2
+
+    # proximity normalizes case/padding; duplicate terms → exit 2
+    out3 = str(tmp_path / "o3")
+    rc, meta = _run(["query", "--index", idx, "--output", out3,
+                     "--proximity", "Spark, Query, Window"], capsys)
+    assert rc == 0 and meta["rows"] >= 1
+    rc, _ = _run(["query", "--index", idx, "--output", out3,
+                  "--proximity", "spark,spark"], capsys)
+    assert rc == 2
+
+    # snippets read the manifest's text_col (body), not a hardcoded
+    # 'text' — the docs parquet has NO text column at all
+    out4 = str(tmp_path / "o4")
+    rc, meta = _run(["query", "--index", idx, "--output", out4,
+                     "--phrase", "big data merge", "--snippets", body_p],
+                    capsys)
+    assert rc == 0 and meta["rows"] >= 1
+    assert "big data merge" in spark.read.parquet(
+        f"{out4}/results").collect()[0].snippet

@@ -56,14 +56,15 @@ def _build(args) -> int:
     idx = P.PostingsIndex.build(docs, id_col=args.id_col,
                                 text_col=args.text_col, path=args.index,
                                 n_buckets=args.n_buckets)
-    n_terms = idx.postings.select("term").distinct().count()
+    # n_docs reads the (tiny, one-row-per-doc) sidecar just written; no
+    # distinct-count shuffle over the postings for a vanity field
     n_docs = idx.doclens.count()
     with open(f"{args.index}/manifest.json", "w") as fh:
         json.dump({"layout": "postings-v1", "id_col": args.id_col,
-                   "n_buckets": args.n_buckets, "n_docs": n_docs,
-                   "n_terms": n_terms}, fh)
+                   "text_col": args.text_col,
+                   "n_buckets": args.n_buckets, "n_docs": n_docs}, fh)
     print(json.dumps({"mode": "build", "n_docs": n_docs,
-                      "n_terms": n_terms, "n_buckets": args.n_buckets}))
+                      "n_buckets": args.n_buckets}))
     return 0
 
 
@@ -82,33 +83,50 @@ def _query(args) -> int:
 
     if args.bm25:
         terms = P._query_terms(args.bm25)
-        out = (idx.bm25(args.bm25)
+        if not terms:
+            print("--bm25 query has no tokens after normalization",
+                  file=sys.stderr)
+            return 2
+        # only docs matching ≥1 term are results — without the filter
+        # the all-docs-at-0.0 scan output pads top-k with noise and the
+        # exit-4 contract is unreachable (review finding)
+        out = (idx.bm25(args.bm25).filter(F.col("n_terms_matched") > 0)
                .orderBy(F.desc("bm25"), man["id_col"]).limit(args.topk))
         mode = "bm25"
     elif args.phrase:
         terms = P._phrase_tokens(args.phrase)
+        if not terms:
+            print("--phrase has no tokens after normalization",
+                  file=sys.stderr)
+            return 2
         out = idx.phrase(args.phrase)
         if args.snippets:
             docs = spark.read.parquet(args.snippets)
             out = P.phrase_snippets(docs, idx._pruned(terms), args.phrase,
                                     width=args.snippet_width,
-                                    id_col=man["id_col"])
+                                    id_col=man["id_col"],
+                                    text_col=man.get("text_col", "text"))
         mode = "phrase"
     elif args.phrases_file:
         with open(args.phrases_file) as fh:
             phrases = [ln.strip() for ln in fh if ln.strip()]
-        if not phrases:
-            print("--phrases-file is empty", file=sys.stderr)
+        if not phrases or any(not P._phrase_tokens(p) for p in phrases):
+            print("--phrases-file is empty or holds a tokenless phrase",
+                  file=sys.stderr)
             return 2
         terms = sorted({w for p in phrases for w in P._phrase_tokens(p)})
         out = P.multi_phrase_matches(idx._pruned(terms), phrases,
                                      man["id_col"])
         mode = "blocklist"
     else:
-        terms = [t for t in args.proximity.split(",") if t]
+        # normalize through the corpus tokenizer like every other mode —
+        # raw comma-splits left case/padding intact, so 'Spark, Query'
+        # bucket-pruned and term-matched nothing (review finding);
+        # _query_terms also dedups, so 'spark,spark' fails the ≥2 check
+        terms = P._query_terms(" ".join(args.proximity.split(",")))
         if len(terms) < 2:
-            print("--proximity needs ≥2 comma-separated terms",
-                  file=sys.stderr)
+            print("--proximity needs ≥2 distinct terms after "
+                  "normalization", file=sys.stderr)
             return 2
         out = idx.proximity(terms, max_window=args.max_window)
         mode = "proximity"
@@ -143,13 +161,10 @@ def _merge(args) -> int:
                                               args.text_col), man["id_col"])
     dl_m.write.mode("overwrite").parquet(f"{args.output}/doclens")
     n_docs = spark.read.parquet(f"{args.output}/doclens").count()
-    n_terms = (spark.read.parquet(f"{args.output}/postings")
-               .select("term").distinct().count())
-    man.update({"n_docs": n_docs, "n_terms": n_terms})
+    man.update({"n_docs": n_docs})
     with open(f"{args.output}/manifest.json", "w") as fh:
         json.dump(man, fh)
-    print(json.dumps({"mode": "merge", "n_docs": n_docs,
-                      "n_terms": n_terms}))
+    print(json.dumps({"mode": "merge", "n_docs": n_docs}))
     return 0
 
 
