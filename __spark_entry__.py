@@ -2733,6 +2733,28 @@ def robust_outliers_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("n_chars"), "grp_median", "grp_mad", "robust_z"))
 
 
+def pmi_collocations_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining (tail entry, round 5): adjacent pairs with
+    count ≥ 5 scored log(N·c_ab/(c_a·c_b)) — the Church–Hanks
+    phrase-discovery pass; exact integer counts, one rounded log
+    (textstats.collocations)."""
+    from resume_ocr_spark.operators import textstats
+
+    return textstats.collocations(_t(spark, sf_dir, "documents"),
+                                  min_count=5)
+
+
+def tfidf_keywords_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc TF-IDF keywords (tail entry, round 5): top-5 terms by
+    tf·ln((N+1)/(df+1)), rank over the ROUNDED score with lexicographic
+    tie-break so both engines cut identically
+    (textstats.tfidf_keywords)."""
+    from resume_ocr_spark.operators import textstats
+
+    return textstats.tfidf_keywords(_t(spark, sf_dir, "documents"),
+                                    top_m=5)
+
+
 FUZZY_DOC_CAP = 1500
 
 
@@ -3441,6 +3463,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_title_pairs": fuzzy_title_pairs_entry,
         # round-5 tail: median/MAD per-source outlier flagging
         "robust_outliers": robust_outliers_entry,
+        # round-5 tail: PMI collocations + per-doc TF-IDF keywords
+        "pmi_collocations": pmi_collocations_entry,
+        "tfidf_keywords": tfidf_keywords_entry,
     }
     return {**gated, **tail}
 
@@ -5169,6 +5194,59 @@ def oracle_sql() -> dict[str, str]:
                          len(t))],
                  x -> x <> ''), ' ') AS snippet
       FROM toklist
+    """
+
+    # PMI collocations + TF-IDF keywords: integer counts from the
+    # parallel-unnest token CTE; one rounded log each; the TF-IDF rank
+    # runs over the ROUNDED score with a word tie-break on both sides
+    _ctoks = """
+      ctoks AS (
+        SELECT doc_id, w, i FROM (
+          SELECT doc_id,
+                 unnest(string_split(trim(regexp_replace(lower(
+                        coalesce(text, '')), '[^a-z0-9]+', ' ', 'g')),
+                        ' ')) AS w,
+                 unnest(generate_series(1,
+                        len(string_split(trim(regexp_replace(lower(
+                            coalesce(text, '')), '[^a-z0-9]+', ' ', 'g')),
+                            ' ')))) AS i
+          FROM documents
+        ) WHERE w <> ''
+      )"""
+    sqls["pmi_collocations"] = f"""
+      WITH {_ctoks},
+      uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+              FROM ctoks GROUP BY w),
+      nw AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM uni),
+      big AS (
+        SELECT a.w AS w_a, b.w AS w_b,
+               CAST(COUNT(*) AS BIGINT) AS pair_count
+        FROM ctoks a JOIN ctoks b
+          ON b.doc_id = a.doc_id AND b.i = a.i + 1
+        GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+      SELECT w_a, w_b, pair_count, ua.c AS count_a, ub.c AS count_b,
+             ROUND(ln(nw.n * pair_count / (ua.c * ub.c)), 6) AS pmi
+      FROM big JOIN uni ua ON ua.w = big.w_a
+               JOIN uni ub ON ub.w = big.w_b, nw
+    """
+    sqls["tfidf_keywords"] = f"""
+      WITH {_ctoks},
+      tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+             FROM ctoks GROUP BY 1, 2),
+      dft AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df_t
+              FROM tf GROUP BY w),
+      nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n
+             FROM documents),
+      scored AS (
+        SELECT doc_id, w, tf, df_t,
+               ROUND(tf * ln((nd.n + 1.0) / (df_t + 1)), 6) AS tfidf
+        FROM tf JOIN dft USING (w), nd),
+      ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, w) AS rnk
+        FROM scored)
+      SELECT doc_id, w AS word, tf, df_t, tfidf, CAST(rnk AS INT) AS rnk
+      FROM ranked WHERE rnk <= 5
     """
 
     # robust outliers: the same two-pass median/MAD with DuckDB median()

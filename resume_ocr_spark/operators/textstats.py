@@ -1189,3 +1189,101 @@ def robust_outliers(
             .otherwise(F.abs(F.col(value_col) - F.col("grp_median")) > 0))
     )
     return scored
+
+
+def collocations(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """PMI collocation mining: adjacent word pairs scored by pointwise
+    mutual information — log(N·c(a,b) / (c(a)·c(b))) over corpus bigram
+    and unigram counts — the classic collocation/phrase-discovery pass
+    (Church & Hanks 1990) used to seed tokenizer merge candidates and
+    multi-word entity lists.
+
+    Plan: bigrams from an in-row slide (no self-join), ONE (a, b) count
+    shuffle + ONE unigram count shuffle, unigram counts joined back —
+    broadcast when the vocabulary is small, hash otherwise (no hint;
+    AQE decides). All counts exact BIGINTs; the PMI is one log of a
+    ratio of exact integers, rounded to 6. ``min_count`` prunes the
+    hapax tail BEFORE the join (the precision floor every PMI user
+    applies — PMI is maximal for pairs seen once).
+
+    Output: (w_a, w_b, pair_count, count_a, count_b, pmi)."""
+    from .dedup import _tokens
+
+    toks = df.select(_tokens(text_col).alias("_t"))
+    pairs = toks.select(F.explode(F.expr(
+        "CASE WHEN size(_t) >= 2 THEN transform(sequence(1, size(_t) - 1),"
+        " i -> struct(_t[i-1] AS a, _t[i] AS b)) "
+        "ELSE array() END")).alias("_p")).select("_p.a", "_p.b").filter(
+        (F.col("a") != "") & (F.col("b") != ""))
+    uni = (toks.select(F.explode("_t").alias("w"))
+           .filter(F.col("w") != "")
+           .groupBy("w").agg(F.count("*").cast("bigint").alias("c")))
+    n_words = uni.agg(F.sum("c").cast("double").alias("n"))
+    big = (pairs.groupBy("a", "b")
+           .agg(F.count("*").cast("bigint").alias("pair_count"))
+           .filter(F.col("pair_count") >= min_count))
+    return (
+        big.join(uni.select(F.col("w").alias("a"),
+                            F.col("c").alias("count_a")), "a")
+        .join(uni.select(F.col("w").alias("b"),
+                         F.col("c").alias("count_b")), "b")
+        .crossJoin(F.broadcast(n_words))
+        .select(
+            F.col("a").alias("w_a"), F.col("b").alias("w_b"),
+            "pair_count", "count_a", "count_b",
+            F.round(F.log(F.col("n") * F.col("pair_count")
+                          / (F.col("count_a") * F.col("count_b"))), 6)
+            .alias("pmi"))
+    )
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_m: int = 5,
+) -> DataFrame:
+    """Per-document TF-IDF keyword extraction: each doc's ``top_m``
+    terms by tf·idf (smoothed idf = ln((N+1)/(df_t+1)) — never
+    negative, never a zero division) — the summarization/routing signal
+    beside the BM25 scorer, and the classic per-doc profile a corpus
+    browser shows.
+
+    Plan: one (doc, word) count agg (the postings-build cost class),
+    one word→df_t agg joined back on the word key, one per-doc window
+    for the top-m cut (ties → lexicographic word, deterministic). All
+    counts exact; the score is one double product, rounded to 6.
+
+    Output: (doc_id, word, tf, df_t, tfidf, rnk), rnk ∈ [1, top_m]."""
+    from pyspark.sql import Window
+
+    from .dedup import _tokens
+
+    words = (df.select(F.col(id_col), F.explode(_tokens(text_col))
+                       .alias("word"))
+             .filter(F.col("word") != ""))
+    tf = words.groupBy(id_col, "word").agg(
+        F.count("*").cast("bigint").alias("tf"))
+    dft = tf.groupBy("word").agg(
+        F.count("*").cast("bigint").alias("df_t"))
+    # N as a 1-row broadcast fold (house scalar recipe) — no eager
+    # driver count, the plan stays one lazy tree
+    n_docs = df.agg(F.countDistinct(id_col).cast("double").alias("n"))
+    scored = (
+        tf.join(dft, "word")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", F.round(
+            F.col("tf") * F.log((F.col("n") + 1.0)
+                                / (F.col("df_t") + 1)), 6))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("tfidf"), F.asc("word"))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= top_m)
+            .select(id_col, "word", "tf", "df_t", "tfidf",
+                    F.col("rnk").cast("int").alias("rnk")))

@@ -73,6 +73,7 @@ EXPECTED_TAIL = [
     "phrase_snippets", "kmv_distinct", "kmv_set_ops", "bitext_mine",
     "json_flatten", "json_tags_rollup", "multi_phrase",
     "winnow_fingerprints", "fuzzy_title_pairs", "robust_outliers",
+    "pmi_collocations", "tfidf_keywords",
 ]
 
 

@@ -124,3 +124,73 @@ def test_robust_outliers_zero_mad(spark):
         df, "v", ["src"]).collect()}
     assert out[99].is_outlier and out[99].robust_z is None
     assert not out[0].is_outlier
+
+
+# --- PMI collocations + TF-IDF keywords -------------------------------------
+
+def test_collocations_python_parity(spark):
+    import math
+    from collections import Counter
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .filter("doc_id < 80"))
+    got = {(r.w_a, r.w_b): (r.pair_count, r.count_a, r.count_b, r.pmi)
+           for r in T.collocations(docs, min_count=5).collect()}
+    uni, big = Counter(), Counter()
+    for r in docs.collect():
+        toks = _pytok(r.text)
+        uni.update(toks)
+        big.update(zip(toks, toks[1:]))
+    n = sum(uni.values())
+    want = {}
+    for (a, b), c in big.items():
+        if c >= 5:
+            want[(a, b)] = (c, uni[a], uni[b],
+                            round(math.log(n * c / (uni[a] * uni[b])), 6))
+    assert got == want and got
+
+
+def test_collocations_rank_real_phrases_high(spark):
+    """A planted fixed phrase outranks independent co-occurrences."""
+    rows = [(i, "alpha beta " + "x y " * 3) for i in range(20)]
+    rows += [(100 + i, "x beta y alpha x y x y") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pmi = {(r.w_a, r.w_b): r.pmi for r in T.collocations(df).collect()}
+    assert pmi[("alpha", "beta")] > pmi[("x", "y")]
+
+
+def test_tfidf_keywords_python_parity(spark):
+    import math
+    from collections import Counter
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .filter("doc_id < 60"))
+    rows = docs.collect()
+    n = len(rows)
+    per_doc = {r.doc_id: Counter(_pytok(r.text)) for r in rows}
+    dft = Counter()
+    for c in per_doc.values():
+        dft.update(c.keys())
+    got = {}
+    for r in T.tfidf_keywords(docs, top_m=5).collect():
+        got.setdefault(r.doc_id, []).append(
+            (r.rnk, r.word, r.tf, r.df_t, r.tfidf))
+    for did, c in per_doc.items():
+        if not c:
+            continue
+        scored = sorted(
+            ((round(tf * math.log((n + 1) / (dft[w] + 1)), 6), w, tf)
+             for w, tf in c.items()), key=lambda t: (-t[0], t[1]))[:5]
+        want = [(i + 1, w, tf, dft[w], s)
+                for i, (s, w, tf) in enumerate(scored)]
+        assert sorted(got[did]) == sorted(want), did
+
+
+def test_tfidf_common_words_score_low(spark):
+    """A word in every doc gets near-zero idf and never beats a rare
+    discriminative term."""
+    rows = [(i, f"common filler uniq{i} uniq{i}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    top1 = {r.doc_id: r.word
+            for r in T.tfidf_keywords(df, top_m=1).collect()}
+    assert all(w.startswith("uniq") for w in top1.values())
